@@ -1,0 +1,124 @@
+"""Keyed merge/upsert — the engine equivalent of the reference's MySQL MERGE.
+
+Behavioral anchor: reference utils/utils_load.py:43-84 (MERGE INTO
+visitantes), with the SURVEY §0.1 rulings applied:
+- D22: ``fechaPrimeraVisita`` keeps the target value when matched
+  (first visit never changes);
+- greatest(target, source) for ``fechaUltimaVisita``
+  (utils/utils_load.py:58-62);
+- counters add when matched, reset on year/month rollover (D21 fixed:
+  year+month both checked for the month counter);
+- not-matched ⇒ insert source row (utils/utils_load.py:79-81).
+
+Spark-first design: the upsert is a full-outer join between the target
+table and the (small) batch aggregate, then one select with per-column
+merge rules. The batch side is broadcast (it is one file's aggregate);
+the target is only rewritten where keys changed — at scale the target
+would be bucketed by the merge key so re-runs shuffle nothing, or backed
+by Delta's MERGE INTO which has identical semantics.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+MergeRule = Callable[[Column, Column], Column]  # (target_col, source_col) -> merged
+
+
+def keep_target(t: Column, s: Column) -> Column:
+    """Matched ⇒ target wins; else whichever exists (D22 keep-first)."""
+    return F.coalesce(t, s)
+
+
+def take_source(t: Column, s: Column) -> Column:
+    return F.coalesce(s, t)
+
+
+def greatest_of(t: Column, s: Column) -> Column:
+    return F.greatest(F.coalesce(t, s), F.coalesce(s, t))
+
+
+def add_counters(t: Column, s: Column) -> Column:
+    return F.coalesce(t, F.lit(0)) + F.coalesce(s, F.lit(0))
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key: str | list[str],
+    rules: dict[str, MergeRule],
+) -> DataFrame:
+    """Generic full-outer-join merge.
+
+    ``rules`` maps each non-key column to a merge rule; columns present in
+    only one side pass through. Output column order: key(s) then rule
+    columns. The source side is broadcast-hinted — in the reference's
+    workload it is one micro-batch's per-email aggregate, far below the
+    broadcast threshold.
+    """
+    keys = [key] if isinstance(key, str) else list(key)
+    t = target.select([F.col(c).alias(f"t_{c}") for c in target.columns])
+    s = source.select([F.col(c).alias(f"s_{c}") for c in source.columns])
+    cond = None
+    for k in keys:
+        c = t[f"t_{k}"].eqNullSafe(s[f"s_{k}"])
+        cond = c if cond is None else (cond & c)
+    joined = t.join(F.broadcast(s), cond, "full_outer")
+    out = [F.coalesce(f"t_{k}", f"s_{k}").alias(k) for k in keys]
+    for col_name, rule in rules.items():
+        tc = F.col(f"t_{col_name}") if f"t_{col_name}" in joined.columns else F.lit(None)
+        sc = F.col(f"s_{col_name}") if f"s_{col_name}" in joined.columns else F.lit(None)
+        out.append(rule(tc, sc).alias(col_name))
+    return joined.select(*out)
+
+
+def visitantes_merge(target: DataFrame, source: DataFrame, process_date: str | None = None) -> DataFrame:
+    """The concrete visitantes upsert (email-keyed), all rules applied.
+
+    ``process_date`` (ISO yyyy-mm-dd) pins "current" year/month for
+    deterministic tests; defaults to the batch's max fechaUltimaVisita.
+    """
+    if process_date is not None:
+        cur = F.lit(process_date).cast("date")
+    else:
+        cur = F.current_date()
+    cur_y, cur_m = F.year(cur), F.month(cur)
+
+    t = target.select([F.col(c).alias(f"t_{c}") for c in target.columns])
+    s = source.select([F.col(c).alias(f"s_{c}") for c in source.columns])
+    joined = t.join(F.broadcast(s), F.col("t_email").eqNullSafe(F.col("s_email")), "full_outer")
+
+    t_last = F.col("t_fechaUltimaVisita")
+    matched = F.col("t_email").isNotNull() & F.col("s_email").isNotNull()
+    same_year = F.year(t_last) == cur_y
+    same_ym = same_year & (F.month(t_last) == cur_m)
+
+    return joined.select(
+        F.coalesce("t_email", "s_email").alias("email"),
+        # D22: first visit never changes once set.
+        F.coalesce("t_fechaPrimeraVisita", "s_fechaPrimeraVisita").alias("fechaPrimeraVisita"),
+        F.greatest(
+            F.coalesce("t_fechaUltimaVisita", "s_fechaUltimaVisita"),
+            F.coalesce("s_fechaUltimaVisita", "t_fechaUltimaVisita"),
+        ).alias("fechaUltimaVisita"),
+        (F.coalesce("t_visitasTotales", F.lit(0)) + F.coalesce("s_visitasTotales", F.lit(0)))
+        .cast("long")
+        .alias("visitasTotales"),
+        F.when(
+            matched & same_year,
+            F.coalesce("t_visitasAnioActual", F.lit(0)) + F.coalesce("s_visitasAnioActual", F.lit(0)),
+        )
+        .otherwise(F.coalesce("s_visitasAnioActual", "t_visitasAnioActual", F.lit(0)))
+        .cast("long")
+        .alias("visitasAnioActual"),
+        F.when(
+            matched & same_ym,
+            F.coalesce("t_visitasMesActual", F.lit(0)) + F.coalesce("s_visitasMesActual", F.lit(0)),
+        )
+        .otherwise(F.coalesce("s_visitasMesActual", "t_visitasMesActual", F.lit(0)))
+        .cast("long")
+        .alias("visitasMesActual"),
+    )

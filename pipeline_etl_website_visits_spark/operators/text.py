@@ -1,0 +1,96 @@
+"""Text-analysis operators for training-data pipelines (SURVEY.md §2.11 X4).
+
+All pure built-in expressions (whole-stage codegen; zero Python UDFs):
+
+- :func:`token_count` — whitespace tokenization count.
+- :func:`lang_id` — marker-token n-gram heuristic language ID.
+- :func:`quality_features` — length / token / punctuation quality features
+  and a bounded [0,1] quality score.
+- :func:`fingerprint` (re-exported from dedup) — md5 document fingerprint.
+
+Occurrence counting uses the replace-length trick
+((len(t) - len(replace(t, m, ''))) / len(m)) — portable to any SQL engine,
+deterministic, and non-overlapping in the same way everywhere.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame
+
+from pipeline_etl_website_visits_spark.functions import ratio_round
+from pipeline_etl_website_visits_spark.operators.dedup import fingerprint, normalize_text  # noqa: F401
+
+# Marker words per language for the n-gram heuristic. Spaces around each
+# marker make them whole-word matches after normalization.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "de"),
+    "fr": ("le", "et", "les"),
+    "de": ("der", "und", "die"),
+}
+
+
+def occurrences(col: Column, marker: str) -> Column:
+    """Non-overlapping occurrence count of ``marker`` in ``col``."""
+    return (F.length(col) - F.length(F.replace(col, F.lit(marker)))) / F.lit(len(marker))
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count; 0 for empty/blank text."""
+    trimmed = F.trim(col)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+"))).cast("int")
+
+
+def _marker_score(norm_padded: Column, lang: str) -> Column:
+    score = F.lit(0.0)
+    for m in LANG_MARKERS[lang]:
+        score = score + occurrences(norm_padded, f" {m} ")
+    return score
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: argmax of marker-word hit counts.
+
+    Ties resolve by the fixed order en > es > fr > de > unknown (strict
+    ``>`` comparisons in a CASE chain), so the output is deterministic.
+    """
+    padded = F.concat(F.lit(" "), normalize_text(col), F.lit(" "))
+    scores = {lang: _marker_score(padded, lang) for lang in LANG_MARKERS}
+    best = F.lit("unknown")
+    best_score = F.lit(0.0)
+    # Process in reverse priority with >= so earlier-declared langs win ties.
+    for lang in reversed(list(LANG_MARKERS)):
+        s = scores[lang]
+        wins = (s >= best_score) & (s > 0)
+        best = F.when(wins, F.lit(lang)).otherwise(best)
+        best_score = F.when(wins, s).otherwise(best_score)
+    return best
+
+
+def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document quality features + bounded score.
+
+    Features: n_chars, n_tokens, avg token length, alnum-space ratio.
+    Score = 0.5*min(1, tokens/100) + 0.5*min(1, chars/500) — computed in
+    exact integer millis (= min(500, 5*tokens) + min(500, chars)) so it is
+    reproducible in any engine; a deterministic stand-in for a learned
+    quality model.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("int")
+    n_tokens = token_count(t)
+    stripped = F.regexp_replace(F.lower(t), "[^a-z0-9 ]", "")
+    alnum_ratio = ratio_round(F.length(stripped), F.length(t), 3)
+    chars_no_ws = F.length(F.regexp_replace(F.trim(t), r"\s+", ""))
+    avg_tok_len = ratio_round(chars_no_ws, n_tokens, 2)
+    score_millis = F.least(F.lit(500), n_tokens * 5) + F.least(F.lit(500), n_chars)
+    score = (score_millis / F.lit(1000.0)).cast("double")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.alias("n_chars_computed"),
+        n_tokens.alias("n_tokens"),
+        avg_tok_len.alias("avg_token_len"),
+        alnum_ratio.alias("alnum_ratio"),
+        score.alias("quality_score"),
+    )

@@ -1,0 +1,292 @@
+"""North-star LLM-pipeline declared queries (SURVEY.md §2.11).
+
+Dedup / similarity / text-analysis queries over the ``documents`` and
+``embeddings`` tables. Oracle-backed where deterministic SQL can express the
+same computation; randomized-free-but-hash-based ops (MinHash, SimHash, LSH)
+are registered without an oracle → driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pipeline_etl_website_visits_spark.operators import dedup as D
+from pipeline_etl_website_visits_spark.operators import similarity as S
+from pipeline_etl_website_visits_spark.operators import text as T
+from pipeline_etl_website_visits_spark.queries.registry import query
+from pipeline_etl_website_visits_spark.tables import load_table
+
+# Shared normalized-text fragments for the DuckDB oracles.
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKS = f"regexp_split_to_array({_NORM}, ' ')"
+
+
+# --------------------------------------------------------------------------
+# X1 — exact dedup by content fingerprint
+# --------------------------------------------------------------------------
+@query(
+    "x21_dedup_exact",
+    oracle=f"""
+    SELECT fp, CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id, CAST(COUNT(*) AS BIGINT) AS copies
+    FROM (SELECT doc_id, md5({_NORM}) AS fp FROM documents)
+    GROUP BY fp ORDER BY fp
+    """,
+    certifies="X1 exact dedup (SURVEY §2.11)",
+    tags=("llm", "dedup"),
+)
+def x21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.dedup_exact(docs, "text", "doc_id").orderBy("fp")
+
+
+# --------------------------------------------------------------------------
+# X3 — exact n-gram Jaccard near-dup pairs (inverted-index join, no cross
+# join). Threshold tuned so the sf0.01 result is small but non-empty.
+# --------------------------------------------------------------------------
+_JACCARD_THRESHOLD = 0.2
+
+
+@query(
+    "x22_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(lst) - 1),
+               i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]))) AS gram
+      FROM (SELECT doc_id, {_TOKS} AS lst FROM documents)
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM g GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(((inter * 2000 + (sa.sz + sb.sz - inter)) // (2 * (sa.sz + sb.sz - inter))) / 1000.0 AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {_JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+    certifies="X3 n-gram Jaccard near-dup (SURVEY §2.11)",
+    tags=("llm", "dedup"),
+)
+def x22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.shingle_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=_JACCARD_THRESHOLD).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+# --------------------------------------------------------------------------
+# X3 — MinHash + banded LSH (hash-based; no SQL oracle → rows-only check)
+# --------------------------------------------------------------------------
+@query(
+    "x23_dedup_minhash_lsh",
+    oracle=None,
+    certifies="X3 MinHash LSH near-dup (SURVEY §2.11); xxhash64 family not oracle-expressible",
+    tags=("llm", "dedup", "no-oracle"),
+)
+def x23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(docs, "text", "doc_id", verify_threshold=_JACCARD_THRESHOLD).orderBy(
+        "doc_a", "doc_b"
+    )
+
+
+@query(
+    "x24_dedup_simhash",
+    oracle=None,
+    certifies="X3 SimHash fingerprint (SURVEY §2.11); xxhash64-based",
+    tags=("llm", "dedup", "no-oracle"),
+)
+def x24(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return D.simhash(docs, "text", "doc_id").orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# X3 — similarity search over embeddings: exact brute-force top-k (oracle)
+# and LSH-bucketed ANN (deterministic but literal-heavy → rows-only)
+# --------------------------------------------------------------------------
+_TOPK_QUERY_IDS = 10
+_TOPK_K = 5
+
+
+@query(
+    "x25_embed_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < {_TOPK_QUERY_IDS}),
+         c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         sims AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  list_dot_product(q.v, c.v)
+                    / (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))) AS sim_raw
+           FROM q JOIN c ON q.vec_id <> c.vec_id
+         )
+    SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim FROM (
+      SELECT query_id, neighbor_id, sim_raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id) AS rn
+      FROM sims
+    ) WHERE rn <= {_TOPK_K} ORDER BY query_id, neighbor_id
+    """,
+    certifies="X3 exact cosine top-k similarity search (SURVEY §2.11)",
+    tags=("llm", "similarity"),
+)
+def x25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _TOPK_QUERY_IDS)
+    return S.cosine_topk(queries, emb, k=_TOPK_K).orderBy("query_id", "neighbor_id")
+
+
+@query(
+    "x26_embed_ann_lsh",
+    oracle=None,
+    certifies="X3 ANN via random-hyperplane LSH (SURVEY §2.11); deterministic seed=42",
+    tags=("llm", "similarity", "no-oracle"),
+)
+def x26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _TOPK_QUERY_IDS)
+    return S.ann_lsh_topk(queries, emb, k=_TOPK_K, num_planes=8).orderBy("query_id", "neighbor_id")
+
+
+# --------------------------------------------------------------------------
+# X4 — text analysis: language ID, quality features, token count,
+# fingerprint, per-language stats
+# --------------------------------------------------------------------------
+def _occ_sql(marker: str) -> str:
+    padded = f"' ' || {_NORM} || ' '"
+    return f"(length({padded}) - length(replace({padded}, ' {marker} ', ''))) / {len(marker) + 2}"
+
+
+def _lang_score_sql(lang: str) -> str:
+    return " + ".join(_occ_sql(m) for m in T.LANG_MARKERS[lang])
+
+
+@query(
+    "x27_text_lang_id",
+    oracle=f"""
+    SELECT doc_id,
+           CASE
+             WHEN ({_lang_score_sql('en')}) >= GREATEST({_lang_score_sql('es')}, {_lang_score_sql('fr')}, {_lang_score_sql('de')})
+                  AND ({_lang_score_sql('en')}) > 0 THEN 'en'
+             WHEN ({_lang_score_sql('es')}) >= GREATEST({_lang_score_sql('fr')}, {_lang_score_sql('de')})
+                  AND ({_lang_score_sql('es')}) > 0 THEN 'es'
+             WHEN ({_lang_score_sql('fr')}) >= ({_lang_score_sql('de')})
+                  AND ({_lang_score_sql('fr')}) > 0 THEN 'fr'
+             WHEN ({_lang_score_sql('de')}) > 0 THEN 'de'
+             ELSE 'unknown'
+           END AS predicted_lang
+    FROM documents ORDER BY doc_id
+    """,
+    certifies="X4 language-ID heuristic (SURVEY §2.11)",
+    tags=("llm", "text"),
+)
+def x27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.lang_id(F.col("text")).alias("predicted_lang")).orderBy("doc_id")
+
+
+@query(
+    "x28_text_quality",
+    # Ratios use the engine-agnostic integer half-up formula
+    # (num*2*scale + den) // (2*den) / scale — see operators.text.ratio_round.
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS BIGINT) AS n_tokens,
+             CAST(LENGTH(regexp_replace(TRIM(text), '\\s+', '', 'g')) AS BIGINT) AS chars_no_ws,
+             CAST(LENGTH(regexp_replace(LOWER(text), '[^a-z0-9 ]', '', 'g')) AS BIGINT) AS alnum_chars
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n_chars AS INT) AS n_chars_computed,
+           CAST(n_tokens AS INT) AS n_tokens,
+           CAST(((chars_no_ws * 200 + GREATEST(n_tokens, 1)) // (2 * GREATEST(n_tokens, 1))) / 100.0 AS DOUBLE) AS avg_token_len,
+           CAST(((alnum_chars * 2000 + GREATEST(n_chars, 1)) // (2 * GREATEST(n_chars, 1))) / 1000.0 AS DOUBLE) AS alnum_ratio,
+           CAST((LEAST(500, n_tokens * 5) + LEAST(500, n_chars)) / 1000.0 AS DOUBLE) AS quality_score
+    FROM base ORDER BY doc_id
+    """,
+    certifies="X4 quality scoring (SURVEY §2.11)",
+    tags=("llm", "text"),
+)
+def x28(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.quality_features(docs, "text", "doc_id").orderBy("doc_id")
+
+
+@query(
+    "x29_text_token_count",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                     ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS INT) AS n_tokens
+    FROM documents ORDER BY doc_id
+    """,
+    certifies="X4 token counting (SURVEY §2.11)",
+    tags=("llm", "text"),
+)
+def x29(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.token_count(F.col("text")).alias("n_tokens")).orderBy("doc_id")
+
+
+@query(
+    "x30_text_fingerprint",
+    oracle=f"""
+    SELECT doc_id, md5({_NORM}) AS fp FROM documents ORDER BY doc_id
+    """,
+    certifies="X4 document fingerprinting (SURVEY §2.11)",
+    tags=("llm", "text"),
+)
+def x30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+
+
+@query(
+    "x31_doc_stats_by_lang",
+    oracle="""
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(((SUM(n_chars) * 200 + COUNT(*)) // (2 * COUNT(*))) / 100.0 AS DOUBLE) AS avg_chars
+    FROM documents GROUP BY lang, source ORDER BY lang, source
+    """,
+    certifies="corpus stats rollup (SURVEY §2.11)",
+    tags=("llm", "text"),
+)
+def x31(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            T.ratio_round(F.sum("n_chars"), F.count("*"), 2).alias("avg_chars"),
+        )
+        .orderBy("lang", "source")
+    )
+
+
+# --------------------------------------------------------------------------
+# DISTINCT (set-op family, SURVEY §2.10)
+# --------------------------------------------------------------------------
+@query(
+    "x35_distinct",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders ORDER BY o_orderstatus, o_orderpriority
+    """,
+    certifies="DISTINCT set-op (SURVEY §2.10)",
+    tags=("relational",),
+)
+def x35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select("o_orderstatus", "o_orderpriority").distinct().orderBy(
+        "o_orderstatus", "o_orderpriority"
+    )

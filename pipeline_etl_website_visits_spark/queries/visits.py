@@ -1,0 +1,170 @@
+"""Flagship visits-consolidation query + event-stream-shaped queries.
+
+The flagship re-expresses the reference's core business output — the
+consolidated ``visitantes`` table (reference database/schema.sql:6-15,
+README.md:55 "Registro consolidado por visitante") — over the driver's
+star schema: orders play the role of visit rows, o_custkey the visitor key.
+Counter semantics mirror the MERGE (utils/utils_load.py:50-81 with D21/D22
+rulings) pinned to a fixed reference date for determinism.
+
+The events queries certify the streaming-shaped operators (tumbling window,
+sessionization) in their batch form; the same transformations run under
+Structured Streaming in pipeline_etl_website_visits_spark.streaming.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pipeline_etl_website_visits_spark.queries.registry import query
+from pipeline_etl_website_visits_spark.tables import load_table
+
+# Fixed "processing date" for deterministic year/month counters (the data's
+# max order date is 1998-08-01 at every SF).
+_REF_DATE = "1998-08-01"
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min in microseconds
+
+
+@query(
+    "q00_flagship_visitantes",
+    oracle=f"""
+    SELECT o_custkey AS visitor_key,
+           CAST(COUNT(*) AS BIGINT) AS visitas_totales,
+           CAST(SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = EXTRACT(YEAR FROM DATE '{_REF_DATE}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS visitas_anio_actual,
+           CAST(SUM(CASE WHEN EXTRACT(YEAR FROM o_orderdate) = EXTRACT(YEAR FROM DATE '{_REF_DATE}')
+                          AND EXTRACT(MONTH FROM o_orderdate) = EXTRACT(MONTH FROM DATE '{_REF_DATE}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS visitas_mes_actual,
+           MIN(CAST(o_orderdate AS DATE)) AS fecha_primera_visita,
+           MAX(CAST(o_orderdate AS DATE)) AS fecha_ultima_visita
+    FROM orders GROUP BY o_custkey ORDER BY visitor_key
+    """,
+    certifies="A1+A3+J2 visitantes consolidation (utils/utils_transform.py:229-235, utils/utils_load.py:50-81)",
+    tags=("flagship",),
+)
+def flagship_visitantes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consolidated per-visitor record: total/year/month counters + first/last dates."""
+    orders = load_table(spark, sf_dir, "orders")
+    ref = F.lit(_REF_DATE).cast("date")
+    d = F.col("o_orderdate")
+    in_year = F.year(d) == F.year(ref)
+    in_month = in_year & (F.month(d) == F.month(ref))
+    return (
+        orders.groupBy(F.col("o_custkey").alias("visitor_key"))
+        .agg(
+            F.count("*").alias("visitas_totales"),
+            F.sum(F.when(in_year, 1).otherwise(0)).alias("visitas_anio_actual"),
+            F.sum(F.when(in_month, 1).otherwise(0)).alias("visitas_mes_actual"),
+            F.min(d.cast("date")).alias("fecha_primera_visita"),
+            F.max(d.cast("date")).alias("fecha_ultima_visita"),
+        )
+        .orderBy("visitor_key")
+    )
+
+
+@query(
+    "x32_events_tumbling_hour",
+    oracle="""
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_sum
+    FROM events GROUP BY 1, 2 ORDER BY window_start, event_type
+    """,
+    certifies="event-time tumbling window agg (SURVEY §2.10 streaming gap; batch twin of streaming/visits_stream.py)",
+    tags=("events", "streaming-shaped"),
+)
+def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    # F.window is the streaming-native form; its start equals date_trunc for
+    # epoch-aligned hourly windows.
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("value_sum"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
+    "x33_events_sessionize",
+    oracle=f"""
+    WITH lagged AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM lagged
+    ),
+    sessions AS (
+      SELECT user_id, event_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start
+    FROM sessions GROUP BY user_id, session_seq ORDER BY user_id, session_seq
+    """,
+    certifies="gap-based sessionization (stateful-streaming shape, SURVEY §2.10)",
+    tags=("events", "streaming-shaped"),
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    order = [F.col("ts"), F.col("event_id")]
+    w = Window.partitionBy("user_id").orderBy(*order)
+    us = F.unix_micros(F.col("ts"))
+    prev_us = F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(prev_us.isNull() | ((us - prev_us) > _SESSION_GAP_US), 1).otherwise(0)
+    wsum = Window.partitionBy("user_id").orderBy(*order).rowsBetween(Window.unboundedPreceding, 0)
+    sessions = events.withColumn("is_new", is_new).withColumn(
+        "session_seq", F.sum("is_new").over(wsum).cast("long")
+    )
+    return (
+        sessions.groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+        )
+        .orderBy("user_id", "session_seq")
+    )
+
+
+@query(
+    "x34_events_user_daily",
+    oracle="""
+    SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_sum
+    FROM events GROUP BY user_id, day ORDER BY user_id, day
+    """,
+    certifies="per-user daily rollup (README.md:170-174 dashboard shape)",
+    tags=("events",),
+)
+def events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("user_id", F.col("ts").cast("date").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("event_type").alias("n_types"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("value_sum"),
+        )
+        .orderBy("user_id", "day")
+    )
