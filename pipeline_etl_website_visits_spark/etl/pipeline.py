@@ -1,0 +1,153 @@
+"""Batch driver for the visits ETL (SURVEY §3.2-§3.3 rebuilt Spark-first).
+
+The reference's Prefect dispatcher/performer (flows/orchestrator_flow.py:36-45)
+collapses into: list files → per-file layout check on the header (driver-side,
+O(1) per file) → transform + load per file. Per-file isolation (O4) is a
+try/except around each file; a failing file records FALLO_SISTEMA and the run
+continues. Already-processed files are skipped via the bitacora commit marker
+(fixing reference defect D13).
+
+Scale notes: the per-file loop is about *file-granular semantics* (each file
+is its own commit unit, like the reference); the per-file work itself is a
+distributed Spark job. With millions of small files you would instead group
+valid files by header signature and process each group as ONE job with
+``_metadata.file_path`` lineage — ``transform_group`` implements that path.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import os
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from pipeline_etl_website_visits_spark.etl import schema as S
+from pipeline_etl_website_visits_spark.etl import transform as T
+from pipeline_etl_website_visits_spark.etl.load import Warehouse
+from pipeline_etl_website_visits_spark.operators.merge import visitantes_merge
+
+
+@dataclass
+class FileResult:
+    filename: str
+    status: str
+    ok_count: int = 0
+    err_count: int = 0
+    missing_columns: list[str] = field(default_factory=list)
+    extra_columns: list[str] = field(default_factory=list)
+
+
+def list_report_files(spark: SparkSession, input_dir: str, glob: str = "report_*.txt") -> list[str]:
+    """S1: directory listing + glob filter via the Hadoop FS API (portable
+    to hdfs/s3a; the reference listed an SFTP dir, tasks/pre_processing.py:8-21)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    path = jvm.org.apache.hadoop.fs.Path(os.path.join(input_dir, glob))
+    fs = path.getFileSystem(conf)
+    statuses = fs.globStatus(path)
+    if statuses is None:
+        return []
+    return sorted(str(s.getPath()) for s in statuses)
+
+
+def read_header(spark: SparkSession, filepath: str) -> list[str]:
+    """First line of the file via Hadoop FS (no Spark job)."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(filepath)
+    fs = p.getFileSystem(conf)
+    stream = fs.open(p)
+    try:
+        reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream, "UTF-8"))
+        line = reader.readLine() or ""
+    finally:
+        stream.close()
+    return next(csv.reader(io.StringIO(line)), [])
+
+
+def read_report(spark: SparkSession, filepath: str) -> DataFrame:
+    """S3: header-ful CSV scan, all columns as raw strings, projected to the
+    declared layout (extra columns tolerated and dropped)."""
+    df = spark.read.option("header", True).option("inferSchema", False).csv(filepath)
+    return df.select(*[F.col(f"`{c}`") for c in S.VALID_COLUMNS])
+
+
+def process_file(
+    spark: SparkSession, warehouse: Warehouse, filepath: str, process_date: str | None = None
+) -> FileResult:
+    """Full per-file ETL: validate layout → transform → load → bitacora."""
+    filename = os.path.basename(filepath)
+    header = read_header(spark, filepath)
+    ok_layout, missing, extra = validate_layout_or_log(warehouse, filename, header)
+    if not ok_layout:
+        return FileResult(filename, S.STATUS_LAYOUT_FAIL, missing_columns=missing, extra_columns=extra)
+    try:
+        raw = read_report(spark, filepath)
+        stats, visitors, errores = T.transform_file(raw, filename)
+        stats = stats.cache()
+        errores = errores.cache()
+        ok_count = stats.count()
+        err_count = errores.count()
+
+        warehouse.append_partitioned(stats, "estadisticas")
+        warehouse.append_partitioned(errores, "errores")
+        target = warehouse.read_visitantes()
+        merged = visitantes_merge(target, visitors, process_date=process_date)
+        warehouse.write_visitantes(merged)
+
+        status = S.STATUS_OK_WITH_ERRORS if err_count > 0 else S.STATUS_OK  # D9 fixed
+        warehouse.log_bitacora(filename, ok_count, err_count, status)  # commit marker, last
+        stats.unpersist()
+        errores.unpersist()
+        return FileResult(filename, status, ok_count, err_count, extra_columns=extra)
+    except Exception:  # noqa: BLE001 — per-file isolation (O4)
+        warehouse.log_bitacora(filename, 0, 0, S.STATUS_SYSTEM_FAIL)
+        return FileResult(filename, S.STATUS_SYSTEM_FAIL)
+
+
+def validate_layout_or_log(warehouse: Warehouse, filename: str, header: list[str]):
+    ok_layout, missing, extra = T.validate_layout(header)
+    if not ok_layout:
+        warehouse.log_bitacora(filename, 0, 0, S.STATUS_LAYOUT_FAIL)
+    return ok_layout, missing, extra
+
+
+def process_directory(
+    spark: SparkSession,
+    input_dir: str,
+    warehouse_root: str,
+    process_date: str | None = None,
+    reprocess: bool = False,
+) -> list[FileResult]:
+    """O1: process every report file in a directory, skipping completed ones."""
+    warehouse = Warehouse(spark, warehouse_root)
+    done = set() if reprocess else warehouse.processed_files()
+    results = []
+    for filepath in list_report_files(spark, input_dir):
+        filename = os.path.basename(filepath)
+        if filename in done:
+            continue
+        results.append(process_file(spark, warehouse, filepath, process_date=process_date))
+    return results
+
+
+def transform_group(spark: SparkSession, filepaths: list[str]) -> tuple[DataFrame, DataFrame]:
+    """Scale path: N same-layout files as ONE job with per-file lineage.
+
+    Returns (estadisticas, errores) across all files, with nombreArchivo
+    derived from ``_metadata.file_path`` — no per-file scheduling overhead;
+    Spark packs the files into splits. The per-file bitacora rows come from
+    one aggregate over nombreArchivo instead of N count() actions.
+    """
+    df = spark.read.option("header", True).option("inferSchema", False).csv(filepaths)
+    fname = F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1)
+    raw = df.select(*[F.col(f"`{c}`") for c in S.VALID_COLUMNS], fname.alias("nombreArchivo"))
+    flagged = T.with_validity_flags(raw)
+    ok, bad = T.split_valid_invalid(flagged)
+    errores = T.expand_errors(bad, F.col("nombreArchivo")).select("nombreArchivo", "email", "tipoError")
+    # normalize_and_cast passes unknown columns (nombreArchivo) through.
+    stats = T.normalize_and_cast(ok)
+    return stats, errores
