@@ -1,0 +1,61 @@
+"""Event-time streaming aggregation over the events stream (SURVEY §7 phase 5).
+
+The batch twins of these transformations are declared queries
+``x32_events_tumbling_hour`` / ``x34_events_user_daily``; this module runs
+the same logic under Structured Streaming with watermark-based late-data
+handling — the capability gap called out in SURVEY §2.10 (the reference has
+streaming *shape* but no event-time semantics).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming import StreamingQuery
+
+
+def read_events_stream(spark: SparkSession, events_dir: str, schema) -> DataFrame:
+    """File-source stream of event rows (parquet drops into ``events_dir``)."""
+    return spark.readStream.schema(schema).parquet(events_dir)
+
+
+def tumbling_hour_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """1-hour tumbling windows per event_type with late-data tolerance.
+
+    Same output columns as the batch twin (x32): window_start string,
+    event_type, n_events, value_sum.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("value_sum"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+    )
+
+
+def start_tumbling_to_memory(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    checkpoint_dir: str,
+    query_name: str = "events_tumbling",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """AvailableNow drain into an in-memory sink (used by tests/demos)."""
+    agg = tumbling_hour_counts(read_events_stream(spark, events_dir, schema), watermark)
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,105 @@
+"""Unit tests for the LLM-pipeline operators (dedup/similarity/text)."""
+
+import pyspark.sql.functions as F
+
+from pipeline_etl_website_visits_spark.operators import dedup as D
+from pipeline_etl_website_visits_spark.operators import similarity as S
+from pipeline_etl_website_visits_spark.operators import text as T
+from pipeline_etl_website_visits_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),   # near-dup of 1
+            (3, "completely different words entirely here now"),
+            (4, "The  Quick   Brown fox jumps over the lazy dog"),  # exact dup of 1 after normalize
+        ],
+        "doc_id long, text string",
+    )
+
+
+def test_dedup_exact_normalized(spark):
+    out = D.dedup_exact(_docs(spark), "text", "doc_id").collect()
+    groups = {r["fp"]: (r["keeper_doc_id"], r["copies"]) for r in out}
+    assert len(groups) == 3  # 1&4 collapse
+    assert (1, 2) in groups.values()
+
+
+def test_shingle_jaccard_detects_near_dups(spark):
+    pairs = D.shingle_jaccard_pairs(_docs(spark), "text", "doc_id", n=3, threshold=0.5).collect()
+    got = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in pairs}
+    assert (1, 4) in got and got[(1, 4)] == 1.0   # identical shingle sets
+    assert (1, 2) in got and 0.5 <= got[(1, 2)] < 1.0
+    assert (2, 4) in got
+    assert all(a != 3 and b != 3 for a, b in got)
+
+
+def test_minhash_lsh_finds_exact_pairs(spark):
+    pairs = D.minhash_lsh_pairs(_docs(spark), "text", "doc_id", verify_threshold=0.5).collect()
+    got = {(r["doc_a"], r["doc_b"]) for r in pairs}
+    assert (1, 4) in got  # identical signatures always collide
+
+
+def test_simhash_closeness(spark):
+    out = {r["doc_id"]: r["simhash"] for r in D.simhash(_docs(spark), "text", "doc_id").collect()}
+    assert out[1] == out[4]  # identical token multisets
+    ham_12 = bin(out[1] ^ out[2]).count("1")
+    ham_13 = bin(out[1] ^ out[3]).count("1")
+    assert ham_12 < ham_13  # near-dup closer than unrelated
+
+
+def test_cosine_topk_self_similarity(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    out = S.cosine_topk(queries, emb, k=5)
+    rows = out.collect()
+    assert len(rows) == 15
+    assert all(-1.0001 <= r["sim"] <= 1.0001 for r in rows)
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+
+
+def test_ann_lsh_is_subset_quality(spark):
+    """ANN results come from the query's bucket; every reported neighbor's
+    similarity must match the exact computation (no fabricated scores)."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in S.cosine_topk(queries, emb, k=500).collect()
+    }
+    ann = S.ann_lsh_topk(queries, emb, k=5, num_planes=6).collect()
+    assert len(ann) > 0
+    for r in ann:
+        assert abs(exact[(r["query_id"], r["neighbor_id"])] - r["sim"]) < 1e-9
+
+
+def test_token_count_edges(spark):
+    df = spark.createDataFrame([(1, ""), (2, "   "), (3, "one"), (4, " a  b\tc ")], "id long, t string")
+    out = {r["id"]: r["n"] for r in df.select("id", T.token_count(F.col("t")).alias("n")).collect()}
+    assert out == {1: 0, 2: 0, 3: 1, 4: 3}
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "el gato y la casa de madrid"),
+            (3, "le chat et les maisons"),
+            (4, "der hund und die katze"),
+            (5, "xyzzy plugh"),
+        ],
+        "id long, t string",
+    )
+    out = {r["id"]: r["lang"] for r in df.select("id", T.lang_id(F.col("t")).alias("lang")).collect()}
+    assert out == {1: "en", 2: "es", 3: "fr", 4: "de", 5: "unknown"}
+
+
+def test_quality_features_bounds(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    feats = T.quality_features(docs, "text", "doc_id").collect()
+    assert all(0.0 <= r["quality_score"] <= 1.0 for r in feats)
+    assert all(0.0 <= r["alnum_ratio"] <= 1.0 for r in feats)
+    assert all(r["n_tokens"] > 0 for r in feats)

@@ -1,0 +1,71 @@
+"""Streaming-mode tests: visits file-stream ETL + event-time windows."""
+
+import pyspark.sql.functions as F
+
+from pipeline_etl_website_visits_spark.etl.load import Warehouse
+from pipeline_etl_website_visits_spark.streaming.events_stream import start_tumbling_to_memory
+from pipeline_etl_website_visits_spark.streaming.visits_stream import start_visits_stream
+from pipeline_etl_website_visits_spark.queries.registry import REGISTRY
+from pipeline_etl_website_visits_spark.tables import load_table
+
+from tests import fixtures as FX
+from tests.conftest import SF_DIR
+
+
+def test_visits_stream_matches_batch_semantics(spark, tmp_path):
+    in_dir = tmp_path / "in"
+    in_dir.mkdir()
+    FX.make_allvalid(str(in_dir))
+    FX.make_mixed(str(in_dir))
+    wh_root = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = start_visits_stream(
+        spark, str(in_dir), wh_root, ckpt, process_date="2026-03-28", max_files_per_trigger=1
+    )
+    q.awaitTermination(120)
+
+    wh = Warehouse(spark, wh_root)
+    assert wh.read("estadisticas").count() == 170
+    assert wh.read("errores").count() == 50
+    bit = {r["nombreArchivo"]: r["estatus"] for r in wh.read("bitacora").collect()}
+    assert bit["report_allvalid.txt"] == "Completado"
+    assert bit["report_mixed.txt"] == "Completado con errores"
+    vis = wh.read("visitantes")
+    assert vis.filter(F.col("email") == "user0@example.com").first()["visitasTotales"] == 11
+
+    # restart with same checkpoint: no files left => nothing re-processed
+    q2 = start_visits_stream(
+        spark, str(in_dir), wh_root, ckpt, process_date="2026-03-28", max_files_per_trigger=1
+    )
+    q2.awaitTermination(120)
+    assert wh.read("estadisticas").count() == 170
+    assert vis.filter(F.col("email") == "user0@example.com").first()["visitasTotales"] == 11
+
+    # new file arrives => incremental pickup
+    FX.make_allvalid(str(in_dir), name="report_allvalid2.txt", n=10)
+    q3 = start_visits_stream(
+        spark, str(in_dir), wh_root, ckpt, process_date="2026-03-28", max_files_per_trigger=1
+    )
+    q3.awaitTermination(120)
+    assert wh.read("estadisticas").count() == 180
+
+
+def test_events_tumbling_stream_matches_batch(spark, tmp_path):
+    events = load_table(spark, SF_DIR, "events")
+    events_dir = str(tmp_path / "events")
+    events.write.parquet(events_dir)
+    ckpt = str(tmp_path / "ckpt_events")
+
+    q = start_tumbling_to_memory(spark, events_dir, events.schema, ckpt, query_name="t_ev")
+    q.awaitTermination(120)
+
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in spark.sql("SELECT * FROM t_ev").collect()
+    }
+    batch = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["value_sum"])
+        for r in REGISTRY["x32_events_tumbling_hour"].spark(spark, SF_DIR).collect()
+    }
+    assert got == batch
