@@ -37,7 +37,7 @@ _TOKS = f"regexp_split_to_array({_NORM}, ' ')"
 )
 def x21(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.dedup_exact(docs, "text", "doc_id").orderBy("fp")
+    return D.dedup_exact(docs, "text", "doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -75,9 +75,7 @@ _JACCARD_THRESHOLD = 0.2
 )
 def x22(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.shingle_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=_JACCARD_THRESHOLD).orderBy(
-        "doc_a", "doc_b"
-    )
+    return D.shingle_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=_JACCARD_THRESHOLD)
 
 
 # --------------------------------------------------------------------------
@@ -91,9 +89,7 @@ def x22(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x23(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, "text", "doc_id", verify_threshold=_JACCARD_THRESHOLD).orderBy(
-        "doc_a", "doc_b"
-    )
+    return D.minhash_lsh_pairs(docs, "text", "doc_id", verify_threshold=_JACCARD_THRESHOLD)
 
 
 @query(
@@ -104,7 +100,7 @@ def x23(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x24(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash(docs, "text", "doc_id").orderBy("doc_id")
+    return D.simhash(docs, "text", "doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -138,7 +134,7 @@ _TOPK_K = 5
 def x25(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _TOPK_QUERY_IDS)
-    return S.cosine_topk(queries, emb, k=_TOPK_K).orderBy("query_id", "neighbor_id")
+    return S.cosine_topk(queries, emb, k=_TOPK_K)
 
 
 @query(
@@ -150,7 +146,7 @@ def x25(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x26(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _TOPK_QUERY_IDS)
-    return S.ann_lsh_topk(queries, emb, k=_TOPK_K, num_planes=8).orderBy("query_id", "neighbor_id")
+    return S.ann_lsh_topk(queries, emb, k=_TOPK_K, num_planes=8)
 
 
 # --------------------------------------------------------------------------
@@ -187,7 +183,7 @@ def _lang_score_sql(lang: str) -> str:
 )
 def x27(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.lang_id(F.col("text")).alias("predicted_lang")).orderBy("doc_id")
+    return docs.select("doc_id", T.lang_id(F.col("text")).alias("predicted_lang"))
 
 
 @query(
@@ -217,7 +213,7 @@ def x27(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x28(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return T.quality_features(docs, "text", "doc_id").orderBy("doc_id")
+    return T.quality_features(docs, "text", "doc_id")
 
 
 @query(
@@ -233,7 +229,7 @@ def x28(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x29(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.token_count(F.col("text")).alias("n_tokens")).orderBy("doc_id")
+    return docs.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
 
 
 @query(
@@ -246,7 +242,7 @@ def x29(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x30(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp")).orderBy("doc_id")
+    return docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
 
 
 @query(
@@ -270,7 +266,6 @@ def x31(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
             T.ratio_round(F.sum("n_chars"), F.count("*"), 2).alias("avg_chars"),
         )
-        .orderBy("lang", "source")
     )
 
 
@@ -287,6 +282,4 @@ def x31(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x35(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    return orders.select("o_orderstatus", "o_orderpriority").distinct().orderBy(
-        "o_orderstatus", "o_orderpriority"
-    )
+    return orders.select("o_orderstatus", "o_orderpriority").distinct()

@@ -65,7 +65,7 @@ _Q2_PATTERN = r"(data|spark) (join|merge)"
 )
 def q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _t(spark, sf_dir, "documents")
-    return docs.filter(F.col("text").rlike(_Q2_PATTERN)).select("doc_id").orderBy("doc_id")
+    return docs.filter(F.col("text").rlike(_Q2_PATTERN)).select("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -86,7 +86,6 @@ def q03(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         events.filter(F.col("props").isNull() | F.col("props").like('%"k": 1%'))
         .select("event_id")
-        .orderBy("event_id")
     )
 
 
@@ -110,7 +109,6 @@ def q04(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.select(F.when(is_valid, "ok").otherwise("err").alias("bucket"))
         .groupBy("bucket")
         .agg(F.count("*").alias("n"))
-        .orderBy("bucket")
     )
 
 
@@ -141,7 +139,6 @@ def q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     failed = F.filter(checks, lambda x: x.isNotNull())
     return (
         li.select("l_orderkey", "l_linenumber", F.explode(failed).alias("tipo_error"))
-        .orderBy("l_orderkey", "l_linenumber", "tipo_error")
     )
 
 
@@ -217,7 +214,6 @@ def q08(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(d).alias("fecha_primera_visita"),
             F.max(d).alias("fecha_ultima_visita"),
         )
-        .orderBy("o_custkey")
     )
 
 
@@ -292,7 +288,7 @@ def q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.coalesce("t_last_v", "s_last_v"), F.coalesce("s_last_v", "t_last_v")).alias(
             "fecha_ultima_visita"
         ),
-    ).orderBy("custkey")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -313,7 +309,6 @@ def q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_anti")
         .select("c_custkey")
-        .orderBy("c_custkey")
     )
 
 
@@ -360,7 +355,6 @@ def q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         customer.join(orders, customer.c_custkey == orders.o_custkey, "left_semi")
         .select("c_custkey", "c_name")
-        .orderBy("c_custkey")
     )
 
 
@@ -386,7 +380,6 @@ def q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .select("o_custkey", "o_orderkey", F.col("o_orderdate").cast("date").alias("odate"))
-        .orderBy("o_custkey")
     )
 
 
@@ -437,7 +430,6 @@ def q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         h1.unionAll(h2)
         .groupBy("src", "o_orderstatus")
         .agg(F.count("*").alias("n"))
-        .orderBy("src", "o_orderstatus")
     )
 
 
@@ -494,7 +486,6 @@ def q18(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "acctbal_sum",
         )
-        .orderBy("nation", "segment")
     )
 
 
@@ -520,7 +511,6 @@ def q19(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.month("o_orderdate").alias("m"),
         )
         .agg(F.count("*").alias("n"))
-        .orderBy("y", "m")
     )
 
 

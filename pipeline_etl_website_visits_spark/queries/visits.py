@@ -59,7 +59,6 @@ def flagship_visitantes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(d.cast("date")).alias("fecha_primera_visita"),
             F.max(d.cast("date")).alias("fecha_ultima_visita"),
         )
-        .orderBy("visitor_key")
     )
 
 
@@ -91,7 +90,6 @@ def events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "value_sum",
         )
-        .orderBy("window_start", "event_type")
     )
 
 
@@ -141,7 +139,6 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
         )
-        .orderBy("user_id", "session_seq")
     )
 
 
@@ -166,5 +163,4 @@ def events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("event_type").alias("n_types"),
             F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("value_sum"),
         )
-        .orderBy("user_id", "day")
     )
