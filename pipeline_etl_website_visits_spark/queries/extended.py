@@ -1,0 +1,456 @@
+"""Extended operator coverage (SURVEY §2.10 gap map, beyond Q1-Q20).
+
+Everything the reference lacks that a user of a general analytics engine
+expects: outer/cross joins, set operations, cube, analytic windows with
+frames, HAVING, scalar/IN subqueries, string/math/date/JSON scalar families,
+inline literal relations, multi-join star queries, and the SQL entry path
+(spark.sql over registered views).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pipeline_etl_website_visits_spark.queries.registry import query
+from pipeline_etl_website_visits_spark.tables import load_table
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# Joins beyond inner/semi/anti (SURVEY §2.10 "joins beyond the upsert")
+# --------------------------------------------------------------------------
+@query(
+    "q40_left_outer_join",
+    oracle="""
+    SELECT c_custkey, CAST(COALESCE(o.cnt, 0) AS BIGINT) AS n_orders
+    FROM customer c LEFT JOIN (
+      SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    ) o ON c.c_custkey = o.o_custkey
+    ORDER BY c_custkey
+    """,
+    certifies="left outer join + null fill (SURVEY §2.10)",
+)
+def q40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cnt = orders.groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+    return (
+        customer.join(cnt, customer.c_custkey == cnt.o_custkey, "left")
+        .select("c_custkey", F.coalesce("cnt", F.lit(0)).cast("long").alias("n_orders"))
+    )
+
+
+@query(
+    "q41_cross_join",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name
+    """,
+    certifies="cross join (SURVEY §2.10)",
+)
+def q41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    return region.select("r_name").crossJoin(nation.select("n_name"))
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY §2.10 "set ops: none")
+# --------------------------------------------------------------------------
+@query(
+    "q42_except",
+    oracle="""
+    SELECT c_custkey AS k FROM customer
+    EXCEPT
+    SELECT o_custkey AS k FROM orders ORDER BY k
+    """,
+    certifies="EXCEPT set-op (SURVEY §2.10)",
+)
+def q42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return customer.exceptAll(orders).distinct()
+
+
+@query(
+    "q43_intersect",
+    oracle="""
+    SELECT c_custkey AS k FROM customer
+    INTERSECT
+    SELECT o_custkey AS k FROM orders ORDER BY k
+    """,
+    certifies="INTERSECT set-op (SURVEY §2.10)",
+)
+def q43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    orders = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return customer.intersect(orders)
+
+
+@query(
+    "q44_union_distinct",
+    oracle="""
+    SELECT o_orderstatus AS v FROM orders
+    UNION
+    SELECT l_linestatus AS v FROM lineitem ORDER BY v
+    """,
+    certifies="UNION (distinct) set-op (SURVEY §2.10)",
+)
+def q44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    a = _t(spark, sf_dir, "orders").select(F.col("o_orderstatus").alias("v"))
+    b = _t(spark, sf_dir, "lineitem").select(F.col("l_linestatus").alias("v"))
+    return a.union(b).distinct()
+
+
+# --------------------------------------------------------------------------
+# CUBE (grouping-sets family beyond q18's rollup)
+# --------------------------------------------------------------------------
+@query(
+    "q45_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    ORDER BY status, priority
+    """,
+    certifies="CUBE grouping sets (SURVEY §2.10)",
+)
+def q45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Analytic windows: ranking + lag + frames (SURVEY §2.10 "window functions:
+# none")
+# --------------------------------------------------------------------------
+@query(
+    "q46_window_rank_lag",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(RANK() OVER w AS BIGINT) AS rnk,
+           CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+           LAG(o_orderkey) OVER w AS prev_orderkey
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+    ORDER BY o_custkey, o_orderkey
+    """,
+    certifies="rank/dense_rank/lag analytics (SURVEY §2.10)",
+)
+def q46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").cast("date"), F.col("o_orderkey"))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.lag("o_orderkey").over(w).alias("prev_orderkey"),
+    )
+
+
+@query(
+    "q47_window_frame_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_total
+    FROM orders ORDER BY o_custkey, o_orderkey
+    """,
+    certifies="window frame (running sum) (SURVEY §2.10)",
+)
+def q47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(F.floor("o_totalprice").cast("long")).over(w).cast("long").alias("running_total"),
+    )
+
+
+# --------------------------------------------------------------------------
+# HAVING + conditional aggregation
+# --------------------------------------------------------------------------
+@query(
+    "q48_having",
+    oracle="""
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 15 ORDER BY o_custkey
+    """,
+    certifies="HAVING post-aggregate filter (SURVEY §2.10)",
+)
+def q48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = _t(spark, sf_dir, "orders")
+    return orders.groupBy("o_custkey").agg(F.count("*").alias("n")).filter(F.col("n") >= 15)
+
+
+@query(
+    "q49_conditional_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_all,
+           CAST(COUNT(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_big,
+           CAST(SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS BIGINT) AS n_disc
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    certifies="FILTER/conditional aggregation (SURVEY §2.10)",
+)
+def q49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_all"),
+        F.count(F.when(F.col("l_quantity") > 25, 1)).alias("n_big"),
+        F.sum(F.when(F.col("l_discount") > 0.05, 1).otherwise(0)).alias("n_disc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Subqueries: scalar + IN (certified through the SQL entry path to also
+# exercise spark.sql parsing/planning)
+# --------------------------------------------------------------------------
+@query(
+    "q50_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey FROM orders
+    WHERE o_totalprice > 0.9 * (SELECT MAX(o_totalprice) FROM orders)
+    ORDER BY o_orderkey
+    """,
+    certifies="scalar subquery (SURVEY §2.10); via spark.sql SQL entry path",
+)
+def q50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        "SELECT o_orderkey FROM orders "
+        "WHERE o_totalprice > 0.9 * (SELECT MAX(o_totalprice) FROM orders)"
+    )
+
+
+@query(
+    "q51_in_subquery",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+    ORDER BY c_custkey
+    """,
+    certifies="IN subquery (SURVEY §2.10); via spark.sql SQL entry path",
+)
+def q51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        "SELECT c_custkey, c_name FROM customer "
+        "WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 150000)"
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar function families (SURVEY §2.10 "absent: math, array/map/json")
+# --------------------------------------------------------------------------
+@query(
+    "q52_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           UPPER(c_name) AS uname,
+           SUBSTRING(c_name, 1, 8) AS prefix,
+           REPLACE(c_name, 'Customer', 'C') AS short_name,
+           REVERSE(c_mktsegment) AS rseg,
+           split_part(c_name, '#', 2) AS id_part,
+           CAST(LENGTH(c_name) AS INT) AS name_len
+    FROM customer ORDER BY c_custkey
+    """,
+    certifies="string scalar family (SURVEY §2.10)",
+)
+def q52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias("short_name"),
+        F.reverse(F.col("c_mktsegment")).alias("rseg"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("id_part"),
+        F.length("c_name").cast("int").alias("name_len"),
+    )
+
+
+@query(
+    "q53_math_funcs",
+    oracle="""
+    SELECT p_partkey,
+           ABS(p_size - 25) AS dist,
+           CAST(p_size % 7 AS INT) AS m7,
+           CAST(FLOOR(p_retailprice) AS BIGINT) AS fl,
+           CAST(CEIL(p_retailprice) AS BIGINT) AS ce,
+           SQRT(CAST(p_size AS DOUBLE)) AS root,
+           CAST(POWER(2, p_size % 5) AS BIGINT) AS pw
+    FROM part ORDER BY p_partkey
+    """,
+    certifies="math scalar family (SURVEY §2.10); sqrt is IEEE correctly-rounded in both engines",
+)
+def q53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.abs(F.col("p_size") - 25).alias("dist"),
+        (F.col("p_size") % 7).cast("int").alias("m7"),
+        F.floor("p_retailprice").cast("long").alias("fl"),
+        F.ceil("p_retailprice").cast("long").alias("ce"),
+        F.sqrt(F.col("p_size").cast("double")).alias("root"),
+        F.power(F.lit(2), F.col("p_size") % 5).cast("long").alias("pw"),
+    )
+
+
+@query(
+    "q54_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due_date,
+           CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INT) AS days_since_epoch_start,
+           CAST(EXTRACT(DOW FROM o_orderdate) AS INT) AS dow,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS DATE) AS month_end
+    FROM orders ORDER BY o_orderkey LIMIT 1000
+    """,
+    certifies="date/time scalar family (SURVEY §2.10)",
+)
+def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    # DOW: DuckDB Sunday=0; Spark dayofweek is Sunday=1 → subtract 1.
+    return (
+        o.select(
+            "o_orderkey",
+            F.date_add(d, 30).alias("due_date"),
+            F.datediff(d, F.lit("1995-01-01").cast("date")).cast("int").alias("days_since_epoch_start"),
+            (F.dayofweek("o_orderdate") - 1).cast("int").alias("dow"),
+            F.last_day(d).alias("month_end"),
+        )
+        .orderBy("o_orderkey")
+        .limit(1000)
+    )
+
+
+@query(
+    "q55_json_extract",
+    oracle="""
+    SELECT event_id, CAST(props->>'$.k' AS INT) AS k_value
+    FROM events ORDER BY event_id LIMIT 1000
+    """,
+    certifies="JSON extraction (SURVEY §2.10 'json functions entirely absent')",
+)
+def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.select(
+            "event_id",
+            F.get_json_object("props", "$.k").cast("int").alias("k_value"),
+        )
+        .orderBy("event_id")
+        .limit(1000)
+    )
+
+
+@query(
+    "q56_sorted_collect",
+    oracle="""
+    SELECT o_orderstatus, array_agg(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    certifies="array aggregation (deterministic via sort) (SURVEY §2.10)",
+)
+def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities")
+    )
+
+
+# --------------------------------------------------------------------------
+# Inline literal relation + multi-join star query
+# --------------------------------------------------------------------------
+@query(
+    "q57_inline_lookup_join",
+    oracle="""
+    SELECT o.o_orderkey, m.label
+    FROM orders o
+    JOIN (VALUES ('1-URGENT', 'hot'), ('2-HIGH', 'hot'), ('5-LOW', 'cold')) AS m(prio, label)
+      ON o.o_orderpriority = m.prio
+    ORDER BY o.o_orderkey
+    """,
+    certifies="inline literal relation + broadcast lookup join (SURVEY §2.10)",
+)
+def q57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    lookup = o.sparkSession.createDataFrame(
+        [("1-URGENT", "hot"), ("2-HIGH", "hot"), ("5-LOW", "cold")], "prio string, label string"
+    )
+    return (
+        o.join(F.broadcast(lookup), o.o_orderpriority == lookup.prio, "inner")
+        .select("o_orderkey", "label")
+    )
+
+
+@query(
+    "q58_star_join",
+    oracle="""
+    SELECT r_name, n_name, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS BIGINT) AS revenue_floor
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name, c_mktsegment
+    ORDER BY r_name, n_name, c_mktsegment
+    """,
+    certifies="multi-join star query with dim chain (SURVEY §2.10)",
+)
+def q58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name", "c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.floor("o_totalprice").cast("long")).cast("long").alias("revenue_floor"),
+        )
+    )
+
+
+@query(
+    "q59_sql_identical_text",
+    oracle="""
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+    certifies="SQL entry path: one ANSI statement runs verbatim on both engines",
+)
+def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    # Exactly the oracle text — certifies dialect-portable SQL subset.
+    return spark.sql(
+        "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n "
+        "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    )
