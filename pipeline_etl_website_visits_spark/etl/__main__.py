@@ -1,0 +1,66 @@
+"""CLI for the visits ETL.
+
+    python -m pipeline_etl_website_visits_spark.etl \
+        --input /data/reports --warehouse /data/warehouse [--stream] \
+        [--process-date YYYY-MM-DD] [--reprocess] [--checkpoint DIR]
+
+Batch mode mirrors the reference's daily run (process everything new in the
+input dir); --stream runs the Structured Streaming path with AvailableNow
+(same outcome, checkpoint-tracked).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="pipeline_etl_website_visits_spark.etl")
+    ap.add_argument("--input", required=True, help="directory of report_*.txt files")
+    ap.add_argument("--warehouse", required=True, help="warehouse root directory")
+    ap.add_argument("--process-date", default=None, help="pin 'current' date (tests/replays)")
+    ap.add_argument("--reprocess", action="store_true", help="ignore bitacora completion markers")
+    ap.add_argument("--stream", action="store_true", help="run via Structured Streaming (AvailableNow)")
+    ap.add_argument("--checkpoint", default=None, help="checkpoint dir (stream mode)")
+    ap.add_argument("--master", default=None, help="spark master override")
+    args = ap.parse_args(argv)
+
+    from pipeline_etl_website_visits_spark.session import get_spark
+
+    spark = get_spark("visits-etl", master=args.master)
+    if args.stream:
+        from pipeline_etl_website_visits_spark.streaming.visits_stream import start_visits_stream
+
+        ckpt = args.checkpoint or f"{args.warehouse.rstrip('/')}/_checkpoint"
+        q = start_visits_stream(
+            spark, args.input, args.warehouse, ckpt, process_date=args.process_date
+        )
+        q.awaitTermination()
+        print(json.dumps({"mode": "stream", "checkpoint": ckpt}))
+        return 0
+
+    from pipeline_etl_website_visits_spark.etl.pipeline import process_directory
+
+    results = process_directory(
+        spark, args.input, args.warehouse, process_date=args.process_date, reprocess=args.reprocess
+    )
+    for r in results:
+        print(
+            json.dumps(
+                {
+                    "file": r.filename,
+                    "status": r.status,
+                    "ok": r.ok_count,
+                    "errors": r.err_count,
+                    "missing_columns": r.missing_columns,
+                    "extra_columns": r.extra_columns,
+                }
+            )
+        )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -35,6 +35,7 @@ def read_report_stream(spark: SparkSession, input_dir: str, max_files_per_trigge
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .schema(S.RAW_SCHEMA)
         .load(input_dir)
+        .withColumn("__path", F.col("_metadata.file_path"))
         .withColumn("nombreArchivo", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1))
     )
 
@@ -43,6 +44,26 @@ def _process_micro_batch(warehouse: Warehouse, process_date: str | None):
     def inner(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # The fixed stream schema applies positionally, so a file whose
+        # header deviates from the declared layout would misparse. Peek the
+        # headers of this micro-batch's files (driver-side, O(1) per file —
+        # same check as the batch driver) and quarantine layout failures.
+        spark = batch_df.sparkSession
+        paths = [r[0] for r in batch_df.select("__path").distinct().collect()]
+        bad_files = []
+        for p in paths:
+            from pipeline_etl_website_visits_spark.etl.pipeline import read_header
+
+            ok_layout, _, _ = T.validate_layout(read_header(spark, p))
+            if not ok_layout:
+                bad_files.append(p.rsplit("/", 1)[-1])
+        for fname in sorted(bad_files):
+            warehouse.log_bitacora(fname, 0, 0, S.STATUS_LAYOUT_FAIL)
+        batch_df = batch_df.drop("__path")
+        if bad_files:
+            batch_df = batch_df.filter(~F.col("nombreArchivo").isin(bad_files))
+            if batch_df.isEmpty():
+                return
         flagged = T.with_validity_flags(batch_df)
         ok, bad = T.split_valid_invalid(flagged)
         errores = T.expand_errors(bad, F.col("nombreArchivo")).cache()
