@@ -454,3 +454,143 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n "
         "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q1-shaped pricing summary: DECIMAL arithmetic end-to-end, rounded in
+# DECIMAL before surfacing as DOUBLE (scale-6 sums can land exactly on a
+# half-cent — rounding must happen while the value is still exact).
+# --------------------------------------------------------------------------
+@query(
+    "q60_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
+           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                          * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    certifies="decimal-exact money aggregation (TPC-H Q1 shape)",
+)
+def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("decimal(18,2)")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    disc = F.col("l_discount").cast("decimal(18,2)")
+    tax = F.col("l_tax").cast("decimal(18,2)")
+    return (
+        li.filter(F.col("l_shipdate").cast("date") <= F.lit("2000-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(qty).cast("double").alias("sum_qty"),
+            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
+            F.round(F.sum(price * (F.lit(1) - disc)), 2).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)), 2)
+            .cast("double")
+            .alias("sum_charge"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot (wide conditional aggregation)
+# --------------------------------------------------------------------------
+_PIVOT_PRIOS = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+
+
+@query(
+    "q61_pivot",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS "1-URGENT",
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS "2-HIGH",
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS "3-MEDIUM",
+           CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS "4-NOT SPECIFIED",
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    certifies="pivot / wide conditional aggregation (SURVEY §2.10)",
+)
+def q61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    out = o.groupBy("o_orderstatus").pivot("o_orderpriority", _PIVOT_PRIOS).count()
+    return out.na.fill(0, _PIVOT_PRIOS).select(
+        "o_orderstatus", *[F.col(f"`{p}`").cast("long").alias(p) for p in _PIVOT_PRIOS]
+    )
+
+
+# --------------------------------------------------------------------------
+# Variance from exact sums (portable; built-in stddev/var are float-sum-order
+# dependent across engines, so the manual two-pass formula is the oracle-safe
+# formulation)
+# --------------------------------------------------------------------------
+@query(
+    "q62_variance_manual",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT)) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(FLOOR(o_totalprice) AS BIGINT) * CAST(FLOOR(o_totalprice) AS BIGINT)) AS DOUBLE) AS sx2
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n,
+           CAST(FLOOR((sx2 - sx * sx / n) / (n - 1)) AS BIGINT) AS var_floor
+    FROM s ORDER BY o_orderstatus
+    """,
+    certifies="variance via exact integer sums (SURVEY §2.10 math gap)",
+)
+def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    x = F.floor("o_totalprice").cast("long")
+    s = o.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sx2"),
+    )
+    return s.select(
+        "o_orderstatus",
+        "n",
+        F.floor((F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1))
+        .cast("long")
+        .alias("var_floor"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Approximate sketches (X2): engine-specific estimators — rows-only checks
+# --------------------------------------------------------------------------
+@query(
+    "x36_approx_count_distinct",
+    oracle=None,
+    certifies="X2 approx distinct (HLL++; estimator engine-specific, no oracle)",
+    tags=("approx", "no-oracle"),
+)
+def x36(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return o.agg(
+        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
+    ).crossJoin(li.agg(F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts")))
+
+
+@query(
+    "x37_approx_percentile",
+    oracle=None,
+    certifies="X2 approx percentiles (KLL/GK sketch; estimator engine-specific)",
+    tags=("approx", "no-oracle"),
+)
+def x37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.percentile_approx("l_quantity", [0.5, 0.9, 0.99], 10000).alias("qty_quantiles"),
+    )

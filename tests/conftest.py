@@ -10,11 +10,17 @@ from pipeline_etl_website_visits_spark.session import get_spark  # noqa: E402
 
 @pytest.fixture(scope="session")
 def spark():
+    import tempfile
+
     s = get_spark(
         "tests",
         master="local[4]",
         shuffle_partitions=4,
-        extra_conf={"spark.ui.showConsoleProgress": "false"},
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            # static conf: catalog tables (bucketing tests) land in a tmp dir
+            "spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark-wh-"),
+        },
     )
     s.sparkContext.setLogLevel("ERROR")
     yield s
