@@ -283,3 +283,33 @@ def x31(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x35(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     return orders.select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "x38_top_bigrams",
+    oracle=f"""
+    WITH g AS (
+      SELECT unnest(list_transform(range(1, len(lst)), i -> lst[i] || ' ' || lst[i+1])) AS bigram
+      FROM (SELECT {_TOKS} AS lst FROM documents)
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM g GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25
+    """,
+    certifies="X4 n-gram frequency table / corpus vocabulary stats (SURVEY §2.11)",
+    tags=("llm", "text"),
+)
+def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokenized = docs.select(F.split(D.normalize_text(F.col("text")), " ").alias("toks"))
+    toks = F.col("toks")
+    idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bigrams = F.transform(idx, lambda i: F.concat_ws(" ", F.element_at(toks, i + 1), F.element_at(toks, i + 2)))
+    return (
+        tokenized.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(25)
+    )

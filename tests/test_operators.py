@@ -103,3 +103,26 @@ def test_quality_features_bounds(spark):
     assert all(0.0 <= r["quality_score"] <= 1.0 for r in feats)
     assert all(0.0 <= r["alnum_ratio"] <= 1.0 for r in feats)
     assert all(r["n_tokens"] > 0 for r in feats)
+
+
+def test_dedup_clusters_connected_components(spark):
+    # two components: {1,2,4} (chain 1-2, 2-4) and {7,9}
+    pairs = spark.createDataFrame([(1, 2), (2, 4), (7, 9)], "doc_a long, doc_b long")
+    from pipeline_etl_website_visits_spark.operators.dedup import dedup_clusters, dedup_keep_set
+
+    labels = {r["doc_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 4: 1, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame([(i, f"t{i}") for i in [1, 2, 4, 7, 9, 100]], "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in dedup_keep_set(docs, pairs, "doc_id").collect())
+    assert kept == [1, 7, 100]
+
+
+def test_dedup_end_to_end_pipeline(spark):
+    """documents -> jaccard pairs -> clusters -> keep set, full chain."""
+    from pipeline_etl_website_visits_spark.operators.dedup import dedup_keep_set, shingle_jaccard_pairs
+
+    docs = _docs(spark)
+    pairs = shingle_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
+    kept = sorted(r["doc_id"] for r in dedup_keep_set(docs, pairs, "doc_id").collect())
+    assert kept == [1, 3]  # 2 and 4 near-dup into 1's cluster; 3 unique

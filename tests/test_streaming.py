@@ -69,3 +69,39 @@ def test_events_tumbling_stream_matches_batch(spark, tmp_path):
         for r in REGISTRY["x32_events_tumbling_hour"].spark(spark, SF_DIR).collect()
     }
     assert got == batch
+
+
+def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
+    """Structured Streaming's native session_window (30 min gap) produces the
+    same (user, session count, per-session event counts) as the batch
+    lag/cumsum sessionization (x33) when the whole table is drained."""
+    import pyspark.sql.functions as F
+
+    events = load_table(spark, SF_DIR, "events")
+    events_dir = str(tmp_path / "events_sw")
+    events.write.parquet(events_dir)
+
+    stream = spark.readStream.schema(events.schema).parquet(events_dir)
+    agg = (
+        stream.withWatermark("ts", "100 days")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_sw")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_sw"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["user_id"], r["n_events"]) for r in spark.sql("SELECT user_id, n_events FROM t_sw").collect()
+    )
+    batch = sorted(
+        (r["user_id"], r["n_events"])
+        for r in REGISTRY["x33_events_sessionize"].spark(spark, SF_DIR).collect()
+    )
+    assert got == batch
