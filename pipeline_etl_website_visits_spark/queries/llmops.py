@@ -313,3 +313,72 @@ def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "bigram")
         .limit(25)
     )
+
+
+# --------------------------------------------------------------------------
+# Temporal joins (operators Spark lacks natively): range join + as-of join
+# --------------------------------------------------------------------------
+_RANGE_GAP_S = 300
+
+
+@query(
+    "x39_time_range_join",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_id, ts FROM events)
+    SELECT a.event_id AS a_id, b.event_id AS b_id
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND abs(epoch_us(a.ts) - epoch_us(b.ts)) <= {_RANGE_GAP_S * 1_000_000}
+    ORDER BY a_id, b_id
+    """,
+    certifies="range/interval join via bucketed equi-join (SURVEY §2.10 gap)",
+    tags=("temporal",),
+)
+def x39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators.rangejoin import time_range_join_pairs
+
+    events = load_table(spark, sf_dir, "events")
+    return time_range_join_pairs(events, "user_id", "ts", "event_id", _RANGE_GAP_S)
+
+
+@query(
+    "x40_asof_join",
+    oracle="""
+    WITH clicks AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'),
+         purchases AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
+    SELECT p.event_id AS left_id,
+           (SELECT c.event_id FROM clicks c
+             WHERE c.user_id = p.user_id
+               AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+             ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS right_id,
+           (SELECT strftime(c.ts, '%Y-%m-%d %H:%M:%S') FROM clicks c
+             WHERE c.user_id = p.user_id
+               AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+             ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS right_ts
+    FROM purchases p ORDER BY left_id
+    """,
+    certifies="as-of join: purchase -> latest prior click (SURVEY §2.10 gap)",
+    tags=("temporal",),
+)
+def x40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators.rangejoin import asof_join
+
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    out = asof_join(purchases, clicks, "user_id", "ts", "event_id")
+    return out.select(
+        "left_id", "right_id", F.date_format("right_ts", "yyyy-MM-dd HH:mm:ss").alias("right_ts")
+    )
+
+
+@query(
+    "x41_embed_ivf_topk",
+    oracle=None,
+    certifies="X3 IVF approximate similarity (nprobe-tunable recall; deterministic strided centroids)",
+    tags=("llm", "similarity", "no-oracle"),
+)
+def x41(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < _TOPK_QUERY_IDS)
+    return S.ivf_topk(queries, emb, k=_TOPK_K, num_centroids=16, nprobe=4)

@@ -126,3 +126,28 @@ def test_dedup_end_to_end_pipeline(spark):
     pairs = shingle_jaccard_pairs(docs, "text", "doc_id", threshold=0.5)
     kept = sorted(r["doc_id"] for r in dedup_keep_set(docs, pairs, "doc_id").collect())
     assert kept == [1, 3]  # 2 and 4 near-dup into 1's cluster; 3 unique
+
+
+def test_ivf_topk_recall_and_consistency(spark):
+    """IVF must (a) never fabricate scores — every reported sim equals the
+    exact cosine; (b) reach reasonable recall vs brute force at nprobe=4/16."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact_all = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in S.cosine_topk(queries, emb, k=500).collect()
+    }
+    exact_top5 = {}
+    for (qid, nid), sim in exact_all.items():
+        exact_top5.setdefault(qid, []).append((sim, nid))
+    truth = {q: {nid for _, nid in sorted(v, reverse=True)[:5]} for q, v in exact_top5.items()}
+
+    ivf = S.ivf_topk(queries, emb, k=5, num_centroids=16, nprobe=4).collect()
+    assert len(ivf) > 0
+    for r in ivf:
+        assert abs(exact_all[(r["query_id"], r["neighbor_id"])] - r["sim"]) < 1e-9
+    got = {}
+    for r in ivf:
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recall = sum(len(got.get(q, set()) & truth[q]) for q in truth) / sum(len(truth[q]) for q in truth)
+    assert recall >= 0.3, f"IVF recall too low: {recall}"
