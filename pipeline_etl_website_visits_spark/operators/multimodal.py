@@ -112,3 +112,39 @@ def with_media_metadata(df: DataFrame) -> DataFrame:
         .when(F.col("length") < 1024 * 1024, "small")
         .otherwise("large"),
     )
+
+
+FRAME_SCHEMA = "path string, frame_index int, frame_ts_ms long, frame_hash string"
+
+
+def sample_frames(df: DataFrame, frames_per_file: int = 4, batch_size: int = 16) -> DataFrame:
+    """Row-expanding decode: one input media file → N sampled-frame rows.
+
+    The video analogue of :func:`decode_image_meta` — demonstrates the
+    1-to-N ``mapInPandas`` shape (each Arrow batch of files yields a larger
+    batch of frames) with the codec stubbed: frame hashes derive
+    deterministically from (content digest, frame index); timestamps assume
+    a nominal 1000 ms spacing. A real implementation swaps the inner loop
+    for ``av``/``ffmpeg`` keyframe extraction with identical plumbing.
+    """
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                digest = hashlib.sha256(data).hexdigest()
+                for i in range(frames_per_file):
+                    out.append(
+                        {
+                            "path": path,
+                            "frame_index": i,
+                            "frame_ts_ms": i * 1000,
+                            "frame_hash": hashlib.sha256(f"{digest}:{i}".encode()).hexdigest(),
+                        }
+                    )
+            yield pd.DataFrame(out, columns=["path", "frame_index", "frame_ts_ms", "frame_hash"])
+
+    return df.select("path", "content").mapInPandas(expand, schema=FRAME_SCHEMA)

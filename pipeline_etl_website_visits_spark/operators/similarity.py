@@ -196,15 +196,19 @@ def ivf_topk(
     With the candidate table written out partitioned by ``centroid_id``,
     probing prunes partitions at the storage layer.
     """
+    # Deterministic hash-strided sample — a pure filter (no global ordering,
+    # no count): expect ~2x num_centroids hits, truncate to num_centroids by
+    # id for stability. At 100 TB a global row_number would serialize the
+    # table through one partition; this samples in place.
     cand_count = candidates.count()
-    stride = max(cand_count // num_centroids, 1)
-    w = Window.orderBy(id_col)
-    strided = (
+    one_in = max(cand_count // (2 * num_centroids), 1)
+    sampled = (
         candidates.select(id_col, vec_col)
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(((F.col("__rn") - 1) % stride == 0) & (F.col("__rn") <= stride * num_centroids))
+        .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(one_in)) == 0)
+        .orderBy(id_col)
+        .limit(num_centroids)
     )
-    centroid_rows = strided.select(vec_col).collect()
+    centroid_rows = sampled.select(vec_col).collect()
     centroids = np.asarray([r[0] for r in centroid_rows], dtype=np.float64)
 
     assign = ivf_assign_udf(centroids)

@@ -47,3 +47,20 @@ def test_decode_stub_deterministic(spark, media_dir):
 def test_real_codec_is_marked_unimplemented(spark, media_dir):
     with pytest.raises(NotImplementedError):
         decode_image_real(read_binary_dir(spark, media_dir))
+
+
+def test_frame_sampling_row_expansion(spark, media_dir):
+    from pipeline_etl_website_visits_spark.operators.multimodal import read_binary_dir, sample_frames
+
+    frames = sample_frames(read_binary_dir(spark, media_dir), frames_per_file=3)
+    rows = frames.collect()
+    assert len(rows) == 9  # 3 files x 3 frames
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["path"], []).append(r)
+    for path, fr in by_file.items():
+        assert sorted(f["frame_index"] for f in fr) == [0, 1, 2]
+        assert len({f["frame_hash"] for f in fr}) == 3  # distinct per frame
+    # determinism across runs
+    again = sample_frames(read_binary_dir(spark, media_dir), frames_per_file=3).collect()
+    assert sorted(r["frame_hash"] for r in again) == sorted(r["frame_hash"] for r in rows)
