@@ -163,3 +163,37 @@ def test_transform_group_matches_per_file(spark, report_dir):
 def test_header_peek(spark, report_dir):
     path = FX.make_allvalid(report_dir)
     assert read_header(spark, path) == FX.HEADER
+
+
+def test_system_failure_isolation(spark, report_dir, tmp_path, monkeypatch):
+    """A file that explodes mid-transform records FALLO_SISTEMA and does not
+    stop the run (reference O4 per-file isolation, flows/etl_flow.py:45-47)."""
+    import pipeline_etl_website_visits_spark.etl.pipeline as P
+
+    FX.make_allvalid(report_dir)
+    FX.make_mixed(report_dir)
+    wh_root = str(tmp_path / "wh")
+
+    real_transform = P.T.transform_file
+
+    def exploding(raw, filename):
+        if filename == "report_allvalid.txt":
+            raise RuntimeError("injected mid-transform failure")
+        return real_transform(raw, filename)
+
+    monkeypatch.setattr(P.T, "transform_file", exploding)
+    results = P.process_directory(spark, report_dir, wh_root, process_date="2026-03-28")
+    by_name = {r.filename: r for r in results}
+    assert by_name["report_allvalid.txt"].status == S.STATUS_SYSTEM_FAIL
+    assert by_name["report_mixed.txt"].status == S.STATUS_OK_WITH_ERRORS
+
+    from pipeline_etl_website_visits_spark.etl.load import Warehouse
+
+    wh = Warehouse(spark, wh_root)
+    bit = {r["nombreArchivo"]: r["estatus"] for r in wh.read("bitacora").collect()}
+    assert bit["report_allvalid.txt"] == S.STATUS_SYSTEM_FAIL
+    # FALLO_SISTEMA is NOT a completion marker: the file is retried next run
+    monkeypatch.setattr(P.T, "transform_file", real_transform)
+    results2 = P.process_directory(spark, report_dir, wh_root, process_date="2026-03-28")
+    assert [r.filename for r in results2] == ["report_allvalid.txt"]
+    assert results2[0].status == S.STATUS_OK

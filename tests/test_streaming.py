@@ -105,3 +105,52 @@ def test_session_window_stream_matches_batch_sessionize(spark, tmp_path):
         for r in REGISTRY["x33_events_sessionize"].spark(spark, SF_DIR).collect()
     )
     assert got == batch
+
+
+def test_stateful_visitor_counters_accumulate_across_batches(spark, tmp_path):
+    """applyInPandasWithState: per-email state persists across micro-batches
+    (one file per trigger), final emitted totals match the batch aggregate."""
+    import pyspark.sql.functions as F
+    from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+    from pipeline_etl_website_visits_spark.streaming.stateful_visitors import visitor_state_stream
+
+    schema = StructType(
+        [StructField("email", StringType()), StructField("fechaEnvio", TimestampType())]
+    )
+    in_dir = tmp_path / "visits"
+    in_dir.mkdir()
+    import datetime
+
+    T = datetime.datetime
+    batch1 = [("a@x.com", T(2026, 3, 1, 10)), ("a@x.com", T(2026, 3, 2, 10)), ("b@x.com", T(2026, 3, 5, 9))]
+    batch2 = [("a@x.com", T(2026, 2, 20, 8)), ("c@x.com", T(2026, 3, 9, 7))]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(str(in_dir / "f1"))
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(str(in_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir / "*"))
+    )
+    out = visitor_state_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("t_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # last emitted row per email = final state
+    rows = spark.sql("SELECT * FROM t_state").collect()
+    final = {}
+    for r in rows:  # memory sink appends updates in emission order
+        final[r["email"]] = r
+    assert final["a@x.com"]["visitasTotales"] == 3
+    assert final["a@x.com"]["fechaPrimeraVisita"] == datetime.date(2026, 2, 20)
+    assert final["a@x.com"]["fechaUltimaVisita"] == datetime.date(2026, 3, 2)
+    assert final["b@x.com"]["visitasTotales"] == 1
+    assert final["c@x.com"]["visitasTotales"] == 1
