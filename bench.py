@@ -64,6 +64,9 @@ def main() -> None:
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 
+    oracle_subset = round(
+        sum(t for n, t in timings.items() if REGISTRY[n].oracle is not None), 3
+    )
     print(
         json.dumps(
             {
@@ -73,6 +76,12 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "cpus": int(cpus),
+                # the subset DuckDB also runs — the apples-to-apples number
+                # for the <=2x-of-DuckDB target (rows-only hash/sketch ops
+                # have no DuckDB twin to compare against)
+                "oracle_subset_sec": oracle_subset,
+                "n_queries": len(timings),
+                "n_oracle": sum(1 for n in timings if REGISTRY[n].oracle is not None),
             }
         )
     )

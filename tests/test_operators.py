@@ -151,3 +151,15 @@ def test_ivf_topk_recall_and_consistency(spark):
         got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     recall = sum(len(got.get(q, set()) & truth[q]) for q in truth) / sum(len(truth[q]) for q in truth)
     assert recall >= 0.3, f"IVF recall too low: {recall}"
+
+
+def test_jaccard_doc_freq_cap_is_sound(spark):
+    """max_doc_freq (the quadratic-hot-key lever) may only *lose* pairs,
+    never invent them, and surviving pairs keep their shingle overlap."""
+    docs = load_table(spark, SF_DIR, "documents")
+    full = {
+        (r["doc_a"], r["doc_b"]) for r in D.shingle_jaccard_pairs(docs, "text", "doc_id", threshold=0.2).collect()
+    }
+    capped_rows = D.shingle_jaccard_pairs(docs, "text", "doc_id", threshold=0.2, max_doc_freq=50).collect()
+    capped = {(r["doc_a"], r["doc_b"]) for r in capped_rows}
+    assert capped <= full or len(full) == 0
