@@ -65,18 +65,19 @@ class Warehouse:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
-    def _exists(self, table: str) -> bool:
-        p = self.path(table)
-        # Local+HDFS-safe existence probe via Hadoop FS.
+    def _fs(self, p: str):
         jvm = self.spark._jvm
         conf = self.spark._jsc.hadoopConfiguration()
-        fs = jvm.org.apache.hadoop.fs.Path(p).getFileSystem(conf)
-        return fs.exists(jvm.org.apache.hadoop.fs.Path(p))
+        hpath = jvm.org.apache.hadoop.fs.Path(p)
+        return hpath.getFileSystem(conf), hpath, jvm
+
+    def _exists(self, table: str) -> bool:
+        fs, hpath, _ = self._fs(self.path(table))
+        return fs.exists(hpath)
 
     def read(self, table: str) -> DataFrame | None:
         if not self._exists(table):
@@ -85,30 +86,62 @@ class Warehouse:
 
     # -- append sinks (K1/K2), idempotent per file ---------------------------
     def append_partitioned(self, df: DataFrame, table: str) -> None:
+        # dynamic overwrite scoped to THIS write (session conf untouched):
+        # re-running a file replaces only its own partition.
         (
             df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy("nombreArchivo")
             .parquet(self.path(table))
         )
 
     # -- visitantes snapshot (J2 target) -------------------------------------
+    # Versioned snapshots + a pointer file: each merge writes a brand-new
+    # directory, then atomically repoints ``visitantes_CURRENT``. A crash
+    # mid-write leaves the previous version intact and referenced — the
+    # poor-man's table format (Delta/Iceberg replace this wholesale at
+    # production scale, docs/SCALE.md).
+    _POINTER = "visitantes_CURRENT"
+
+    def _current_visitantes_version(self) -> str | None:
+        fs, hpath, jvm = self._fs(self.path(self._POINTER))
+        if not fs.exists(hpath):
+            return None
+        stream = fs.open(hpath)
+        try:
+            reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream, "UTF-8"))
+            return (reader.readLine() or "").strip() or None
+        finally:
+            stream.close()
+
     def read_visitantes(self) -> DataFrame:
-        existing = self.read("visitantes")
-        if existing is not None:
-            return existing
+        version = self._current_visitantes_version()
+        if version is not None:
+            return self.spark.read.parquet(self.path(version))
         return self.spark.createDataFrame([], VISITANTES_SCHEMA)
 
     def write_visitantes(self, df: DataFrame) -> None:
-        # Full-snapshot rewrite: materialize before overwriting the input
-        # path (lazy plans must not read the dir they are deleting).
-        tmp = self.path("visitantes_tmp")
-        df.write.mode("overwrite").parquet(tmp)
-        final = self.spark.read.parquet(tmp)
-        final.write.mode("overwrite").parquet(self.path("visitantes"))
-        jvm = self.spark._jvm
-        conf = self.spark._jsc.hadoopConfiguration()
-        p = jvm.org.apache.hadoop.fs.Path(tmp)
-        p.getFileSystem(conf).delete(p, True)
+        prev = self._current_visitantes_version()
+        n = int(prev.rsplit("_v", 1)[1]) + 1 if prev else 0
+        version = f"visitantes_v{n}"
+        df.write.mode("overwrite").parquet(self.path(version))
+        # repoint: write pointer to a temp file, then rename over (rename is
+        # atomic on HDFS/local; on S3 a conditional-put would stand in)
+        fs, pointer_path, jvm = self._fs(self.path(self._POINTER))
+        tmp_path = jvm.org.apache.hadoop.fs.Path(self.path(self._POINTER + ".tmp"))
+        out = fs.create(tmp_path, True)
+        try:
+            out.write(bytearray(version.encode("utf-8")))
+        finally:
+            out.close()
+        if fs.exists(pointer_path):
+            fs.delete(pointer_path, False)
+        fs.rename(tmp_path, pointer_path)
+        # retain only the previous version for post-crash inspection
+        if prev is not None and n >= 2:
+            old = jvm.org.apache.hadoop.fs.Path(self.path(f"visitantes_v{n - 2}"))
+            if fs.exists(old):
+                fs.delete(old, True)
 
     # -- bitacora commit marker (K3, written last) ---------------------------
     def log_bitacora(self, filename: str, ok_count: int, err_count: int, status: str) -> None:

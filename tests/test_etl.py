@@ -118,7 +118,7 @@ def test_process_directory_end_to_end(spark, report_dir, tmp_path):
     bit = {r["nombreArchivo"]: r for r in wh.read("bitacora").collect()}
     assert bit["report_mixed.txt"]["registrosExitosos"] == 70
     assert bit["report_mixed.txt"]["registrosFallidos"] == 50
-    vis = wh.read("visitantes")
+    vis = wh.read_visitantes()
     # user0@example.com: 10 rows in allvalid + 1 in mixed + 1 in extracol,
     # merged across the three per-file upserts.
     assert vis.filter(F.col("email") == "user0@example.com").first()["visitasTotales"] == 12
@@ -142,7 +142,7 @@ def test_reprocess_overwrites_not_duplicates(spark, report_dir, tmp_path):
     # idempotency is provided by the bitacora skip, reprocess=True is a
     # deliberate re-merge.
     assert (
-        wh.read("visitantes").filter(F.col("email") == "user0@example.com").first()["visitasTotales"] == 20
+        wh.read_visitantes().filter(F.col("email") == "user0@example.com").first()["visitasTotales"] == 20
     )
 
 

@@ -31,7 +31,7 @@ def test_visits_stream_matches_batch_semantics(spark, tmp_path):
     bit = {r["nombreArchivo"]: r["estatus"] for r in wh.read("bitacora").collect()}
     assert bit["report_allvalid.txt"] == "Completado"
     assert bit["report_mixed.txt"] == "Completado con errores"
-    vis = wh.read("visitantes")
+    vis = wh.read_visitantes()
     assert vis.filter(F.col("email") == "user0@example.com").first()["visitasTotales"] == 11
 
     # restart with same checkpoint: no files left => nothing re-processed
