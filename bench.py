@@ -39,10 +39,14 @@ def main() -> None:
         extra_conf={
             "spark.sql.adaptive.enabled": "false",
             "spark.ui.showConsoleProgress": "false",
-            # 36 queries x ~3 codegen stages overflow the default 100-entry
+            # 60+ queries x ~3 codegen stages overflow the default 100-entry
             # generated-class cache -> recompilation storms and bimodal
             # timings; raise it so the warm pass actually warms.
             "spark.sql.codegen.cache.maxEntries": "5000",
+            # single-node: every task is process-local, the scheduler's
+            # locality wait only adds latency (keep the default on a real
+            # cluster where locality means network traffic)
+            "spark.locality.wait": "0ms",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
