@@ -382,3 +382,47 @@ def x41(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _TOPK_QUERY_IDS)
     return S.ivf_topk(queries, emb, k=_TOPK_K, num_centroids=16, nprobe=4)
+
+
+# --------------------------------------------------------------------------
+# The curation pipeline, end to end: keep exactly one copy of each distinct
+# normalized text, only if it clears the quality floor and is classified
+# English. This is the composed "training-data filter" a 100 TB corpus run
+# executes; every stage is the oracle-checked operator above.
+# --------------------------------------------------------------------------
+@query(
+    "x43_corpus_curation",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id, md5({_NORM}) AS fp,
+             CAST(LENGTH(text) AS BIGINT) AS n_chars,
+             CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS BIGINT) AS n_toks,
+             ({_lang_score_sql('en')}) AS en_score,
+             GREATEST({_lang_score_sql('es')}, {_lang_score_sql('fr')}, {_lang_score_sql('de')}) AS other_score
+      FROM documents
+    ),
+    keepers AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp.fp)
+    SELECT f.doc_id,
+           CAST((LEAST(500, f.n_toks * 5) + LEAST(500, f.n_chars)) / 1000.0 AS DOUBLE) AS quality_score
+    FROM fp f JOIN keepers k ON f.doc_id = k.doc_id
+    WHERE (LEAST(500, f.n_toks * 5) + LEAST(500, f.n_chars)) >= 400
+      AND f.en_score >= f.other_score AND f.en_score > 0
+    ORDER BY f.doc_id
+    """,
+    certifies="composed curation pipeline: exact-dedup keeper ∧ quality floor ∧ lang-id (SURVEY §2.11 north star)",
+    tags=("llm", "pipeline"),
+)
+def x43(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keepers = D.dedup_exact(docs, "text", "doc_id").select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    feats = T.quality_features(docs, "text", "doc_id")
+    lang = docs.select("doc_id", T.lang_id(F.col("text")).alias("predicted_lang"))
+    return (
+        feats.join(keepers, "doc_id", "left_semi")
+        .join(lang, "doc_id")
+        .filter((F.col("quality_score") >= 0.4) & (F.col("predicted_lang") == "en"))
+        .select("doc_id", "quality_score")
+    )
