@@ -32,8 +32,17 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 
 
 def occurrences(col: Column, marker: str) -> Column:
-    """Non-overlapping occurrence count of ``marker`` in ``col``."""
-    return (F.length(col) - F.length(F.replace(col, F.lit(marker)))) / F.lit(len(marker))
+    """Non-overlapping occurrence count of ``marker`` in ``col``.
+
+    ``regexp_count`` of the escaped literal — identical left-to-right
+    non-overlapping semantics as the portable replace-length trick used in
+    the SQL oracles, but a single function call per marker: the full
+    lang-id expression stays far below the JVM codegen method limit even
+    after Catalyst collapses projections into one filter.
+    """
+    import re as _re
+
+    return F.regexp_count(col, F.lit(_re.escape(marker))).cast("double")
 
 
 def token_count(col: Column) -> Column:
@@ -54,9 +63,17 @@ def lang_id(col: Column) -> Column:
 
     Ties resolve by the fixed order en > es > fr > de > unknown (strict
     ``>`` comparisons in a CASE chain), so the output is deterministic.
+
+    NOTE: as a single Column this inlines the normalization subtree once per
+    marker (~24x) and can overflow the JVM's 64KB codegen method limit on
+    wide CASE chains; prefer :func:`lang_id_df`, which stages the padded
+    text and per-language scores as columns so whole-stage codegen survives.
     """
     padded = F.concat(F.lit(" "), normalize_text(col), F.lit(" "))
-    scores = {lang: _marker_score(padded, lang) for lang in LANG_MARKERS}
+    return _argmax_lang({lang: _marker_score(padded, lang) for lang in LANG_MARKERS})
+
+
+def _argmax_lang(scores: dict[str, Column]) -> Column:
     best = F.lit("unknown")
     best_score = F.lit(0.0)
     # Process in reverse priority with >= so earlier-declared langs win ties.
@@ -66,6 +83,25 @@ def lang_id(col: Column) -> Column:
         best = F.when(wins, F.lit(lang)).otherwise(best)
         best_score = F.when(wins, s).otherwise(best_score)
     return best
+
+
+def lang_id_df(df: DataFrame, text_col: str, id_col: str, out_col: str = "predicted_lang") -> DataFrame:
+    """Two-stage language ID: (id, predicted_lang) with codegen-sized stages.
+
+    Stage 1 materializes the padded normalized text once; stage 2 the four
+    score columns; stage 3 the argmax CASE — each projection stays far below
+    the codegen method limit (the single-expression form trips the 64KB
+    fallback and silently drops to interpreted mode).
+    """
+    padded = F.concat(F.lit(" "), normalize_text(F.col(text_col)), F.lit(" "))
+    staged = df.select(F.col(id_col).alias("doc_id"), padded.alias("__padded"))
+    score_cols = {
+        lang: _marker_score(F.col("__padded"), lang).alias(f"__s_{lang}") for lang in LANG_MARKERS
+    }
+    scored = staged.select("doc_id", *score_cols.values())
+    return scored.select(
+        "doc_id", _argmax_lang({lang: F.col(f"__s_{lang}") for lang in LANG_MARKERS}).alias(out_col)
+    )
 
 
 def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

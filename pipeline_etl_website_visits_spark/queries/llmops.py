@@ -183,7 +183,7 @@ def _lang_score_sql(lang: str) -> str:
 )
 def x27(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", T.lang_id(F.col("text")).alias("predicted_lang"))
+    return T.lang_id_df(docs, "text", "doc_id")
 
 
 @query(
@@ -419,7 +419,7 @@ def x43(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("keeper_doc_id").alias("doc_id")
     )
     feats = T.quality_features(docs, "text", "doc_id")
-    lang = docs.select("doc_id", T.lang_id(F.col("text")).alias("predicted_lang"))
+    lang = T.lang_id_df(docs, "text", "doc_id")
     return (
         feats.join(keepers, "doc_id", "left_semi")
         .join(lang, "doc_id")
