@@ -675,3 +675,57 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(price * (F.lit(1) - disc)), 2).cast("double").alias("revenue"))
         .orderBy(F.col("revenue").desc(), "n_name")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact (lower) median via row_number — engines disagree on interpolated
+# median of doubles, so the deterministic formulation is positional.
+# --------------------------------------------------------------------------
+@query(
+    "q65_median_manual",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderstatus, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderstatus) AS n
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(FLOOR(o_totalprice) AS BIGINT) AS median_floor
+    FROM ranked WHERE rn = (n + 1) // 2
+    ORDER BY o_orderstatus
+    """,
+    certifies="exact positional median (SURVEY §2.10 math gap; interpolation-free)",
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wc = Window.partitionBy("o_orderstatus")
+    ranked = o.select(
+        "o_orderstatus",
+        "o_totalprice",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wc).alias("n"),
+    )
+    return ranked.filter(F.col("rn") == F.floor((F.col("n") + 1) / 2)).select(
+        "o_orderstatus", F.floor("o_totalprice").cast("long").alias("median_floor")
+    )
+
+
+@query(
+    "q66_regexp_extract",
+    oracle="""
+    SELECT c_custkey,
+           regexp_extract(c_name, '([0-9]+)$', 1) AS id_digits,
+           CAST(regexp_matches(c_name, '^Customer#') AS BOOLEAN) AS is_customer
+    FROM customer ORDER BY c_custkey
+    """,
+    certifies="regexp_extract / capture groups (F1/F2 regex family, SURVEY §2.10)",
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("id_digits"),
+        F.col("c_name").rlike("^Customer#").alias("is_customer"),
+    )
