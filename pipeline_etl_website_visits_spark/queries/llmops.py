@@ -418,6 +418,10 @@ def x43(spark: SparkSession, sf_dir: str) -> DataFrame:
     keepers = D.dedup_exact(docs, "text", "doc_id").select(
         F.col("keeper_doc_id").alias("doc_id")
     )
+    # One scan feeds quality + lang in a single projection, then the keeper
+    # semi-join prunes. (A staged variant that classifies only
+    # quality-surviving docs is the 100 TB ordering — at toy scale the extra
+    # semi-joins cost more in job overhead than the classifier saves.)
     feats = T.quality_features(docs, "text", "doc_id")
     lang = T.lang_id_df(docs, "text", "doc_id")
     return (
