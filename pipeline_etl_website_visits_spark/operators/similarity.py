@@ -245,3 +245,44 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("sim_raw", 4).alias("sim"))
     )
+
+
+def dedup_embed_cosine(
+    candidates: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.5,
+    num_planes: int = 6,
+    seeds: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Embedding near-dup pairs: cosine >= threshold, found via multi-probe
+    sign-bit LSH and verified with the exact sequential-fold cosine.
+
+    The candidate union over several independent plane sets trades compute
+    for recall the same way MinHash bands do (a close pair collides in at
+    least one bucketing with high probability; a 180-degree-opposed pair
+    never does). Verification is exact — no false positives — so the output
+    is a subset of the true pair set with tunable recall; at 100 TB this is
+    the only formulation that avoids the O(n^2) cosine matrix.
+    """
+    dim = len(candidates.select(vec_col).first()[0])
+    pair_sets = []
+    base = candidates.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    for seed in seeds:
+        bucket = _bucket_udf(hyperplanes(dim, num_planes, seed))
+        bucketed = base.withColumn("bucket", bucket(F.col("v")))
+        a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+        b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+        pair_sets.append(
+            a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "va", "vb")
+        )
+    pairs = pair_sets[0]
+    for p in pair_sets[1:]:
+        pairs = pairs.unionByName(p)
+    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    sim = cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.withColumn("sim_raw", sim)
+        .filter(F.col("sim_raw") >= threshold)
+        .select("id_a", "id_b", F.round("sim_raw", 4).alias("sim"))
+    )

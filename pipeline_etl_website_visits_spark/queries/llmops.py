@@ -430,3 +430,14 @@ def x43(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("quality_score") >= 0.4) & (F.col("predicted_lang") == "en"))
         .select("doc_id", "quality_score")
     )
+
+
+@query(
+    "x42_dedup_embed_cosine",
+    oracle=None,
+    certifies="X3 embedding-cosine near-dup via multi-probe LSH + exact verify (x25 oracle-certifies the cosine itself)",
+    tags=("llm", "dedup", "similarity", "no-oracle"),
+)
+def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.dedup_embed_cosine(emb, threshold=0.5)

