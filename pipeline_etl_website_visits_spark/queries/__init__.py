@@ -11,3 +11,4 @@ from pipeline_etl_website_visits_spark.queries import relational  # noqa: E402,F
 from pipeline_etl_website_visits_spark.queries import llmops  # noqa: E402,F401
 from pipeline_etl_website_visits_spark.queries import visits  # noqa: E402,F401
 from pipeline_etl_website_visits_spark.queries import extended  # noqa: E402,F401
+from pipeline_etl_website_visits_spark.queries import curation  # noqa: E402,F401

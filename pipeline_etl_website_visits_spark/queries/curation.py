@@ -1,0 +1,324 @@
+"""Training-data curation + incremental-pipeline declared queries.
+
+Operations a large-scale training-data pipeline runs beside dedup/similarity
+(SURVEY.md §0.3 north-star scope): deterministic dataset splitting, snapshot
+change-data-capture, exact per-group quantiles, time-range rolling windows,
+grouping sets, and event funnels. All oracle-backed.
+
+Scale notes are on each query; the common theme: everything here is a single
+shuffle on a key Spark would shuffle on anyway (user_id / lang / join key),
+no driver-side loops, no UDFs — whole-stage codegen end to end.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from pipeline_etl_website_visits_spark.queries.registry import query
+from pipeline_etl_website_visits_spark.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# x44 — deterministic train/val/test split (hash bucketing)
+#
+# The split must be stable across runs, machines, and engines — so no
+# rand(): bucket on the md5 hex of the stable document id. Both Spark and
+# DuckDB produce identical lowercase-hex md5 of the same UTF-8 bytes, and
+# the first two hex chars give 256 buckets compared lexicographically.
+# At 100 TB this is a narrow projection + partial agg — no shuffle of the
+# documents themselves, just the 3-row aggregate.
+# --------------------------------------------------------------------------
+_TRAIN_HI = "cd"  # 205/256 ≈ 80.1 %
+_VAL_HI = "e6"  # 25/256 ≈ 9.8 %; rest ≈ 10.2 % test
+
+
+@query(
+    "x44_hash_split",
+    oracle=f"""
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM (
+      SELECT doc_id, n_chars,
+             CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_TRAIN_HI}' THEN 'train'
+                  WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_VAL_HI}' THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    GROUP BY split ORDER BY split
+    """,
+    certifies="deterministic dataset split (north-star §0.3); hash bucketing",
+    tags=("llm", "curation"),
+)
+def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(bucket < _TRAIN_HI, "train").when(bucket < _VAL_HI, "val").otherwise("test")
+    )
+    return (
+        docs.select(split.alias("split"), "n_chars", "doc_id")
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+        .orderBy("split")
+    )
+
+
+# --------------------------------------------------------------------------
+# x45 — snapshot change-data-capture (full-outer diff classify)
+#
+# Incremental pipelines re-ingest a source and need insert/update/delete/same
+# classification between consecutive snapshots. Single full-outer equi-join
+# on the key — at scale both snapshots are bucketed on the key so the join is
+# shuffle-free (docs/SCALE.md); here AQE would pick SMJ. Two synthetic
+# snapshots carved from orders so the oracle sees identical inputs.
+# --------------------------------------------------------------------------
+@query(
+    "x45_snapshot_cdc",
+    oracle="""
+    WITH old AS (
+      SELECT o_orderkey AS k, o_orderstatus AS old_status
+      FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    new AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 0 THEN 'X' ELSE o_orderstatus END AS new_status
+      FROM orders WHERE o_orderkey % 3 <> 1
+    )
+    SELECT CASE WHEN new_status IS NULL THEN 'delete'
+                WHEN old_status IS NULL THEN 'insert'
+                WHEN old_status <> new_status THEN 'update'
+                ELSE 'same' END AS change_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(COALESCE(old.k, new.k)) AS BIGINT) AS min_key,
+           CAST(MAX(COALESCE(old.k, new.k)) AS BIGINT) AS max_key
+    FROM old FULL OUTER JOIN new ON old.k = new.k
+    GROUP BY 1 ORDER BY 1
+    """,
+    certifies="snapshot CDC diff (incremental ingest); full-outer classify",
+    tags=("llm", "curation", "join"),
+)
+def x45(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    old = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("k"), F.col("o_orderstatus").alias("old_status")
+    )
+    new = orders.filter(F.col("o_orderkey") % 3 != 1).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("new_status"),
+    )
+    j = old.join(new, "k", "full_outer")
+    change = (
+        F.when(F.col("new_status").isNull(), "delete")
+        .when(F.col("old_status").isNull(), "insert")
+        .when(F.col("old_status") != F.col("new_status"), "update")
+        .otherwise("same")
+    )
+    return (
+        j.select(change.alias("change_type"), "k")
+        .groupBy("change_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("k").alias("min_key"),
+            F.max("k").alias("max_key"),
+        )
+        .orderBy("change_type")
+    )
+
+
+# --------------------------------------------------------------------------
+# x46 — exact per-group quantiles (positional, type-1)
+#
+# Interpolated percentile risks last-ulp float divergence between engines, so
+# the declared form is the positional quantile: rank ceil(q*n) in (n_chars,
+# doc_id) order — pure integer logic, hash-exact. One shuffle on lang (a
+# low-cardinality key: fine — 10s of languages, each partition a window scan).
+# For skewed corpora the window sort is the cost; at 100 TB use approx
+# percentile_approx for monitoring and this exact form for audits.
+# --------------------------------------------------------------------------
+@query(
+    "x46_len_quantiles_by_lang",
+    oracle="""
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang,
+           CAST(MAX(n) AS BIGINT) AS n_docs,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS p50_chars,
+           CAST(MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN n_chars END) AS BIGINT) AS p90_chars
+    FROM ranked
+    GROUP BY lang ORDER BY lang
+    """,
+    certifies="exact group-wise quantiles (corpus length audit)",
+    tags=("llm", "curation", "window"),
+)
+def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    p50_at = F.ceil(0.5 * F.col("n")).cast("bigint")
+    p90_at = F.ceil(0.9 * F.col("n")).cast("bigint")
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.max(F.when(F.col("rn") == p50_at, F.col("n_chars"))).alias("p50_chars"),
+            F.max(F.when(F.col("rn") == p90_at, F.col("n_chars"))).alias("p90_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
+# --------------------------------------------------------------------------
+# q65 — time-range rolling window (RANGE frame over event time)
+#
+# "events in the trailing hour per user" — a RANGE frame over epoch seconds,
+# not a ROW frame: ties (same second) are frame-peers in both engines, so the
+# result is order-insensitive and deterministic. The rolling value sum runs
+# in DECIMAL so accumulation order can't perturb the hash. One shuffle on
+# user_id; the per-user sort is what Spark's window exec does anyway.
+# --------------------------------------------------------------------------
+@query(
+    "q65_rolling_hour_window",
+    oracle="""
+    SELECT event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS events_last_hour,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE), 2) AS value_last_hour
+    FROM (SELECT event_id, user_id, value,
+                 CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events)
+    WINDOW w AS (PARTITION BY user_id ORDER BY sec
+                 RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+    certifies="time-range rolling window (RANGE frame); SURVEY §2.10 windows",
+    tags=("window", "events"),
+)
+def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value", F.col("ts").cast("long").alias("sec")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        F.count("*").over(w).alias("events_last_hour"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 2
+        ).alias("value_last_hour"),
+    ).orderBy("event_id")
+
+
+# --------------------------------------------------------------------------
+# q66 — GROUPING SETS with GROUPING() ids
+#
+# Rollup/cube are declared elsewhere (q18, q45); this is the general form —
+# an explicit set list that is NOT a rollup prefix chain, plus GROUPING()
+# to disambiguate "NULL data" from "aggregated-out". Spark plans one
+# Expand + single agg — the same shape DuckDB uses.
+# --------------------------------------------------------------------------
+@query(
+    "q66_grouping_sets",
+    oracle="""
+    SELECT COALESCE(n_name, 'ALL') AS nation,
+           COALESCE(c_mktsegment, 'ALL') AS segment,
+           CAST(GROUPING(n_name) AS INT) AS g_nation,
+           CAST(GROUPING(c_mktsegment) AS INT) AS g_segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name, c_mktsegment), (c_mktsegment), ())
+    ORDER BY g_nation, g_segment, nation, segment
+    """,
+    certifies="grouping sets + GROUPING() (SURVEY §2.10 grouping-sets gap)",
+    tags=("agg",),
+)
+def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    j = customer.join(
+        F.broadcast(nation), customer.c_nationkey == nation.n_nationkey
+    )
+    return (
+        j.groupingSets(
+            [["n_name", "c_mktsegment"], ["c_mktsegment"], []],
+            "n_name",
+            "c_mktsegment",
+        )
+        .agg(
+            F.grouping("n_name").cast("int").alias("g_nation"),
+            F.grouping("c_mktsegment").cast("int").alias("g_segment"),
+            F.count("*").alias("n_customers"),
+        )
+        .select(
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
+            "g_nation",
+            "g_segment",
+            "n_customers",
+        )
+        .orderBy("g_nation", "g_segment", "nation", "segment")
+    )
+
+
+# --------------------------------------------------------------------------
+# q67 — ordered event funnel (signup-free 3-step: view → click → purchase)
+#
+# Per-user conditional min(ts) per step, then strict ordering comparisons —
+# the standard funnel without self-joins: one shuffle on user_id, map-side
+# partial aggs, no explode. At 100 TB the groupBy(user_id) is the natural
+# partitioning of any sessionized event store.
+# --------------------------------------------------------------------------
+@query(
+    "q67_event_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+      FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) FILTER (WHERE t_view IS NOT NULL) AS BIGINT) AS n_view,
+           CAST(COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view) AS BIGINT) AS n_view_click,
+           CAST(COUNT(*) FILTER (WHERE t_view IS NOT NULL AND t_click > t_view AND t_purchase > t_click) AS BIGINT) AS n_full_funnel
+    FROM per_user
+    """,
+    certifies="ordered event funnel (conditional min, no self-join)",
+    tags=("events", "agg"),
+)
+def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    stage1 = F.col("t_view").isNotNull()
+    stage2 = stage1 & (F.col("t_click") > F.col("t_view"))
+    stage3 = stage2 & (F.col("t_purchase") > F.col("t_click"))
+    return per_user.agg(
+        F.sum(stage1.cast("long")).alias("n_view"),
+        F.sum(stage2.cast("long")).alias("n_view_click"),
+        F.sum(stage3.cast("long")).alias("n_full_funnel"),
+    )

@@ -1,0 +1,90 @@
+"""Semantic checks for the curation/incremental-pipeline queries (curation.py).
+
+The oracle gate proves Spark==DuckDB; these prove the *semantics* are the
+intended ones (split fractions, CDC classes, funnel monotonicity, frame
+correctness) on sf0.001.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+from pipeline_etl_website_visits_spark.queries.registry import REGISTRY
+import pipeline_etl_website_visits_spark.queries  # noqa: F401
+from pipeline_etl_website_visits_spark.tables import load_table
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _run(spark, name):
+    return REGISTRY[name].spark(spark, SF_DIR)
+
+
+def test_hash_split_fractions_and_stability(spark):
+    rows = {r["split"]: r for r in _run(spark, "x44_hash_split").collect()}
+    assert set(rows) == {"train", "val", "test"}
+    total = sum(r["n_docs"] for r in rows.values())
+    n_docs = load_table(spark, SF_DIR, "documents").count()
+    assert total == n_docs  # partition: every doc in exactly one split
+    # md5 bucketing targets 80.1/9.8/10.2 — allow sampling noise on 1k docs
+    assert rows["train"]["n_docs"] / total == pytest.approx(0.801, abs=0.05)
+    assert rows["val"]["n_docs"] / total == pytest.approx(0.098, abs=0.04)
+    # deterministic: re-running yields the identical assignment
+    again = {r["split"]: r["n_docs"] for r in _run(spark, "x44_hash_split").collect()}
+    assert again == {k: v["n_docs"] for k, v in rows.items()}
+
+
+def test_snapshot_cdc_classes_partition_the_keyspace(spark):
+    rows = {r["change_type"]: r["n"] for r in _run(spark, "x45_snapshot_cdc").collect()}
+    assert set(rows) == {"delete", "insert", "update", "same"}
+    orders = load_table(spark, SF_DIR, "orders")
+    n_old = orders.filter(F.col("o_orderkey") % 3 != 0).count()
+    n_new = orders.filter(F.col("o_orderkey") % 3 != 1).count()
+    # |old ∪ new| = |old| + |new| - |old ∩ new|; classes partition the union
+    n_both = rows["update"] + rows["same"]
+    assert rows["delete"] + n_both == n_old
+    assert rows["insert"] + n_both == n_new
+
+
+def test_len_quantiles_ordered_and_bounded(spark):
+    docs = load_table(spark, SF_DIR, "documents")
+    bounds = {
+        r["lang"]: r
+        for r in docs.groupBy("lang")
+        .agg(F.min("n_chars").alias("lo"), F.max("n_chars").alias("hi"))
+        .collect()
+    }
+    for r in _run(spark, "x46_len_quantiles_by_lang").collect():
+        b = bounds[r["lang"]]
+        assert b["lo"] <= r["p50_chars"] <= r["p90_chars"] <= b["hi"]
+
+
+def test_rolling_hour_window_matches_bruteforce_on_one_user(spark):
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("sec")
+    )
+    uid = ev.groupBy("user_id").count().orderBy(F.desc("count"), "user_id").first()["user_id"]
+    mine = ev.filter(F.col("user_id") == uid).collect()
+    got = {
+        r["event_id"]: r["events_last_hour"]
+        for r in _run(spark, "q65_rolling_hour_window")
+        .join(ev.filter(F.col("user_id") == uid).select("event_id"), "event_id", "semi")
+        .collect()
+    }
+    for row in mine:
+        expect = sum(1 for o in mine if row["sec"] - 3600 <= o["sec"] <= row["sec"])
+        assert got[row["event_id"]] == expect
+
+
+def test_grouping_sets_totals_consistent(spark):
+    rows = _run(spark, "q66_grouping_sets").collect()
+    grand = [r for r in rows if r["g_nation"] == 1 and r["g_segment"] == 1]
+    per_seg = [r for r in rows if r["g_nation"] == 1 and r["g_segment"] == 0]
+    detail = [r for r in rows if r["g_nation"] == 0]
+    assert len(grand) == 1
+    assert sum(r["n_customers"] for r in per_seg) == grand[0]["n_customers"]
+    assert sum(r["n_customers"] for r in detail) == grand[0]["n_customers"]
+
+
+def test_funnel_stages_monotone(spark):
+    r = _run(spark, "q67_event_funnel").collect()[0]
+    assert r["n_view"] >= r["n_view_click"] >= r["n_full_funnel"] >= 0
