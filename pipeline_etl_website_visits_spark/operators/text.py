@@ -140,3 +140,31 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         alnum_ratio.alias("alnum_ratio"),
         score.alias("quality_score"),
     )
+
+
+def redact_terms(
+    df: DataFrame, text_col: str, id_col: str, terms: tuple[str, ...], token: str = "<TERM>"
+) -> DataFrame:
+    """Blocklist-term redaction: replace whole-word occurrences of ``terms``
+    with ``token``; returns (doc_id, n_redacted, redacted_len) for documents
+    with at least one hit.
+
+    One global regexp_replace + one regexp_count per document — a narrow
+    map-side projection, no shuffle (beyond the caller's sink). The
+    alternation pattern is a compile-time literal, so the whole expression
+    stays in codegen. Word-boundary ``\\b`` behaves identically in Java
+    regex and RE2 for ASCII terms, which keeps the SQL oracle portable.
+    """
+    import re as _re
+
+    pattern = r"\b(?:" + "|".join(_re.escape(t) for t in terms) + r")\b"
+    t = F.col(text_col)
+    n_redacted = F.regexp_count(t, F.lit(pattern)).cast("long")
+    return (
+        df.select(
+            F.col(id_col).alias("doc_id"),
+            n_redacted.alias("n_redacted"),
+            F.length(F.regexp_replace(t, pattern, token)).cast("long").alias("redacted_len"),
+        )
+        .filter(F.col("n_redacted") > 0)
+    )

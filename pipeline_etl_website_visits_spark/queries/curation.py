@@ -66,7 +66,6 @@ def x44(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
             F.min("doc_id").alias("min_doc_id"),
         )
-        .orderBy("split")
     )
 
 
@@ -130,7 +129,6 @@ def x45(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("k").alias("min_key"),
             F.max("k").alias("max_key"),
         )
-        .orderBy("change_type")
     )
 
 
@@ -182,7 +180,6 @@ def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("rn") == p50_at, F.col("n_chars"))).alias("p50_chars"),
             F.max(F.when(F.col("rn") == p90_at, F.col("n_chars"))).alias("p90_chars"),
         )
-        .orderBy("lang")
     )
 
 
@@ -225,7 +222,7 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double"), 2
         ).alias("value_last_hour"),
-    ).orderBy("event_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -275,7 +272,6 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
             "g_segment",
             "n_customers",
         )
-        .orderBy("g_nation", "g_segment", "nation", "segment")
     )
 
 
@@ -322,3 +318,74 @@ def q67(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(stage2.cast("long")).alias("n_view_click"),
         F.sum(stage3.cast("long")).alias("n_full_funnel"),
     )
+
+
+# --------------------------------------------------------------------------
+# x47 — benchmark decontamination (shared n-grams vs a small eval set)
+#
+# Standard LLM-corpus hygiene: any training document sharing an n-gram with
+# the benchmark/eval set is flagged for removal. Eval grams broadcast
+# (benchmarks are KBs); the corpus side never shuffles its grams — see
+# operators.dedup.contamination_hits.
+# --------------------------------------------------------------------------
+_EVAL_MAX_ID = 20  # doc_id < 20 plays the role of the benchmark set
+
+
+@query(
+    "x47_decontaminate",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(lst) - 1),
+               i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]))) AS gram
+      FROM (SELECT doc_id,
+                   regexp_split_to_array(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS lst
+            FROM documents)
+    ),
+    ev AS (SELECT DISTINCT gram FROM g WHERE doc_id < {_EVAL_MAX_ID})
+    SELECT g.doc_id AS doc_id, CAST(COUNT(*) AS BIGINT) AS shared_grams
+    FROM g JOIN ev USING (gram)
+    WHERE g.doc_id >= {_EVAL_MAX_ID}
+    GROUP BY 1 ORDER BY 1
+    """,
+    certifies="benchmark decontamination via shared n-grams (north-star §0.3)",
+    tags=("llm", "curation", "dedup"),
+)
+def x47(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") >= _EVAL_MAX_ID)
+    eval_df = docs.filter(F.col("doc_id") < _EVAL_MAX_ID)
+    return D.contamination_hits(corpus, eval_df, "text", "doc_id", n=3)
+
+
+# --------------------------------------------------------------------------
+# x48 — blocklist-term redaction (global regex replace + count)
+#
+# The scrubbing primitive for PII/banned-term removal: whole-word
+# alternation, counted and replaced in one codegen'd projection. The
+# synthetic corpus has no real PII, so the blocklist is three corpus words —
+# the operator (operators.text.redact_terms) takes any term list.
+# --------------------------------------------------------------------------
+_BLOCKLIST = ("customer", "merge", "spark")
+
+
+@query(
+    "x48_term_redaction",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '\\b(?:{"|".join(_BLOCKLIST)})\\b')) AS BIGINT) AS n_redacted,
+           CAST(LENGTH(regexp_replace(text, '\\b(?:{"|".join(_BLOCKLIST)})\\b', '<TERM>', 'g')) AS BIGINT) AS redacted_len
+    FROM documents
+    WHERE len(regexp_extract_all(text, '\\b(?:{"|".join(_BLOCKLIST)})\\b')) > 0
+    ORDER BY doc_id
+    """,
+    certifies="blocklist/PII redaction: global regexp replace + count (north-star §0.3)",
+    tags=("llm", "curation", "text"),
+)
+def x48(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return T.redact_terms(docs, "text", "doc_id", _BLOCKLIST)

@@ -88,3 +88,34 @@ def test_grouping_sets_totals_consistent(spark):
 def test_funnel_stages_monotone(spark):
     r = _run(spark, "q67_event_funnel").collect()[0]
     assert r["n_view"] >= r["n_view_click"] >= r["n_full_funnel"] >= 0
+
+
+def test_decontaminate_flags_only_corpus_docs(spark):
+    rows = _run(spark, "x47_decontaminate").collect()
+    assert rows, "expected non-empty contamination set"
+    assert all(r["doc_id"] >= 20 and r["shared_grams"] >= 1 for r in rows)
+    # an exact duplicate of an eval doc must be flagged (shares every gram)
+    docs = load_table(spark, SF_DIR, "documents")
+    from pipeline_etl_website_visits_spark.operators.dedup import fingerprint
+
+    fps = docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+    ev = fps.filter(F.col("doc_id") < 20).select("fp")
+    dups = (
+        fps.filter(F.col("doc_id") >= 20).join(ev, "fp").select("doc_id").collect()
+    )
+    flagged = {r["doc_id"] for r in rows}
+    assert {r["doc_id"] for r in dups} <= flagged
+
+
+def test_term_redaction_matches_python_re(spark):
+    import re
+
+    rows = _run(spark, "x48_term_redaction").limit(20).collect()
+    assert rows
+    docs = {r["doc_id"]: r["text"] for r in load_table(spark, SF_DIR, "documents")
+            .filter(F.col("doc_id").isin([r["doc_id"] for r in rows])).collect()}
+    pat = re.compile(r"\b(?:customer|merge|spark)\b")
+    for r in rows:
+        text = docs[r["doc_id"]]
+        assert r["n_redacted"] == len(pat.findall(text))
+        assert r["redacted_len"] == len(pat.sub("<TERM>", text))
