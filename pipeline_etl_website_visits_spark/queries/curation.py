@@ -389,3 +389,71 @@ def x48(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return T.redact_terms(docs, "text", "doc_id", _BLOCKLIST)
+
+
+# --------------------------------------------------------------------------
+# x49 — sequence packing (concat-and-chunk into fixed token budgets)
+#
+# Training pipelines pack documents into fixed-length sequences; the
+# standard "concatenate the shard, chunk every BUDGET tokens" assignment is
+# a running token offset: doc -> pack floor(start_offset / BUDGET). Packing
+# is per-shard exactly as in real pipelines (each worker packs its own
+# shard), which also keeps the prefix-sum window parallel — an unpartitioned
+# window would serialize the whole corpus through one task.
+# --------------------------------------------------------------------------
+_PACK_BUDGET = 2048
+_PACK_SHARDS = 8
+
+
+@query(
+    "x49_sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+             CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                       ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    placed AS (
+      SELECT shard, doc_id, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_offset
+      FROM toks
+    )
+    SELECT shard, CAST(start_offset // {_PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM placed
+    GROUP BY shard, pack_id
+    """,
+    certifies="sequence packing by running token offset (north-star §0.3)",
+    tags=("llm", "curation", "window"),
+)
+def x49(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    placed = toks.withColumn("start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        placed.groupBy(
+            "shard", F.expr(f"start_offset div {_PACK_BUDGET}").cast("long").alias("pack_id")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("pack_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )

@@ -59,3 +59,37 @@ def start_tumbling_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keys state by event_id and evicts
+    entries once the watermark passes — bounded state, unlike a plain
+    ``dropDuplicates`` on a stream (which must keep every key forever).
+    This is the at-least-once → effectively-once repair stage a 100 TB
+    event pipeline puts in front of its aggregations: upstream replays
+    (Kafka redeliveries, file re-drops) land inside the lateness horizon,
+    so keying state by id + horizon is both sufficient and bounded.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+def start_dedup_to_memory(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    checkpoint_dir: str,
+    query_name: str = "events_dedup",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """AvailableNow run of the streaming dedup into an in-memory sink."""
+    deduped = dedup_events_stream(read_events_stream(spark, events_dir, schema), watermark)
+    return (
+        deduped.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

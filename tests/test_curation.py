@@ -119,3 +119,22 @@ def test_term_redaction_matches_python_re(spark):
         text = docs[r["doc_id"]]
         assert r["n_redacted"] == len(pat.findall(text))
         assert r["redacted_len"] == len(pat.sub("<TERM>", text))
+
+
+def test_sequence_packing_conserves_tokens_and_orders(spark):
+    rows = _run(spark, "x49_sequence_packing").collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    from pipeline_etl_website_visits_spark.operators.text import token_count
+
+    total = docs.select(F.sum(token_count(F.col("text")).cast("long")).alias("t")).collect()[0]["t"]
+    assert sum(r["pack_tokens"] for r in rows) == total  # every token placed once
+    n_docs = docs.count()
+    assert sum(r["n_docs"] for r in rows) == n_docs  # every doc placed once
+    # within a shard, pack ranges are disjoint and ordered
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["pack_id"])
+        for a, b in zip(shard_rows, shard_rows[1:]):
+            assert a["last_doc"] < b["first_doc"]

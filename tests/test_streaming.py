@@ -154,3 +154,26 @@ def test_stateful_visitor_counters_accumulate_across_batches(spark, tmp_path):
     assert final["a@x.com"]["fechaUltimaVisita"] == datetime.date(2026, 3, 2)
     assert final["b@x.com"]["visitasTotales"] == 1
     assert final["c@x.com"]["visitasTotales"] == 1
+
+
+def test_stream_dedup_within_watermark_drops_replays(spark, tmp_path):
+    """A replayed (duplicated) slice of events is dropped by the streaming
+    dedup: output ids are exactly the distinct input ids, each once."""
+    from pipeline_etl_website_visits_spark.streaming.events_stream import start_dedup_to_memory
+
+    events = load_table(spark, SF_DIR, "events").limit(500).cache()
+    replayed = events.limit(200)  # same prefix re-delivered
+    events_dir = str(tmp_path / "events_dup")
+    events.write.parquet(events_dir)
+    replayed.write.mode("append").parquet(events_dir)
+
+    q = start_dedup_to_memory(
+        spark, events_dir, events.schema, str(tmp_path / "ckpt_dedup"), query_name="t_dedup"
+    )
+    q.awaitTermination(120)
+
+    out = spark.sql("SELECT event_id FROM t_dedup").collect()
+    ids = [r["event_id"] for r in out]
+    expected = {r["event_id"] for r in events.select("event_id").collect()}
+    assert len(ids) == len(set(ids)), "duplicate event_id in deduped stream output"
+    assert set(ids) == expected
