@@ -40,6 +40,7 @@ def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
 
+
 def cosine_topk(
     queries: DataFrame,
     candidates: DataFrame,
@@ -52,12 +53,25 @@ def cosine_topk(
     Output: (query_id, neighbor_id, sim) with sim rounded to 4 dp; ranking
     uses the unrounded similarity, ties broken by neighbor id.
     """
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    # Norms factored out per VECTOR, not per pair: sqrt(dot(v,v)) is the
+    # same expression either way (bit-identical results, oracle unchanged),
+    # but per-pair it re-runs the fold |Q|x|C| times — 3x the work of the
+    # factored form. The per-pair dot stays the sequential HOF fold: an
+    # unrolled 64-term codegen expression measured 2.5x SLOWER (per-element
+    # null/bounds-checked element_at beats the fold's tight loop), and the
+    # Arrow numpy path can't guarantee the oracle's summation order.
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
+        "qn", F.sqrt(_dot(F.col("qv"), F.col("qv")))
+    )
+    c = candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).withColumn(
+        "cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))
+    )
     sims = (
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"), "inner")
-        .withColumn("sim_raw", cosine(F.col("qv"), F.col("cv")))
+        .withColumn(
+            "sim_raw", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim_raw").desc(), F.col("neighbor_id"))
     return (

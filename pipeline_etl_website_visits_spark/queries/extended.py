@@ -357,13 +357,15 @@ def q54(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "events")
+    # Top-N first, parse after: written as select(json)->orderBy->limit the
+    # JSON parse runs over every row before the sort; ordering by event_id
+    # doesn't need the parsed value, so take the 1000 rows first and parse
+    # only those.
     return (
-        e.select(
-            "event_id",
-            F.get_json_object("props", "$.k").cast("int").alias("k_value"),
-        )
+        e.select("event_id", "props")
         .orderBy("event_id")
         .limit(1000)
+        .select("event_id", F.get_json_object("props", "$.k").cast("int").alias("k_value"))
     )
 
 

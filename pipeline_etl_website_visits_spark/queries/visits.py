@@ -148,7 +148,7 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types,
-           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS value_sum
+           CAST(CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) / 100.0 AS DOUBLE) AS value_sum
     FROM events GROUP BY user_id, day ORDER BY user_id, day
     """,
     certifies="per-user daily rollup (README.md:170-174 dashboard shape)",
@@ -161,6 +161,9 @@ def events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             F.countDistinct("event_type").alias("n_types"),
-            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias("value_sum"),
+            # 2-dp values sum exactly as integer cents (LONG) — see q60
+            (F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")) / F.lit(100.0))
+            .cast("double")
+            .alias("value_sum"),
         )
     )
