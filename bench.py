@@ -58,6 +58,12 @@ def main() -> None:
     # always materializes its result.
     def run(name: str) -> None:
         REGISTRY[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        # Each call builds a fresh DataFrame, so .cache()-ing operators
+        # (gram indexes in the dedup family) would accumulate dead cached
+        # partitions across 80 queries x 3 passes — memory pressure that
+        # showed up as 3-4x in-suite slowdowns on later cache-heavy
+        # queries. No cross-query reuse is possible anyway; drop them.
+        spark.catalog.clearCache()
 
     # Warm pass (untimed): BASELINE.md methodology is warm-session timing —
     # JIT, codegen compilation, and parquet footer caches are excluded.

@@ -457,3 +457,87 @@ def x49(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x50 — deterministic shuffled sample (top-k by content-independent hash)
+#
+# "Shuffle the corpus" without rand(): rank by md5 of the id. The full
+# permutation (global row_number) would serialize through one task; the
+# declared form is the distributed top-k prefix of that permutation —
+# Spark's TakeOrdered is a per-partition top-k + driver merge, the same
+# shape at any scale.
+# --------------------------------------------------------------------------
+_SAMPLE_K = 100
+
+
+@query(
+    "x50_shuffled_sample",
+    oracle=f"""
+    SELECT doc_id, substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS shuffle_key
+    FROM documents
+    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT {_SAMPLE_K}
+    """,
+    certifies="deterministic shuffled sampling (north-star §0.3)",
+    tags=("llm", "curation"),
+)
+def x50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string"))
+    return (
+        docs.select("doc_id", F.substring(h, 1, 8).alias("shuffle_key"))
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .limit(_SAMPLE_K)
+    )
+
+
+# --------------------------------------------------------------------------
+# x51 — mixture sampling (per-source keep rates)
+#
+# Training mixtures downweight/upweight sources; the deterministic version
+# keeps a doc iff its hash bucket clears the source's rate. Narrow
+# projection + filter + partial agg — fully map-side until the per-source
+# count.
+# --------------------------------------------------------------------------
+# keep rates in 256ths by source bucket (sources are src0..src19):
+# src%4==0 -> 25% (< '40'), ==1 -> 50%, ==2 -> 75%, else 100%
+@query(
+    "x51_mixture_sampling",
+    oracle="""
+    WITH tagged AS (
+      SELECT source,
+             CAST(substring(source, 4) AS INT) % 4 AS bucket,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS h
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COUNT(*) FILTER (WHERE
+             CASE WHEN bucket = 0 THEN h < '40'
+                  WHEN bucket = 1 THEN h < '80'
+                  WHEN bucket = 2 THEN h < 'c0'
+                  ELSE TRUE END) AS BIGINT) AS n_kept
+    FROM tagged
+    GROUP BY source
+    """,
+    certifies="deterministic mixture sampling by source weight (north-star §0.3)",
+    tags=("llm", "curation"),
+)
+def x51(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.col("source"), 4, 10).cast("int") % 4
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    keep = (
+        F.when(bucket == 0, h < "40")
+        .when(bucket == 1, h < "80")
+        .when(bucket == 2, h < "c0")
+        .otherwise(F.lit(True))
+    )
+    return (
+        docs.select("source", keep.alias("keep"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_total"),
+            F.sum(F.col("keep").cast("long")).alias("n_kept"),
+        )
+    )

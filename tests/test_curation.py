@@ -138,3 +138,23 @@ def test_sequence_packing_conserves_tokens_and_orders(spark):
         shard_rows.sort(key=lambda r: r["pack_id"])
         for a, b in zip(shard_rows, shard_rows[1:]):
             assert a["last_doc"] < b["first_doc"]
+
+
+def test_shuffled_sample_is_stable_and_hash_ordered(spark):
+    a = [r["doc_id"] for r in _run(spark, "x50_shuffled_sample").collect()]
+    b = [r["doc_id"] for r in _run(spark, "x50_shuffled_sample").collect()]
+    assert len(a) == 100 and a == b  # deterministic permutation prefix
+    assert a != sorted(a)  # actually shuffled, not id order
+
+
+def test_mixture_sampling_rates_within_tolerance(spark):
+    rows = _run(spark, "x51_mixture_sampling").collect()
+    assert len(rows) == 20
+    for r in rows:
+        bucket = int(r["source"][3:]) % 4
+        expected = {0: 0.25, 1: 0.5, 2: 0.75, 3: 1.0}[bucket]
+        rate = r["n_kept"] / r["n_total"]
+        if bucket == 3:
+            assert rate == 1.0
+        else:
+            assert abs(rate - expected) < 0.35  # ~50 docs/source at sf0.001
