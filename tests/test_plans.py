@@ -65,3 +65,51 @@ def test_error_explode_stays_codegen(spark):
         "l_discount",
         "l_tax",
     }
+
+
+def _executed_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_star_queries_stream_fact_through_broadcasts(spark):
+    """q63/q64: every join is a BroadcastHashJoin — the lineitem fact table
+    must not shuffle before its aggregate (the written join order IS the
+    physical plan without CBO stats)."""
+    for name in ("q63_shipping_priority", "q64_regional_volume"):
+        plan = _executed_plan(REGISTRY[name].spark(spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, name
+        assert "SortMergeJoin" not in plan, name
+
+
+def test_curation_pipeline_is_hash_aggregate(spark):
+    """x43: primitive-only agg buffers keep the dedup groupBy in
+    HashAggregate; min(struct)/min(string) would silently degrade it to
+    SortAggregate + per-partition sort on the md5 key."""
+    plan = _executed_plan(REGISTRY["x43_corpus_curation"].spark(spark, SF_DIR))
+    assert "HashAggregate" in plan
+    assert "SortAggregate" not in plan
+
+
+def test_rolling_window_prunes_unused_columns(spark):
+    """q65 reads only the 4 needed event columns — the wide props JSON
+    column must be pruned at the scan despite the window."""
+    cols = read_schema_columns(REGISTRY["q65_rolling_hour_window"].spark(spark, SF_DIR))
+    assert "props" not in cols
+
+
+def test_gram_self_join_reuses_cached_partitioning(spark):
+    """x22: the gram index is repartitioned on the join key before caching,
+    so the self-join must not add exchanges on top of the cached data."""
+    from pipeline_etl_website_visits_spark.operators.dedup import shingle_jaccard_pairs
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = shingle_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+    plan = _executed_plan(df)
+    # The explicit repartition renders as REPARTITION_BY_NUM inside the
+    # cached relation (repeated per scan of it); what must NOT exist is a
+    # planner-inserted re-shuffle of the gram key on top of the cached
+    # data — that would render as an ENSURE_REQUIREMENTS exchange on gram.
+    for line in plan.splitlines():
+        if "hashpartitioning(gram" in line:
+            assert "ENSURE_REQUIREMENTS" not in line, line
+    spark.catalog.clearCache()
