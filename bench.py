@@ -43,6 +43,9 @@ def main() -> None:
             # generated-class cache -> recompilation storms and bimodal
             # timings; raise it so the warm pass actually warms.
             "spark.sql.codegen.cache.maxEntries": "5000",
+            # SimHash's 64-buffer aggregate exceeds the default maxFields=100
+            # cutoff and silently drops out of whole-stage codegen
+            "spark.sql.codegen.maxFields": "300",
             # single-node: every task is process-local, the scheduler's
             # locality wait only adds latency (keep the default on a real
             # cluster where locality means network traffic)

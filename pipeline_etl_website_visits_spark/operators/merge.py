@@ -12,7 +12,8 @@ visitantes), with the SURVEY §0.1 rulings applied:
 
 Spark-first design: the upsert is a full-outer join between the target
 table and the (small) batch aggregate, then one select with per-column
-merge rules. The batch side is broadcast (it is one file's aggregate);
+merge rules (a full-outer join cannot broadcast — both sides' unmatched
+rows must surface — so it shuffles; bucketing both sides removes that);
 the target is only rewritten where keys changed — at scale the target
 would be bucketed by the merge key so re-runs shuffle nothing, or backed
 by Delta's MERGE INTO which has identical semantics.
@@ -55,9 +56,10 @@ def merge_upsert(
 
     ``rules`` maps each non-key column to a merge rule; columns present in
     only one side pass through. Output column order: key(s) then rule
-    columns. The source side is broadcast-hinted — in the reference's
-    workload it is one micro-batch's per-email aggregate, far below the
-    broadcast threshold.
+    columns. No broadcast hint: Spark cannot broadcast a full-outer join
+    (it must see both sides' unmatched rows), so the hint is ignored with a
+    warning; the scale path to a shuffle-free merge is bucketing both
+    sides on the key (docs/SCALE.md), not broadcasting.
     """
     keys = [key] if isinstance(key, str) else list(key)
     t = target.select([F.col(c).alias(f"t_{c}") for c in target.columns])
@@ -66,7 +68,7 @@ def merge_upsert(
     for k in keys:
         c = t[f"t_{k}"].eqNullSafe(s[f"s_{k}"])
         cond = c if cond is None else (cond & c)
-    joined = t.join(F.broadcast(s), cond, "full_outer")
+    joined = t.join(s, cond, "full_outer")
     out = [F.coalesce(f"t_{k}", f"s_{k}").alias(k) for k in keys]
     for col_name, rule in rules.items():
         tc = F.col(f"t_{col_name}") if f"t_{col_name}" in joined.columns else F.lit(None)
@@ -89,7 +91,7 @@ def visitantes_merge(target: DataFrame, source: DataFrame, process_date: str | N
 
     t = target.select([F.col(c).alias(f"t_{c}") for c in target.columns])
     s = source.select([F.col(c).alias(f"s_{c}") for c in source.columns])
-    joined = t.join(F.broadcast(s), F.col("t_email").eqNullSafe(F.col("s_email")), "full_outer")
+    joined = t.join(s, F.col("t_email").eqNullSafe(F.col("s_email")), "full_outer")
 
     t_last = F.col("t_fechaUltimaVisita")
     matched = F.col("t_email").isNotNull() & F.col("s_email").isNotNull()
