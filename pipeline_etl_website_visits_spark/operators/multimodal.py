@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -148,3 +149,76 @@ def sample_frames(df: DataFrame, frames_per_file: int = 4, batch_size: int = 16)
             yield pd.DataFrame(out, columns=["path", "frame_index", "frame_ts_ms", "frame_hash"])
 
     return df.select("path", "content").mapInPandas(expand, schema=FRAME_SCHEMA)
+
+
+RESIZED_SCHEMA = (
+    "path string, width int, height int, resized binary, content_hash string"
+)
+
+
+def resize_images(df: DataFrame, width: int = 224, height: int = 224, batch_size: int = 64) -> DataFrame:
+    """Arrow-batched resize-to-fixed-dims (the standard model-input prep).
+
+    STUB CODEC: the "resized" payload is a deterministic digest-derived
+    byte string of the target size's hash, not real pixels — the real
+    implementation swaps ONE line (PIL/cv2 resize) inside the same
+    mapInPandas batch loop. Batch sizing, schema, and the
+    narrow-projection-in / binary-out shape are the real pipeline:
+    at scale the wide input binary column is dropped the moment this
+    projection happens, and the fixed-size outputs make downstream batch
+    shapes uniform.
+    """
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                digest = hashlib.sha256(data).hexdigest()
+                fake = hashlib.sha256(f"{digest}:{width}x{height}".encode()).digest()
+                out.append(
+                    {
+                        "path": path,
+                        "width": width,
+                        "height": height,
+                        "resized": fake,
+                        "content_hash": digest,
+                    }
+                )
+            yield pd.DataFrame(out, columns=["path", "width", "height", "resized", "content_hash"])
+
+    return df.select("path", "content").mapInPandas(resize, schema=RESIZED_SCHEMA)
+
+
+EMBED_SCHEMA = "path string, embedding array<float>"
+
+
+def embed_media(df: DataFrame, dim: int = 64, batch_size: int = 64) -> DataFrame:
+    """Media → embedding column, the bridge into the similarity operators
+    (`similarity.cosine_topk` / `ann_lsh_topk` / `ivf_topk` consume the
+    output directly).
+
+    STUB MODEL: the embedding is a deterministic unit vector seeded by the
+    content digest (stable across runs/machines); a real encoder swaps in
+    behind the same Arrow batch loop and schema. The array<float> output
+    matches the driver's `embeddings.embedding` column type exactly.
+    """
+
+    def embed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            paths, vecs = [], []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                seed = int.from_bytes(hashlib.sha256(data).digest()[:8], "big") % (2**32)
+                rs = np.random.RandomState(seed)
+                v = rs.standard_normal(dim)
+                v = (v / np.linalg.norm(v)).astype("float32")
+                paths.append(path)
+                vecs.append(v.tolist())
+            yield pd.DataFrame({"path": paths, "embedding": vecs})
+
+    return df.select("path", "content").mapInPandas(embed, schema=EMBED_SCHEMA)

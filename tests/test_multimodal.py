@@ -64,3 +64,35 @@ def test_frame_sampling_row_expansion(spark, media_dir):
     # determinism across runs
     again = sample_frames(read_binary_dir(spark, media_dir), frames_per_file=3).collect()
     assert sorted(r["frame_hash"] for r in again) == sorted(r["frame_hash"] for r in rows)
+
+
+def test_resize_stub_fixed_dims_and_determinism(spark, media_dir):
+    from pipeline_etl_website_visits_spark.operators.multimodal import read_binary_dir, resize_images
+
+    df = read_binary_dir(spark, media_dir)
+    a = {r["path"]: bytes(r["resized"]) for r in resize_images(df, 224, 224).collect()}
+    b = {r["path"]: bytes(r["resized"]) for r in resize_images(df, 224, 224).collect()}
+    assert a == b and len(a) > 0
+    rows = resize_images(df, 64, 64).collect()
+    assert all(r["width"] == 64 and r["height"] == 64 for r in rows)
+    # different target size => different payload (the codec saw the dims)
+    c = {r["path"]: bytes(r["resized"]) for r in rows}
+    assert all(a[p] != c[p] for p in a)
+
+
+def test_embed_media_feeds_similarity_search(spark, media_dir):
+    """The multimodal embedding output plugs directly into the similarity
+    operators: unit-norm array<float>, searchable by cosine_topk."""
+    import pyspark.sql.functions as F
+    from pipeline_etl_website_visits_spark.operators.multimodal import read_binary_dir, embed_media
+    from pipeline_etl_website_visits_spark.operators.similarity import cosine_topk
+
+    emb = embed_media(read_binary_dir(spark, media_dir), dim=16)
+    with_ids = emb.withColumn(
+        "vec_id", F.row_number().over(__import__("pyspark").sql.Window.orderBy("path"))
+    ).select("vec_id", F.col("embedding"))
+    n = with_ids.count()
+    assert n > 1
+    res = cosine_topk(with_ids.limit(1), with_ids, k=min(3, n - 1)).collect()
+    assert len(res) == min(3, n - 1)
+    assert all(-1.0001 <= r["sim"] <= 1.0001 for r in res)
