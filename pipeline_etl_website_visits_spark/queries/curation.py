@@ -193,7 +193,7 @@ def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
 # user_id; the per-user sort is what Spark's window exec does anyway.
 # --------------------------------------------------------------------------
 @query(
-    "q65_rolling_hour_window",
+    "q68_rolling_hour_window",
     oracle="""
     SELECT event_id,
            CAST(COUNT(*) OVER w AS BIGINT) AS events_last_hour,
@@ -234,7 +234,7 @@ def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Expand + single agg — the same shape DuckDB uses.
 # --------------------------------------------------------------------------
 @query(
-    "q66_grouping_sets",
+    "q69_grouping_sets",
     oracle="""
     SELECT COALESCE(n_name, 'ALL') AS nation,
            COALESCE(c_mktsegment, 'ALL') AS segment,

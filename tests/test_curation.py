@@ -66,7 +66,7 @@ def test_rolling_hour_window_matches_bruteforce_on_one_user(spark):
     mine = ev.filter(F.col("user_id") == uid).collect()
     got = {
         r["event_id"]: r["events_last_hour"]
-        for r in _run(spark, "q65_rolling_hour_window")
+        for r in _run(spark, "q68_rolling_hour_window")
         .join(ev.filter(F.col("user_id") == uid).select("event_id"), "event_id", "semi")
         .collect()
     }
@@ -76,7 +76,7 @@ def test_rolling_hour_window_matches_bruteforce_on_one_user(spark):
 
 
 def test_grouping_sets_totals_consistent(spark):
-    rows = _run(spark, "q66_grouping_sets").collect()
+    rows = _run(spark, "q69_grouping_sets").collect()
     grand = [r for r in rows if r["g_nation"] == 1 and r["g_segment"] == 1]
     per_seg = [r for r in rows if r["g_nation"] == 1 and r["g_segment"] == 0]
     detail = [r for r in rows if r["g_nation"] == 0]

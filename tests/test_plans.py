@@ -93,7 +93,7 @@ def test_curation_pipeline_is_hash_aggregate(spark):
 def test_rolling_window_prunes_unused_columns(spark):
     """q65 reads only the 4 needed event columns — the wide props JSON
     column must be pruned at the scan despite the window."""
-    cols = read_schema_columns(REGISTRY["q65_rolling_hour_window"].spark(spark, SF_DIR))
+    cols = read_schema_columns(REGISTRY["q68_rolling_hour_window"].spark(spark, SF_DIR))
     assert "props" not in cols
 
 
