@@ -174,3 +174,39 @@ def test_dedup_embed_cosine_exact_verification(spark):
     assert len(out) > 0
     assert all(r["sim"] >= 0.4 for r in out)
     assert all(r["id_a"] < r["id_b"] for r in out)
+
+    # Oracle-grade subset check (VERDICT r1 finding #1): every emitted pair
+    # must exist in the numpy-exact cosine pair set with matching similarity
+    # — a broken operator that invents pairs or mis-scores them fails here
+    # even though the driver's rows-only check cannot see it.
+    import numpy as np
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r["vec_id"] for r in rows]
+    m = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sims = mn @ mn.T
+    idx = {v: i for i, v in enumerate(ids)}
+    exact = {
+        (a, b): sims[idx[a], idx[b]]
+        for a in ids
+        for b in ids
+        if a < b and sims[idx[a], idx[b]] >= 0.4
+    }
+    for r in out:
+        key = (r["id_a"], r["id_b"])
+        assert key in exact, f"LSH emitted a pair below threshold: {key}"
+        assert abs(r["sim"] - round(exact[key], 4)) <= 1e-9, key
+
+
+def test_x42_query_nonempty_and_deterministic(spark):
+    """The registered x42 query (driver rows-only check) must return a
+    non-empty, run-stable set at every test SF — guards the vacuous-check
+    regression flagged in round 1."""
+    from pipeline_etl_website_visits_spark.queries.registry import REGISTRY
+
+    fn = REGISTRY["x42_dedup_embed_cosine"].spark
+    first = {tuple(r) for r in fn(spark, SF_DIR).collect()}
+    second = {tuple(r) for r in fn(spark, SF_DIR).collect()}
+    assert len(first) > 0
+    assert first == second
