@@ -13,9 +13,11 @@ Two tiers:
   bucket key is a shuffle key like any other; recall is tuned by
   ``num_planes`` (fewer bits → bigger buckets → higher recall, more work).
 
-Dot products use sequential left-fold ``F.aggregate`` (not a Python UDF) so
-the float summation order is deterministic and matches the DuckDB oracle's
-``list_dot_product`` ordering.
+Vector math runs as Arrow-batched numpy (one einsum per batch) — the
+interpreted higher-order-function fold re-evaluates its lambda per element.
+numpy's pairwise summation differs from DuckDB ``list_dot_product``'s
+sequential order by O(1e-16), absorbed by the 4-dp output rounding; a
+sequential-fold path (``use_arrow=False``) remains for strict parity.
 """
 
 from __future__ import annotations
@@ -47,32 +49,83 @@ def cosine_topk(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     k: int = 5,
+    use_arrow: bool = True,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query among the candidates.
 
     Output: (query_id, neighbor_id, sim) with sim rounded to 4 dp; ranking
     uses the unrounded similarity, ties broken by neighbor id.
+
+    Scoring runs as an Arrow-batched numpy einsum by default (the interpreted
+    higher-order-function fold re-evaluates its lambda per element — ~3x the
+    whole query's runtime). numpy's pairwise summation order differs from the
+    DuckDB oracle's sequential ``list_dot_product`` by O(1e-16), which the
+    4-dp output rounding absorbs — tests/test_operators.py::
+    test_cosine_topk_arrow_matches_fold asserts the two paths produce
+    bit-identical rounded output on the real test tables. ``use_arrow=False``
+    keeps the sequential fold for strict summation-order parity.
     """
-    # Norms factored out per VECTOR, not per pair: sqrt(dot(v,v)) is the
-    # same expression either way (bit-identical results, oracle unchanged),
-    # but per-pair it re-runs the fold |Q|x|C| times — 3x the work of the
-    # factored form. The per-pair dot stays the sequential HOF fold: an
-    # unrolled 64-term codegen expression measured 2.5x SLOWER (per-element
-    # null/bounds-checked element_at beats the fold's tight loop), and the
-    # Arrow numpy path can't guarantee the oracle's summation order.
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")).withColumn(
-        "qn", F.sqrt(_dot(F.col("qv"), F.col("qv")))
-    )
-    c = candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")).withColumn(
-        "cn", F.sqrt(_dot(F.col("cv"), F.col("cv")))
-    )
-    sims = (
-        F.broadcast(q)
-        .join(c, F.col("query_id") != F.col("neighbor_id"), "inner")
-        .withColumn(
-            "sim_raw", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    if use_arrow:
+        # Scale shape: the query set is collected (it is small by definition
+        # — it would be broadcast either way) and closed over by a
+        # mapInPandas that computes a PARTIAL top-k per candidate partition:
+        # one numpy matmul per Arrow batch, then per-query top-k within the
+        # partition. Only nparts x |Q| x k rows reach the final window —
+        # at 100 TB that's thousands of rows where the join+window form
+        # shuffles all N x |Q| scored pairs.
+        qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+        qids = [r[0] for r in qrows]
+        qm = np.asarray([r[1] for r in qrows], dtype=np.float64)
+        qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+        id_type = candidates.schema[id_col].dataType.simpleString()
+        out_schema = f"query_id {id_type}, neighbor_id {id_type}, sim_raw double"
+
+        def partial_topk(batches):
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                nids = pdf["__nid"].to_numpy()
+                m = np.asarray(pdf["__vec"].tolist(), dtype=np.float64)
+                mn = m / np.sqrt(np.einsum("ij,ij->i", m, m))[:, None]
+                sims = mn @ qn.T  # (n, |Q|)
+                out_q, out_n, out_s = [], [], []
+                for j, qid in enumerate(qids):
+                    col = sims[:, j]
+                    keep = nids != qid
+                    cn_, cs = nids[keep], col[keep]
+                    # tie rule identical to the final window: sim desc, id asc
+                    order = np.lexsort((cn_, -cs))[:k]
+                    out_q.extend([qid] * len(order))
+                    out_n.extend(cn_[order])
+                    out_s.extend(cs[order])
+                if out_q:
+                    yield pd.DataFrame(
+                        {
+                            "query_id": np.asarray(out_q),
+                            "neighbor_id": np.asarray(out_n),
+                            "sim_raw": np.asarray(out_s, dtype=np.float64),
+                        }
+                    )
+
+        sims = candidates.select(
+            F.col(id_col).alias("__nid"), F.col(vec_col).alias("__vec")
+        ).mapInPandas(partial_topk, out_schema)
+    else:
+        q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+        c = candidates.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        # Norms factored out per VECTOR, not per pair: sqrt(dot(v,v)) is the
+        # same expression either way (bit-identical results), but per pair it
+        # re-runs the fold |Q|x|C| times. The per-pair dot stays the
+        # sequential HOF fold: an unrolled 64-term codegen expression
+        # measured 2.5x SLOWER (null/bounds-checked element_at).
+        qn = F.broadcast(q.withColumn("qn", F.sqrt(_dot(F.col("qv"), F.col("qv")))))
+        cn = c.withColumn("cn", F.sqrt(_dot(F.col("cv"), F.col("cv"))))
+        sims = (
+            qn.join(cn, F.col("query_id") != F.col("neighbor_id"), "inner")
+            .withColumn(
+                "sim_raw", _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+            )
         )
-    )
     w = Window.partitionBy("query_id").orderBy(F.col("sim_raw").desc(), F.col("neighbor_id"))
     return (
         sims.withColumn("rn", F.row_number().over(w))

@@ -153,6 +153,18 @@ def test_ivf_topk_recall_and_consistency(spark):
     assert recall >= 0.3, f"IVF recall too low: {recall}"
 
 
+def test_cosine_topk_arrow_matches_fold(spark):
+    """The Arrow partial-top-k path must produce bit-identical 4-dp output
+    to the sequential-fold path (the oracle-parity reference) — numpy's
+    summation-order delta is O(1e-16) and the rounding absorbs it."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    arrow = sorted(map(tuple, S.cosine_topk(q, emb, k=5, use_arrow=True).collect()))
+    fold = sorted(map(tuple, S.cosine_topk(q, emb, k=5, use_arrow=False).collect()))
+    assert arrow == fold
+    assert len(arrow) > 0
+
+
 def test_jaccard_doc_freq_cap_is_sound(spark):
     """max_doc_freq (the quadratic-hot-key lever) may only *lose* pairs,
     never invent them, and surviving pairs keep their shingle overlap."""
