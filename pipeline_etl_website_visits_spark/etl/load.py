@@ -12,9 +12,13 @@ parquet table directories under a warehouse root:
 Atomicity (K4): Spark has no cross-table transactions; the protocol is
 (1) per-file idempotent writes — estadisticas/errores use dynamic partition
 overwrite keyed by nombreArchivo, so re-running a file replaces its own
-output instead of duplicating it; (2) the bitacora row is written LAST as
-the commit marker — a file is "processed" iff its bitacora row exists,
-and every upstream write is safe to redo. At 100 TB the same layout holds
+output instead of duplicating it; (2) the visitantes merge is additive
+(counters), NOT naturally redo-safe, so each snapshot version carries an
+``_applied`` manifest of the batch keys merged into it — a redo whose key is
+already in the manifest skips the merge instead of double-counting;
+(3) the bitacora row is written LAST as the commit marker — a file is
+"processed" iff its bitacora row exists, and with (1)+(2) every upstream
+write is safe to redo. At 100 TB the same layout holds
 with date partitioning on top (partition by fechaProceso/nombreArchivo) or
 Delta tables for real ACID; visitantes would be bucketed by email so the
 merge join is shuffle-free.
@@ -120,11 +124,46 @@ class Warehouse:
             return self.spark.read.parquet(self.path(version))
         return self.spark.createDataFrame([], VISITANTES_SCHEMA)
 
-    def write_visitantes(self, df: DataFrame) -> None:
+    def visitantes_applied(self) -> set[str]:
+        """Batch keys (file names / stream batch ids) already merged into the
+        CURRENT snapshot. The merge is additive, so redo-safety comes from
+        checking this set: a crash after ``write_visitantes`` but before the
+        bitacora marker must NOT re-apply the batch on the retry."""
+        version = self._current_visitantes_version()
+        if version is None:
+            return set()
+        fs, hpath, jvm = self._fs(os.path.join(self.path(version), "_applied"))
+        if not fs.exists(hpath):
+            return set()
+        stream = fs.open(hpath)
+        keys: set[str] = set()
+        try:
+            reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream, "UTF-8"))
+            line = reader.readLine()
+            while line is not None:
+                if line.strip():
+                    keys.add(line.strip())
+                line = reader.readLine()
+        finally:
+            stream.close()
+        return keys
+
+    def write_visitantes(self, df: DataFrame, applied_key: str | None = None) -> None:
+        applied = self.visitantes_applied()
+        if applied_key is not None:
+            applied = applied | {applied_key}
         prev = self._current_visitantes_version()
         n = int(prev.rsplit("_v", 1)[1]) + 1 if prev else 0
         version = f"visitantes_v{n}"
         df.write.mode("overwrite").parquet(self.path(version))
+        # manifest goes INSIDE the version dir, before the pointer flips:
+        # the pointer swap atomically publishes data + manifest together
+        fs0, manifest_path, jvm0 = self._fs(os.path.join(self.path(version), "_applied"))
+        mout = fs0.create(manifest_path, True)
+        try:
+            mout.write(bytearray(("\n".join(sorted(applied)) + "\n").encode("utf-8")))
+        finally:
+            mout.close()
         # repoint: write pointer to a temp file, then rename over (rename is
         # atomic on HDFS/local; on S3 a conditional-put would stand in)
         fs, pointer_path, jvm = self._fs(self.path(self._POINTER))

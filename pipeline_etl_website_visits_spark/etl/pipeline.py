@@ -76,7 +76,11 @@ def read_report(spark: SparkSession, filepath: str) -> DataFrame:
 
 
 def process_file(
-    spark: SparkSession, warehouse: Warehouse, filepath: str, process_date: str | None = None
+    spark: SparkSession,
+    warehouse: Warehouse,
+    filepath: str,
+    process_date: str | None = None,
+    reapply_merge: bool = False,
 ) -> FileResult:
     """Full per-file ETL: validate layout → transform → load → bitacora."""
     filename = os.path.basename(filepath)
@@ -94,9 +98,15 @@ def process_file(
 
         warehouse.append_partitioned(stats, "estadisticas")
         warehouse.append_partitioned(errores, "errores")
-        target = warehouse.read_visitantes()
-        merged = visitantes_merge(target, visitors, process_date=process_date)
-        warehouse.write_visitantes(merged)
+        # redo-safety: if a prior run crashed AFTER merging this file into
+        # visitantes but BEFORE the bitacora marker, the snapshot manifest
+        # already lists the file — re-applying would double-count. An explicit
+        # reprocess (reapply_merge=True) is a deliberate re-merge and skips
+        # the guard.
+        if reapply_merge or filename not in warehouse.visitantes_applied():
+            target = warehouse.read_visitantes()
+            merged = visitantes_merge(target, visitors, process_date=process_date)
+            warehouse.write_visitantes(merged, applied_key=filename)
 
         status = S.STATUS_OK_WITH_ERRORS if err_count > 0 else S.STATUS_OK  # D9 fixed
         warehouse.log_bitacora(filename, ok_count, err_count, status)  # commit marker, last
@@ -121,8 +131,15 @@ def process_directory(
     warehouse_root: str,
     process_date: str | None = None,
     reprocess: bool = False,
+    backup_dir: str | None = None,
 ) -> list[FileResult]:
-    """O1: process every report file in a directory, skipping completed ones."""
+    """O1: process every report file in a directory, skipping completed ones.
+
+    ``backup_dir`` (optional, local-filesystem paths only) runs the O5
+    epilogue after the batch: committed files move to ``backup_dir`` and are
+    bundled into the daily ``backup_DDMMYY.zip`` (reference
+    utils/utils_postprocessing.py:8-50), with retention pruning.
+    """
     warehouse = Warehouse(spark, warehouse_root)
     done = set() if reprocess else warehouse.processed_files()
     results = []
@@ -130,7 +147,15 @@ def process_directory(
         filename = os.path.basename(filepath)
         if filename in done:
             continue
-        results.append(process_file(spark, warehouse, filepath, process_date=process_date))
+        results.append(
+            process_file(
+                spark, warehouse, filepath, process_date=process_date, reapply_merge=reprocess
+            )
+        )
+    if backup_dir is not None:
+        from pipeline_etl_website_visits_spark.etl.backup import archive_processed
+
+        archive_processed(input_dir, backup_dir, warehouse.processed_files())
     return results
 
 

@@ -13,8 +13,8 @@ Both are implemented as compositions of equi-joins/windows so they scale:
   Cost: 2× one side's rows, one hash shuffle — no cross product.
 - :func:`asof_join` — "each left event matched to the latest right event at
   or before it". One shuffle: union-tag both streams, sort within key by
-  (ts, id), carry the last right-event struct forward with a window frame
-  ending at the previous row.
+  (ts, side, id) with right before left at equal timestamps, carry the last
+  right-event struct forward with a window frame ending at the previous row.
 """
 
 from __future__ import annotations
@@ -71,33 +71,40 @@ def asof_join(
     ts_col: str,
     id_col: str,
 ) -> DataFrame:
-    """Each left row joined to the latest right row strictly before it
-    (by (ts, id) lexicographic order within the key). NULL when no prior
-    right row exists.
+    """Each left row joined to the latest right row AT OR BEFORE it. NULL
+    when no such right row exists.
+
+    Tie rule (deterministic, documented): the window sorts by
+    ``(ts, side, id)`` with right rows ordered BEFORE left rows at equal
+    timestamps, so a right event at exactly the left event's timestamp
+    matches ("at or before"); among right rows tied on ts, the one with the
+    greatest id wins. The two id domains are never compared to each other —
+    ordering between the sides is decided purely by the side tag, so rows
+    with identical (ts, id) on both sides still sort deterministically.
 
     Output: left id + matched right id/ts. One shuffle on the key; the
     window frame (unbounded preceding → previous row) carries the most
     recent right-side struct forward — no join explosion at any skew.
     """
     lt = left.select(
-        F.col(key_col).alias("k"), F.col(ts_col).alias("ts"), F.col(id_col).alias("id"), F.lit("L").alias("side")
+        F.col(key_col).alias("k"), F.col(ts_col).alias("ts"), F.col(id_col).alias("id"), F.lit(1).alias("side")
     )
     rt = right.select(
-        F.col(key_col).alias("k"), F.col(ts_col).alias("ts"), F.col(id_col).alias("id"), F.lit("R").alias("side")
+        F.col(key_col).alias("k"), F.col(ts_col).alias("ts"), F.col(id_col).alias("id"), F.lit(0).alias("side")
     )
     tagged = lt.unionByName(rt)
     w = (
         Window.partitionBy("k")
-        .orderBy("ts", "id")
+        .orderBy("ts", "side", "id")  # 0 = right first: at-or-before
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     last_right = F.last(
-        F.when(F.col("side") == "R", F.struct(F.col("ts").alias("r_ts"), F.col("id").alias("r_id"))),
+        F.when(F.col("side") == 0, F.struct(F.col("ts").alias("r_ts"), F.col("id").alias("r_id"))),
         ignorenulls=True,
     ).over(w)
     return (
         tagged.withColumn("__lr", last_right)
-        .filter(F.col("side") == "L")
+        .filter(F.col("side") == 1)
         .select(
             F.col("id").alias("left_id"),
             F.col("__lr.r_id").alias("right_id"),

@@ -348,16 +348,14 @@ def x39(spark: SparkSession, sf_dir: str) -> DataFrame:
          purchases AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'purchase')
     SELECT p.event_id AS left_id,
            (SELECT c.event_id FROM clicks c
-             WHERE c.user_id = p.user_id
-               AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+             WHERE c.user_id = p.user_id AND c.ts <= p.ts
              ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS right_id,
            (SELECT strftime(c.ts, '%Y-%m-%d %H:%M:%S') FROM clicks c
-             WHERE c.user_id = p.user_id
-               AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+             WHERE c.user_id = p.user_id AND c.ts <= p.ts
              ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS right_ts
     FROM purchases p ORDER BY left_id
     """,
-    certifies="as-of join: purchase -> latest prior click (SURVEY §2.10 gap)",
+    certifies="as-of join: purchase -> latest click at-or-before (SURVEY §2.10 gap)",
     tags=("temporal",),
 )
 def x40(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -13,6 +13,15 @@ per batch (the J2 running counters ARE a streaming stateful aggregation —
 SURVEY §2.10). Limitation vs the batch driver: a file stream has one fixed
 schema, so layout deviations (missing/extra columns) are a batch-driver
 concern; this path assumes the declared layout.
+
+End-to-end semantics: the checkpoint makes the SOURCE exactly-once (each
+file enters exactly one micro-batch), but ``foreachBatch`` side effects are
+at-least-once — a replayed batch after a sink-side crash would re-run. The
+sink therefore keys its non-idempotent effects on ``batch_id``:
+estadisticas/errores use per-file dynamic partition overwrite (idempotent),
+the additive visitantes merge is skipped when ``batch:<id>`` is already in
+the snapshot's ``_applied`` manifest, and bitacora rows are skipped for
+files that already carry a completion marker. Replays are thus no-ops.
 """
 
 from __future__ import annotations
@@ -44,6 +53,11 @@ def _process_micro_batch(warehouse: Warehouse, process_date: str | None):
     def inner(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # sink-side idempotence for replayed micro-batches (at-least-once
+        # foreachBatch): skip already-merged batches / already-marked files
+        batch_key = f"batch:{batch_id}"
+        merge_done = batch_key in warehouse.visitantes_applied()
+        marked = warehouse.processed_files()
         # The fixed stream schema applies positionally, so a file whose
         # header deviates from the declared layout would misparse. Peek the
         # headers of this micro-batch's files (driver-side, O(1) per file —
@@ -58,7 +72,8 @@ def _process_micro_batch(warehouse: Warehouse, process_date: str | None):
             if not ok_layout:
                 bad_files.append(p.rsplit("/", 1)[-1])
         for fname in sorted(bad_files):
-            warehouse.log_bitacora(fname, 0, 0, S.STATUS_LAYOUT_FAIL)
+            if fname not in marked:
+                warehouse.log_bitacora(fname, 0, 0, S.STATUS_LAYOUT_FAIL)
         batch_df = batch_df.drop("__path")
         if bad_files:
             batch_df = batch_df.filter(~F.col("nombreArchivo").isin(bad_files))
@@ -72,14 +87,17 @@ def _process_micro_batch(warehouse: Warehouse, process_date: str | None):
         warehouse.append_partitioned(stats, "estadisticas")
         warehouse.append_partitioned(errores, "errores")
 
-        visitors = T.visitors_aggregate(stats)
-        merged = visitantes_merge(warehouse.read_visitantes(), visitors, process_date=process_date)
-        warehouse.write_visitantes(merged)
+        if not merge_done:
+            visitors = T.visitors_aggregate(stats)
+            merged = visitantes_merge(warehouse.read_visitantes(), visitors, process_date=process_date)
+            warehouse.write_visitantes(merged, applied_key=batch_key)
 
         # per-file bitacora rows from ONE aggregate (no per-file count() loop)
         ok_counts = {r[0]: r[1] for r in stats.groupBy("nombreArchivo").count().collect()}
         err_counts = {r[0]: r[1] for r in errores.groupBy("nombreArchivo").count().collect()}
         for fname in sorted(set(ok_counts) | set(err_counts)):
+            if fname in marked:
+                continue  # replay: completion marker already written
             e = int(err_counts.get(fname, 0))
             status = S.STATUS_OK_WITH_ERRORS if e > 0 else S.STATUS_OK
             warehouse.log_bitacora(fname, int(ok_counts.get(fname, 0)), e, status)

@@ -1,0 +1,117 @@
+"""Crash/replay idempotence (K4 redo-safety) and the O5 backup epilogue.
+
+Covers the round-1 ADVICE findings: (a) a crash between the visitantes merge
+and the bitacora commit marker must not double-count on retry; (b) a
+replayed foreachBatch micro-batch (at-least-once sink semantics) must be a
+no-op; (c) the reference's backup/zip/retention post-processing
+(utils/utils_postprocessing.py:8-50).
+"""
+
+import datetime
+import os
+import shutil
+import zipfile
+
+import pyspark.sql.functions as F
+
+from pipeline_etl_website_visits_spark.etl import schema as S
+from pipeline_etl_website_visits_spark.etl.backup import archive_processed
+from pipeline_etl_website_visits_spark.etl.load import Warehouse
+from pipeline_etl_website_visits_spark.etl.pipeline import process_directory, process_file
+from pipeline_etl_website_visits_spark.streaming.visits_stream import _process_micro_batch
+
+from tests import fixtures as FX
+
+
+def _totals(wh, email="user0@example.com"):
+    return wh.read_visitantes().filter(F.col("email") == email).first()["visitasTotales"]
+
+
+def test_crash_between_merge_and_marker_does_not_double_count(spark, tmp_path):
+    rep = tmp_path / "in"
+    rep.mkdir()
+    path = FX.make_allvalid(str(rep))
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    process_file(spark, wh, path, process_date="2026-03-28")
+    assert _totals(wh) == 10
+
+    # simulate a crash AFTER write_visitantes but BEFORE the bitacora commit
+    # marker: wipe bitacora so the retry does not get skipped up front
+    shutil.rmtree(wh.path("bitacora"))
+    assert wh.processed_files() == set()
+    process_file(spark, wh, path, process_date="2026-03-28")
+
+    # the _applied manifest blocks the re-merge: totals unchanged, marker back
+    assert _totals(wh) == 10
+    assert "report_allvalid.txt" in wh.processed_files()
+
+    # a deliberate reprocess is still allowed to re-merge
+    process_file(spark, wh, path, process_date="2026-03-28", reapply_merge=True)
+    assert _totals(wh) == 20
+
+
+def test_stream_microbatch_replay_is_noop(spark, tmp_path):
+    rep = tmp_path / "in"
+    rep.mkdir()
+    FX.make_allvalid(str(rep))
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    batch = (
+        spark.read.format("csv")
+        .option("header", True)
+        .schema(S.RAW_SCHEMA)
+        .load(str(rep))
+        .withColumn("__path", F.col("_metadata.file_path"))
+        .withColumn("nombreArchivo", F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1))
+    )
+    inner = _process_micro_batch(wh, "2026-03-28")
+    inner(batch, 7)
+    est = wh.read("estadisticas").count()
+    bit = wh.read("bitacora").count()
+    tot = _totals(wh)
+    assert tot == 10
+
+    # replay the SAME micro-batch (at-least-once foreachBatch): all no-ops
+    inner(batch, 7)
+    assert wh.read("estadisticas").count() == est
+    assert wh.read("bitacora").count() == bit
+    assert _totals(wh) == tot
+
+
+def test_backup_epilogue_zips_and_purges(tmp_path):
+    ind = tmp_path / "in"
+    ind.mkdir()
+    bkd = str(tmp_path / "bk")
+    processed = {f"report_f{i}.txt" for i in range(3)}
+    for fname in sorted(processed) + ["report_pending.txt"]:
+        (ind / fname).write_text("Email\n")
+    os.makedirs(bkd)
+    # a stale zip past the 90-day retention window
+    old_name = "backup_" + datetime.date(2026, 1, 1).strftime("%d%m%y") + ".zip"
+    with zipfile.ZipFile(os.path.join(bkd, old_name), "w") as zf:
+        zf.writestr("x.txt", "x")
+
+    out = archive_processed(
+        str(ind), bkd, processed, today=datetime.date(2026, 8, 13), retention_days=90
+    )
+    assert sorted(out["archived"]) == sorted(processed)
+    with zipfile.ZipFile(out["zip"]) as zf:
+        assert sorted(zf.namelist()) == sorted(processed)
+    # unprocessed file untouched; loose copies removed after zipping
+    assert (ind / "report_pending.txt").exists()
+    assert not any(f.endswith(".txt") for f in os.listdir(bkd))
+    assert out["purged"] == [old_name]
+
+
+def test_process_directory_backup_flag(spark, tmp_path):
+    rep = tmp_path / "in"
+    rep.mkdir()
+    FX.make_allvalid(str(rep))
+    bkd = str(tmp_path / "bk")
+    process_directory(
+        spark, str(rep), str(tmp_path / "wh"), process_date="2026-03-28", backup_dir=bkd
+    )
+    assert not (rep / "report_allvalid.txt").exists()
+    zips = [f for f in os.listdir(bkd) if f.endswith(".zip")]
+    assert len(zips) == 1
+    with zipfile.ZipFile(os.path.join(bkd, zips[0])) as zf:
+        assert zf.namelist() == ["report_allvalid.txt"]

@@ -1,0 +1,101 @@
+"""Evidence tests for the 100 TB scale levers flagged in the round-1 verdict:
+the doc-frequency cap under stop-shingle skew, the reliable-checkpoint path
+of connected components, exact integer ratio arithmetic past 2^53, and the
+as-of join tie rule.
+"""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from pipeline_etl_website_visits_spark.functions import ratio_round
+from pipeline_etl_website_visits_spark.operators import dedup as D
+from pipeline_etl_website_visits_spark.operators.rangejoin import asof_join
+
+
+def test_doc_freq_cap_collapses_stop_shingle_blowup(spark):
+    """One stop-shingle shared by 50% of docs makes the uncapped inverted
+    index quadratic (~C(100,2) pairs); max_doc_freq collapses the candidate
+    set while keeping full recall on planted near-duplicates."""
+    rows = []
+    for i in range(200):
+        text = f"alpha{i} beta{i} gamma{i} delta{i} epsilon{i} zeta{i}"
+        if i % 2 == 0:
+            text += " common stop phrase here now"
+        rows.append((i, text))
+    planted = set()
+    for j in range(3):
+        body = " ".join(f"w{j}x{k}" for k in range(12))
+        rows.append((1000 + 2 * j, body))
+        rows.append((1001 + 2 * j, body + f" tail{j}"))
+        planted.add((1000 + 2 * j, 1001 + 2 * j))
+    df = spark.createDataFrame(rows, "doc_id int, text string").repartition(4)
+
+    uncapped = D.shingle_jaccard_pairs(df, "text", "doc_id", threshold=0.01).collect()
+    capped = D.shingle_jaccard_pairs(
+        df, "text", "doc_id", threshold=0.01, max_doc_freq=10
+    ).collect()
+
+    # every even-doc pair shares the stop grams: quadratic blowup
+    assert len(uncapped) > 4000
+    capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert planted <= capped_pairs  # recall on true near-dups holds
+    assert len(capped_pairs) < 50  # blowup gone (planted pairs only)
+
+
+def test_dedup_clusters_reliable_checkpoint_and_fixed_iterations(spark, tmp_path):
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], "doc_a int, doc_b int")
+    expected = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def run(**kw):
+        return {r["doc_id"]: r["cluster_id"] for r in D.dedup_clusters(pairs, **kw).collect()}
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    assert run() == expected  # localCheckpoint fallback path
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        assert sc.getCheckpointDir() is not None
+        assert run() == expected  # reliable checkpoint() path
+        # escape hatch: fixed iteration count, no convergence probe jobs
+        assert run(max_iterations=5, check_convergence=False) == expected
+    finally:
+        sc._jsc.sc().setCheckpointDir(None)
+    assert sc.getCheckpointDir() is None
+
+
+def test_ratio_round_exact_past_double_precision(spark):
+    """num*2*10^d beyond 2^53: double division silently rounds; the
+    IntegralDivide quotient must match Python's exact // ."""
+    num, den = (1 << 50) + 3, 7
+    assert num * 2000 > 2**53  # double mantissa exceeded, int64 still fine
+    expected = ((num * 2000 + den) // (2 * den)) / 1000.0
+    # the float-division formula demonstrably diverges here
+    assert int((num * 2000 + den) / (2 * den)) != (num * 2000 + den) // (2 * den)
+    got = spark.range(1).select(ratio_round(F.lit(num), F.lit(den), 3).alias("r")).first()["r"]
+    assert got == expected
+
+
+def test_asof_join_equal_timestamp_tie_rule(spark):
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    left = spark.createDataFrame([(1, t0, 100)], "k int, ts timestamp, id int")
+    right = spark.createDataFrame(
+        [(1, t0, 7), (1, t0, 9), (1, t0 - dt.timedelta(seconds=5), 8)],
+        "k int, ts timestamp, id int",
+    )
+    out = asof_join(left, right, "k", "ts", "id").collect()
+    assert len(out) == 1
+    # at-or-before: equal-ts right rows match; greatest id wins the ts tie
+    assert out[0]["right_id"] == 9
+
+    # identical (ts, id) on both sides: sides are ordered by tag, never by
+    # cross-domain id comparison — result stays deterministic
+    left2 = spark.createDataFrame([(1, t0, 9)], "k int, ts timestamp, id int")
+    out2 = asof_join(left2, right, "k", "ts", "id").collect()
+    assert out2[0]["right_id"] == 9
+
+    # left row earlier than every right row -> NULL match
+    left3 = spark.createDataFrame(
+        [(1, t0 - dt.timedelta(hours=1), 5)], "k int, ts timestamp, id int"
+    )
+    assert asof_join(left3, right, "k", "ts", "id").first()["right_id"] is None
