@@ -333,23 +333,35 @@ def dedup_embed_cosine(
     the only formulation that avoids the O(n^2) cosine matrix.
     """
     dim = len(candidates.select(vec_col).first()[0])
-    pair_sets = []
     base = candidates.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    # Candidate generation shuffles ID PAIRS ONLY — dragging both vectors
-    # through the per-seed joins and the pair-dedup multiplies the shuffle
+    # All probe bucketings in ONE Arrow pass + ONE self-join: a per-seed
+    # join loop re-scans and re-shuffles the table len(seeds) times; instead
+    # each row emits (probe_index, bucket) for every seed and the single
+    # equi-join on (probe, bucket) finds the same candidate union. The
+    # candidate shuffle carries ID PAIRS ONLY — dragging both vectors
+    # through the joins and the pair-dedup would multiply the shuffle
     # payload by 2*dim doubles for rows that mostly get deduped away.
-    for seed in seeds:
-        bucket = _bucket_udf(hyperplanes(dim, num_planes, seed))
-        bucketed = base.withColumn("bucket", bucket(F.col("v")))
-        a = bucketed.select(F.col("id").alias("id_a"), "bucket")
-        b = bucketed.select(F.col("id").alias("id_b"), "bucket")
-        pair_sets.append(
-            a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
-        )
-    pairs = pair_sets[0]
-    for p in pair_sets[1:]:
-        pairs = pairs.unionByName(p)
-    pairs = pairs.dropDuplicates(["id_a", "id_b"])
+    p = np.stack([hyperplanes(dim, num_planes, s) for s in seeds])  # (S, P, dim)
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def all_buckets(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        # per-seed BLAS matmul, bit-identical to the single-seed bucket UDF
+        bits = np.stack([m @ p[s].T > 0 for s in range(p.shape[0])], axis=1)  # (n, S, P)
+        return pd.Series(list(bits @ weights))  # (n, S)
+
+    bucketed = base.select(
+        "id", F.posexplode(all_buckets(F.col("v"))).alias("probe", "bucket")
+    )
+    a = bucketed.select(F.col("id").alias("id_a"), "probe", "bucket")
+    b = bucketed.select(F.col("id").alias("id_b"), "probe", "bucket")
+    pairs = (
+        a.join(b, ["probe", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
     # Re-attach vectors to the deduped survivors, then verify with the
     # Arrow-batched numpy cosine: a pandas_udf output is materialized once
     # as its own plan node, so referencing it in both the threshold filter

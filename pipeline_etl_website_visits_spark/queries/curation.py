@@ -387,7 +387,8 @@ _BLOCKLIST = ("customer", "merge", "spark")
 def x48(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_etl_website_visits_spark.operators import text as T
 
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: global regexp replace per row dominates; per-row output (safe)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return T.redact_terms(docs, "text", "doc_id", _BLOCKLIST)
 
 

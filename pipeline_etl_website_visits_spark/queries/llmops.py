@@ -182,7 +182,8 @@ def _lang_score_sql(lang: str) -> str:
     tags=("llm", "text"),
 )
 def x27(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: regex battery per row dominates; outputs are per-row (safe)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return T.lang_id_df(docs, "text", "doc_id")
 
 
@@ -212,7 +213,8 @@ def x27(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text"),
 )
 def x28(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: regex-heavy per-row projection, integer-ratio outputs (safe)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return T.quality_features(docs, "text", "doc_id")
 
 
@@ -299,7 +301,8 @@ def x35(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text"),
 )
 def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: the explode + integer count agg is order-insensitive (safe)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     tokenized = docs.select(F.split(D.normalize_text(F.col("text")), " ").alias("toks"))
     toks = F.col("toks")
     idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)).otherwise(
@@ -412,7 +415,8 @@ def x41(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "pipeline"),
 )
 def x43(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    # fan_out: md5/regex per row dominate; min/min_by aggs are exact (safe)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
     # Quality and lang-id are pure functions of the text, so they COMMUTE
     # with exact dedup: every copy of a text scores identically, hence the
     # min-doc_id keeper among filtered survivors is the min-doc_id keeper

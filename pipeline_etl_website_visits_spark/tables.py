@@ -40,16 +40,45 @@ def table_path(sf_dir: str, name: str) -> str:
 _TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    key = (id(spark), sf_dir, name)
+def load_table(spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False) -> DataFrame:
+    key = (id(spark), sf_dir, name, fan_out)
     df = _TABLE_CACHE.get(key)
     if df is None:
         if name == "events":
             df = _load_events(spark, sf_dir)
         else:
             df = spark.read.parquet(table_path(sf_dir, name))
+        if fan_out:
+            df = _fan_out(spark, sf_dir, name, df)
         _TABLE_CACHE[key] = df
     return df
+
+
+def _fan_out(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> DataFrame:
+    """Spread a single-split scan across the cluster before heavy per-row
+    compute (explode/regex/vector math).
+
+    A parquet file smaller than ``spark.sql.files.maxPartitionBytes`` scans
+    as ONE task (and a single row group cannot split at all), so every
+    downstream map-side stage serializes through one core. One cheap
+    round-robin exchange of the pruned columns unlocks full parallelism.
+    At real scale inputs arrive in thousands of splits, the condition is
+    false, and this is a no-op — callers opt in only where per-row compute
+    dominates, because the exchange changes nothing for scan-bound queries.
+
+    Note: only safe where downstream aggregation is order-insensitive
+    (integer/decimal sums, min/max, counts) — repartitioning permutes
+    floating-point partial-sum order.
+    """
+    try:
+        size = os.path.getsize(table_path(sf_dir, name))
+    except OSError:
+        return df
+    raw = str(spark.conf.get("spark.sql.files.maxPartitionBytes", "134217728b"))
+    max_bytes = int(raw[:-1]) if raw.endswith("b") else int(raw)
+    if size >= max_bytes:
+        return df
+    return df.repartition(spark.sparkContext.defaultParallelism)
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
