@@ -142,6 +142,119 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+def repetition_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Intra-document repetition metrics (the Gopher-rules quality signal:
+    heavily repetitive documents are low-value training data).
+
+    Output per doc: token totals, distinct count, duplicate-token ratio, and
+    the most-frequent token with its frequency share. Tie rule for the top
+    token: highest count, then lexicographically greatest token (struct max
+    — deterministic, mirrored in the SQL oracle with ORDER BY cnt DESC,
+    tok DESC).
+
+    Shape: one explode + two aggregations, both keyed on doc_id — the
+    (doc_id, tok) pre-aggregation combines map-side, so the shuffle carries
+    distinct tokens per doc, not every occurrence. Ratios are exact integer
+    arithmetic (engine-agnostic).
+    """
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok"),
+    )
+    per_tok = base.groupBy("doc_id", "tok").agg(F.count("*").alias("cnt"))
+    agg = per_tok.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max(F.struct(F.col("cnt"), F.col("tok"))).alias("__best"),
+    )
+    return agg.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_distinct").cast("long").alias("n_distinct_tokens"),
+        ratio_round(F.col("n_tokens") - F.col("n_distinct"), F.col("n_tokens"), 3).alias(
+            "dup_token_ratio"
+        ),
+        F.col("__best.tok").alias("top_token"),
+        ratio_round(F.col("__best.cnt"), F.col("n_tokens"), 3).alias("top_token_frac"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame, text_col: str, id_col: str, window: int = 50, stride: int = 40
+) -> DataFrame:
+    """Sliding-window chunking: split each document into overlapping
+    ``window``-token chunks every ``stride`` tokens (context-length-bound
+    training and RAG indexing both need this).
+
+    Chunk starts are 0, stride, 2*stride, …; the count is
+    ``1 + ceil(max(n - window, 0) / stride)`` so the final (possibly short)
+    chunk always covers the tail. Output keeps rows narrow — (doc_id,
+    chunk_idx, n_chunk_tokens, chunk_md5) — the md5 stands in for shipping
+    chunk text to a sink. Pure higher-order functions (sequence/slice):
+    stays in codegen, no shuffle, parallel per input split.
+    """
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    n = F.size(toks)
+    overflow = F.greatest(n - F.lit(window), F.lit(0))
+    n_chunks = F.lit(1) + F.call_function(
+        "div", (overflow + F.lit(stride - 1)).cast("long"), F.lit(stride).cast("long")
+    ).cast("int")
+    base = df.select(F.col(id_col).alias("doc_id"), toks.alias("__toks"), n_chunks.alias("__nc"))
+    idx = F.explode(F.sequence(F.lit(0), F.col("__nc") - 1)).alias("chunk_idx")
+    chunked = base.select("doc_id", "__toks", idx).select(
+        "doc_id",
+        "chunk_idx",
+        F.slice(F.col("__toks"), F.col("chunk_idx") * stride + 1, window).alias("__chunk"),
+    )
+    return chunked.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("__chunk").cast("int").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", F.col("__chunk")).cast("binary")).alias("chunk_md5"),
+    )
+
+
+def doc_frequency(df: DataFrame, text_col: str, id_col: str, top: int = 25) -> DataFrame:
+    """Corpus document frequency: for each token, the number of documents
+    containing it (the IDF denominator); top ``top`` by df desc, token asc.
+
+    ``array_distinct`` BEFORE the explode: the shuffle carries distinct
+    (doc, token) pairs — natural-language corpora repeat tokens heavily, so
+    this is the difference between shuffling the corpus and shuffling its
+    vocabulary footprint.
+    """
+    toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    return (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "token")
+        .limit(top)
+    )
+
+
+def quota_per_key(
+    df: DataFrame, key_col: str, order_col: str, id_col: str, quota: int
+) -> DataFrame:
+    """Per-key contribution cap: keep the top ``quota`` rows per key, ranked
+    by ``order_col`` desc (ties by ``id_col`` asc). The corpus-curation use
+    is capping any one source/domain's share of the training mix.
+
+    One hash shuffle on the key + a bounded per-key sort. At 100 TB a skewed
+    key (one domain = half the corpus) makes this window the bottleneck; the
+    rank-only window is the cheap form, and pre-filtering with an
+    approximate per-key count (sampling) bounds the worst key before the
+    exact pass.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col).desc(), F.col(id_col))
+    return (
+        df.withColumn("rank_in_key", F.row_number().over(w))
+        .filter(F.col("rank_in_key") <= quota)
+    )
+
+
 def redact_terms(
     df: DataFrame, text_col: str, id_col: str, terms: tuple[str, ...], token: str = "<TERM>"
 ) -> DataFrame:

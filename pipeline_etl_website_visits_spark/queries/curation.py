@@ -542,3 +542,161 @@ def x51(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("keep").cast("long")).alias("n_kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x52-x56 — second curation wave: intra-doc repetition (Gopher-style quality
+# rules), per-source quota caps, sliding-window chunking, corpus document
+# frequency, and containment near-dup (subset duplication). All single-
+# shuffle or map-only; operator impls in operators/text.py / dedup.py.
+# --------------------------------------------------------------------------
+_NORM_C = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+
+
+@query(
+    "x52_repetition_metrics",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_C}, ' ')) AS tok FROM documents
+    ), per_tok AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt FROM toks GROUP BY doc_id, tok
+    ), ranked AS (
+      SELECT doc_id, tok, cnt,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY cnt DESC, tok DESC) AS rn,
+             SUM(cnt) OVER (PARTITION BY doc_id) AS n_tokens,
+             COUNT(*) OVER (PARTITION BY doc_id) AS n_distinct
+      FROM per_tok
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS BIGINT) AS n_distinct_tokens,
+           CAST(((n_tokens - n_distinct) * 2000 + n_tokens) // (2 * n_tokens) / 1000.0 AS DOUBLE)
+             AS dup_token_ratio,
+           tok AS top_token,
+           CAST((cnt * 2000 + n_tokens) // (2 * n_tokens) / 1000.0 AS DOUBLE) AS top_token_frac
+    FROM ranked WHERE rn = 1 ORDER BY doc_id
+    """,
+    certifies="X4 intra-doc repetition quality signal (Gopher rules; north-star §0.3)",
+    tags=("llm", "text", "curation"),
+)
+def x52(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators import text as T
+
+    # fan_out: explode + per-doc aggs; integer ratios (order-safe)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return T.repetition_features(docs, "text", "doc_id")
+
+
+@query(
+    "x53_source_quota",
+    oracle="""
+    SELECT doc_id, source, CAST(n_chars AS BIGINT) AS n_chars, CAST(rank_in_key AS INT) AS rank_in_key
+    FROM (
+      SELECT doc_id, source, n_chars,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank_in_key
+      FROM documents
+    )
+    WHERE rank_in_key <= 10 ORDER BY doc_id
+    """,
+    certifies="per-source contribution cap / domain quota (north-star §0.3)",
+    tags=("llm", "curation"),
+)
+def x53(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = T.quota_per_key(docs, "source", "n_chars", "doc_id", quota=10)
+    return capped.select(
+        "doc_id",
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("rank_in_key").cast("int").alias("rank_in_key"),
+    )
+
+
+@query(
+    "x54_chunk_overlap",
+    oracle=f"""
+    WITH base AS (
+      SELECT doc_id, string_split({_NORM_C}, ' ') AS toks,
+             len(string_split({_NORM_C}, ' ')) AS n
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, CAST((GREATEST(n - 50, 0) + 39) // 40 AS INT))) AS chunk_idx
+      FROM base
+    ), chunks AS (
+      SELECT doc_id, chunk_idx, toks[chunk_idx * 40 + 1 : chunk_idx * 40 + 50] AS chunk
+      FROM idx
+    )
+    SELECT doc_id,
+           CAST(chunk_idx AS INT) AS chunk_idx,
+           CAST(len(chunk) AS INT) AS n_chunk_tokens,
+           md5(array_to_string(chunk, ' ')) AS chunk_md5
+    FROM chunks ORDER BY doc_id, chunk_idx
+    """,
+    certifies="sliding-window chunking for context-length packing / RAG (north-star §0.3)",
+    tags=("llm", "curation", "text"),
+)
+def x54(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators import text as T
+
+    # fan_out: HOF slicing + md5 per chunk, map-only per-row output (safe)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return T.chunk_documents(docs, "text", "doc_id", window=50, stride=40)
+
+
+@query(
+    "x55_doc_frequency",
+    oracle=f"""
+    SELECT token, CAST(COUNT(*) AS BIGINT) AS doc_freq
+    FROM (
+      SELECT doc_id, unnest(list_distinct(string_split({_NORM_C}, ' '))) AS token
+      FROM documents
+    )
+    GROUP BY token ORDER BY doc_freq DESC, token LIMIT 25
+    """,
+    certifies="corpus document frequency / IDF denominator (north-star §0.3 text stats)",
+    tags=("llm", "text"),
+)
+def x55(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators import text as T
+
+    # fan_out: per-doc distinct + explode before the count agg (integer, safe)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return T.doc_frequency(docs, "text", "doc_id", top=25)
+
+
+@query(
+    "x56_dedup_containment",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_C}, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+      FROM toks, unnest(generate_series(1, GREATEST(len(t) - 2, 0))) AS u(i)
+    ), sizes AS (
+      SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+      FROM grams a JOIN grams b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST((i * 2000 + LEAST(sa.sz, sb.sz)) // (2 * LEAST(sa.sz, sb.sz)) / 1000.0 AS DOUBLE)
+             AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE i * 1.0 / LEAST(sa.sz, sb.sz) >= 0.5
+    ORDER BY doc_a, doc_b
+    """,
+    certifies="X3 containment near-dup: subset/quote duplication Jaccard misses",
+    tags=("llm", "dedup"),
+)
+def x56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.shingle_containment_pairs(docs, "text", "doc_id", n=3, threshold=0.5)

@@ -61,6 +61,12 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # the remaining 32 + 18 re-checks, so every query has a driver row across
 # rounds 1+2 (see docs/COVERAGE.md).
 DRIVER_ORDER: tuple[str, ...] = (
+    # -- new in round 2 (no driver row yet) --
+    "x52_repetition_metrics",
+    "x53_source_quota",
+    "x54_chunk_overlap",
+    "x55_doc_frequency",
+    "x56_dedup_containment",
     # -- 32 queries with no driver row yet (round-1 positions 51..82) --
     "q48_having",
     "q49_conditional_agg",
@@ -94,7 +100,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x49_sequence_packing",
     "x50_shuffled_sample",
     "x51_mixture_sampling",
-    # -- 18 highest-value re-checks (round-1 green; changed or load-bearing) --
+    # -- highest-value re-checks (changed this round first, then
+    #    load-bearing round-1 greens; the driver prefix covers 50 total) --
+    "x40_asof_join",
+    "x42_dedup_embed_cosine",
     "q00_flagship_visitantes",
     "q10_merge_upsert",
     "x21_dedup_exact",
@@ -105,12 +114,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x26_embed_ann_lsh",
     "x27_text_lang_id",
     "x41_embed_ivf_topk",
-    "x42_dedup_embed_cosine",
     "x43_corpus_curation",
     "x32_events_tumbling_hour",
     "x33_events_sessionize",
     "x39_time_range_join",
-    "x40_asof_join",
     "q01_scan_project_rename",
     "q05_error_explode",
 )

@@ -1,0 +1,65 @@
+"""Unit tests for the second curation wave: repetition metrics, quota caps,
+sliding-window chunking, document frequency, containment near-dup."""
+
+import pyspark.sql.functions as F
+
+from pipeline_etl_website_visits_spark.operators import dedup as D
+from pipeline_etl_website_visits_spark.operators import text as T
+
+
+def test_repetition_features_counts_and_tie_rule(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b c"), (2, "x y"), (3, "t t u u")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in T.repetition_features(df, "text", "doc_id").collect()}
+    assert out[1]["n_tokens"] == 5 and out[1]["n_distinct_tokens"] == 3
+    assert out[1]["top_token"] == "a" and out[1]["top_token_frac"] == 0.6
+    assert out[1]["dup_token_ratio"] == 0.4
+    assert out[2]["dup_token_ratio"] == 0.0
+    # tie (t:2, u:2) -> lexicographically greatest token wins
+    assert out[3]["top_token"] == "u" and out[3]["top_token_frac"] == 0.5
+
+
+def test_chunk_documents_boundaries(spark):
+    doc = " ".join(f"w{i}" for i in range(100))  # n=100, w=50, s=40 -> 3 chunks
+    short = "a b c"  # n=3 -> 1 chunk of 3
+    df = spark.createDataFrame([(1, doc), (2, short)], "doc_id int, text string")
+    rows = T.chunk_documents(df, "text", "doc_id", window=50, stride=40).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [r["n_chunk_tokens"] for r in c1] == [50, 50, 20]  # tail covered
+    assert len(by_doc[2]) == 1 and by_doc[2][0]["n_chunk_tokens"] == 3
+    # overlap: chunk 1 starts at token 40 -> shares tokens 40..49 with chunk 0
+    assert c1[0]["chunk_md5"] != c1[1]["chunk_md5"]
+
+
+def test_quota_per_key_caps_and_orders(spark):
+    rows = [(i, "srcA", 100 - i) for i in range(20)] + [(100, "srcB", 5)]
+    df = spark.createDataFrame(rows, "doc_id int, source string, n_chars int")
+    out = T.quota_per_key(df, "source", "n_chars", "doc_id", quota=3).collect()
+    a = sorted(r["doc_id"] for r in out if r["source"] == "srcA")
+    assert a == [0, 1, 2]  # highest n_chars kept
+    assert [r["doc_id"] for r in out if r["source"] == "srcB"] == [100]
+
+
+def test_doc_frequency_is_per_document(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "a c"), (3, "c c")], "doc_id int, text string"
+    )
+    out = {r["token"]: r["doc_freq"] for r in T.doc_frequency(df, "text", "doc_id").collect()}
+    # df counts documents, not occurrences
+    assert out == {"a": 2, "c": 2, "b": 1}
+
+
+def test_containment_catches_subset_jaccard_misses(spark):
+    short = "one two three four five six"
+    long = short + " " + " ".join(f"filler{i}" for i in range(40))
+    df = spark.createDataFrame([(1, short), (2, long), (3, "x y z w v u")], "doc_id int, text string")
+    cont = D.shingle_containment_pairs(df, "text", "doc_id", n=3, threshold=0.9).collect()
+    assert [(r["doc_a"], r["doc_b"], r["containment"]) for r in cont] == [(1, 2, 1.0)]
+    # Jaccard at the same bar misses the pair entirely
+    jac = D.shingle_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.9).collect()
+    assert jac == []
