@@ -113,3 +113,38 @@ def test_gram_self_join_reuses_cached_partitioning(spark):
         if "hashpartitioning(gram" in line:
             assert "ENSURE_REQUIREMENTS" not in line, line
     spark.catalog.clearCache()
+
+
+def test_chunking_is_map_only(spark):
+    """x54: sliding-window chunking must not shuffle — sequence/slice HOFs
+    over the scan, one stage end to end."""
+    df = REGISTRY["x54_chunk_overlap"].spark(spark, SF_DIR)
+    from pipeline_etl_website_visits_spark.plans import simple_plan
+
+    plan = simple_plan(df)
+    # the only allowed exchange is the opt-in fan_out round-robin, never a
+    # key shuffle
+    assert plan.count("Exchange") <= 1
+    assert "hashpartitioning" not in plan
+
+
+def test_quota_window_is_single_key_shuffle(spark):
+    """x53: one hash shuffle on the quota key, nothing else."""
+    from pipeline_etl_website_visits_spark.plans import simple_plan
+
+    df = REGISTRY["x53_source_quota"].spark(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert plan.count("hashpartitioning(source") == 1
+
+
+def test_doc_frequency_distinct_before_explode(spark):
+    """x55: array_distinct must sit below the explode (the shuffle carries
+    per-doc distinct tokens, not every occurrence), and the count agg must
+    combine map-side."""
+    from pipeline_etl_website_visits_spark.plans import formatted_plan
+
+    df = REGISTRY["x55_doc_frequency"].spark(spark, SF_DIR)
+    plan = formatted_plan(df)
+    gen = plan.index("Generate")  # the explode
+    assert "array_distinct" in plan[gen:], "distinct applied before explode"
+    assert "partial_count" in plan or "HashAggregate" in plan
