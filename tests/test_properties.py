@@ -84,3 +84,67 @@ def test_merge_totals_additive_over_batches(spark, counts):
     assert row["visitasTotales"] == sum(counts)
     assert row["visitasAnioActual"] == sum(counts)
     assert row["fechaPrimeraVisita"] == D(2026, 8, 1)
+
+
+@given(
+    texts=st.lists(
+        st.lists(
+            st.sampled_from(["tok%d" % i for i in range(12)]), min_size=1, max_size=120
+        ).map(" ".join),
+        min_size=1,
+        max_size=8,
+    ),
+    window=st.integers(min_value=2, max_value=20),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chunking_covers_every_token_and_respects_window(spark, texts, window):
+    """Chunk invariants for any corpus/window: every chunk ≤ window tokens,
+    chunk starts advance by exactly stride, the union of [start, start+len)
+    ranges covers [0, n) with no gaps."""
+    from pipeline_etl_website_visits_spark.operators.text import chunk_documents
+
+    stride = max(window - 1, 1)
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id int, text string")
+    rows = chunk_documents(df, "text", "doc_id", window=window, stride=stride).collect()
+    n_toks = {i: len(t.split()) for i, t in enumerate(texts)}
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append((r["chunk_idx"], r["n_chunk_tokens"]))
+    for doc_id, chunks in by_doc.items():
+        chunks.sort()
+        covered_to = 0
+        for idx, (chunk_idx, n) in enumerate(chunks):
+            assert chunk_idx == idx
+            assert 1 <= n <= window
+            start = chunk_idx * stride
+            assert start <= covered_to  # no gap
+            covered_to = max(covered_to, start + n)
+        assert covered_to == n_toks[doc_id]  # full coverage, exact tail
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e"]), min_size=1, max_size=30).map(" ".join),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_repetition_metrics_match_python_reference(spark, docs):
+    """dup_token_ratio and top_token_frac agree with an exact Python
+    recomputation (including the tie rule) on arbitrary corpora."""
+    from collections import Counter
+
+    from pipeline_etl_website_visits_spark.operators.text import repetition_features
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id int, text string")
+    out = {r["doc_id"]: r for r in repetition_features(df, "text", "doc_id").collect()}
+    for i, text in enumerate(docs):
+        toks = text.split()
+        c = Counter(toks)
+        r = out[i]
+        assert r["n_tokens"] == len(toks)
+        assert r["n_distinct_tokens"] == len(c)
+        top = max(c.items(), key=lambda kv: (kv[1], kv[0]))  # count, then token desc
+        assert r["top_token"] == top[0]
+        assert r["top_token_frac"] == ((top[1] * 2000 + len(toks)) // (2 * len(toks))) / 1000.0
