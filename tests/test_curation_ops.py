@@ -63,3 +63,34 @@ def test_containment_catches_subset_jaccard_misses(spark):
     # Jaccard at the same bar misses the pair entirely
     jac = D.shingle_jaccard_pairs(df, "text", "doc_id", n=3, threshold=0.9).collect()
     assert jac == []
+
+
+def test_shared_gram_index_composes_identically(spark):
+    """One gram_index feeding Jaccard + containment + MinHash produces
+    bit-identical results to three independent scans (the composed-pipeline
+    scan-sharing path)."""
+    from pipeline_etl_website_visits_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = D.gram_index(docs, "text", "doc_id", n=3)
+    try:
+        for fn, kw in (
+            (D.shingle_jaccard_pairs, dict(threshold=0.2)),
+            (D.shingle_containment_pairs, dict(threshold=0.5)),
+            (D.minhash_lsh_pairs, dict(verify_threshold=0.2)),
+        ):
+            shared = sorted(map(tuple, fn(docs, "text", "doc_id", grams=idx, **kw).collect()))
+            solo = sorted(map(tuple, fn(docs, "text", "doc_id", **kw).collect()))
+            assert shared == solo, fn.__name__
+        # the skew cap composes with a shared (uncapped) index
+        capped_shared = sorted(
+            map(tuple, D.shingle_jaccard_pairs(docs, "text", "doc_id", grams=idx, threshold=0.2, max_doc_freq=50).collect())
+        )
+        capped_solo = sorted(
+            map(tuple, D.shingle_jaccard_pairs(docs, "text", "doc_id", threshold=0.2, max_doc_freq=50).collect())
+        )
+        assert capped_shared == capped_solo
+    finally:
+        idx.unpersist()
+        spark.catalog.clearCache()
