@@ -173,6 +173,26 @@ def _bucket_udf(planes: list[list[float]]):
     return bucket
 
 
+def _bucket_udf_lazy(num_planes: int, seed: int):
+    """Same sign-bit bucketing, but the hyperplanes are derived INSIDE the
+    UDF from the first batch's vector width. Planes depend only on
+    (dim, num_planes, seed), so every worker derives the identical matrix —
+    and the caller saves the driver-side ``first()`` probe job (one fewer
+    Spark action per query)."""
+    state: dict = {}
+    weights = (1 << np.arange(num_planes)).astype(np.int64)
+
+    @pandas_udf("long")
+    def bucket(vecs: pd.Series) -> pd.Series:
+        m = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        if "p" not in state:
+            state["p"] = np.asarray(hyperplanes(m.shape[1], num_planes, seed), dtype=np.float64)
+        bits = (m @ state["p"].T) > 0
+        return pd.Series(bits @ weights)
+
+    return bucket
+
+
 def _cosine_udf():
     @pandas_udf("double")
     def cos(a: pd.Series, b: pd.Series) -> pd.Series:
@@ -201,9 +221,7 @@ def ann_lsh_topk(
     Bucketing and scoring run as Arrow-batched numpy (the scale path for
     vector math); the bucket key is an ordinary shuffle/join key.
     """
-    dim = len(queries.select(vec_col).first()[0])
-    planes = hyperplanes(dim, num_planes, seed)
-    bucket = _bucket_udf(planes)
+    bucket = _bucket_udf_lazy(num_planes, seed)
     cos = _cosine_udf()
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -332,7 +350,6 @@ def dedup_embed_cosine(
     is a subset of the true pair set with tunable recall; at 100 TB this is
     the only formulation that avoids the O(n^2) cosine matrix.
     """
-    dim = len(candidates.select(vec_col).first()[0])
     base = candidates.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     # All probe bucketings in ONE Arrow pass + ONE self-join: a per-seed
     # join loop re-scans and re-shuffles the table len(seeds) times; instead
@@ -341,12 +358,17 @@ def dedup_embed_cosine(
     # candidate shuffle carries ID PAIRS ONLY — dragging both vectors
     # through the joins and the pair-dedup would multiply the shuffle
     # payload by 2*dim doubles for rows that mostly get deduped away.
-    p = np.stack([hyperplanes(dim, num_planes, s) for s in seeds])  # (S, P, dim)
+    # Hyperplanes derive inside the UDF from the batch's vector width
+    # (deterministic in (dim, planes, seed)) — no driver-side dim probe job.
+    state: dict = {}
     weights = (1 << np.arange(num_planes)).astype(np.int64)
 
     @pandas_udf("array<long>")
     def all_buckets(vecs: pd.Series) -> pd.Series:
         m = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
+        if "p" not in state:
+            state["p"] = np.stack([hyperplanes(m.shape[1], num_planes, s) for s in seeds])
+        p = state["p"]  # (S, P, dim)
         # per-seed BLAS matmul, bit-identical to the single-seed bucket UDF
         bits = np.stack([m @ p[s].T > 0 for s in range(p.shape[0])], axis=1)  # (n, S, P)
         return pd.Series(list(bits @ weights))  # (n, S)
