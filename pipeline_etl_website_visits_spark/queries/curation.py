@@ -700,3 +700,37 @@ def x56(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return D.shingle_containment_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+
+
+@query(
+    "x57_winnowing_fingerprints",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_C}, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, i - 1 AS pos, md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS gh
+      FROM toks, unnest(generate_series(1, GREATEST(len(t) - 2, 0))) AS u(i)
+    ), winmin AS (
+      SELECT doc_id,
+             MIN(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+             COUNT(*) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wn
+      FROM grams
+    ), fps AS (
+      SELECT DISTINCT doc_id, fp FROM winmin WHERE wn = 4
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           MIN(fp) AS min_fp,
+           MAX(fp) AS max_fp
+    FROM fps GROUP BY doc_id ORDER BY doc_id
+    """,
+    certifies="X3 winnowing fingerprints (MOSS sketch): guaranteed-overlap doc signatures",
+    tags=("llm", "dedup", "text"),
+)
+def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents")
+    return D.winnowing_fingerprints(docs, "text", "doc_id", n=3, window=4, portable_hash=True)

@@ -62,6 +62,7 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # rounds 1+2 (see docs/COVERAGE.md).
 DRIVER_ORDER: tuple[str, ...] = (
     # -- new in round 2 (no driver row yet) --
+    "x57_winnowing_fingerprints",
     "x52_repetition_metrics",
     "x53_source_quota",
     "x54_chunk_overlap",
@@ -113,8 +114,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x25_embed_cosine_topk",
     "x26_embed_ann_lsh",
     "x27_text_lang_id",
-    "x41_embed_ivf_topk",
     "x43_corpus_curation",
+    "x41_embed_ivf_topk",
     "x32_events_tumbling_hour",
     "x33_events_sessionize",
     "x39_time_range_join",

@@ -94,3 +94,37 @@ def test_shared_gram_index_composes_identically(spark):
     finally:
         idx.unpersist()
         spark.catalog.clearCache()
+
+
+def test_winnowing_guarantees_shared_fingerprint(spark):
+    """The winnowing guarantee: two documents sharing a token run of
+    >= window + n - 1 tokens (here 4 + 3 - 1 = 6) must share at least one
+    fingerprint; disjoint documents share none; the sketch is sparser than
+    the full gram set."""
+    from pyspark.sql import Row
+
+    from pipeline_etl_website_visits_spark.operators.dedup import (
+        winnowing_fingerprint_sets,
+        winnowing_fingerprints,
+    )
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    df = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five six seven"),
+            (2, f"red green blue {shared} cyan magenta yellow"),
+            (3, "totally different words with no overlap at all here"),
+        ],
+        "doc_id int, text string",
+    )
+    sets: dict[int, set] = {1: set(), 2: set(), 3: set()}
+    for r in winnowing_fingerprint_sets(df, "text", "doc_id").collect():
+        sets[r["doc_id"]].add(r["fp"])
+    assert sets[1] & sets[2], "shared 6-token run must yield a common fingerprint"
+    assert not (sets[1] & sets[3]) and not (sets[2] & sets[3])
+    # summary agrees with the sets, and the sketch is sparser than the
+    # 13-token documents' 11 grams
+    out = {r["doc_id"]: r for r in winnowing_fingerprints(df, "text", "doc_id").collect()}
+    for doc_id, fps in sets.items():
+        assert out[doc_id]["n_fingerprints"] == len(fps) <= 11
+        assert out[doc_id]["min_fp"] == min(fps) and out[doc_id]["max_fp"] == max(fps)
