@@ -148,3 +148,22 @@ def test_doc_frequency_distinct_before_explode(spark):
     gen = plan.index("Generate")  # the explode
     assert "array_distinct" in plan[gen:], "distinct applied before explode"
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_winnowing_summary_is_map_only(spark):
+    """x57: the winnowing sketch is per-document local, so the summary plan
+    must have no key shuffle, no window function, and no aggregate — only
+    the opt-in round-robin parallelism exchange. The scan-level filter must
+    be the cheap token-count predicate, never the inlined fingerprint
+    expression (a size(fps) filter pushes the whole md5 pipeline into the
+    scan and re-evaluates it single-threaded — the O(L^2) regression this
+    test pins down)."""
+    from pipeline_etl_website_visits_spark.plans import simple_plan
+
+    df = REGISTRY["x57_winnowing_fingerprints"].spark(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert plan.count("Exchange") == 1 and "hashpartitioning" not in plan
+    assert "Window" not in plan and "Aggregate" not in plan
+    for line in plan.splitlines():
+        if "Filter" in line:
+            assert "md5" not in line, "fingerprint expression leaked into the filter"
