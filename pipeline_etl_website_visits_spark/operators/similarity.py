@@ -400,3 +400,95 @@ def dedup_embed_cosine(
         scored.filter(F.col("sim_raw") >= threshold)
         .select("id_a", "id_b", F.round("sim_raw", 4).alias("sim"))
     )
+
+
+def kmeans_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+) -> DataFrame:
+    """Spherical k-means (Lloyd's iterations, cosine assignment) over an
+    embedding column — the iterative-algorithm tier of the similarity
+    family (semantic clustering / semantic-dedup bucketing; also the
+    production replacement for :func:`ivf_topk`'s strided-sample centroids).
+
+    Returns (id, cluster_id) assignments. Deterministic: init is the same
+    hash-strided sample as IVF (no RNG), assignment is an Arrow-batched
+    argmax, and each update rounds centroids to 9 dp so float combine-order
+    noise cannot flip later assignments.
+
+    Scale shape per iteration: assignment is a map-only Arrow matmul against
+    broadcast centroids; the update is posexplode → groupBy(cluster, dim)
+    with map-side combine, so the shuffle carries k·dim partial sums per
+    input partition, never the vectors themselves. Driver state is the k·dim
+    centroid matrix (bounded, like IVF's centroid collect). At 100 TB the
+    assignment pass dominates and parallelizes perfectly; convergence checks
+    are skipped in favor of a fixed iteration count (one job per check is
+    not worth it for the few extra Lloyd's passes).
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    cand_count = base.count()
+    one_in = max(cand_count // (2 * k), 1)
+    sampled = (
+        base.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(one_in)) == 0)
+        .orderBy("id")
+        .limit(k)
+    )
+    centroids = np.asarray([r["v"] for r in sampled.collect()], dtype=np.float64)
+
+    for _ in range(iters):
+        assign = ivf_assign_udf(centroids)
+        assigned = base.select("id", "v", assign(F.col("v")).alias("cluster_id"))
+        sums = (
+            assigned.select("cluster_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster_id", "pos")
+            .agg(F.sum("val").alias("s"), F.count("*").alias("c"))
+            .collect()
+        )
+        new = centroids.copy()  # empty clusters keep their old centroid
+        for r in sums:
+            new[r["cluster_id"], r["pos"]] = r["s"] / r["c"]
+        centroids = np.round(new, 9)
+
+    assign = ivf_assign_udf(centroids)
+    return base.select("id", assign(F.col("v")).alias("cluster_id"))
+
+
+def kmeans_summary(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 8,
+    iters: int = 5,
+) -> DataFrame:
+    """Cluster-level k-means report: size and majority label per cluster
+    (the purity view — how well unsupervised clusters track a labeled
+    column). One groupBy on (cluster, label) + a top-1 window, both over at
+    most k·|labels| rows after the map-side combine."""
+    assigned = kmeans_assign(df, vec_col, id_col, k=k, iters=iters)
+    labeled = assigned.join(
+        df.select(F.col(id_col).alias("id"), F.col(label_col).alias("label")), "id"
+    )
+    by_label = labeled.groupBy("cluster_id", "label").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n").desc(), "label")
+    totals = by_label.groupBy("cluster_id").agg(F.sum("n").cast("long").alias("n_members"))
+    top = (
+        by_label.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("label").alias("top_label"), F.col("n").alias("top_label_n"))
+    )
+    return (
+        totals.join(top, "cluster_id")
+        .select(
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            "n_members",
+            F.col("top_label").cast("int").alias("top_label"),
+            "top_label_n",
+        )
+        .orderBy("cluster_id")
+    )

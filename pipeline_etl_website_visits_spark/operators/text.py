@@ -281,3 +281,91 @@ def redact_terms(
         )
         .filter(F.col("n_redacted") > 0)
     )
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:
+    """Per-document top-``k`` terms by TF-IDF — the classic relevance /
+    keyword-extraction signal over a training corpus.
+
+    IDF is quantized to an exact integer (``floor(ln(N/df) * 1e6)``) so the
+    score ``tf * idf_micro`` and its ranking are integer arithmetic — the
+    one ln() per distinct token is the only float op, and engines agree on
+    it away from the (measure-zero) floor boundaries; summation-order
+    nondeterminism never enters.
+
+    Shape: one explode feeds a (doc, token) count with map-side combine;
+    document frequency is a count window over the COMPACTED tf relation
+    (vocabulary-footprint rows, not corpus occurrences — and no self-join,
+    so the explode isn't recomputed per branch); corpus size N joins in as
+    a broadcast scalar. Three key shuffles total (tf agg, token window,
+    doc window) — the standard distributed TF-IDF plan.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    pairs = df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("token"))
+    tf = pairs.groupBy("doc_id", "token").agg(F.count("*").cast("long").alias("tf"))
+    dfreq = tf.withColumn(
+        "doc_freq", F.count("*").over(Window.partitionBy("token")).cast("long")
+    )
+    n_docs = df.select(F.count("*").alias("__n"))
+    idf_micro = F.floor(
+        F.log(F.col("__n").cast("double") / F.col("doc_freq")) * 1e6
+    ).cast("long")
+    scored = dfreq.join(F.broadcast(n_docs)).withColumn(
+        "score_micro", (F.col("tf") * idf_micro).cast("long")
+    )
+    rank = Window.partitionBy("doc_id").orderBy(F.col("score_micro").desc(), "token")
+    return (
+        scored.withColumn("rank", F.row_number().over(rank).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "doc_freq", "score_micro", "rank")
+    )
+
+
+def bigram_rarity(
+    df: DataFrame, text_col: str, id_col: str, rare_max_count: int = 2
+) -> DataFrame:
+    """Corpus-LM rarity quality signal: for each document, how much of it is
+    made of bigrams that are rare in the corpus (occurrence count ≤
+    ``rare_max_count``). High rare-bigram share flags boilerplate-free but
+    also garbled/OCR-noise text — the integer-exact cousin of n-gram LM
+    perplexity scoring (no float log-prob sums, so it hash-matches any SQL
+    oracle bit-for-bit).
+
+    Output: (doc_id, n_bigrams, n_rare_bigrams, rare_pct) for documents
+    with at least one bigram; rare_pct is half-up integer-rounded to 0.1%.
+
+    Shape: positional bigrams from a materialized token array (no
+    re-tokenization per element), compacted to (doc, bigram, cnt) with
+    map-side combine BEFORE the corpus-count window — the window and the
+    final per-doc agg both run on vocabulary-footprint rows, so only the
+    initial bigram explode ever touches corpus-scale row counts.
+    """
+    from pyspark.sql import Window
+
+    toked = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__toks"),
+    ).filter(F.size("__toks") >= 2)
+    t = F.col("__toks")
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 2),
+        lambda i: F.concat_ws(" ", F.element_at(t, i + 1), F.element_at(t, i + 2)),
+    )
+    occ = toked.select("doc_id", F.explode(bigrams).alias("bigram"))
+    compact = occ.groupBy("doc_id", "bigram").agg(F.count("*").cast("long").alias("cnt"))
+    with_corpus = compact.withColumn(
+        "corpus_cnt", F.sum("cnt").over(Window.partitionBy("bigram")).cast("long")
+    )
+    rare = F.when(F.col("corpus_cnt") <= rare_max_count, F.col("cnt")).otherwise(F.lit(0))
+    agg = with_corpus.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_bigrams"),
+        F.sum(rare).cast("long").alias("n_rare_bigrams"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "n_rare_bigrams",
+        ratio_round(F.col("n_rare_bigrams") * 100, F.col("n_bigrams"), 1).alias("rare_pct"),
+    )

@@ -734,3 +734,69 @@ def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return D.winnowing_fingerprints(docs, "text", "doc_id", n=3, window=4, portable_hash=True)
+
+
+@query(
+    "x58_tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_C}, ' ')) AS token FROM documents
+    ), tf AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY doc_id, token
+    ), dfreq AS (
+      SELECT *, CAST(COUNT(*) OVER (PARTITION BY token) AS BIGINT) AS doc_freq FROM tf
+    ), scored AS (
+      SELECT doc_id, token, tf, doc_freq,
+             tf * CAST(FLOOR(LN(CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) / doc_freq)
+                             * 1000000) AS BIGINT) AS score_micro
+      FROM dfreq
+    ), ranked AS (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score_micro DESC, token) AS BIGINT) AS term_rank
+      FROM scored
+    )
+    SELECT doc_id, token, tf, doc_freq, score_micro, term_rank
+    FROM ranked WHERE term_rank <= 5 ORDER BY doc_id, term_rank
+    """,
+    certifies="X4 TF-IDF top-terms per document (keyword extraction; integer-quantized IDF)",
+    tags=("llm", "text", "curation"),
+)
+def x58(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return T.tfidf_top_terms(docs, "text", "doc_id", k=5).withColumnRenamed("rank", "term_rank")
+
+
+@query(
+    "x59_bigram_rarity",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_C}, ' ') AS t FROM documents
+    ), big AS (
+      SELECT doc_id, t[i] || ' ' || t[i+1] AS bigram
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ), compact AS (
+      SELECT doc_id, bigram, CAST(COUNT(*) AS BIGINT) AS cnt FROM big GROUP BY doc_id, bigram
+    ), wc AS (
+      SELECT *, CAST(SUM(cnt) OVER (PARTITION BY bigram) AS BIGINT) AS corpus_cnt FROM compact
+    ), agg AS (
+      SELECT doc_id, SUM(cnt) AS n_bigrams,
+             SUM(CASE WHEN corpus_cnt <= 2 THEN cnt ELSE 0 END) AS n_rare
+      FROM wc GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           CAST(n_rare AS BIGINT) AS n_rare_bigrams,
+           CAST((n_rare * 100 * 20 + n_bigrams) // (2 * n_bigrams) / 10.0 AS DOUBLE) AS rare_pct
+    FROM agg ORDER BY doc_id
+    """,
+    certifies="X4 corpus-LM rarity quality signal (integer-exact perplexity cousin)",
+    tags=("llm", "text", "curation"),
+)
+def x59(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return T.bigram_rarity(docs, "text", "doc_id", rare_max_count=2)

@@ -486,3 +486,18 @@ def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
     # asserts the output is a subset of the numpy-exact pair set with
     # matching similarity.
     return S.dedup_embed_cosine(emb, threshold=0.3)
+
+
+@query(
+    "x60_embed_kmeans",
+    oracle=None,
+    certifies="X3 spherical k-means clustering over embeddings (iterative Lloyd's; not SQL-expressible)",
+    tags=("llm", "similarity", "no-oracle"),
+)
+def x60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # cluster-size + majority-label purity view; k=8 over the 64-dim
+    # synthetic embeddings. Rows-only driver check (row count == k when no
+    # cluster empties out); tests/test_operators.py asserts planted clusters
+    # are recovered exactly.
+    return S.kmeans_summary(emb, k=8, iters=5)

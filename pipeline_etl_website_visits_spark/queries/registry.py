@@ -62,6 +62,9 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # rounds 1+2 (see docs/COVERAGE.md).
 DRIVER_ORDER: tuple[str, ...] = (
     # -- new in round 2 (no driver row yet) --
+    "x58_tfidf_top_terms",
+    "x59_bigram_rarity",
+    "x60_embed_kmeans",
     "x57_winnowing_fingerprints",
     "x52_repetition_metrics",
     "x53_source_quota",

@@ -222,3 +222,70 @@ def test_x42_query_nonempty_and_deterministic(spark):
     second = {tuple(r) for r in fn(spark, SF_DIR).collect()}
     assert len(first) > 0
     assert first == second
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """Three well-separated planted clusters: every point must land in the
+    same cluster as its plant-mates, and the purity summary must report each
+    cluster's size and unanimous label."""
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    centers = np.eye(3)  # orthogonal unit centers — maximally separated in cosine
+    rows = []
+    for label, c in enumerate(centers):
+        for i in range(20):
+            v = c + 0.05 * rng.randn(3)
+            rows.append((label * 100 + i, [float(x) for x in v], label))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+
+    out = S.kmeans_summary(df, k=3, iters=5).collect()
+    assert len(out) == 3
+    assert sorted(r["n_members"] for r in out) == [20, 20, 20]
+    for r in out:
+        assert r["top_label_n"] == 20, "each recovered cluster must be label-pure"
+    assert sorted(r["top_label"] for r in out) == [0, 1, 2]
+
+    assigned = {r["id"]: r["cluster_id"] for r in S.kmeans_assign(df, k=3, iters=5).collect()}
+    for label in range(3):
+        plant = {assigned[label * 100 + i] for i in range(20)}
+        assert len(plant) == 1, f"planted cluster {label} split across {plant}"
+
+
+def test_tfidf_ubiquitous_term_scores_zero(spark):
+    """A token present in every document has idf = ln(1) = 0, so its score
+    must be exactly 0 regardless of tf; a token unique to one document must
+    outrank everything shared."""
+    df = spark.createDataFrame(
+        [
+            (1, "common common common unique alpha"),
+            (2, "common alpha beta"),
+            (3, "common beta gamma"),
+        ],
+        "doc_id long, text string",
+    )
+    out = T.tfidf_top_terms(df, "text", "doc_id", k=5).collect()
+    by_doc_tok = {(r["doc_id"], r["token"]): r for r in out}
+    assert by_doc_tok[(1, "common")]["score_micro"] == 0  # df == N
+    top1 = {r["doc_id"]: r["token"] for r in out if r["rank"] == 1}
+    assert top1[1] == "unique"
+    assert by_doc_tok[(1, "unique")]["doc_freq"] == 1
+
+
+def test_bigram_rarity_exact_counts(spark):
+    """Hand-checkable corpus: doc 1 repeats a bigram that doc 2 shares
+    (corpus count 3 > rare_max 2 → common); every other bigram appears
+    once (rare)."""
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b c"),   # bigrams: 'a b' x2, 'b a', 'b c'
+            (2, "a b z"),       # bigrams: 'a b', 'b z'  -> 'a b' corpus count 3
+            (3, "q"),           # no bigram -> dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in T.bigram_rarity(df, "text", "doc_id").collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["n_bigrams"] == 4 and out[1]["n_rare_bigrams"] == 2
+    assert out[2]["n_bigrams"] == 2 and out[2]["n_rare_bigrams"] == 1
+    assert out[2]["rare_pct"] == 50.0
