@@ -40,7 +40,9 @@ def time_range_join_pairs(
     base = df.select(
         F.col(key_col).alias("k"),
         F.col(id_col).alias("id"),
-        F.unix_micros(F.col(ts_col)).alias("us"),
+        # .cast("timestamp") is a no-op on TIMESTAMP and normalizes
+        # TIMESTAMP_NTZ inputs (unix_micros rejects NTZ).
+        F.unix_micros(F.col(ts_col).cast("timestamp")).alias("us"),
     )
     bucket = F.floor(F.col("us") / gap_us).cast("long")
     # earlier side: replicated into its own and the following bucket

@@ -209,7 +209,9 @@ def x46(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q65(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "value", F.col("ts").cast("long").alias("sec")
+        # timestamp cast first: no-op on TIMESTAMP, normalizes NTZ inputs
+        # (NTZ cannot cast directly to BIGINT).
+        "event_id", "user_id", "value", F.col("ts").cast("timestamp").cast("long").alias("sec")
     )
     w = (
         Window.partitionBy("user_id")

@@ -372,15 +372,19 @@ def q55(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q56_sorted_collect",
     oracle="""
-    SELECT o_orderstatus, array_agg(DISTINCT o_orderpriority ORDER BY o_orderpriority) AS priorities
+    SELECT o_orderstatus,
+           array_to_string(array_agg(DISTINCT o_orderpriority ORDER BY o_orderpriority), '|') AS priorities
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
     """,
     certifies="array aggregation (deterministic via sort) (SURVEY §2.10)",
 )
 def q56(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Surface the array as a '|'-joined string (registry dialect rule: nested
+    # types are canonicalized to formatted strings so the driver's pandas
+    # comparator can sort/hash them).
     o = _t(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
-        F.array_sort(F.collect_set("o_orderpriority")).alias("priorities")
+        F.array_join(F.array_sort(F.collect_set("o_orderpriority")), "|").alias("priorities")
     )
 
 

@@ -51,61 +51,35 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in dict order (CORRECTNESS_r01.json == exact 50-entry prefix of the round-1
-# registration order).  With 82 registered queries a single round can never
-# cover them all, so we rotate: queries that have NOT yet received a driver
-# correctness row are listed first, followed by the highest-value re-checks
-# (flagship, merge, the dedup/similarity family, stream aggregations).
-# Everything else keeps registration order after the priority block.
-# Round-1 rows exist for the 50 names in CORRECTNESS_r01.json; round-2 covers
-# the remaining 32 + 18 re-checks, so every query has a driver row across
-# rounds 1+2 (see docs/COVERAGE.md).
+# in dict order.  With 90+ registered queries a single round can never cover
+# them all, so we rotate (rotation history in docs/COVERAGE.md; union of
+# rounds 1+2 = all 91 round-2 queries).
+#
+# Round-3 pinning rule (VERDICT r2 item 3): every query whose latest driver
+# row predates its last code/testdata change goes at the HEAD —
+#   (a) the four broken/changed-in-r3 names (q68, q56, x33, x39),
+#   (b) the nine names that have NEVER had a driver row in any round
+#       (fell past both the r1 and r2 50-entry prefixes),
+#   (c) new round-3 queries,
+# then high-value re-checks fill the remainder of the 50 slots.
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- new in round 2 (no driver row yet) --
-    "x58_tfidf_top_terms",
-    "x59_bigram_rarity",
-    "x60_embed_kmeans",
-    "x57_winnowing_fingerprints",
-    "x52_repetition_metrics",
-    "x53_source_quota",
-    "x54_chunk_overlap",
-    "x55_doc_frequency",
-    "x56_dedup_containment",
-    # -- 32 queries with no driver row yet (round-1 positions 51..82) --
-    "q48_having",
-    "q49_conditional_agg",
-    "q50_scalar_subquery",
-    "q51_in_subquery",
-    "q52_string_funcs",
-    "q53_math_funcs",
-    "q54_date_funcs",
-    "q55_json_extract",
-    "q56_sorted_collect",
-    "q57_inline_lookup_join",
-    "q58_star_join",
-    "q59_sql_identical_text",
-    "q60_pricing_summary",
-    "q61_pivot",
-    "q62_variance_manual",
-    "x36_approx_count_distinct",
-    "x37_approx_percentile",
-    "q63_shipping_priority",
-    "q64_regional_volume",
-    "q65_median_manual",
-    "q66_regexp_extract",
-    "x44_hash_split",
-    "x45_snapshot_cdc",
-    "x46_len_quantiles_by_lang",
+    # -- (a) fixed this round: TIMESTAMP_NTZ loader + q56 array_join --
     "q68_rolling_hour_window",
-    "q69_grouping_sets",
-    "q67_event_funnel",
-    "x47_decontaminate",
-    "x48_term_redaction",
-    "x49_sequence_packing",
-    "x50_shuffled_sample",
-    "x51_mixture_sampling",
-    # -- highest-value re-checks (changed this round first, then
-    #    load-bearing round-1 greens; the driver prefix covers 50 total) --
+    "q56_sorted_collect",
+    "x33_events_sessionize",
+    "x39_time_range_join",
+    # -- (b) never driver-checked in any round --
+    "x26_embed_ann_lsh",
+    "x41_embed_ivf_topk",
+    "x32_events_tumbling_hour",
+    "x43_corpus_curation",
+    "x27_text_lang_id",
+    "q01_scan_project_rename",
+    "q05_error_explode",
+    # -- (c) new in round 3: names are appended here as each query lands
+    #    (test_registry enforces every name is registered) --
+    # -- high-value re-checks: load-bearing operators whose code paths were
+    #    touched this round or certify §2 rows --
     "x40_asof_join",
     "x42_dedup_embed_cosine",
     "q00_flagship_visitantes",
@@ -115,15 +89,26 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x23_dedup_minhash_lsh",
     "x24_dedup_simhash",
     "x25_embed_cosine_topk",
-    "x26_embed_ann_lsh",
-    "x27_text_lang_id",
-    "x43_corpus_curation",
-    "x41_embed_ivf_topk",
-    "x32_events_tumbling_hour",
-    "x33_events_sessionize",
-    "x39_time_range_join",
-    "q01_scan_project_rename",
-    "q05_error_explode",
+    "x56_dedup_containment",
+    "x57_winnowing_fingerprints",
+    "x58_tfidf_top_terms",
+    "x59_bigram_rarity",
+    "x60_embed_kmeans",
+    "x52_repetition_metrics",
+    "x53_source_quota",
+    "x54_chunk_overlap",
+    "x55_doc_frequency",
+    "x47_decontaminate",
+    "x48_term_redaction",
+    "x49_sequence_packing",
+    "x50_shuffled_sample",
+    "x51_mixture_sampling",
+    "x44_hash_split",
+    "x45_snapshot_cdc",
+    "x46_len_quantiles_by_lang",
+    "q67_event_funnel",
+    "q69_grouping_sets",
+    "q60_pricing_summary",
 )
 
 

@@ -82,17 +82,27 @@ def _fan_out(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> Data
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    reader rejects. Read nanos as long and truncate to microseconds with
-    integer arithmetic (``div`` — no double round-trip, exact for any epoch),
-    matching DuckDB's ns→us truncation.
+    """Normalize the events ``ts`` column to session-zoned TIMESTAMP whatever
+    physical type the parquet writer chose:
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it — read nanos as
+      long and truncate to microseconds with integer arithmetic (``div`` — no
+      double round-trip, exact for any epoch), matching DuckDB's ns→us
+      truncation.
+    - plain ``timestamp[us]`` (no tz): Spark 4 infers TIMESTAMP_NTZ, which
+      downstream ``unix_micros``/``cast("long")`` reject — cast to TIMESTAMP.
+      The session tz is pinned to UTC (session.py), so wall-clock semantics
+      match the naive DuckDB oracle exactly.
     """
     from pyspark.sql import functions as F
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, "events"))
-    if dict(df.dtypes).get("ts") == "bigint":
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif ts_type == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
