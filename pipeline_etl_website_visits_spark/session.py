@@ -29,6 +29,15 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # InferFiltersFromGenerate turns explode(attr) into a size()>0 filter and
+    # pushes it down, re-inlining the aliased array expression; every explode
+    # in this engine is over a COMPUTED array (shingles, chunks, bands), so
+    # the inferred filter can never prune a parquet scan — it only re-derives
+    # the whole HOF pipeline a second time inside a scan-side filter
+    # (measured 10x on the sf0.1 dedup suite when the gram array gained a
+    # second consumer). Correctness is unaffected: the filter is implied by
+    # the explode itself.
+    "spark.sql.optimizer.excludedRules": "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
