@@ -182,6 +182,34 @@ class Warehouse:
             if fs.exists(old):
                 fs.delete(old, True)
 
+    # -- per-file log trail (O6; reference utils/utils_flows.py:6-23 wrote
+    #    logs/DDMMYY/<file>.log — here one structured parquet row per event,
+    #    date-partitioned, so an operator debugging one bad file filters on
+    #    nombreArchivo and gets the full stage trail) -----------------------
+    def log_file_events(self, events: list[tuple[str, str, str, str]]) -> None:
+        """Append (filename, stage, level, message) rows for one file's run.
+
+        Buffered by the caller and written ONCE per file (one small parquet
+        append, same cost profile as the bitacora marker — not one write per
+        event). Partitioned by fecha (DDMMYY) mirroring the reference's
+        per-day log directories.
+        """
+        if not events:
+            return
+        rows = self.spark.createDataFrame(
+            events, "nombreArchivo string, etapa string, nivel string, mensaje string"
+        ).withColumn("fechaProceso", F.current_timestamp()).withColumn(
+            "fecha", F.date_format(F.current_date(), "ddMMyy")
+        )
+        rows.write.mode("append").partitionBy("fecha").parquet(self.path("logs"))
+
+    def file_log(self, filename: str) -> DataFrame | None:
+        """The per-file trail (all stages, ordered) — the O6 debugging view."""
+        logs = self.read("logs")
+        if logs is None:
+            return None
+        return logs.filter(F.col("nombreArchivo") == filename).orderBy("fechaProceso")
+
     # -- bitacora commit marker (K3, written last) ---------------------------
     def log_bitacora(self, filename: str, ok_count: int, err_count: int, status: str) -> None:
         row = self.spark.createDataFrame(

@@ -82,12 +82,23 @@ def process_file(
     process_date: str | None = None,
     reapply_merge: bool = False,
 ) -> FileResult:
-    """Full per-file ETL: validate layout → transform → load → bitacora."""
+    """Full per-file ETL: validate layout → transform → load → bitacora.
+
+    O6: every stage appends to a per-file event buffer, flushed as ONE
+    parquet append at the end of the file's run (success or failure) — the
+    structured replacement for the reference's logs/DDMMYY/<file>.log.
+    """
     filename = os.path.basename(filepath)
+    trail: list[tuple[str, str, str, str]] = [(filename, "RECIBIDO", "INFO", filepath)]
     header = read_header(spark, filepath)
     ok_layout, missing, extra = validate_layout_or_log(warehouse, filename, header)
     if not ok_layout:
+        trail.append(
+            (filename, "LAYOUT", "ERROR", f"missing={missing} extra={extra}")
+        )
+        warehouse.log_file_events(trail)
         return FileResult(filename, S.STATUS_LAYOUT_FAIL, missing_columns=missing, extra_columns=extra)
+    trail.append((filename, "LAYOUT", "INFO", "layout ok"))
     try:
         raw = read_report(spark, filepath)
         stats, visitors, errores = T.transform_file(raw, filename)
@@ -95,6 +106,9 @@ def process_file(
         errores = errores.cache()
         ok_count = stats.count()
         err_count = errores.count()
+        trail.append(
+            (filename, "TRANSFORMADO", "INFO", f"ok={ok_count} errores={err_count}")
+        )
 
         warehouse.append_partitioned(stats, "estadisticas")
         warehouse.append_partitioned(errores, "errores")
@@ -107,14 +121,21 @@ def process_file(
             target = warehouse.read_visitantes()
             merged = visitantes_merge(target, visitors, process_date=process_date)
             warehouse.write_visitantes(merged, applied_key=filename)
+            trail.append((filename, "MERGE", "INFO", "visitantes merged"))
+        else:
+            trail.append((filename, "MERGE", "INFO", "skipped (already applied)"))
 
         status = S.STATUS_OK_WITH_ERRORS if err_count > 0 else S.STATUS_OK  # D9 fixed
         warehouse.log_bitacora(filename, ok_count, err_count, status)  # commit marker, last
+        trail.append((filename, "CARGADO", "INFO", status))
+        warehouse.log_file_events(trail)
         stats.unpersist()
         errores.unpersist()
         return FileResult(filename, status, ok_count, err_count, extra_columns=extra)
-    except Exception:  # noqa: BLE001 — per-file isolation (O4)
+    except Exception as e:  # noqa: BLE001 — per-file isolation (O4)
         warehouse.log_bitacora(filename, 0, 0, S.STATUS_SYSTEM_FAIL)
+        trail.append((filename, "FALLO", "ERROR", f"{type(e).__name__}: {e}"))
+        warehouse.log_file_events(trail)
         return FileResult(filename, S.STATUS_SYSTEM_FAIL)
 
 

@@ -83,19 +83,211 @@ def decode_image_meta(df: DataFrame, batch_size: int = 64) -> DataFrame:
     return cols.mapInPandas(decode, schema=DECODED_SCHEMA)
 
 
-def decode_image_real(df: DataFrame) -> DataFrame:
-    """Real codec entry point — intentionally unimplemented here.
+# ---------------------------------------------------------------------------
+# Real PNG codec — pure stdlib (zlib/struct) + numpy, no external libraries.
+# Supports non-interlaced 8-bit PNGs in all five color types (gray, RGB,
+# palette, gray+alpha, RGBA) with full scanline unfiltering. This is an
+# actual pixel decode, not a header parse: decode_image_real returns real
+# per-image statistics computed from the decoded pixel array.
+# ---------------------------------------------------------------------------
 
-    Intended implementation (same mapInPandas shape as decode_image_meta):
-    ``PIL.Image.open(io.BytesIO(content))`` per element for images,
-    ``soundfile``/``av`` for audio/video frame sampling; batch size tuned so
-    decoded frames fit executor memory. The container has none of these
-    libraries, so this raises rather than fake-succeeding.
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def png_encode(pixels) -> bytes:
+    """Minimal PNG writer (8-bit, non-interlaced, filter 0 per scanline).
+
+    ``pixels``: 2-D uint8 array (gray) or 3-D (h, w, channels) for RGB/RGBA.
+    Used by tests and the multimodal round-trip query to fabricate REAL
+    image bytes in-engine.
     """
-    raise NotImplementedError(
-        "image/audio codecs unavailable in this environment; use decode_image_meta "
-        "for the plumbing-true stub"
+    import struct
+    import zlib
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        h, w = arr.shape
+        data = arr[:, :, None]
+    else:
+        h, w = arr.shape[:2]
+        data = arr
+    n_ch = data.shape[2]
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[n_ch]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + tag
+            + payload
+            + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + data[y].tobytes() for y in range(h))
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
     )
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
+    """Undo PNG scanline filtering (types 0-4). Returns (h, w*bpp) uint8."""
+    stride = w * bpp
+    out = np.zeros((h, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = np.frombuffer(raw, dtype=np.uint8, count=stride, offset=pos + 1).astype(np.int32)
+        pos += 1 + stride
+        prev = out[y - 1].astype(np.int32) if y > 0 else np.zeros(stride, dtype=np.int32)
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):  # Sub / Average / Paeth need left-to-right
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                if ftype == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (line[x] + ((a + b) >> 1)) & 0xFF
+                else:
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+    return out
+
+
+def png_decode(data: bytes) -> np.ndarray:
+    """Decode a non-interlaced 8-bit PNG to an (h, w, channels) uint8 array."""
+    import struct
+    import zlib
+
+    if not data.startswith(_PNG_MAGIC):
+        raise ValueError("not a PNG")
+    pos = len(_PNG_MAGIC)
+    idat = b""
+    palette = None
+    w = h = None
+    color_type = bit_depth = interlace = None
+    while pos + 8 <= len(data):
+        (length,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, bit_depth, color_type, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"PLTE":
+            palette = np.frombuffer(payload, dtype=np.uint8).reshape(-1, 3)
+        elif tag == b"IDAT":
+            idat += payload
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or interlace != 0:
+        raise ValueError(f"unsupported PNG (bit_depth={bit_depth}, interlace={interlace})")
+    n_ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color_type]
+    raw = zlib.decompress(idat)
+    px = _png_unfilter(raw, w, h, n_ch).reshape(h, w, n_ch)
+    if color_type == 3:
+        if palette is None:
+            raise ValueError("paletted PNG missing PLTE")
+        px = palette[px[:, :, 0]]
+    return px
+
+
+def _luma(px: np.ndarray) -> float:
+    """Mean luminance of a decoded pixel array (Rec.601 for color)."""
+    if px.shape[2] == 1:
+        return float(px[:, :, 0].mean())
+    if px.shape[2] == 2:  # gray + alpha
+        return float(px[:, :, 0].mean())
+    r, g, b = (px[:, :, i].astype(np.float64) for i in range(3))
+    return float((0.299 * r + 0.587 * g + 0.114 * b).mean())
+
+
+REAL_DECODED_SCHEMA = (
+    "path string, format string, width int, height int, n_channels int, "
+    "mean_luma double, error string"
+)
+
+
+def decode_image_real(df: DataFrame, batch_size: int = 64) -> DataFrame:
+    """Real image decode over (path, content) binary rows.
+
+    PNG decodes with the in-module pure-python codec (zlib inflate + scanline
+    unfilter — actual pixels, real ``mean_luma``). If Pillow is importable it
+    is preferred and extends coverage to JPEG/GIF/etc.; the PNG path needs no
+    external library. Per-file isolation: a row that fails to decode carries
+    the exception text in ``error`` instead of failing the batch (same
+    contract as the ETL pipeline's per-file FALLO handling).
+    """
+    try:  # pragma: no cover - exercised only where Pillow exists
+        from PIL import Image  # type: ignore
+
+        _pil = Image
+    except Exception:
+        _pil = None
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                row = {
+                    "path": path,
+                    "format": "unknown",
+                    "width": None,
+                    "height": None,
+                    "n_channels": None,
+                    "mean_luma": None,
+                    "error": None,
+                }
+                try:
+                    if data.startswith(_PNG_MAGIC):
+                        px = png_decode(data)
+                        row.update(
+                            format="png",
+                            width=px.shape[1],
+                            height=px.shape[0],
+                            n_channels=px.shape[2],
+                            mean_luma=_luma(px),
+                        )
+                    elif _pil is not None:
+                        im = _pil.open(io.BytesIO(data))
+                        px = np.asarray(im.convert("RGB"), dtype=np.uint8)
+                        row.update(
+                            format=(im.format or "unknown").lower(),
+                            width=px.shape[1],
+                            height=px.shape[0],
+                            n_channels=px.shape[2],
+                            mean_luma=_luma(px),
+                        )
+                    else:
+                        raise ValueError("unsupported format (no PNG magic, Pillow absent)")
+                except Exception as e:  # per-file isolation
+                    row["error"] = f"{type(e).__name__}: {e}"
+                out.append(row)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "path", "format", "width", "height", "n_channels", "mean_luma", "error",
+                ],
+            )
+
+    return df.select("path", "content").mapInPandas(decode, schema=REAL_DECODED_SCHEMA)
 
 
 _EXT_FORMAT = {"jpg": "jpeg", "jpeg": "jpeg", "png": "png", "gif": "gif", "wav": "wav", "mp4": "mp4"}

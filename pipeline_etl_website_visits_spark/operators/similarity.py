@@ -38,6 +38,27 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+# Hard bound on driver-side state for the two operators that intentionally
+# hold small data on the driver (cosine_topk's query set, kmeans' centroid
+# matrix). Both contracts say "small by definition"; the guard makes the
+# contract enforced instead of commented — at 100 TB a silently-growing
+# query set would otherwise OOM the driver or serialize a huge closure to
+# every task.
+MAX_DRIVER_STATE_BYTES = 64 * 1024 * 1024
+
+
+def _guard_driver_bytes(what: str, n_rows: int, dim: int) -> None:
+    approx = n_rows * dim * 8
+    if approx > MAX_DRIVER_STATE_BYTES:
+        raise ValueError(
+            f"{what} would hold ~{approx // (1024 * 1024)} MiB on the driver "
+            f"({n_rows} vectors x {dim} dims), over the "
+            f"{MAX_DRIVER_STATE_BYTES // (1024 * 1024)} MiB broadcast bound. "
+            "Reduce the query set / k, or use the distributed paths "
+            "(ann_lsh_topk / ivf_topk) instead."
+        )
+
+
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
 
@@ -73,9 +94,21 @@ def cosine_topk(
         # partition. Only nparts x |Q| x k rows reach the final window —
         # at 100 TB that's thousands of rows where the join+window form
         # shuffles all N x |Q| scored pairs.
-        qrows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+        # Bounded collect: fetch at most bound+1 rows so an oversized query
+        # set fails fast with a clear contract error instead of OOMing the
+        # driver mid-collect. (limit() costs nothing extra: the collect was
+        # happening anyway.)
+        max_q = MAX_DRIVER_STATE_BYTES // (8 * 256)  # conservative dim guess pre-fetch
+        qrows = queries.select(F.col(id_col), F.col(vec_col)).limit(max_q + 1).collect()
+        if len(qrows) > max_q:
+            raise ValueError(
+                f"cosine_topk query set exceeds {max_q} rows — it must be "
+                "broadcastable; use ann_lsh_topk/ivf_topk for large query sides"
+            )
         qids = [r[0] for r in qrows]
         qm = np.asarray([r[1] for r in qrows], dtype=np.float64)
+        if qm.size:
+            _guard_driver_bytes("cosine_topk query set", qm.shape[0], qm.shape[1])
         qn = qm / np.linalg.norm(qm, axis=1, keepdims=True)
         id_type = candidates.schema[id_col].dataType.simpleString()
         out_schema = f"query_id {id_type}, neighbor_id {id_type}, sim_raw double"
@@ -295,6 +328,8 @@ def ivf_topk(
     )
     centroid_rows = sampled.select(vec_col).collect()
     centroids = np.asarray([r[0] for r in centroid_rows], dtype=np.float64)
+    if centroids.size:
+        _guard_driver_bytes("ivf centroid matrix", centroids.shape[0], centroids.shape[1])
 
     assign = ivf_assign_udf(centroids)
     c_assigned = candidates.select(
@@ -437,6 +472,10 @@ def kmeans_assign(
         .limit(k)
     )
     centroids = np.asarray([r["v"] for r in sampled.collect()], dtype=np.float64)
+    if centroids.size:
+        # k·dim centroid matrix is the per-iteration driver state AND the
+        # closure broadcast to every assignment task — enforce the bound.
+        _guard_driver_bytes("kmeans centroid matrix", centroids.shape[0], centroids.shape[1])
 
     for _ in range(iters):
         assign = ivf_assign_udf(centroids)

@@ -501,3 +501,65 @@ def x60(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cluster empties out); tests/test_operators.py asserts planted clusters
     # are recovered exactly.
     return S.kmeans_summary(emb, k=8, iters=5)
+
+
+@query(
+    "x61_multimodal_png_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(1 + doc_id % 16 AS INT) AS width,
+           CAST(1 + (doc_id // 16) % 16 AS INT) AS height,
+           1 AS n_channels,
+           CAST((doc_id * 37) % 256 AS DOUBLE) AS mean_luma
+    FROM documents
+    ORDER BY doc_id
+    """,
+    certifies="X5 multimodal: REAL in-engine PNG encode->decode (zlib+unfilter) with pixel statistics the oracle derives arithmetically",
+    tags=("llm", "multimodal"),
+)
+def x61(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip proof of the real PNG codec as an oracle-backed query.
+
+    Each document fabricates a REAL grayscale PNG (geometry and fill color
+    arithmetic functions of doc_id), then decodes it with the pure-python
+    codec (operators/multimodal.py png_decode: zlib inflate + scanline
+    unfilter) and emits the recovered pixel statistics. DuckDB cannot decode
+    PNG — but it doesn't need to: the expected width/height/mean-luma are
+    the same arithmetic, so any codec defect (geometry, filtering, palette,
+    luma) breaks the hash match. Map-only Arrow batches; at scale this is
+    the decode/feature-extract stage of a multimodal ingest with zero
+    shuffle.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pipeline_etl_website_visits_spark.operators.multimodal import png_decode, png_encode
+
+    def roundtrip(batches):
+        for pdf in batches:
+            ids = pdf["doc_id"].to_numpy()
+            rows = []
+            for did in ids:
+                w = int(1 + did % 16)
+                h = int(1 + (did // 16) % 16)
+                c = int((did * 37) % 256)
+                px = np.full((h, w), c, dtype=np.uint8)
+                decoded = png_decode(png_encode(px))
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "width": decoded.shape[1],
+                        "height": decoded.shape[0],
+                        "n_channels": decoded.shape[2],
+                        "mean_luma": float(decoded[:, :, 0].mean()),
+                    }
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "n_channels", "mean_luma"]
+            )
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+    return docs.mapInPandas(
+        roundtrip,
+        "doc_id long, width int, height int, n_channels int, mean_luma double",
+    )

@@ -78,6 +78,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q05_error_explode",
     # -- (c) new in round 3: names are appended here as each query lands
     #    (test_registry enforces every name is registered) --
+    "x61_multimodal_png_roundtrip",
     # -- high-value re-checks: load-bearing operators whose code paths were
     #    touched this round or certify §2 rows --
     "x40_asof_join",

@@ -29,6 +29,10 @@ _DEFAULTS = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     "spark.sql.parquet.filterPushdown": "true",
     "spark.sql.parquet.aggregatePushdown": "true",
+    # Partition directory values stay strings: inference would read the
+    # ddMMyy log partitions ("050926") as ints and silently drop the leading
+    # zero — lossy and irreversible. Partition pruning is unaffected.
+    "spark.sql.sources.partitionColumnTypeInference.enabled": "false",
     # InferFiltersFromGenerate turns explode(attr) into a size()>0 filter and
     # pushes it down, re-inlining the aliased array expression; every explode
     # in this engine is over a COMPUTED array (shingles, chunks, bands), so

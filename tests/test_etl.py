@@ -197,3 +197,48 @@ def test_system_failure_isolation(spark, report_dir, tmp_path, monkeypatch):
     results2 = P.process_directory(spark, report_dir, wh_root, process_date="2026-03-28")
     assert [r.filename for r in results2] == ["report_allvalid.txt"]
     assert results2[0].status == S.STATUS_OK
+
+
+def test_per_file_log_trail(spark, report_dir, tmp_path, monkeypatch):
+    """O6: every processed file leaves a structured stage trail in the logs
+    table — RECIBIDO→LAYOUT→TRANSFORMADO→MERGE→CARGADO for good files, a
+    LAYOUT ERROR row for layout rejects, and a FALLO ERROR row with the
+    exception text for mid-transform crashes."""
+    FX.make_allvalid(report_dir)
+    FX.make_badlayout(report_dir)
+    FX.make_mixed(report_dir)
+    wh_root = str(tmp_path / "wh")
+
+    # make report_mixed.txt explode mid-transform (same trick as the
+    # isolation test): break transform_file for that one file
+    import pipeline_etl_website_visits_spark.etl.pipeline as P
+
+    real_transform = P.T.transform_file
+
+    def exploding(raw, filename):
+        if filename == "report_mixed.txt":
+            raise RuntimeError("boom in transform")
+        return real_transform(raw, filename)
+
+    monkeypatch.setattr(P.T, "transform_file", exploding)
+    process_directory(spark, report_dir, wh_root)
+
+    wh = Warehouse(spark, wh_root)
+    ok_trail = [
+        (r["etapa"], r["nivel"])
+        for r in wh.file_log("report_allvalid.txt").collect()
+    ]
+    assert ("RECIBIDO", "INFO") in ok_trail
+    assert ("TRANSFORMADO", "INFO") in ok_trail
+    assert ("CARGADO", "INFO") in ok_trail
+
+    bad_layout = wh.file_log("report_badlayout.txt").collect()
+    assert any(r["etapa"] == "LAYOUT" and r["nivel"] == "ERROR" for r in bad_layout)
+    assert not any(r["etapa"] == "CARGADO" for r in bad_layout)
+
+    crashed = wh.file_log("report_mixed.txt").collect()
+    fallo = [r for r in crashed if r["etapa"] == "FALLO"]
+    assert len(fallo) == 1 and "boom in transform" in fallo[0]["mensaje"]
+
+    # trail rows carry the DDMMYY partition the reference used for log dirs
+    assert all(len(r["fecha"]) == 6 for r in crashed)

@@ -44,9 +44,93 @@ def test_decode_stub_deterministic(spark, media_dir):
     assert again["a.jpg"]["width"] == rows["a.jpg"]["width"]
 
 
-def test_real_codec_is_marked_unimplemented(spark, media_dir):
-    with pytest.raises(NotImplementedError):
-        decode_image_real(read_binary_dir(spark, media_dir))
+def test_real_png_roundtrip_all_color_types(spark, tmp_path):
+    """png_encode → decode_image_real recovers exact geometry and mean luma
+    for gray / RGB / RGBA images — a REAL pixel decode (zlib inflate +
+    unfilter), not a header parse."""
+    import numpy as np
+
+    from pipeline_etl_website_visits_spark.operators.multimodal import png_encode
+
+    d = tmp_path / "png"
+    d.mkdir()
+    rng = np.random.RandomState(7)
+    gray = rng.randint(0, 256, (13, 17), dtype=np.uint8)
+    rgb = rng.randint(0, 256, (9, 5, 3), dtype=np.uint8)
+    rgba = rng.randint(0, 256, (4, 8, 4), dtype=np.uint8)
+    (d / "gray.png").write_bytes(png_encode(gray))
+    (d / "rgb.png").write_bytes(png_encode(rgb))
+    (d / "rgba.png").write_bytes(png_encode(rgba))
+    (d / "junk.bin").write_bytes(b"not an image")
+
+    out = {r["path"].rsplit("/", 1)[-1]: r for r in decode_image_real(read_binary_dir(spark, str(d))).collect()}
+    g = out["gray.png"]
+    assert (g["width"], g["height"], g["n_channels"], g["error"]) == (17, 13, 1, None)
+    assert abs(g["mean_luma"] - gray.mean()) < 1e-9
+    c = out["rgb.png"]
+    assert (c["width"], c["height"], c["n_channels"], c["error"]) == (5, 9, 3, None)
+    r_, g_, b_ = (rgb[:, :, i].astype(float) for i in range(3))
+    assert abs(c["mean_luma"] - (0.299 * r_ + 0.587 * g_ + 0.114 * b_).mean()) < 1e-9
+    a = out["rgba.png"]
+    assert (a["width"], a["height"], a["n_channels"]) == (8, 4, 4)
+    # per-file isolation: the junk row carries an error, the batch survives
+    assert out["junk.bin"]["error"] is not None and out["junk.bin"]["width"] is None
+
+
+def test_png_unfilter_all_filter_types():
+    """Decode a handcrafted PNG whose scanlines use filter types 1-4
+    (Sub/Up/Average/Paeth) — the encoder only emits type 0, so this pins the
+    decoder against independently-constructed streams."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from pipeline_etl_website_visits_spark.operators.multimodal import png_decode
+
+    # 4x4 gray image, known pixels
+    px = np.arange(16, dtype=np.uint8).reshape(4, 4) * 13 % 251
+
+    # build filtered scanlines by hand
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    lines = []
+    prev = np.zeros(4, dtype=np.int32)
+    for y, ftype in enumerate([1, 2, 3, 4]):
+        cur = px[y].astype(np.int32)
+        enc = np.zeros(4, dtype=np.int32)
+        for x in range(4):
+            a = cur[x - 1] if x else 0
+            b = prev[x]
+            c = prev[x - 1] if x else 0
+            if ftype == 1:
+                enc[x] = (cur[x] - a) % 256
+            elif ftype == 2:
+                enc[x] = (cur[x] - b) % 256
+            elif ftype == 3:
+                enc[x] = (cur[x] - ((a + b) >> 1)) % 256
+            else:
+                enc[x] = (cur[x] - paeth(a, b, c)) % 256
+        lines.append(bytes([ftype]) + bytes(enc.astype(np.uint8)))
+        prev = cur
+
+    def chunk(tag, payload):
+        return struct.pack(">I", len(payload)) + tag + payload + struct.pack(
+            ">I", zlib.crc32(tag + payload) & 0xFFFFFFFF
+        )
+
+    data = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 4, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"".join(lines)))
+        + chunk(b"IEND", b"")
+    )
+    decoded = png_decode(data)
+    assert decoded.shape == (4, 4, 1)
+    assert (decoded[:, :, 0] == px).all()
 
 
 def test_frame_sampling_row_expansion(spark, media_dir):

@@ -52,3 +52,27 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     assert "Exchange hashpartitioning" not in plan
     spark.sql("DROP TABLE IF EXISTS vis_bucketed_a")
     spark.sql("DROP TABLE IF EXISTS vis_bucketed_b")
+
+
+def test_driver_state_guards_raise(spark):
+    """The 100 TB contract for driver-side state is enforced, not commented:
+    an oversized cosine_topk query set or kmeans/ivf centroid matrix raises
+    before any driver collect/broadcast can OOM."""
+    import pytest
+
+    from pipeline_etl_website_visits_spark.operators import similarity as S
+
+    # direct guard: 2M x 1024-dim doubles = 16 GiB >> 64 MiB bound
+    with pytest.raises(ValueError, match="broadcast bound"):
+        S._guard_driver_bytes("cosine_topk query set", 2_000_000, 1024)
+    # boundary: exactly at the bound passes
+    S._guard_driver_bytes("ok", S.MAX_DRIVER_STATE_BYTES // 8, 1)
+
+    # end-to-end: a query side over the row bound fails fast (bounded
+    # limit-collect — no full materialization on the driver)
+    max_q = S.MAX_DRIVER_STATE_BYTES // (8 * 256)
+    big = spark.range(max_q + 10).select(
+        F.col("id").alias("vec_id"), F.array(F.lit(1.0), F.lit(2.0)).alias("embedding")
+    )
+    with pytest.raises(ValueError, match="query set exceeds"):
+        S.cosine_topk(big, big, k=2)
