@@ -802,3 +802,265 @@ def x59(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return T.bigram_rarity(docs, "text", "doc_id", rare_max_count=2)
+
+
+# --------------------------------------------------------------------------
+# x62 — salted hot-key aggregation, certified at the query level
+#
+# The skew lever (operators/skew.py) gets an oracle row: the two-stage
+# (key, salt) partial → key final aggregation must equal a plain GROUP BY.
+# event_type is the low-cardinality key a viral product would turn
+# pathological; the salt spreads each key over 32 partial cells.
+# --------------------------------------------------------------------------
+@query(
+    "x62_salted_hot_key_agg",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS count
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    certifies="skew salting: two-stage salted agg == plain groupBy (SURVEY §4.3)",
+    tags=("scale", "events"),
+)
+def x62(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators.skew import salted_count
+
+    ev = load_table(spark, sf_dir, "events")
+    return salted_count(ev, "event_type", salt_col="event_id", buckets=32)
+
+
+# --------------------------------------------------------------------------
+# x63 — fixed-width histogram (profiling primitive)
+#
+# Bucket arithmetic is explicit integer math in BOTH dialects (DuckDB lacks
+# width_bucket; Spark's would round differently at edges anyway): bucket =
+# min(floor(price/5000), 19). Decimal-safe: floor on DOUBLE of cents-scale
+# values is exact for the TPC-H price domain (< 2^38).
+# --------------------------------------------------------------------------
+@query(
+    "x63_price_histogram",
+    oracle="""
+    SELECT CAST(LEAST(CAST(FLOOR(l_extendedprice / 5000) AS BIGINT), 19) AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+    certifies="fixed-width histogram / profiling primitive (SURVEY §2.10 aggregates)",
+    tags=("profile",),
+)
+def x63(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    bucket = F.least(F.floor(F.col("l_extendedprice") / 5000).cast("long"), F.lit(19)).cast("int")
+    return (
+        li.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double"), 2).alias("total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x64 — table profile (per-group column statistics)
+#
+# The manifest/catalog-stats primitive: per o_orderstatus, min/max/nulls/
+# distincts across heterogeneous columns in ONE scan (what a 100 TB ingest
+# writes as per-partition stats for file skipping). Exact distinct via
+# count(distinct) — both engines plan a single aggregate with multiple
+# distinct branches.
+# --------------------------------------------------------------------------
+@query(
+    "x64_table_profile",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(MIN(o_orderdate) AS DATE) AS min_date,
+           CAST(MAX(o_orderdate) AS DATE) AS max_date,
+           CAST(MIN(LENGTH(o_orderpriority)) AS BIGINT) AS min_prio_len,
+           CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_price
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    certifies="per-group column profile / manifest stats in one scan (SURVEY §2.10)",
+    tags=("profile",),
+)
+def x64(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("o_custkey").cast("long").alias("n_customers"),
+        F.min(F.col("o_orderdate").cast("date")).alias("min_date"),
+        F.max(F.col("o_orderdate").cast("date")).alias("max_date"),
+        F.min(F.length("o_orderpriority")).cast("long").alias("min_prio_len"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0)).cast("long").alias("n_null_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x65 — stratified sample with per-stratum rates
+#
+# Deterministic md5-bucket sampling (portable across engines, unlike
+# xxhash64), with per-language rates: high-resource langs downsampled,
+# low-resource kept — the standard mixture-rebalancing pass before
+# training. The rate lookup is a broadcast map; the filter is a pure scan
+# predicate (no shuffle at all).
+# --------------------------------------------------------------------------
+# Per-stratum keep-thresholds as 2-hex-digit ceilings over the md5 bucket
+# byte: a doc is kept when its bucket hex < threshold. Fixed-width lowercase
+# hex compares lexicographically == numerically in BOTH dialects (the x44
+# portable-hash trick), so no engine-specific hex parsing is needed.
+# en 25/256, zh 50/256, others 75/256 — high-resource downsampled hardest.
+_STRATA_HEX = {"en": "19", "zh": "32", "de": "4b", "es": "4b", "fr": "4b"}
+
+
+def _strata_case_sql() -> str:
+    whens = " ".join(f"WHEN lang = '{lang}' THEN '{hi}'" for lang, hi in _STRATA_HEX.items())
+    return f"CASE {whens} ELSE '00' END"
+
+
+@query(
+    "x65_stratified_sample",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM (
+      SELECT lang, n_chars, doc_id,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS b
+      FROM documents
+    )
+    WHERE b < ({_strata_case_sql()})
+    GROUP BY lang ORDER BY lang
+    """,
+    certifies="stratified per-stratum-rate sampling (north-star curation)",
+    tags=("llm", "curation"),
+)
+def x65(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    thresh = F.lit("00")
+    for lang, hi in _STRATA_HEX.items():
+        thresh = F.when(F.col("lang") == lang, hi).otherwise(thresh)
+    return (
+        docs.filter(b < thresh)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x66 — approximate-membership prefilter + exact anti-join (decontamination)
+#
+# The 100 TB runtime-filter shape for "drop corpus docs whose fingerprint
+# appears in the eval set": a compact approximate-membership structure over
+# the (small) contaminated fingerprint set — here the SET OF 16-BIT
+# FINGERPRINT PREFIXES (≤65536 entries, a literal IN-set Catalyst compiles
+# to a hash probe; same no-false-negative guarantee as a Bloom filter) —
+# splits the corpus at the SCAN into provably-clean rows (prefix absent:
+# pass through, never shuffled) and candidates (prefix present: EXACT
+# broadcast anti-join, so false positives cannot drop good docs). The
+# union equals the plain anti-join — which is exactly what the oracle
+# checks.
+# --------------------------------------------------------------------------
+@query(
+    "x66_prefilter_decontam",
+    oracle="""
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d
+    WHERE md5(CAST(d.n_chars AS VARCHAR)) NOT IN (
+      SELECT md5(CAST(n_chars AS VARCHAR)) FROM documents WHERE source = 'wiki'
+    )
+    ORDER BY d.doc_id
+    """,
+    certifies="approximate-membership prefilter + exact anti-join (runtime-filter shape, SURVEY §4)",
+    tags=("llm", "curation", "scale"),
+)
+def x66(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("n_chars").cast("string"))
+    corpus = docs.select("doc_id", "lang", "n_chars", fp.alias("__fp"))
+    contam = docs.filter(F.col("source") == "wiki").select(fp.alias("__fp")).distinct()
+    # driver-side sketch: bounded by construction at 65536 prefixes
+    prefixes = [r[0] for r in contam.select(F.substring("__fp", 1, 4)).distinct().collect()]
+    pref = F.substring(F.col("__fp"), 1, 4)
+    provably_clean = corpus.filter(~pref.isin(prefixes))
+    candidates = corpus.filter(pref.isin(prefixes))
+    verified_clean = candidates.join(F.broadcast(contam), "__fp", "left_anti")
+    return provably_clean.unionByName(verified_clean).select("doc_id", "lang", "n_chars")
+
+
+# --------------------------------------------------------------------------
+# x67 — sessionized funnel depth
+#
+# Two window layers + one aggregation: (1) 30-min-gap sessionization via
+# lag/cumulative-sum (the classic gaps-and-islands, one shuffle on
+# user_id); (2) per-session funnel depth from order-insensitive min-when
+# aggregates (first view / first click-after-view / first purchase-after-
+# click), so tie order inside a second can't flip the result. Depth
+# histogram is deterministic and matches DuckDB's identical window SQL.
+# --------------------------------------------------------------------------
+@query(
+    "x67_session_funnel",
+    oracle="""
+    WITH e AS (
+      SELECT user_id, event_type,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec
+      FROM events
+    ), tagged AS (
+      SELECT user_id, event_type, sec,
+             CASE WHEN sec - LAG(sec) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec)
+    ), sess AS (
+      SELECT user_id, event_type, sec,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY sec
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM tagged
+    ), per_sess AS (
+      SELECT user_id, sess_id,
+             MIN(CASE WHEN event_type = 'view' THEN sec END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN sec END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN sec END) AS t_buy
+      FROM sess GROUP BY user_id, sess_id
+    )
+    SELECT CAST(CASE WHEN t_view IS NULL THEN 0
+                WHEN t_click IS NULL OR t_click < t_view THEN 1
+                WHEN t_buy IS NULL OR t_buy < t_click THEN 2
+                ELSE 3 END AS INT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM per_sess GROUP BY 1 ORDER BY 1
+    """,
+    certifies="gaps-and-islands sessionization + ordered funnel (SURVEY §2.10 windows; X-series events)",
+    tags=("window", "events"),
+)
+def x67(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.col("ts").cast("timestamp").cast("long").alias("sec")
+    )
+    w = Window.partitionBy("user_id").orderBy("sec")
+    new_sess = F.when(
+        F.col("sec") - F.lag("sec").over(w) > 1800, 1
+    ).otherwise(0)
+    sess = ev.withColumn("new_sess", new_sess).withColumn(
+        "sess_id",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    per_sess = sess.groupBy("user_id", "sess_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("sec"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("sec"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("sec"))).alias("t_buy"),
+    )
+    depth = (
+        F.when(F.col("t_view").isNull(), 0)
+        .when(F.col("t_click").isNull() | (F.col("t_click") < F.col("t_view")), 1)
+        .when(F.col("t_buy").isNull() | (F.col("t_buy") < F.col("t_click")), 2)
+        .otherwise(3)
+    ).cast("int")
+    return (
+        per_sess.groupBy(depth.alias("depth"))
+        .agg(F.count("*").cast("long").alias("n_sessions"))
+    )

@@ -79,6 +79,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     # -- (c) new in round 3: names are appended here as each query lands
     #    (test_registry enforces every name is registered) --
     "x61_multimodal_png_roundtrip",
+    "x62_salted_hot_key_agg",
+    "x63_price_histogram",
+    "x64_table_profile",
+    "x65_stratified_sample",
+    "x66_prefilter_decontam",
+    "x67_session_funnel",
     # -- high-value re-checks: load-bearing operators whose code paths were
     #    touched this round or certify §2 rows --
     "x40_asof_join",
