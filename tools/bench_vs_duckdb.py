@@ -1,0 +1,72 @@
+"""Per-query Spark vs DuckDB oracle timing at a given sf_dir (judge's view).
+
+Usage: python tools/bench_vs_duckdb.py [sf_dir] [min_ratio]
+Prints queries sorted by spark/duckdb ratio (worst first).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+from pipeline_etl_website_visits_spark.session import get_spark
+from pipeline_etl_website_visits_spark.queries.registry import REGISTRY
+import pipeline_etl_website_visits_spark.queries  # noqa: F401
+from pipeline_etl_website_visits_spark.tables import TABLES
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = get_spark(
+        "bench-vs-duckdb", master=f"local[{cpus}]", shuffle_partitions=4,
+        extra_conf={
+            "spark.sql.adaptive.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+            "spark.sql.codegen.cache.maxEntries": "5000",
+            "spark.sql.codegen.maxFields": "300",
+            "spark.locality.wait": "0ms",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    con.execute(f"SET threads={cpus}")
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    names = [n for n, s in REGISTRY.items() if s.oracle is not None]
+
+    def spark_run(n):
+        REGISTRY[n].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        spark.catalog.clearCache()
+
+    def duck_run(n):
+        con.execute(REGISTRY[n].oracle).fetchall()
+
+    rows = []
+    for n in names:
+        spark_run(n)  # warm
+        duck_run(n)
+        ts = te = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter(); spark_run(n); ts = min(ts, time.perf_counter() - t0)
+            t0 = time.perf_counter(); duck_run(n); te = min(te, time.perf_counter() - t0)
+        rows.append((ts / max(te, 1e-4), ts, te, n))
+
+    rows.sort(reverse=True)
+    tot_s = sum(r[1] for r in rows)
+    tot_d = sum(r[2] for r in rows)
+    print(f"TOTAL spark={tot_s:.2f}s duckdb={tot_d:.2f}s ratio={tot_s/tot_d:.2f}")
+    for ratio, ts, te, n in rows:
+        flag = " <<<" if ratio > 2 and ts > 0.15 else ""
+        print(f"{ratio:6.2f}x  spark={ts:7.3f}  duck={te:7.3f}  {n}{flag}")
+
+
+if __name__ == "__main__":
+    main()
