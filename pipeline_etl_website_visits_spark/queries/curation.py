@@ -973,7 +973,7 @@ def x65(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT d.doc_id, d.lang, d.n_chars
     FROM documents d
     WHERE md5(CAST(d.n_chars AS VARCHAR)) NOT IN (
-      SELECT md5(CAST(n_chars AS VARCHAR)) FROM documents WHERE source = 'wiki'
+      SELECT md5(CAST(n_chars AS VARCHAR)) FROM documents WHERE source = 'src0'
     )
     ORDER BY d.doc_id
     """,
@@ -984,7 +984,7 @@ def x66(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fp = F.md5(F.col("n_chars").cast("string"))
     corpus = docs.select("doc_id", "lang", "n_chars", fp.alias("__fp"))
-    contam = docs.filter(F.col("source") == "wiki").select(fp.alias("__fp")).distinct()
+    contam = docs.filter(F.col("source") == "src0").select(fp.alias("__fp")).distinct()
     # driver-side sketch: bounded by construction at 65536 prefixes
     prefixes = [r[0] for r in contam.select(F.substring("__fp", 1, 4)).distinct().collect()]
     pref = F.substring(F.col("__fp"), 1, 4)

@@ -781,3 +781,142 @@ def q66(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("c_name", r"([0-9]+)$", 1).alias("id_digits"),
         F.col("c_name").rlike("^Customer#").alias("is_customer"),
     )
+
+
+# --------------------------------------------------------------------------
+# x68 — max_by / min_by grouped argmax (SURVEY §2.10 aggregates)
+#
+# The single-pass argmax aggregate (no window, no self-join): per order
+# status, which customer placed the priciest order. DuckDB's arg_max can't
+# take a struct comparator, so ties are broken deterministically via a
+# zero-padded sortable STRING comparator (lexicographic == numeric for
+# fixed width; price folded to exact integer cents first) — identical
+# construction in both dialects.
+# --------------------------------------------------------------------------
+@query(
+    "x68_grouped_argmax",
+    oracle="""
+    WITH keyed AS (
+      SELECT o_orderstatus, o_custkey, o_orderkey, o_totalprice,
+             LPAD(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 18, '0')
+               || LPAD(CAST(o_custkey AS VARCHAR), 18, '0') AS price_key,
+             strftime(o_orderdate, '%Y%m%d')
+               || LPAD(CAST(o_orderkey AS VARCHAR), 18, '0') AS date_key
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(arg_max(o_custkey, price_key) AS BIGINT) AS top_custkey,
+           ROUND(CAST(MAX(o_totalprice) AS DOUBLE), 2) AS top_price,
+           CAST(arg_min(o_orderkey, date_key) AS BIGINT) AS earliest_orderkey
+    FROM keyed
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    certifies="argmax/argmin aggregates (max_by/min_by), single-pass grouped top-1",
+    tags=("agg",),
+)
+def x68(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    price_key = F.concat(
+        F.lpad(F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 18, "0"),
+        F.lpad(F.col("o_custkey").cast("string"), 18, "0"),
+    )
+    date_key = F.concat(
+        F.date_format(F.col("o_orderdate"), "yyyyMMdd"),
+        F.lpad(F.col("o_orderkey").cast("string"), 18, "0"),
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.max_by("o_custkey", price_key).cast("long").alias("top_custkey"),
+        F.round(F.max("o_totalprice").cast("double"), 2).alias("top_price"),
+        F.min_by("o_orderkey", date_key).cast("long").alias("earliest_orderkey"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x69 — array-function Jaccard over consecutive doc pairs
+#
+# The ARRAY-NATIVE similarity form (array_intersect/array_union on distinct
+# token arrays — no explode, no shuffle beyond the pair join): each doc
+# compared to doc_id+1. Same integer-exact ratio discipline as the
+# inverted-index family; certifies the array set-operation functions
+# themselves. The oracle reformulates with unnest (DuckDB's list_intersect
+# has different NULL semantics — semantics, not implementation, must match).
+# --------------------------------------------------------------------------
+@query(
+    "x69_adjacent_doc_jaccard",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+      FROM documents
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.t AS ta, b.t AS tb
+      FROM toks a JOIN toks b ON b.doc_id = a.doc_id + 1
+    ), sized AS (
+      SELECT doc_a, doc_b,
+             len(list_filter(ta, x -> list_contains(tb, x))) AS inter,
+             len(ta) + len(tb) - len(list_filter(ta, x -> list_contains(tb, x))) AS uni
+      FROM pairs
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter AS BIGINT) AS n_shared,
+           CAST((inter * 2000 + uni) // (2 * uni) / 1000.0 AS DOUBLE) AS jaccard
+    FROM sized ORDER BY doc_a
+    """,
+    certifies="array set-operation functions (array_intersect/union) as similarity primitive",
+    tags=("llm", "dedup", "array"),
+)
+def x69(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.functions import ratio_round
+    from pipeline_etl_website_visits_spark.operators.text import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.array_distinct(F.split(normalize_text(F.col("text")), " ")).alias("t")
+    )
+    a = toks.select(F.col("doc_id").alias("doc_a"), F.col("t").alias("ta"))
+    b = toks.select((F.col("doc_id") - 1).alias("doc_a"), F.col("doc_id").alias("doc_b"), F.col("t").alias("tb"))
+    inter = F.size(F.array_intersect("ta", "tb"))
+    uni = F.size("ta") + F.size("tb") - inter
+    return (
+        a.join(b, "doc_a")
+        .select(
+            "doc_a",
+            "doc_b",
+            inter.cast("long").alias("n_shared"),
+            ratio_round(inter, uni, 3).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x70 — full JSON struct parse + typed aggregation
+#
+# q55 extracts one scalar path; this parses the whole props object to a
+# TYPED struct (from_json with explicit schema — schema-on-read, the 100 TB
+# pattern: parse once in the scan projection, never re-parse per field) and
+# aggregates on the typed field. Decile bucketing keeps outputs integral.
+# --------------------------------------------------------------------------
+@query(
+    "x70_json_struct_agg",
+    oracle="""
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS INT) AS k_decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(event_id) AS BIGINT) AS min_event_id
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+    certifies="from_json typed struct parse + aggregation on parsed field (SURVEY §2.10 json)",
+    tags=("json", "events"),
+)
+def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_id", F.from_json("props", "k bigint").alias("p")
+    ).filter(F.col("p.k").isNotNull())
+    return (
+        parsed.groupBy(F.floor(F.col("p.k") / 10).cast("int").alias("k_decile"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.min("event_id").cast("long").alias("min_event_id"),
+        )
+    )

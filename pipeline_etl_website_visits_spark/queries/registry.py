@@ -85,6 +85,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x65_stratified_sample",
     "x66_prefilter_decontam",
     "x67_session_funnel",
+    "x68_grouped_argmax",
+    "x69_adjacent_doc_jaccard",
+    "x70_json_struct_agg",
     # -- high-value re-checks: load-bearing operators whose code paths were
     #    touched this round or certify §2 rows --
     "x40_asof_join",

@@ -10,8 +10,10 @@ import pyspark.sql.functions as F
 
 from pipeline_etl_website_visits_spark.plans import (
     codegen_stage_count,
+    formatted_plan,
     has_pushed_filter,
     read_schema_columns,
+    simple_plan,
     uses_broadcast_join,
 )
 from pipeline_etl_website_visits_spark.queries.registry import REGISTRY
@@ -167,3 +169,71 @@ def test_winnowing_summary_is_map_only(spark):
     for line in plan.splitlines():
         if "Filter" in line:
             assert "md5" not in line, "fingerprint expression leaked into the filter"
+
+
+def test_salted_agg_is_two_stage(spark):
+    """x62: the salted aggregation plans TWO hash-aggregate pairs (partial+
+    final per groupBy) and exactly two exchanges — (key,salt) then key."""
+    df = REGISTRY["x62_salted_hot_key_agg"].spark(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("HashAggregate") == 4  # partial+final x 2 stages
+
+
+def test_prefilter_decontam_clean_branch_never_joins(spark):
+    """x66: the provably-clean side of the union must be a pure scan+filter
+    (no join, no exchange) — that's the whole point of the runtime-filter
+    shape: most of the corpus never reaches the shuffle."""
+    df = REGISTRY["x66_prefilter_decontam"].spark(spark, SF_DIR)
+    plan = simple_plan(df)
+    # one Union of two branches; only ONE join in the whole plan (the exact
+    # verification of prefix-hit candidates)
+    assert plan.count("Union") == 1
+    assert plan.count("Join") == 1
+    # the join is broadcast (contam side is small by contract)
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_stratified_sample_is_single_shuffle(spark):
+    """x65: scan-side filter + one exchange for the lang aggregation —
+    sampling must not add any shuffle of its own."""
+    df = REGISTRY["x65_stratified_sample"].spark(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert plan.count("Exchange") == 1
+
+
+def test_json_struct_parses_once(spark):
+    """x70: exactly one JsonToStructs in the plan — parse once in the scan
+    projection, aggregate the typed field (never re-parse per output)."""
+    df = REGISTRY["x70_json_struct_agg"].spark(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert plan.count("from_json") <= 2  # projection (+ pushed filter reference)
+
+
+def test_adjacent_jaccard_no_explode(spark):
+    """x69: the array-native similarity form — no Generate (explode) node
+    anywhere; similarity computed via array_intersect on whole arrays."""
+    df = REGISTRY["x69_adjacent_doc_jaccard"].spark(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert "Generate" not in plan
+
+
+def test_kmeans_iteration_is_map_only(spark):
+    """The per-iteration kmeans job must contain no Exchange: partition-local
+    numpy partial sums + driver reduce (similarity.py kmeans_assign)."""
+    import numpy as np
+
+    from pipeline_etl_website_visits_spark.tables import load_table
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v")).select("v")
+    c = np.zeros((4, 8))
+
+    # reproduce the per-iteration frame shape: mapInPandas over the narrow
+    # vector projection
+    def noop(batches):
+        for pdf in batches:
+            yield pdf.head(0)
+
+    out = base.mapInPandas(noop, base.schema)
+    assert "Exchange" not in simple_plan(out)
