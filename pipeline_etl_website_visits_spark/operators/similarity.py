@@ -314,16 +314,13 @@ def ivf_topk(
     With the candidate table written out partitioned by ``centroid_id``,
     probing prunes partitions at the storage layer.
     """
-    # Deterministic hash-strided sample — a pure filter (no global ordering,
-    # no count): expect ~2x num_centroids hits, truncate to num_centroids by
-    # id for stability. At 100 TB a global row_number would serialize the
-    # table through one partition; this samples in place.
-    cand_count = candidates.count()
-    one_in = max(cand_count // (2 * num_centroids), 1)
+    # Deterministic pseudo-random sample with NO count job: order by the
+    # 64-bit hash of the id and take the first num_centroids — Spark plans
+    # TakeOrderedAndProject (per-partition partial top-k, then a k-row merge
+    # on the driver), so no global sort and no extra pass over the data.
     sampled = (
         candidates.select(id_col, vec_col)
-        .filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(one_in)) == 0)
-        .orderBy(id_col)
+        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(num_centroids)
     )
     centroid_rows = sampled.select(vec_col).collect()
@@ -450,9 +447,9 @@ def kmeans_assign(
     production replacement for :func:`ivf_topk`'s strided-sample centroids).
 
     Returns (id, cluster_id) assignments. Deterministic: init is the same
-    hash-strided sample as IVF (no RNG), assignment is an Arrow-batched
-    argmax, and each update rounds centroids to 9 dp so float combine-order
-    noise cannot flip later assignments.
+    hash-ordered take as IVF (no RNG, no count pass), assignment is an
+    Arrow-batched argmax, and each update rounds centroids to 9 dp so float
+    combine-order noise cannot flip later assignments.
 
     Scale shape per iteration: ONE map-only job — each partition assigns its
     vectors with an Arrow matmul against the broadcast centroids and emits
@@ -466,13 +463,9 @@ def kmeans_assign(
     job per check is not worth it for the few extra Lloyd's passes).
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    cand_count = base.count()
-    one_in = max(cand_count // (2 * k), 1)
-    sampled = (
-        base.filter(F.pmod(F.xxhash64(F.col("id")), F.lit(one_in)) == 0)
-        .orderBy("id")
-        .limit(k)
-    )
+    # hash-ordered take: deterministic pseudo-random k-seed in ONE job
+    # (TakeOrderedAndProject — no count pass, no global sort; see ivf_topk)
+    sampled = base.orderBy(F.xxhash64(F.col("id")), F.col("id")).limit(k)
     centroids = np.asarray([r["v"] for r in sampled.collect()], dtype=np.float64)
     if centroids.size:
         # k·dim centroid matrix is the per-iteration driver state AND the

@@ -563,3 +563,60 @@ def x61(spark: SparkSession, sf_dir: str) -> DataFrame:
         roundtrip,
         "doc_id long, width int, height int, n_channels int, mean_luma double",
     )
+
+
+@query(
+    "x71_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(lst) - 1),
+               i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]))) AS gram
+      FROM (SELECT doc_id, {_TOKS} AS lst FROM documents)
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM g GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM p
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {_JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT doc_a, doc_a FROM pairs
+      UNION SELECT doc_b, doc_b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY a ORDER BY a
+    """,
+    certifies="X3 connected-components clustering over near-dup pairs (iterative label propagation vs DuckDB recursive-CTE transitive closure)",
+    tags=("llm", "dedup"),
+)
+def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup pipeline completion: Jaccard pairs → connected components →
+    (doc_id, cluster_id) with min-doc-id canonical labels.
+
+    Spark runs iterative min-label propagation (one groupBy-min shuffle per
+    round, lineage-truncated per iteration — operators/dedup.py
+    dedup_clusters); the oracle computes the same fixpoint as a DuckDB
+    recursive-CTE transitive closure. Both converge to identical labels —
+    an end-to-end certificate for the only iterative-graph operator in the
+    engine.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.shingle_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=_JACCARD_THRESHOLD)
+    return D.dedup_clusters(pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    )

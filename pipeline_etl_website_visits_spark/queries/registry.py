@@ -88,6 +88,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x68_grouped_argmax",
     "x69_adjacent_doc_jaccard",
     "x70_json_struct_agg",
+    "x71_dedup_clusters",
     # -- high-value re-checks: load-bearing operators whose code paths were
     #    touched this round or certify §2 rows --
     "x40_asof_join",
