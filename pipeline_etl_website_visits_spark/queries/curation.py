@@ -1064,3 +1064,119 @@ def x67(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_sess.groupBy(depth.alias("depth"))
         .agg(F.count("*").cast("long").alias("n_sessions"))
     )
+
+
+# --------------------------------------------------------------------------
+# x72 — sliding event-time windows (1 h window, 15 min slide)
+#
+# Spark's F.window(slide) assigns each event to window_len/slide overlapping
+# windows via an internal expand — the oracle reproduces exactly that
+# assignment arithmetically (each event belongs to the 4 windows whose
+# start lies in (sec-3600, sec] on 900 s boundaries). Certifies sliding
+# windows beside x32's tumbling form.
+# --------------------------------------------------------------------------
+@query(
+    "x72_sliding_windows",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec, value FROM events
+    ), expanded AS (
+      SELECT (sec // 900) * 900 - (3 - u.i) * 900 AS w_start, value
+      FROM e, unnest(generate_series(0, 3)) AS u(i)
+    )
+    SELECT w_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 2) AS total_value
+    FROM expanded
+    GROUP BY w_start ORDER BY w_start
+    """,
+    certifies="sliding event-time windows (SURVEY §2.10 streaming constructs, batch twin)",
+    tags=("window", "events"),
+)
+def x72(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("ts", "value")
+    win = F.window("ts", "1 hour", "15 minutes")
+    return (
+        ev.groupBy(win.alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp").cast("long").alias("w_start"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# x73 — distribution window functions (ntile / percent_rank / cume_dist)
+#
+# The ranking-distribution family over a deterministic total order
+# (n_chars, doc_id). percent_rank/cume_dist are exact rationals of row
+# counts — integer-derived, so cross-engine double equality is safe at
+# 6 dp rounding.
+# --------------------------------------------------------------------------
+@query(
+    "x73_window_distribution",
+    oracle="""
+    SELECT doc_id,
+           CAST(NTILE(4) OVER w AS INT) AS quartile,
+           ROUND(CAST(PERCENT_RANK() OVER w AS DOUBLE), 6) AS pct_rank,
+           ROUND(CAST(CUME_DIST() OVER w AS DOUBLE), 6) AS cume,
+           CAST(FIRST_VALUE(doc_id) OVER w AS BIGINT) AS shortest_doc
+    FROM documents
+    WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)
+    ORDER BY doc_id
+    """,
+    certifies="ntile/percent_rank/cume_dist/first_value distribution windows (SURVEY §2.10)",
+    tags=("window",),
+)
+def x73(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        F.round(F.percent_rank().over(w).cast("double"), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w).cast("double"), 6).alias("cume"),
+        F.first_value("doc_id").over(w).cast("long").alias("shortest_doc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x74 — unpivot / melt (wide → long)
+#
+# Spark DataFrame.unpivot (the Expand-based melt); the oracle uses the
+# portable UNION ALL formulation — semantics, not syntax, must match.
+# --------------------------------------------------------------------------
+@query(
+    "x74_unpivot_metrics",
+    oracle="""
+    SELECT o_orderkey, metric, val FROM (
+      SELECT o_orderkey, 'totalprice_floor' AS metric,
+             CAST(FLOOR(o_totalprice) AS BIGINT) AS val FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'order_year', CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) FROM orders
+      UNION ALL
+      SELECT o_orderkey, 'custkey', CAST(o_custkey AS BIGINT) FROM orders
+    )
+    ORDER BY o_orderkey, metric
+    """,
+    certifies="unpivot/melt wide-to-long (SURVEY §2.10)",
+    tags=("reshape",),
+)
+def x74(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor("o_totalprice").cast("long").alias("totalprice_floor"),
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.col("o_custkey").cast("long").alias("custkey"),
+    )
+    return o.unpivot(
+        ids=["o_orderkey"],
+        values=["totalprice_floor", "order_year", "custkey"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )

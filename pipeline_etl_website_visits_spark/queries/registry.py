@@ -89,6 +89,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x69_adjacent_doc_jaccard",
     "x70_json_struct_agg",
     "x71_dedup_clusters",
+    "x72_sliding_windows",
+    "x73_window_distribution",
+    "x74_unpivot_metrics",
     # -- high-value re-checks: load-bearing operators whose code paths were
     #    touched this round or certify §2 rows --
     "x40_asof_join",
