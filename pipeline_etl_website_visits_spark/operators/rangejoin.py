@@ -113,3 +113,49 @@ def asof_join(
             F.col("__lr.r_ts").alias("right_ts"),
         )
     )
+
+
+def interval_overlap_pairs(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    id_col: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Unordered pairs (a_id < b_id) of same-key intervals that OVERLAP:
+    ``a.start <= b.end AND b.start <= a.end``.
+
+    The theta join is executed as a bucketed equi-join: each interval is
+    replicated into every ``bucket_seconds``-wide bucket it touches
+    (bounded: intervals longer than the bucket width replicate
+    len/width + 1 times — pick the width near the median interval length),
+    overlapping intervals necessarily share a bucket, and the exact overlap
+    predicate filters bucket-edge false positives. ``distinct`` collapses
+    pairs that share several buckets. One hash shuffle on (key, bucket),
+    no cross product — the interval-join sibling of
+    :func:`time_range_join_pairs` (gap pairs) and :func:`asof_join`.
+    """
+    base = df.select(
+        F.col(key_col).alias("k"),
+        F.col(id_col).alias("id"),
+        F.unix_micros(F.col(start_col).cast("timestamp")).alias("s"),
+        F.unix_micros(F.col(end_col).cast("timestamp")).alias("e"),
+    )
+    width = bucket_seconds * 1_000_000
+    buckets = F.sequence(
+        F.floor(F.col("s") / width).cast("long"), F.floor(F.col("e") / width).cast("long")
+    )
+    tagged = base.select("k", "id", "s", "e", F.explode(buckets).alias("b"))
+    a = tagged.select("k", "b", F.col("id").alias("a_id"), F.col("s").alias("a_s"), F.col("e").alias("a_e"))
+    bb = tagged.select("k", "b", F.col("id").alias("b_id"), F.col("s").alias("b_s"), F.col("e").alias("b_e"))
+    return (
+        a.join(bb, ["k", "b"])
+        .filter(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.col("a_s") <= F.col("b_e"))
+            & (F.col("b_s") <= F.col("a_e"))
+        )
+        .select("a_id", "b_id")
+        .distinct()
+    )

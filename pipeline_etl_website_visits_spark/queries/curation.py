@@ -1180,3 +1180,48 @@ def x74(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="val",
     )
+
+
+# --------------------------------------------------------------------------
+# x75 — interval-overlap join (bucketed, no cross product)
+#
+# Intervals derived deterministically from events: [ts, ts + value minutes]
+# per user. The oracle runs the plain theta join (fine at sf0.01); Spark
+# runs the bucketed equi-join from operators/rangejoin.py — same result,
+# linear shuffle instead of the quadratic nested loop that a theta join
+# plans at scale.
+# --------------------------------------------------------------------------
+@query(
+    "x75_interval_overlap_join",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) + CAST(FLOOR(value * 60) AS BIGINT) AS e
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.event_id AS a_id, b.event_id AS b_id
+    FROM iv a JOIN iv b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND a.s <= b.e AND b.s <= a.e
+    ORDER BY a_id, b_id
+    """,
+    certifies="interval-overlap join via bucketed equi-join (SURVEY §2.10 'no range/as-of/interval joins')",
+    tags=("join", "events", "scale"),
+)
+def x75(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators.rangejoin import interval_overlap_pairs
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("start_ts"),
+        (
+            F.col("ts").cast("timestamp").cast("long")
+            + F.floor(F.col("value") * 60).cast("long")
+        ).cast("timestamp").alias("end_ts"),
+    )
+    return interval_overlap_pairs(
+        iv, "user_id", "start_ts", "end_ts", "event_id", bucket_seconds=3600
+    ).select(F.col("a_id").cast("long"), F.col("b_id").cast("long"))

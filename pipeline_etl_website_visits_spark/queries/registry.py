@@ -92,6 +92,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x72_sliding_windows",
     "x73_window_distribution",
     "x74_unpivot_metrics",
+    "x75_interval_overlap_join",
     # -- high-value re-checks: load-bearing operators whose code paths were
     #    touched this round or certify §2 rows --
     "x40_asof_join",

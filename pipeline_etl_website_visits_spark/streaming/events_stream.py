@@ -93,3 +93,24 @@ def start_dedup_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sliding_window_value_sums(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """1-hour windows sliding every 15 minutes (the streaming twin of the
+    declared batch query ``x72_sliding_windows``): each event lands in 4
+    overlapping windows; the watermark bounds state exactly as for tumbling
+    windows — window count scales the state, not the correctness story.
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp").cast("long").alias("w_start"),
+            "n_events",
+            "total_value",
+        )
+    )

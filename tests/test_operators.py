@@ -289,3 +289,36 @@ def test_bigram_rarity_exact_counts(spark):
     assert out[1]["n_bigrams"] == 4 and out[1]["n_rare_bigrams"] == 2
     assert out[2]["n_bigrams"] == 2 and out[2]["n_rare_bigrams"] == 1
     assert out[2]["rare_pct"] == 50.0
+
+
+def test_interval_overlap_pairs_matches_brute_force(spark):
+    """Bucketed interval-overlap join == the O(n^2) reference on random
+    intervals, including spans much longer than the bucket width and exact
+    touch-at-endpoint overlaps."""
+    import random
+
+    from pipeline_etl_website_visits_spark.operators.rangejoin import interval_overlap_pairs
+
+    rng = random.Random(11)
+    rows = []
+    for i in range(120):
+        k = rng.randint(0, 3)
+        s = rng.randint(0, 50_000)
+        dur = rng.choice([0, 10, 500, 5000, 20_000])  # zero-length + >>bucket
+        rows.append((k, i, s, s + dur))
+    df = spark.createDataFrame(rows, "k int, id int, s long, e long").select(
+        "k", "id",
+        F.col("s").cast("timestamp").alias("start_ts"),
+        F.col("e").cast("timestamp").alias("end_ts"),
+    )
+    got = sorted(
+        (r["a_id"], r["b_id"])
+        for r in interval_overlap_pairs(df, "k", "start_ts", "end_ts", "id", bucket_seconds=1000).collect()
+    )
+    expect = sorted(
+        (a[1], b[1])
+        for i, a in enumerate(rows)
+        for b in rows[i + 1 :]
+        if a[0] == b[0] and a[2] <= b[3] and b[2] <= a[3] and a[1] < b[1]
+    )
+    assert got == expect

@@ -177,3 +177,39 @@ def test_stream_dedup_within_watermark_drops_replays(spark, tmp_path):
     expected = {r["event_id"] for r in events.select("event_id").collect()}
     assert len(ids) == len(set(ids)), "duplicate event_id in deduped stream output"
     assert set(ids) == expected
+
+
+def test_sliding_window_stream_matches_batch(spark, tmp_path):
+    """Streaming sliding windows (1h / 15min, AvailableNow) produce exactly
+    the batch x72 result — the overlap expansion and watermark bookkeeping
+    change nothing about the final aggregates."""
+    from pipeline_etl_website_visits_spark.streaming.events_stream import (
+        read_events_stream,
+        sliding_window_value_sums,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    events_dir = str(tmp_path / "events_sw")
+    events.write.parquet(events_dir)
+    ckpt = str(tmp_path / "ckpt_sw")
+
+    agg = sliding_window_value_sums(read_events_stream(spark, events_dir, events.schema))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_sw")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r["w_start"]: (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM t_sw").collect()
+    }
+    batch = {
+        r["w_start"]: (r["n_events"], r["total_value"])
+        for r in REGISTRY["x72_sliding_windows"].spark(spark, SF_DIR).collect()
+    }
+    assert got == batch
