@@ -3,12 +3,19 @@
 Design for 100 TB multimodal corpora: media lives in opaque ``binary``
 columns (or content-addressed paths) beside typed metadata; decode /
 feature-extraction runs as Arrow-batched ``mapInPandas`` so bytes never
-round-trip through Python row-at-a-time. The Spark-side plumbing here —
-source schema, batch iteration, output typing, partition sizing — is real
-and tested; the *codec* step is stubbed (this container ships no image/audio
-libraries): :func:`decode_image_meta` computes deterministic fake features
-and :func:`decode_image_real` raises ``NotImplementedError`` with the
-intended implementation documented.
+round-trip through Python row-at-a-time.
+
+Codec status: :func:`decode_image_real` is a REAL decoder — PNG decodes
+with the in-module pure-python codec (:func:`png_decode`: zlib inflate +
+scanline unfilter, all five filter types and color types, no external
+library), Pillow extends coverage to JPEG/GIF when importable, and
+per-file failures are isolated into an ``error`` column. The
+oracle-backed query ``x61_multimodal_png_roundtrip`` certifies the codec
+end-to-end. :func:`decode_image_meta` remains the cheap
+deterministic-feature path (stable geometry derived from the content
+digest) for tests and pipelines that only need plumbing-true features;
+frame sampling / resize / embedding keep documented stub models behind
+real Arrow batch plumbing.
 """
 
 from __future__ import annotations
