@@ -984,9 +984,12 @@ def x66(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     fp = F.md5(F.col("n_chars").cast("string"))
     corpus = docs.select("doc_id", "lang", "n_chars", fp.alias("__fp"))
-    contam = docs.filter(F.col("source") == "src0").select(fp.alias("__fp")).distinct()
+    # no .distinct(): left_anti is unaffected by duplicate keys on the build
+    # side and the prefix collect dedups in Python — dropping it removes a
+    # shuffle from the build path.
+    contam = docs.filter(F.col("source") == "src0").select(fp.alias("__fp"))
     # driver-side sketch: bounded by construction at 65536 prefixes
-    prefixes = [r[0] for r in contam.select(F.substring("__fp", 1, 4)).distinct().collect()]
+    prefixes = sorted({r[0] for r in contam.select(F.substring("__fp", 1, 4)).collect()})
     pref = F.substring(F.col("__fp"), 1, 4)
     provably_clean = corpus.filter(~pref.isin(prefixes))
     candidates = corpus.filter(pref.isin(prefixes))

@@ -512,6 +512,7 @@ def x60(spark: SparkSession, sf_dir: str) -> DataFrame:
            1 AS n_channels,
            CAST((doc_id * 37) % 256 AS DOUBLE) AS mean_luma
     FROM documents
+    WHERE doc_id % 5 = 0
     ORDER BY doc_id
     """,
     certifies="X5 multimodal: REAL in-engine PNG encode->decode (zlib+unfilter) with pixel statistics the oracle derives arithmetically",
@@ -558,7 +559,16 @@ def x61(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rows, columns=["doc_id", "width", "height", "n_channels", "mean_luma"]
             )
 
-    docs = load_table(spark, sf_dir, "documents", fan_out=True).select("doc_id")
+    # Deterministic 1-in-5 subset: the codec certificate needs coverage, not
+    # the whole corpus — the round-trip is pure per-row Python work that the
+    # arithmetic-only oracle never pays, so bounding it keeps the suite's
+    # wall time honest while every code path (encode, inflate, unfilter,
+    # stats) still runs hundreds of times per check.
+    docs = (
+        load_table(spark, sf_dir, "documents", fan_out=True)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
     return docs.mapInPandas(
         roundtrip,
         "doc_id long, width int, height int, n_channels int, mean_luma double",
