@@ -44,10 +44,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str, fan_out: bool = Fals
     key = (id(spark), sf_dir, name, fan_out)
     df = _TABLE_CACHE.get(key)
     if df is None:
-        if name == "events":
-            df = _load_events(spark, sf_dir)
-        else:
-            df = spark.read.parquet(table_path(sf_dir, name))
+        df = _load_normalized(spark, sf_dir, name)
         if fan_out:
             df = _fan_out(spark, sf_dir, name, df)
         _TABLE_CACHE[key] = df
@@ -81,28 +78,66 @@ def _fan_out(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> Data
     return df.repartition(spark.sparkContext.defaultParallelism)
 
 
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Normalize the events ``ts`` column to session-zoned TIMESTAMP whatever
-    physical type the parquet writer chose:
+def _parquet_timestamp_columns(path: str) -> dict[str, str]:
+    """Footer-level timestamp inventory: column -> 'ns' | 'ntz' | 'tz'.
 
-    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it — read nanos as
-      long and truncate to microseconds with integer arithmetic (``div`` — no
-      double round-trip, exact for any epoch), matching DuckDB's ns→us
-      truncation.
+    Reads only the parquet schema (no data). Directories are handled by
+    inspecting the first part file.
+    """
+    import pyarrow.parquet as pq
+    import pyarrow.types as pt
+
+    if os.path.isdir(path):
+        parts = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            return {}
+        path = parts[0]
+    out: dict[str, str] = {}
+    for field in pq.read_schema(path):
+        if pt.is_timestamp(field.type):
+            if field.type.unit == "ns":
+                out[field.name] = "ns"
+            elif field.type.tz is None:
+                out[field.name] = "ntz"
+            else:
+                out[field.name] = "tz"
+    return out
+
+
+def _load_normalized(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read a table with every timestamp column normalized to session-zoned
+    TIMESTAMP, whatever physical type the test-data generator chose.
+
+    This generalizes the round-2 events lesson to ALL tables and columns:
+
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it outright — set
+      ``nanosAsLong`` and truncate to microseconds with integer arithmetic
+      (``div`` — no double round-trip, exact for any epoch), matching
+      DuckDB's ns→us truncation. Detection is footer-level (pyarrow schema):
+      with nanosAsLong on, a nanos column surfaces as plain ``bigint``,
+      indistinguishable from a true long column without the footer.
     - plain ``timestamp[us]`` (no tz): Spark 4 infers TIMESTAMP_NTZ, which
-      downstream ``unix_micros``/``cast("long")`` reject — cast to TIMESTAMP.
-      The session tz is pinned to UTC (session.py), so wall-clock semantics
+      ``unix_micros``/``cast("long")`` reject — cast to TIMESTAMP. The
+      session tz is pinned to UTC (session.py), so wall-clock semantics
       match the naive DuckDB oracle exactly.
     """
     from pyspark.sql import functions as F
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(table_path(sf_dir, "events"))
-    ts_type = dict(df.dtypes).get("ts")
-    if ts_type == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    elif ts_type == "timestamp_ntz":
-        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
+    path = table_path(sf_dir, name)
+    try:
+        ts_cols = _parquet_timestamp_columns(path)
+    except Exception:
+        ts_cols = {}
+    if any(kind == "ns" for kind in ts_cols.values()):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for col, kind in ts_cols.items():
+        if kind == "ns":
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+        elif kind == "ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
     return df
 
 

@@ -76,3 +76,31 @@ def test_table_cache_keyed_by_dir(spark, tmp_path):
     assert dict(da.dtypes)["ts"] == "timestamp"
     assert dict(db.dtypes)["ts"] == "timestamp"
     assert tables._TABLE_CACHE  # memo actually populated
+
+
+def test_all_tables_timestamps_normalized(spark, tmp_path):
+    """The round-2 events lesson generalized: ANY table whose timestamp
+    columns arrive as nanos or NTZ loads with session-zoned TIMESTAMP."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq2
+
+    t = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2], type=pa.int64()),
+            "o_orderdate": pa.array(TS[:2], type=pa.timestamp("ns")),
+            "o_audit_ts": pa.array(TS[:2], type=pa.timestamp("us")),
+        }
+    )
+    pq2.write_table(t, str(tmp_path / "orders.parquet"))
+    df = load_table(spark, str(tmp_path), "orders")
+    dtypes = dict(df.dtypes)
+    assert dtypes["o_orderdate"] == "timestamp"
+    assert dtypes["o_audit_ts"] == "timestamp"
+    # wall-clock values preserved (session tz UTC)
+    from pyspark.sql import functions as F
+
+    vals = sorted(r[0] for r in df.select(F.col("o_orderdate").cast("long")).collect())
+    expected = sorted(
+        int(x.replace(tzinfo=datetime.timezone.utc).timestamp()) for x in TS[:2]
+    )
+    assert vals == expected
