@@ -237,3 +237,19 @@ def test_kmeans_iteration_is_map_only(spark):
 
     out = base.mapInPandas(noop, base.schema)
     assert "Exchange" not in simple_plan(out)
+
+
+def test_sized_shingles_array_derived_once(spark):
+    """Regression guard for the InferFiltersFromGenerate exclusion
+    (session.py): with the rule active, exploding the materialized gram
+    array attribute infers a size()>0 filter that re-derives the ENTIRE
+    shingle pipeline inside a scan-side filter (measured 10x on the sf0.1
+    dedup suite). The optimized plan must contain the array_distinct
+    expression exactly once — in the projection, not duplicated into any
+    Filter."""
+    from pipeline_etl_website_visits_spark.operators.dedup import shingles
+
+    docs = load_table(spark, SF_DIR, "documents")
+    g = shingles(docs, "text", "doc_id", 3, with_size=True)
+    optimized = g._jdf.queryExecution().optimizedPlan().toString()
+    assert optimized.count("array_distinct") == 1
