@@ -630,3 +630,57 @@ def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
     )
+
+
+@query(
+    "x76_multimodal_wav_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           CAST(8000 + (doc_id % 4) * 4000 AS INT) AS sample_rate,
+           CAST((8000 + (doc_id % 4) * 4000) // 100 AS BIGINT) AS n_samples,
+           CAST((doc_id * 13) % 3000 AS DOUBLE) AS rms
+    FROM documents
+    WHERE doc_id % 5 = 0
+    ORDER BY doc_id
+    """,
+    certifies="X5 multimodal audio: REAL in-engine WAV encode->decode (stdlib PCM codec) with signal stats the oracle derives arithmetically",
+    tags=("llm", "multimodal"),
+)
+def x76(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio sibling of x61: fabricate a REAL 16-bit PCM WAV per document
+    (rate and constant amplitude arithmetic functions of doc_id, 10 ms of
+    samples), decode it with the stdlib codec, emit recovered signal stats.
+    RMS of a constant-amplitude signal is exactly that amplitude, so the
+    oracle needs no DSP. Map-only Arrow batches; 1-in-5 subset like x61.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pipeline_etl_website_visits_spark.operators.multimodal import wav_decode, wav_encode
+
+    def roundtrip(batches):
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].to_numpy():
+                rate = int(8000 + (did % 4) * 4000)
+                n = rate // 100  # 10 ms
+                amp = int((did * 13) % 3000)
+                arr, got_rate = wav_decode(wav_encode(np.full(n, amp, dtype=np.int16), rate))
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "sample_rate": got_rate,
+                        "n_samples": arr.shape[0],
+                        "rms": float(np.sqrt(np.mean(arr.astype(np.float64) ** 2))),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=["doc_id", "sample_rate", "n_samples", "rms"])
+
+    docs = (
+        load_table(spark, sf_dir, "documents", fan_out=True)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(
+        roundtrip, "doc_id long, sample_rate int, n_samples long, rms double"
+    )

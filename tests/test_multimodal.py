@@ -180,3 +180,31 @@ def test_embed_media_feeds_similarity_search(spark, media_dir):
     res = cosine_topk(with_ids.limit(1), with_ids, k=min(3, n - 1)).collect()
     assert len(res) == min(3, n - 1)
     assert all(-1.0001 <= r["sim"] <= 1.0001 for r in res)
+
+
+def test_real_wav_roundtrip(spark, tmp_path):
+    """wav_encode → decode_audio_real recovers rate/channels/length and the
+    exact RMS of known signals (sine mono + constant stereo)."""
+    import numpy as np
+
+    from pipeline_etl_website_visits_spark.operators.multimodal import wav_encode
+
+    from pipeline_etl_website_visits_spark.operators.multimodal import decode_audio_real
+
+    d = tmp_path / "wav"
+    d.mkdir()
+    t = np.arange(1600)
+    sine = (np.sin(2 * np.pi * 440 * t / 16000) * 10000).astype(np.int16)
+    stereo = np.full((800, 2), 1234, dtype=np.int16)
+    (d / "sine.wav").write_bytes(wav_encode(sine, 16000))
+    (d / "stereo.wav").write_bytes(wav_encode(stereo, 8000))
+    (d / "junk.wav").write_bytes(b"RIFFnotawav")
+
+    out = {r["path"].rsplit("/", 1)[-1]: r for r in decode_audio_real(read_binary_dir(spark, str(d))).collect()}
+    s = out["sine.wav"]
+    assert (s["sample_rate"], s["n_channels"], s["n_samples"], s["error"]) == (16000, 1, 1600, None)
+    assert abs(s["rms"] - float(np.sqrt(np.mean(sine.astype(np.float64) ** 2)))) < 1e-9
+    st = out["stereo.wav"]
+    assert (st["sample_rate"], st["n_channels"], st["n_samples"]) == (8000, 2, 800)
+    assert abs(st["rms"] - 1234.0) < 1e-9
+    assert out["junk.wav"]["error"] is not None
