@@ -920,3 +920,38 @@ def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("event_id").cast("long").alias("min_event_id"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# x77 — statistical aggregate family (corr / covar / stddev / skew / kurt)
+#
+# Dialect traps resolved empirically at all three SFs: Spark's skewness is
+# the POPULATION g1 while DuckDB's is the bias-corrected sample G1 — the
+# oracle converts exactly via g1 = G1 * (n-2) / sqrt(n*(n-1)); Spark's
+# kurtosis matches DuckDB's kurtosis_pop (both population excess).
+# Roundings chosen so distributed-vs-single-pass accumulation-order noise
+# (~1e-12 relative) can never flip a digit.
+# --------------------------------------------------------------------------
+@query(
+    "x77_stat_aggregates",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           ROUND(covar_samp(l_quantity, l_extendedprice), 3) AS covar_qty_price,
+           ROUND(stddev_samp(l_extendedprice), 3) AS sd_price,
+           ROUND(skewness(l_extendedprice) * (COUNT(*) - 2) / sqrt(COUNT(*) * (COUNT(*) - 1.0)), 5) AS skew_price,
+           ROUND(kurtosis_pop(l_extendedprice), 5) AS kurt_price
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    certifies="statistical aggregates: corr/covar_samp/stddev_samp/skewness/kurtosis (SURVEY §2.10 math family)",
+    tags=("agg", "stats"),
+)
+def x77(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 3).alias("covar_qty_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 3).alias("sd_price"),
+        F.round(F.skewness("l_extendedprice"), 5).alias("skew_price"),
+        F.round(F.kurtosis("l_extendedprice"), 5).alias("kurt_price"),
+    )
