@@ -369,3 +369,89 @@ def bigram_rarity(
         "n_rare_bigrams",
         ratio_round(F.col("n_rare_bigrams") * 100, F.col("n_bigrams"), 1).alias("rare_pct"),
     )
+
+
+def learn_bpe_merges(
+    df: DataFrame, text_col: str, id_col: str, num_merges: int = 8
+) -> DataFrame:
+    """Byte-pair-encoding merge learning (tokenizer training) over a corpus.
+
+    Classic BPE on word types: words become character-symbol sequences with
+    an end-of-word marker on the last symbol; each round counts adjacent
+    symbol pairs across the corpus weighted by word frequency, takes the
+    most frequent pair (ties broken lexicographically — fully
+    deterministic), and fuses that pair everywhere. Returns the learned
+    merge table (merge_rank, left, right, merged, pair_count).
+
+    Scale shape: the corpus collapses to the WORD-TYPE table first (one
+    groupBy — BPE statistics only depend on word frequencies, the standard
+    trick), which is orders of magnitude smaller than the token stream.
+    Each round is: HOF zip-with over the symbol arrays → explode pairs →
+    groupBy sum → take-1 (tiny) → Arrow mapInPandas applying the fusion.
+    Per round: one shuffle over pair counts + one map-only rewrite. The
+    word-type table stays distributed throughout — nothing corpus-sized
+    ever reaches the driver; only the single winning pair per round does.
+    """
+    import pandas as pd
+
+    words = (
+        df.select(F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # symbols: characters, with "</w>" appended to the final one
+    syms = F.transform(
+        F.split(F.col("w"), ""),
+        lambda c, i: F.when(i == F.length("w") - 1, F.concat(c, F.lit("</w>"))).otherwise(c),
+    )
+    vocab = words.select(F.col("cnt"), syms.alias("s")).localCheckpoint(eager=True)
+
+    merges = []
+    for rank in range(num_merges):
+        pairs = vocab.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("s"), 1, F.greatest(F.size("s") - 1, F.lit(0))),
+                    F.slice(F.col("s"), 2, F.greatest(F.size("s") - 1, F.lit(0))),
+                    lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.l", "p.r")
+            .agg(F.sum("cnt").alias("c"))
+            .orderBy(F.col("c").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
+        merges.append((rank, l, r, l + r, c))
+
+        def fuse(batches, _l=l, _r=r):
+            for pdf in batches:
+                out = []
+                for s in pdf["s"]:
+                    s = list(s)
+                    res, i = [], 0
+                    while i < len(s):
+                        if i + 1 < len(s) and s[i] == _l and s[i + 1] == _r:
+                            res.append(_l + _r)
+                            i += 2
+                        else:
+                            res.append(s[i])
+                            i += 1
+                    out.append(res)
+                yield pd.DataFrame({"cnt": pdf["cnt"], "s": out})
+
+        # localCheckpoint truncates the per-round lineage (same policy as
+        # dedup_clusters; reliable checkpoint dir at cluster scale)
+        vocab = vocab.mapInPandas(fuse, "cnt long, s array<string>").localCheckpoint(eager=True)
+
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges, "merge_rank int, left string, right string, merged string, pair_count long"
+    )

@@ -684,3 +684,19 @@ def x76(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         roundtrip, "doc_id long, sample_rate int, n_samples long, rms double"
     )
+
+
+@query(
+    "x78_bpe_merges",
+    oracle=None,
+    certifies="X4 BPE merge learning (tokenizer training): iterative corpus op, not SQL-expressible; exactness vs the classic algorithm in tests/test_curation_ops.py::test_bpe_merges_match_reference",
+    tags=("llm", "text", "no-oracle"),
+)
+def x78(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 3 BPE merges learned from the documents corpus (word-type
+    table stays distributed; one pair-count shuffle + one map-only fusion
+    per round). Rows-only driver check (3 rows, deterministic content);
+    the 6-round exactness test pins the algorithm against the classic
+    single-machine reference."""
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return T.learn_bpe_merges(docs, "text", "doc_id", num_merges=3)

@@ -95,6 +95,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x75_interval_overlap_join",
     "x76_multimodal_wav_roundtrip",
     "x77_stat_aggregates",
+    "x78_bpe_merges",
     # -- high-value re-checks: load-bearing operators whose code paths were
     #    touched this round or certify §2 rows --
     "x40_asof_join",

@@ -128,3 +128,52 @@ def test_winnowing_guarantees_shared_fingerprint(spark):
     for doc_id, fps in sets.items():
         assert out[doc_id]["n_fingerprints"] == len(fps) <= 11
         assert out[doc_id]["min_fp"] == min(fps) and out[doc_id]["max_fp"] == max(fps)
+
+
+def test_bpe_merges_match_reference(spark):
+    """Distributed BPE merge learning == the classic single-machine
+    algorithm (word-type counts, lexicographic tie-break) on a small
+    corpus."""
+    from collections import Counter
+
+    from pipeline_etl_website_visits_spark.operators.text import learn_bpe_merges
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "wider wider new new",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+
+    # reference implementation
+    words = Counter(w for t in texts for w in t.split())
+    vocab = {tuple(list(w[:-1]) + [w[-1] + "</w>"]): c for w, c in words.items()}
+    expect = []
+    for rank in range(6):
+        pc = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        expect.append((rank, l, r, l + r, c))
+        new_vocab = {}
+        for syms, cnt in vocab.items():
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            new_vocab[tuple(res)] = new_vocab.get(tuple(res), 0) + cnt
+        vocab = new_vocab
+
+    got = [
+        (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_count"])
+        for r in learn_bpe_merges(df, "text", "doc_id", num_merges=6).collect()
+    ]
+    assert got == expect
