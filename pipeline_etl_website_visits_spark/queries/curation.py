@@ -1216,14 +1216,15 @@ def x75(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_etl_website_visits_spark.operators.rangejoin import interval_overlap_pairs
 
     ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    # second-truncate the START too: the oracle works in whole epoch seconds,
+    # and a microsecond left on the Spark side flips touch-at-endpoint pairs
+    # (caught at sf0.1: one boundary pair off).
+    sec = F.col("ts").cast("timestamp").cast("long")
     iv = ev.select(
         "user_id",
         "event_id",
-        F.col("ts").alias("start_ts"),
-        (
-            F.col("ts").cast("timestamp").cast("long")
-            + F.floor(F.col("value") * 60).cast("long")
-        ).cast("timestamp").alias("end_ts"),
+        sec.cast("timestamp").alias("start_ts"),
+        (sec + F.floor(F.col("value") * 60).cast("long")).cast("timestamp").alias("end_ts"),
     )
     return interval_overlap_pairs(
         iv, "user_id", "start_ts", "end_ts", "event_id", bucket_seconds=3600
