@@ -253,3 +253,14 @@ def test_sized_shingles_array_derived_once(spark):
     g = shingles(docs, "text", "doc_id", 3, with_size=True)
     optimized = g._jdf.queryExecution().optimizedPlan().toString()
     assert optimized.count("array_distinct") == 1
+
+
+def test_temporal_joins_never_nested_loop(spark):
+    """x39/x75: the bucketed reformulations exist precisely so Catalyst
+    never plans a CartesianProduct / BroadcastNestedLoopJoin — the quadratic
+    plans their theta-join equivalents would get."""
+    for name in ("x39_time_range_join", "x75_interval_overlap_join"):
+        plan = simple_plan(REGISTRY[name].spark(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, name
