@@ -955,3 +955,38 @@ def x77(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("l_extendedprice"), 5).alias("skew_price"),
         F.round(F.kurtosis("l_extendedprice"), 5).alias("kurt_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# x79 — recursive CTE (bounded hierarchy walk)
+#
+# Spark 4.1's WITH RECURSIVE (UNION ALL form) over a synthetic binary tree
+# on order keys (parent(k) = k // 2 — acyclic, so UNION ALL terminates;
+# every node is reached exactly once). Both engines run the IDENTICAL
+# statement text. Depth bound belt-and-braces against runaway recursion.
+# --------------------------------------------------------------------------
+_X79_SQL = """
+    WITH RECURSIVE walk(k, depth) AS (
+      SELECT CAST(1 AS BIGINT) AS k, 0 AS depth
+      UNION ALL
+      SELECT o.o_orderkey, w.depth + 1
+      FROM orders o JOIN walk w ON CAST(FLOOR(o.o_orderkey / 2) AS BIGINT) = w.k
+      WHERE o.o_orderkey > 1 AND w.depth < 30
+    )
+    SELECT CAST(depth AS INT) AS depth,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(k) AS BIGINT) AS min_key,
+           CAST(MAX(k) AS BIGINT) AS max_key
+    FROM walk GROUP BY depth ORDER BY depth
+"""
+
+
+@query(
+    "x79_recursive_cte",
+    oracle=_X79_SQL,
+    certifies="recursive CTE (WITH RECURSIVE, UNION ALL form) — bounded hierarchy traversal, identical statement text on both engines",
+    tags=("sql", "recursive"),
+)
+def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_X79_SQL)

@@ -96,6 +96,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x76_multimodal_wav_roundtrip",
     "x77_stat_aggregates",
     "x78_bpe_merges",
+    "x79_recursive_cte",
     # -- high-value re-checks: load-bearing operators whose code paths were
     #    touched this round or certify §2 rows --
     "x40_asof_join",
