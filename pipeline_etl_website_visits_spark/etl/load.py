@@ -196,8 +196,14 @@ class Warehouse:
         """
         if not events:
             return
+        # explicit per-flush sequence: every row of a flush shares one
+        # current_timestamp(), so the timestamp alone cannot order stages
+        import time
+
+        base_seq = int(time.time() * 1000) * 1000  # flush epoch-ms, 1000 slots
         rows = self.spark.createDataFrame(
-            events, "nombreArchivo string, etapa string, nivel string, mensaje string"
+            [(f, e, lv, m, base_seq + i) for i, (f, e, lv, m) in enumerate(events)],
+            "nombreArchivo string, etapa string, nivel string, mensaje string, seq long",
         ).withColumn("fechaProceso", F.current_timestamp()).withColumn(
             "fecha", F.date_format(F.current_date(), "ddMMyy")
         )
@@ -208,7 +214,7 @@ class Warehouse:
         logs = self.read("logs")
         if logs is None:
             return None
-        return logs.filter(F.col("nombreArchivo") == filename).orderBy("fechaProceso")
+        return logs.filter(F.col("nombreArchivo") == filename).orderBy("seq")
 
     # -- bitacora commit marker (K3, written last) ---------------------------
     def log_bitacora(self, filename: str, ok_count: int, err_count: int, status: str) -> None:

@@ -126,16 +126,20 @@ def process_file(
             trail.append((filename, "MERGE", "INFO", "skipped (already applied)"))
 
         status = S.STATUS_OK_WITH_ERRORS if err_count > 0 else S.STATUS_OK  # D9 fixed
-        warehouse.log_bitacora(filename, ok_count, err_count, status)  # commit marker, last
+        # trail flushed BEFORE the bitacora commit marker: the marker must
+        # stay the LAST write (K4 protocol), and a failing informational
+        # logs-append must not retroactively mark a committed file FALLO.
         trail.append((filename, "CARGADO", "INFO", status))
         warehouse.log_file_events(trail)
+        trail = []  # flushed — the except path appends only its own suffix
+        warehouse.log_bitacora(filename, ok_count, err_count, status)  # commit marker, last
         stats.unpersist()
         errores.unpersist()
         return FileResult(filename, status, ok_count, err_count, extra_columns=extra)
     except Exception as e:  # noqa: BLE001 — per-file isolation (O4)
         warehouse.log_bitacora(filename, 0, 0, S.STATUS_SYSTEM_FAIL)
         trail.append((filename, "FALLO", "ERROR", f"{type(e).__name__}: {e}"))
-        warehouse.log_file_events(trail)
+        warehouse.log_file_events(trail)  # unflushed prefix + the FALLO row
         return FileResult(filename, S.STATUS_SYSTEM_FAIL)
 
 

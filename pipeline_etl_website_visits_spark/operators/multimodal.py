@@ -263,6 +263,24 @@ def decode_image_real(df: DataFrame, batch_size: int = 64) -> DataFrame:
                     "error": None,
                 }
                 try:
+                    # Pillow first when importable (wider coverage: JPEG/GIF,
+                    # interlaced/16-bit PNG, and a C-speed unfilter); the
+                    # pure-python PNG codec is the no-dependency fallback.
+                    if _pil is not None:
+                        try:
+                            im = _pil.open(io.BytesIO(data))
+                            px = np.asarray(im.convert("RGB"), dtype=np.uint8)
+                            row.update(
+                                format=(im.format or "unknown").lower(),
+                                width=px.shape[1],
+                                height=px.shape[0],
+                                n_channels=px.shape[2],
+                                mean_luma=_luma(px),
+                            )
+                            out.append(row)
+                            continue
+                        except Exception:
+                            pass  # fall through to the internal codec
                     if data.startswith(_PNG_MAGIC):
                         px = png_decode(data)
                         row.update(
@@ -272,18 +290,12 @@ def decode_image_real(df: DataFrame, batch_size: int = 64) -> DataFrame:
                             n_channels=px.shape[2],
                             mean_luma=_luma(px),
                         )
-                    elif _pil is not None:
-                        im = _pil.open(io.BytesIO(data))
-                        px = np.asarray(im.convert("RGB"), dtype=np.uint8)
-                        row.update(
-                            format=(im.format or "unknown").lower(),
-                            width=px.shape[1],
-                            height=px.shape[0],
-                            n_channels=px.shape[2],
-                            mean_luma=_luma(px),
-                        )
                     else:
-                        raise ValueError("unsupported format (no PNG magic, Pillow absent)")
+                        raise ValueError(
+                            "unsupported format (no PNG magic"
+                            + (", Pillow absent" if _pil is None else ", Pillow failed")
+                            + ")"
+                        )
                 except Exception as e:  # per-file isolation
                     row["error"] = f"{type(e).__name__}: {e}"
                 out.append(row)

@@ -98,12 +98,14 @@ def cosine_topk(
         # set fails fast with a clear contract error instead of OOMing the
         # driver mid-collect. (limit() costs nothing extra: the collect was
         # happening anyway.)
-        max_q = MAX_DRIVER_STATE_BYTES // (8 * 256)  # conservative dim guess pre-fetch
+        probe = queries.select(F.col(vec_col)).head(1)
+        dim = len(probe[0][0]) if probe else 1
+        max_q = MAX_DRIVER_STATE_BYTES // (8 * max(dim, 1))
         qrows = queries.select(F.col(id_col), F.col(vec_col)).limit(max_q + 1).collect()
         if len(qrows) > max_q:
             raise ValueError(
-                f"cosine_topk query set exceeds {max_q} rows — it must be "
-                "broadcastable; use ann_lsh_topk/ivf_topk for large query sides"
+                f"cosine_topk query set exceeds {max_q} rows at dim={dim} — it "
+                "must be broadcastable; use ann_lsh_topk/ivf_topk for large query sides"
             )
         qids = [r[0] for r in qrows]
         qm = np.asarray([r[1] for r in qrows], dtype=np.float64)
@@ -283,7 +285,7 @@ def ann_lsh_topk(
 def ivf_assign_udf(centroids: "np.ndarray"):
     """Nearest-centroid assignment (cosine) as an Arrow-batched matmul."""
     c = np.asarray(centroids, dtype=np.float64)
-    c_norm = c / np.linalg.norm(c, axis=1, keepdims=True)
+    c_norm = c / np.maximum(np.linalg.norm(c, axis=1, keepdims=True), 1e-12)
 
     @pandas_udf("int")
     def assign(vecs: pd.Series) -> pd.Series:
@@ -334,7 +336,7 @@ def ivf_topk(
     )
 
     # queries probe their nprobe nearest centroid lists
-    c_norm = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    c_norm = centroids / np.maximum(np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12)
 
     @pandas_udf("array<int>")
     def probe(vecs: pd.Series) -> pd.Series:
@@ -474,36 +476,7 @@ def kmeans_assign(
 
     vecs_only = base.select("v")
     for _ in range(iters):
-        c = centroids
-        c_norm = c / np.linalg.norm(c, axis=1, keepdims=True)
-        kk, dim = c.shape
-
-        def partials(batches, _cn=c_norm, _k=kk, _d=dim):
-            sums = np.zeros((_k, _d), dtype=np.float64)
-            counts = np.zeros(_k, dtype=np.int64)
-            seen = False
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                seen = True
-                m = np.asarray(pdf["v"].tolist(), dtype=np.float64)
-                mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-                a = np.argmax(mn @ _cn.T, axis=1)
-                np.add.at(sums, a, m)
-                counts += np.bincount(a, minlength=_k)
-            if seen:
-                nz = np.flatnonzero(counts)
-                yield pd.DataFrame(
-                    {
-                        "cluster_id": nz.astype("int32"),
-                        "s": [sums[i].tolist() for i in nz],
-                        "c": counts[nz],
-                    }
-                )
-
-        rows = vecs_only.mapInPandas(
-            partials, "cluster_id int, s array<double>, c long"
-        ).collect()
+        rows = _centroid_partials_frame(vecs_only, centroids).collect()
         sums = np.zeros_like(centroids)
         counts = np.zeros(len(centroids), dtype=np.int64)
         for r in rows:  # collect() preserves partition order → deterministic
@@ -516,6 +489,43 @@ def kmeans_assign(
 
     assign = ivf_assign_udf(centroids)
     return base.select("id", assign(F.col("v")).alias("cluster_id"))
+
+
+def _centroid_partials_frame(vecs_only: DataFrame, centroids: "np.ndarray") -> DataFrame:
+    """ONE k-means Lloyd iteration as a DataFrame: each partition assigns
+    its vectors (Arrow matmul against the broadcast centroids) and emits its
+    k×dim partial sums + counts. Map-only by construction — the plan test
+    asserts no Exchange on exactly this frame. Input: a single ``v``
+    (array) column."""
+    c_norm = centroids / np.maximum(
+        np.linalg.norm(centroids, axis=1, keepdims=True), 1e-12
+    )
+    kk, dim = centroids.shape
+
+    def partials(batches, _cn=c_norm, _k=kk, _d=dim):
+        sums = np.zeros((_k, _d), dtype=np.float64)
+        counts = np.zeros(_k, dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            seen = True
+            m = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            mn = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+            a = np.argmax(mn @ _cn.T, axis=1)
+            np.add.at(sums, a, m)
+            counts += np.bincount(a, minlength=_k)
+        if seen:
+            nz = np.flatnonzero(counts)
+            yield pd.DataFrame(
+                {
+                    "cluster_id": nz.astype("int32"),
+                    "s": [sums[i].tolist() for i in nz],
+                    "c": counts[nz],
+                }
+            )
+
+    return vecs_only.mapInPandas(partials, "cluster_id int, s array<double>, c long")
 
 
 def kmeans_summary(

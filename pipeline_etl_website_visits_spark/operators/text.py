@@ -371,9 +371,7 @@ def bigram_rarity(
     )
 
 
-def learn_bpe_merges(
-    df: DataFrame, text_col: str, id_col: str, num_merges: int = 8
-) -> DataFrame:
+def learn_bpe_merges(df: DataFrame, text_col: str, num_merges: int = 8) -> DataFrame:
     """Byte-pair-encoding merge learning (tokenizer training) over a corpus.
 
     Classic BPE on word types: words become character-symbol sequences with

@@ -699,4 +699,4 @@ def x78(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 6-round exactness test pins the algorithm against the classic
     single-machine reference."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    return T.learn_bpe_merges(docs, "text", "doc_id", num_merges=3)
+    return T.learn_bpe_merges(docs, "text", num_merges=3)

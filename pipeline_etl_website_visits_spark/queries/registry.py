@@ -58,8 +58,9 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # Round-3 pinning rule (VERDICT r2 item 3): every query whose latest driver
 # row predates its last code/testdata change goes at the HEAD —
 #   (a) the four broken/changed-in-r3 names (q68, q56, x33, x39),
-#   (b) the nine names that have NEVER had a driver row in any round
-#       (fell past both the r1 and r2 50-entry prefixes),
+#   (b) the seven remaining never-driver-checked names (of the nine that
+#       fell past both the r1 and r2 50-entry prefixes, two — x33/x39 —
+#       are already in block (a)),
 #   (c) new round-3 queries,
 # then high-value re-checks fill the remainder of the 50 slots.
 DRIVER_ORDER: tuple[str, ...] = (
@@ -68,7 +69,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q56_sorted_collect",
     "x33_events_sessionize",
     "x39_time_range_join",
-    # -- (b) never driver-checked in any round --
+    # -- (b) never driver-checked in any round (7 of 9; x33/x39 in (a)) --
     "x26_embed_ann_lsh",
     "x41_embed_ivf_topk",
     "x32_events_tumbling_hour",

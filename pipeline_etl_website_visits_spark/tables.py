@@ -126,12 +126,22 @@ def _load_normalized(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     path = table_path(sf_dir, name)
+    # nanosAsLong set unconditionally (harmless when no nanos column exists):
+    # if footer inspection below fails, a TIMESTAMP(NANOS) table must still
+    # not hard-fail the vectorized reader.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         ts_cols = _parquet_timestamp_columns(path)
-    except Exception:
+    except Exception as e:
+        import warnings
+
+        warnings.warn(
+            f"parquet footer inspection failed for {path} ({type(e).__name__}: {e}); "
+            "timestamp normalization skipped — nanos columns will surface as "
+            "bigint and NTZ columns as timestamp_ntz",
+            stacklevel=2,
+        )
         ts_cols = {}
-    if any(kind == "ns" for kind in ts_cols.values()):
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for col, kind in ts_cols.items():
         if kind == "ns":

@@ -174,6 +174,6 @@ def test_bpe_merges_match_reference(spark):
 
     got = [
         (r["merge_rank"], r["left"], r["right"], r["merged"], r["pair_count"])
-        for r in learn_bpe_merges(df, "text", "doc_id", num_merges=6).collect()
+        for r in learn_bpe_merges(df, "text", num_merges=6).collect()
     ]
     assert got == expect

@@ -219,24 +219,24 @@ def test_adjacent_jaccard_no_explode(spark):
 
 
 def test_kmeans_iteration_is_map_only(spark):
-    """The per-iteration kmeans job must contain no Exchange: partition-local
-    numpy partial sums + driver reduce (similarity.py kmeans_assign)."""
+    """The REAL per-iteration kmeans frame (similarity._centroid_partials_frame
+    — the exact DataFrame kmeans_assign collects each Lloyd round) must
+    contain no Exchange: partition-local numpy partial sums + driver
+    reduce."""
     import numpy as np
 
-    from pipeline_etl_website_visits_spark.tables import load_table
+    from pipeline_etl_website_visits_spark.operators.similarity import (
+        _centroid_partials_frame,
+    )
 
     emb = load_table(spark, SF_DIR, "embeddings")
-    base = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("v")).select("v")
-    c = np.zeros((4, 8))
-
-    # reproduce the per-iteration frame shape: mapInPandas over the narrow
-    # vector projection
-    def noop(batches):
-        for pdf in batches:
-            yield pdf.head(0)
-
-    out = base.mapInPandas(noop, base.schema)
-    assert "Exchange" not in simple_plan(out)
+    vecs = emb.select(F.col("embedding").alias("v"))
+    centroids = np.asarray([r["v"] for r in vecs.limit(4).collect()], dtype=np.float64)
+    frame = _centroid_partials_frame(vecs, centroids)
+    assert "Exchange" not in simple_plan(frame)
+    # and it actually computes: every vector lands in exactly one cluster
+    total = sum(r["c"] for r in frame.collect())
+    assert total == emb.count()
 
 
 def test_sized_shingles_array_derived_once(spark):

@@ -68,11 +68,13 @@ def test_driver_state_guards_raise(spark):
     # boundary: exactly at the bound passes
     S._guard_driver_bytes("ok", S.MAX_DRIVER_STATE_BYTES // 8, 1)
 
-    # end-to-end: a query side over the row bound fails fast (bounded
-    # limit-collect — no full materialization on the driver)
-    max_q = S.MAX_DRIVER_STATE_BYTES // (8 * 256)
+    # end-to-end: a query side over the dim-aware row bound fails fast
+    # (bounded limit-collect — no full materialization on the driver).
+    # dim=8192 makes the bound 1024 rows, so the fixture stays tiny.
+    dim = 8192
+    max_q = S.MAX_DRIVER_STATE_BYTES // (8 * dim)
     big = spark.range(max_q + 10).select(
-        F.col("id").alias("vec_id"), F.array(F.lit(1.0), F.lit(2.0)).alias("embedding")
+        F.col("id").alias("vec_id"), F.array_repeat(F.lit(1.0), dim).alias("embedding")
     )
     with pytest.raises(ValueError, match="query set exceeds"):
         S.cosine_topk(big, big, k=2)
