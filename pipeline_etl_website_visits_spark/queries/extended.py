@@ -971,7 +971,7 @@ _X79_SQL = """
       UNION ALL
       SELECT o.o_orderkey, w.depth + 1
       FROM orders o JOIN walk w ON CAST(FLOOR(o.o_orderkey / 2) AS BIGINT) = w.k
-      WHERE o.o_orderkey > 1 AND w.depth < 30
+      WHERE o.o_orderkey > 1 AND o.o_orderkey < 1024 AND w.depth < 30
     )
     SELECT CAST(depth AS INT) AS depth,
            CAST(COUNT(*) AS BIGINT) AS n_nodes,
