@@ -75,6 +75,18 @@ def read_report(spark: SparkSession, filepath: str) -> DataFrame:
     return df.select(*[F.col(f"`{c}`") for c in S.VALID_COLUMNS])
 
 
+def _flush_trail(warehouse: Warehouse, trail: list[tuple[str, str, str, str]]) -> None:
+    """Best-effort flush of the per-file log trail (O6). Informational logging
+    must never fail the run: if the logs append itself throws (e.g. the same
+    storage fault that caused the failure being logged), the exception would
+    otherwise escape process_file and abort the whole directory run,
+    defeating the O4 per-file isolation."""
+    try:
+        warehouse.log_file_events(trail)
+    except Exception:  # noqa: BLE001 — deliberately swallowed
+        pass
+
+
 def process_file(
     spark: SparkSession,
     warehouse: Warehouse,
@@ -96,7 +108,7 @@ def process_file(
         trail.append(
             (filename, "LAYOUT", "ERROR", f"missing={missing} extra={extra}")
         )
-        warehouse.log_file_events(trail)
+        _flush_trail(warehouse, trail)
         return FileResult(filename, S.STATUS_LAYOUT_FAIL, missing_columns=missing, extra_columns=extra)
     trail.append((filename, "LAYOUT", "INFO", "layout ok"))
     try:
@@ -130,7 +142,7 @@ def process_file(
         # stay the LAST write (K4 protocol), and a failing informational
         # logs-append must not retroactively mark a committed file FALLO.
         trail.append((filename, "CARGADO", "INFO", status))
-        warehouse.log_file_events(trail)
+        _flush_trail(warehouse, trail)
         trail = []  # flushed — the except path appends only its own suffix
         warehouse.log_bitacora(filename, ok_count, err_count, status)  # commit marker, last
         stats.unpersist()
@@ -139,7 +151,7 @@ def process_file(
     except Exception as e:  # noqa: BLE001 — per-file isolation (O4)
         warehouse.log_bitacora(filename, 0, 0, S.STATUS_SYSTEM_FAIL)
         trail.append((filename, "FALLO", "ERROR", f"{type(e).__name__}: {e}"))
-        warehouse.log_file_events(trail)  # unflushed prefix + the FALLO row
+        _flush_trail(warehouse, trail)  # unflushed prefix + the FALLO row
         return FileResult(filename, S.STATUS_SYSTEM_FAIL)
 
 

@@ -263,24 +263,13 @@ def decode_image_real(df: DataFrame, batch_size: int = 64) -> DataFrame:
                     "error": None,
                 }
                 try:
-                    # Pillow first when importable (wider coverage: JPEG/GIF,
-                    # interlaced/16-bit PNG, and a C-speed unfilter); the
-                    # pure-python PNG codec is the no-dependency fallback.
-                    if _pil is not None:
-                        try:
-                            im = _pil.open(io.BytesIO(data))
-                            px = np.asarray(im.convert("RGB"), dtype=np.uint8)
-                            row.update(
-                                format=(im.format or "unknown").lower(),
-                                width=px.shape[1],
-                                height=px.shape[0],
-                                n_channels=px.shape[2],
-                                mean_luma=_luma(px),
-                            )
-                            out.append(row)
-                            continue
-                        except Exception:
-                            pass  # fall through to the internal codec
+                    # PNG always uses the internal codec so results are
+                    # environment-invariant (Pillow's convert("RGB") would
+                    # report n_channels=3 for grayscale and drop alpha for
+                    # RGBA, diverging from the pure-codec values the tests
+                    # and oracle pin). Pillow, when importable, only extends
+                    # coverage to non-PNG formats (JPEG/GIF/...), where it
+                    # keeps the image's native mode — no convert().
                     if data.startswith(_PNG_MAGIC):
                         px = png_decode(data)
                         row.update(
@@ -290,11 +279,21 @@ def decode_image_real(df: DataFrame, batch_size: int = 64) -> DataFrame:
                             n_channels=px.shape[2],
                             mean_luma=_luma(px),
                         )
+                    elif _pil is not None:
+                        im = _pil.open(io.BytesIO(data))
+                        px = np.asarray(im, dtype=np.uint8)
+                        if px.ndim == 2:
+                            px = px[:, :, None]
+                        row.update(
+                            format=(im.format or "unknown").lower(),
+                            width=px.shape[1],
+                            height=px.shape[0],
+                            n_channels=px.shape[2],
+                            mean_luma=_luma(px),
+                        )
                     else:
                         raise ValueError(
-                            "unsupported format (no PNG magic"
-                            + (", Pillow absent" if _pil is None else ", Pillow failed")
-                            + ")"
+                            "unsupported format (no PNG magic, Pillow absent)"
                         )
                 except Exception as e:  # per-file isolation
                     row["error"] = f"{type(e).__name__}: {e}"

@@ -51,83 +51,89 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in dict order.  With 90+ registered queries a single round can never cover
+# in dict order.  With 110 registered queries a single round can never cover
 # them all, so we rotate (rotation history in docs/COVERAGE.md; union of
-# rounds 1+2 = all 91 round-2 queries).
+# rounds 1+2+3 = all 110 queries — zero never-checked names).
 #
-# Round-3 pinning rule (VERDICT r2 item 3): every query whose latest driver
+# Round-4 pinning rule (VERDICT r3 item 4): every query whose latest driver
 # row predates its last code/testdata change goes at the HEAD —
-#   (a) the four broken/changed-in-r3 names (q68, q56, x33, x39),
-#   (b) the seven remaining never-driver-checked names (of the nine that
-#       fell past both the r1 and r2 50-entry prefixes, two — x33/x39 —
-#       are already in block (a)),
-#   (c) new round-3 queries,
-# then high-value re-checks fill the remainder of the 50 slots.
+#   (a) queries whose implementation changed THIS round (x56 containment
+#       prefilter, x79 recursive-CTE pre-filtered view, q00/q10 via the
+#       bucketed incremental merge path), making their r3 rows stale;
+#   (b) the 32 queries whose latest driver row is ROUND 1 (stalest — they
+#       predate the round-3 timestamp-normalization loader rework, fd214e6);
+#   (c) as many of the 28 round-2-latest rows as fit the 50 prefix.
+# ONLY the first 50 names below are checked this round; the tail past slot
+# 50 is deliberate next-round spillover (stalest-first head for round 5) —
+# it is NOT checked in round 4.  See docs/COVERAGE.md.
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- (a) fixed this round: TIMESTAMP_NTZ loader + q56 array_join --
-    "q68_rolling_hour_window",
-    "q56_sorted_collect",
-    "x33_events_sessionize",
-    "x39_time_range_join",
-    # -- (b) never driver-checked in any round (7 of 9; x33/x39 in (a)) --
-    "x26_embed_ann_lsh",
-    "x41_embed_ivf_topk",
-    "x32_events_tumbling_hour",
-    "x43_corpus_curation",
-    "x27_text_lang_id",
-    "q01_scan_project_rename",
-    "q05_error_explode",
-    # -- (c) new in round 3: names are appended here as each query lands
-    #    (test_registry enforces every name is registered) --
-    "x61_multimodal_png_roundtrip",
-    "x62_salted_hot_key_agg",
-    "x63_price_histogram",
-    "x64_table_profile",
-    "x65_stratified_sample",
-    "x66_prefilter_decontam",
-    "x67_session_funnel",
-    "x68_grouped_argmax",
-    "x69_adjacent_doc_jaccard",
-    "x70_json_struct_agg",
-    "x71_dedup_clusters",
-    "x72_sliding_windows",
-    "x73_window_distribution",
-    "x74_unpivot_metrics",
-    "x75_interval_overlap_join",
-    "x76_multimodal_wav_roundtrip",
-    "x77_stat_aggregates",
-    "x78_bpe_merges",
+    # -- (a) code changed in round 4 → r3 rows stale (4) --
+    "x56_dedup_containment",
     "x79_recursive_cte",
-    # -- high-value re-checks: load-bearing operators whose code paths were
-    #    touched this round or certify §2 rows --
-    "x40_asof_join",
-    "x42_dedup_embed_cosine",
     "q00_flagship_visitantes",
     "q10_merge_upsert",
-    "x21_dedup_exact",
-    "x22_dedup_ngram_jaccard",
-    "x23_dedup_minhash_lsh",
-    "x24_dedup_simhash",
-    "x25_embed_cosine_topk",
-    "x56_dedup_containment",
-    "x57_winnowing_fingerprints",
-    "x58_tfidf_top_terms",
-    "x59_bigram_rarity",
-    "x60_embed_kmeans",
-    "x52_repetition_metrics",
-    "x53_source_quota",
-    "x54_chunk_overlap",
-    "x55_doc_frequency",
-    "x47_decontaminate",
-    "x48_term_redaction",
-    "x49_sequence_packing",
-    "x50_shuffled_sample",
-    "x51_mixture_sampling",
+    # -- (b) latest driver row is round 1 — stalest (32) --
+    "q02_regex_filter",
+    "q03_null_or_pattern",
+    "q04_bool_split",
+    "q06_nullif_trim",
+    "q07_casts",
+    "q08_visits_agg",
+    "q09_scalar_counts",
+    "q11_anti_join",
+    "q12_inner_join",
+    "q13_semi_join",
+    "q14_window_dedup",
+    "q15_topk",
+    "q16_union",
+    "q17_count_distinct",
+    "q18_rollup",
+    "q19_extract_ym",
+    "q20_text_ops",
+    "x28_text_quality",
+    "x29_text_token_count",
+    "x30_text_fingerprint",
+    "x31_doc_stats_by_lang",
+    "x34_events_user_daily",
+    "x35_distinct",
+    "x38_top_bigrams",
+    "q40_left_outer_join",
+    "q41_cross_join",
+    "q42_except",
+    "q43_intersect",
+    "q44_union_distinct",
+    "q45_cube",
+    "q46_window_rank_lag",
+    "q47_window_frame_running_sum",
+    # -- (c) latest driver row is round 2 — first 14 fill the 50 prefix --
+    "q48_having",
+    "q49_conditional_agg",
+    "q50_scalar_subquery",
+    "q51_in_subquery",
+    "q52_string_funcs",
+    "q53_math_funcs",
+    "q54_date_funcs",
+    "q55_json_extract",
+    "q57_inline_lookup_join",
+    "q58_star_join",
+    "q59_sql_identical_text",
+    "q61_pivot",
+    "q62_variance_manual",
+    "x36_approx_count_distinct",
+    # ---- slot 50 boundary: everything below is round-5 spillover ----
+    "x37_approx_percentile",
+    "q63_shipping_priority",
+    "q64_regional_volume",
+    "q65_median_manual",
+    "q66_regexp_extract",
     "x44_hash_split",
     "x45_snapshot_cdc",
     "x46_len_quantiles_by_lang",
-    "q67_event_funnel",
     "q69_grouping_sets",
+    "q67_event_funnel",
+    "x49_sequence_packing",
+    "x50_shuffled_sample",
+    "x51_mixture_sampling",
     "q60_pricing_summary",
 )
 

@@ -37,7 +37,7 @@ def table_path(sf_dir: str, name: str) -> str:
 # directory and re-read parquet footers during analysis; reusing the analyzed
 # DataFrame removes that fixed cost from every query (a DataFrame is an
 # immutable lazy plan — safe to share).
-_TABLE_CACHE: dict[tuple[int, str, str], DataFrame] = {}
+_TABLE_CACHE: dict[tuple[int, str, str, bool], DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str, fan_out: bool = False) -> DataFrame:
@@ -81,28 +81,38 @@ def _fan_out(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> Data
 def _parquet_timestamp_columns(path: str) -> dict[str, str]:
     """Footer-level timestamp inventory: column -> 'ns' | 'ntz' | 'tz'.
 
-    Reads only the parquet schema (no data). Directories are handled by
-    inspecting the first part file.
+    Reads only the parquet schemas (no data). Directory tables union the
+    inventory across ALL part files: schema-evolved or mixed-writer tables
+    can carry a nanos/NTZ column only in later parts, and inspecting just the
+    first part would silently skip normalization for those columns. On a
+    conflict (same column, different physical flavor across parts) the
+    "most in need of normalization" kind wins (ns > ntz > tz) so the fix-up
+    is applied; footers are tiny, so even thousands of parts are cheap, and
+    at real scale a catalog (Delta/Iceberg) would hold one logical schema.
     """
     import pyarrow.parquet as pq
     import pyarrow.types as pt
 
+    paths = [path]
     if os.path.isdir(path):
-        parts = sorted(
+        paths = sorted(
             os.path.join(path, f) for f in os.listdir(path) if f.endswith(".parquet")
         )
-        if not parts:
+        if not paths:
             return {}
-        path = parts[0]
+    rank = {"tz": 0, "ntz": 1, "ns": 2}
     out: dict[str, str] = {}
-    for field in pq.read_schema(path):
-        if pt.is_timestamp(field.type):
-            if field.type.unit == "ns":
-                out[field.name] = "ns"
-            elif field.type.tz is None:
-                out[field.name] = "ntz"
-            else:
-                out[field.name] = "tz"
+    for p in paths:
+        for field in pq.read_schema(p):
+            if pt.is_timestamp(field.type):
+                if field.type.unit == "ns":
+                    kind = "ns"
+                elif field.type.tz is None:
+                    kind = "ntz"
+                else:
+                    kind = "tz"
+                if rank[kind] > rank.get(out.get(field.name), -1):
+                    out[field.name] = kind
     return out
 
 
