@@ -20,8 +20,15 @@ already in the manifest skips the merge instead of double-counting;
 "processed" iff its bitacora row exists, and with (1)+(2) every upstream
 write is safe to redo. At 100 TB the same layout holds
 with date partitioning on top (partition by fechaProceso/nombreArchivo) or
-Delta tables for real ACID; visitantes would be bucketed by email so the
-merge join is shuffle-free.
+Delta tables for real ACID.
+
+Scale (SURVEY §4.3): the visitantes snapshot is hash-bucket partitioned
+(``bucket = pmod(hash(email), N)``) with a per-version bucket manifest, so
+``merge_visitantes`` reads and rewrites ONLY the buckets containing a
+batch's emails — per-batch write cost is ∝ touched buckets, independent of
+snapshot size, matching the reference MERGE's touched-rows-only semantics
+(utils/utils_load.py:43-84). Untouched buckets carry across versions by
+manifest reference.
 """
 
 from __future__ import annotations
@@ -64,11 +71,20 @@ VISITANTES_SCHEMA = StructType(
 
 
 class Warehouse:
-    """Parquet-backed warehouse with the four ETL tables."""
+    """Parquet-backed warehouse with the four ETL tables.
 
-    def __init__(self, spark: SparkSession, root: str):
+    ``n_buckets`` controls the hash-bucket layout of the visitantes snapshot
+    (``pmod(hash(email), n_buckets)``); an existing snapshot's bucket count
+    always wins over the constructor value, so readers/mergers of a table
+    created with a different N stay consistent. Sized so one bucket is a few
+    hundred MB at the target scale (100 TB / 4096 buckets ≈ 25 GB — at that
+    scale use thousands; the test default keeps directories readable).
+    """
+
+    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16):
         self.spark = spark
         self.root = root
+        self.n_buckets = int(n_buckets)
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -99,88 +115,233 @@ class Warehouse:
             .parquet(self.path(table))
         )
 
-    # -- visitantes snapshot (J2 target) -------------------------------------
-    # Versioned snapshots + a pointer file: each merge writes a brand-new
-    # directory, then atomically repoints ``visitantes_CURRENT``. A crash
-    # mid-write leaves the previous version intact and referenced — the
-    # poor-man's table format (Delta/Iceberg replace this wholesale at
-    # production scale, docs/SCALE.md).
-    _POINTER = "visitantes_CURRENT"
-
-    def _current_visitantes_version(self) -> str | None:
-        fs, hpath, jvm = self._fs(self.path(self._POINTER))
+    # -- small-file helpers (pointer / manifests via Hadoop FS) --------------
+    def _read_small_text(self, p: str) -> list[str] | None:
+        fs, hpath, jvm = self._fs(p)
         if not fs.exists(hpath):
             return None
         stream = fs.open(hpath)
-        try:
-            reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream, "UTF-8"))
-            return (reader.readLine() or "").strip() or None
-        finally:
-            stream.close()
-
-    def read_visitantes(self) -> DataFrame:
-        version = self._current_visitantes_version()
-        if version is not None:
-            return self.spark.read.parquet(self.path(version))
-        return self.spark.createDataFrame([], VISITANTES_SCHEMA)
-
-    def visitantes_applied(self) -> set[str]:
-        """Batch keys (file names / stream batch ids) already merged into the
-        CURRENT snapshot. The merge is additive, so redo-safety comes from
-        checking this set: a crash after ``write_visitantes`` but before the
-        bitacora marker must NOT re-apply the batch on the retry."""
-        version = self._current_visitantes_version()
-        if version is None:
-            return set()
-        fs, hpath, jvm = self._fs(os.path.join(self.path(version), "_applied"))
-        if not fs.exists(hpath):
-            return set()
-        stream = fs.open(hpath)
-        keys: set[str] = set()
+        lines: list[str] = []
         try:
             reader = jvm.java.io.BufferedReader(jvm.java.io.InputStreamReader(stream, "UTF-8"))
             line = reader.readLine()
             while line is not None:
                 if line.strip():
-                    keys.add(line.strip())
+                    lines.append(line.strip())
                 line = reader.readLine()
         finally:
             stream.close()
-        return keys
+        return lines
+
+    def _write_small_text(self, p: str, content: str) -> None:
+        fs, hpath, _ = self._fs(p)
+        out = fs.create(hpath, True)
+        try:
+            out.write(bytearray(content.encode("utf-8")))
+        finally:
+            out.close()
+
+    # -- visitantes snapshot (J2 target) -------------------------------------
+    # Versioned snapshots + a pointer file: each merge writes a brand-new
+    # version directory, then atomically repoints ``visitantes_CURRENT``. A
+    # crash mid-write leaves the previous version intact and referenced — the
+    # poor-man's table format (Delta/Iceberg replace this wholesale at
+    # production scale, docs/SCALE.md).
+    #
+    # Incremental layout (the 100 TB mechanism — reference MERGE touched only
+    # matched rows, utils/utils_load.py:43-84): rows live in hash-bucket
+    # partition dirs ``bucket=<pmod(hash(email), N)>``; each version carries a
+    # ``_buckets`` manifest mapping every bucket to the VERSION DIR that holds
+    # its current data. A merge rewrites only the buckets containing batch
+    # emails; untouched buckets are carried BY REFERENCE to earlier version
+    # dirs — write amplification is ∝ touched-bucket bytes, not target size.
+    # The pointer flip still publishes data + both manifests atomically.
+    _POINTER = "visitantes_CURRENT"
+
+    def _current_visitantes_version(self) -> str | None:
+        lines = self._read_small_text(self.path(self._POINTER))
+        return lines[0] if lines else None
+
+    def _bucket_col(self, n_buckets: int):
+        # coalesce: hash(NULL) is NULL and a NULL bucket would fall out of
+        # every partition dir; valid rows always carry an email, but the
+        # layout must not depend on that.
+        return F.pmod(F.hash(F.coalesce(F.col("email"), F.lit(""))), F.lit(n_buckets))
+
+    def _visitantes_manifest(self, version: str) -> tuple[int, dict[int, str]] | None:
+        """(n_buckets, {bucket -> version dir holding it}) or None (legacy
+        single-dir snapshot written before the bucketed layout)."""
+        lines = self._read_small_text(os.path.join(self.path(version), "_buckets"))
+        if lines is None:
+            return None
+        n_buckets = self.n_buckets
+        refs: dict[int, str] = {}
+        for line in lines:
+            if line.startswith("n_buckets="):
+                n_buckets = int(line.split("=", 1)[1])
+            else:
+                b, ver = line.split(" ", 1)
+                refs[int(b)] = ver
+        return n_buckets, refs
+
+    def _bucket_paths(self, refs: dict[int, str]) -> list[str]:
+        return [
+            os.path.join(self.path(ver), f"bucket={b}") for b, ver in sorted(refs.items())
+        ]
+
+    def read_visitantes(self, buckets: set[int] | None = None) -> DataFrame:
+        """The current snapshot; ``buckets`` prunes the read to those bucket
+        dirs only (the merge path reads just the buckets a batch touches)."""
+        version = self._current_visitantes_version()
+        if version is None:
+            return self.spark.createDataFrame([], VISITANTES_SCHEMA)
+        manifest = self._visitantes_manifest(version)
+        if manifest is None:  # legacy layout: one flat dir, no pruning
+            return self.spark.read.parquet(self.path(version))
+        _, refs = manifest
+        if buckets is not None:
+            refs = {b: v for b, v in refs.items() if b in buckets}
+        paths = self._bucket_paths(refs)
+        if not paths:
+            return self.spark.createDataFrame([], VISITANTES_SCHEMA)
+        # leaf dirs from (possibly) different version roots: read as plain
+        # directories — bucket is derivable from email, not a data column
+        return self.spark.read.schema(VISITANTES_SCHEMA).parquet(*paths)
+
+    def visitantes_applied(self) -> set[str]:
+        """Batch keys (file names / stream batch ids) already merged into the
+        CURRENT snapshot. The merge is additive, so redo-safety comes from
+        checking this set: a crash after the merge's pointer flip but before
+        the bitacora marker must NOT re-apply the batch on the retry."""
+        version = self._current_visitantes_version()
+        if version is None:
+            return set()
+        lines = self._read_small_text(os.path.join(self.path(version), "_applied"))
+        return set(lines or [])
+
+    def merge_visitantes(
+        self,
+        source: DataFrame,
+        process_date: str | None = None,
+        applied_key: str | None = None,
+    ) -> None:
+        """Incremental J2 upsert: merge a (small) batch aggregate into the
+        snapshot, rewriting ONLY the hash buckets that contain batch emails.
+
+        The reference's MERGE touched only matched rows inside MySQL
+        (utils/utils_load.py:43-84); a full-snapshot rewrite per batch is
+        write amplification ∝ target size at 100 TB. Here the target subset
+        read and the version write are both pruned to the touched buckets:
+        per-batch cost is ∝ (touched buckets) ≈ |batch| × bucket size,
+        independent of total snapshot size. Untouched buckets carry over by
+        manifest reference, and the pointer flip keeps crash atomicity.
+        """
+        from pipeline_etl_website_visits_spark.operators.merge import visitantes_merge
+
+        version = self._current_visitantes_version()
+        manifest = self._visitantes_manifest(version) if version else None
+        if version is not None and manifest is None:
+            # legacy flat snapshot: one-time full merge + bucketed rewrite
+            merged = visitantes_merge(self.read_visitantes(), source, process_date=process_date)
+            self.write_visitantes(merged, applied_key=applied_key)
+            return
+        n_buckets, refs = manifest if manifest else (self.n_buckets, {})
+        bucket = self._bucket_col(n_buckets)
+        # touched buckets: bounded driver-side collect (≤ n_buckets values)
+        touched = {
+            int(r[0])
+            for r in source.select(bucket.alias("b")).distinct().collect()
+        }
+        if not touched:
+            return
+        target_subset = self.read_visitantes(buckets=touched)
+        merged = visitantes_merge(target_subset, source, process_date=process_date)
+        self._publish_visitantes(merged, touched_refs=refs, applied_key=applied_key)
 
     def write_visitantes(self, df: DataFrame, applied_key: str | None = None) -> None:
+        """Full snapshot (re)write — initial load / explicit rebucket. The
+        per-batch path is ``merge_visitantes`` (touched buckets only)."""
+        self._publish_visitantes(df, touched_refs={}, applied_key=applied_key)
+
+    def _publish_visitantes(
+        self,
+        df: DataFrame,
+        touched_refs: dict[int, str],
+        applied_key: str | None,
+    ) -> None:
+        """Write ``df`` into a new version's bucket dirs, carry ``touched_refs``
+        entries whose bucket is absent from ``df`` by reference, publish.
+
+        Publish order (crash-safe): data dirs → ``_applied`` + ``_buckets``
+        manifests inside the version dir → atomic pointer rename. A crash at
+        any earlier point leaves the previous version intact and current.
+        """
+        version_now = self._current_visitantes_version()
+        manifest_now = self._visitantes_manifest(version_now) if version_now else None
+        n_buckets = manifest_now[0] if manifest_now else self.n_buckets
+
         applied = self.visitantes_applied()
         if applied_key is not None:
             applied = applied | {applied_key}
-        prev = self._current_visitantes_version()
-        n = int(prev.rsplit("_v", 1)[1]) + 1 if prev else 0
+        n = int(version_now.rsplit("_v", 1)[1]) + 1 if version_now else 0
         version = f"visitantes_v{n}"
-        df.write.mode("overwrite").parquet(self.path(version))
-        # manifest goes INSIDE the version dir, before the pointer flips:
-        # the pointer swap atomically publishes data + manifest together
-        fs0, manifest_path, jvm0 = self._fs(os.path.join(self.path(version), "_applied"))
-        mout = fs0.create(manifest_path, True)
-        try:
-            mout.write(bytearray(("\n".join(sorted(applied)) + "\n").encode("utf-8")))
-        finally:
-            mout.close()
+
+        out = df.withColumn("bucket", self._bucket_col(n_buckets))
+        out.write.mode("overwrite").partitionBy("bucket").parquet(self.path(version))
+        # which buckets did this write actually materialize?
+        fs, vdir, jvm = self._fs(self.path(version))
+        written = {
+            int(str(st.getPath().getName()).split("=", 1)[1])
+            for st in fs.listStatus(vdir)
+            if str(st.getPath().getName()).startswith("bucket=")
+        }
+        refs = {b: ver for b, ver in touched_refs.items() if b not in written}
+        refs.update({b: version for b in written})
+
+        manifest_lines = [f"n_buckets={n_buckets}"] + [
+            f"{b} {ver}" for b, ver in sorted(refs.items())
+        ]
+        self._write_small_text(
+            os.path.join(self.path(version), "_buckets"), "\n".join(manifest_lines) + "\n"
+        )
+        self._write_small_text(
+            os.path.join(self.path(version), "_applied"),
+            ("\n".join(sorted(applied)) + "\n") if applied else "",
+        )
         # repoint: write pointer to a temp file, then rename over (rename is
         # atomic on HDFS/local; on S3 a conditional-put would stand in)
-        fs, pointer_path, jvm = self._fs(self.path(self._POINTER))
-        tmp_path = jvm.org.apache.hadoop.fs.Path(self.path(self._POINTER + ".tmp"))
-        out = fs.create(tmp_path, True)
+        fsp, pointer_path, jvmp = self._fs(self.path(self._POINTER))
+        tmp_path = jvmp.org.apache.hadoop.fs.Path(self.path(self._POINTER + ".tmp"))
+        tout = fsp.create(tmp_path, True)
         try:
-            out.write(bytearray(version.encode("utf-8")))
+            tout.write(bytearray(version.encode("utf-8")))
         finally:
-            out.close()
-        if fs.exists(pointer_path):
-            fs.delete(pointer_path, False)
-        fs.rename(tmp_path, pointer_path)
-        # retain only the previous version for post-crash inspection
-        if prev is not None and n >= 2:
-            old = jvm.org.apache.hadoop.fs.Path(self.path(f"visitantes_v{n - 2}"))
-            if fs.exists(old):
-                fs.delete(old, True)
+            tout.close()
+        if fsp.exists(pointer_path):
+            fsp.delete(pointer_path, False)
+        fsp.rename(tmp_path, pointer_path)
+        self._gc_visitantes(keep_current=version, keep_prev=version_now)
+
+    def _gc_visitantes(self, keep_current: str, keep_prev: str | None) -> None:
+        """Delete version dirs referenced by neither the current manifest nor
+        the previous version (kept, with ITS references, for post-crash
+        inspection — the same one-version retention as before, expressed over
+        reference sets instead of consecutive numbering)."""
+        keep: set[str] = {keep_current}
+        for ver in (keep_current, keep_prev):
+            if ver is None:
+                continue
+            keep.add(ver)
+            manifest = self._visitantes_manifest(ver)
+            if manifest is not None:
+                keep.update(manifest[1].values())
+        fs, root_path, jvm = self._fs(self.root)
+        if not fs.exists(root_path):
+            return
+        for st in fs.listStatus(root_path):
+            name = str(st.getPath().getName())
+            if name.startswith("visitantes_v") and name not in keep:
+                fs.delete(st.getPath(), True)
 
     # -- per-file log trail (O6; reference utils/utils_flows.py:6-23 wrote
     #    logs/DDMMYY/<file>.log — here one structured parquet row per event,

@@ -27,7 +27,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pipeline_etl_website_visits_spark.etl import schema as S
 from pipeline_etl_website_visits_spark.etl import transform as T
 from pipeline_etl_website_visits_spark.etl.load import Warehouse
-from pipeline_etl_website_visits_spark.operators.merge import visitantes_merge
 
 
 @dataclass
@@ -130,9 +129,9 @@ def process_file(
         # reprocess (reapply_merge=True) is a deliberate re-merge and skips
         # the guard.
         if reapply_merge or filename not in warehouse.visitantes_applied():
-            target = warehouse.read_visitantes()
-            merged = visitantes_merge(target, visitors, process_date=process_date)
-            warehouse.write_visitantes(merged, applied_key=filename)
+            # incremental path: reads and rewrites only the hash buckets
+            # containing this batch's emails (load.merge_visitantes)
+            warehouse.merge_visitantes(visitors, process_date=process_date, applied_key=filename)
             trail.append((filename, "MERGE", "INFO", "visitantes merged"))
         else:
             trail.append((filename, "MERGE", "INFO", "skipped (already applied)"))

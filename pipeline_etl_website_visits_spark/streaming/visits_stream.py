@@ -33,7 +33,6 @@ from pyspark.sql.streaming import StreamingQuery
 from pipeline_etl_website_visits_spark.etl import schema as S
 from pipeline_etl_website_visits_spark.etl import transform as T
 from pipeline_etl_website_visits_spark.etl.load import Warehouse
-from pipeline_etl_website_visits_spark.operators.merge import visitantes_merge
 
 
 def read_report_stream(spark: SparkSession, input_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
@@ -89,8 +88,8 @@ def _process_micro_batch(warehouse: Warehouse, process_date: str | None):
 
         if not merge_done:
             visitors = T.visitors_aggregate(stats)
-            merged = visitantes_merge(warehouse.read_visitantes(), visitors, process_date=process_date)
-            warehouse.write_visitantes(merged, applied_key=batch_key)
+            # incremental: touches only the hash buckets of this batch's emails
+            warehouse.merge_visitantes(visitors, process_date=process_date, applied_key=batch_key)
 
         # per-file bitacora rows from ONE aggregate (no per-file count() loop)
         ok_counts = {r[0]: r[1] for r in stats.groupBy("nombreArchivo").count().collect()}

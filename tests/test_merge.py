@@ -96,3 +96,117 @@ def test_generic_merge_upsert(spark):
     }
     assert out["a"]["n"] == 1 and out["b"]["n"] == 7 and out["c"]["n"] == 7
     assert out["b"]["d"] == D(2022, 2, 2)
+
+
+# ---------------------------------------------------------------------------
+# Incremental bucketed snapshot (VERDICT r3 item 1): a merge must rewrite
+# ONLY the hash buckets containing batch emails; untouched buckets are
+# carried by manifest reference to earlier version dirs.
+# ---------------------------------------------------------------------------
+import os
+
+from pipeline_etl_website_visits_spark.etl.load import Warehouse
+
+
+def _bucket_dirs(root, version):
+    vdir = os.path.join(root, version)
+    return sorted(d for d in os.listdir(vdir) if d.startswith("bucket="))
+
+
+def test_incremental_merge_rewrites_only_touched_buckets(spark, tmp_path, target, source):
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root, n_buckets=16)
+    wh.write_visitantes(target, applied_key="seed")
+    v0 = wh._current_visitantes_version()
+    seeded_buckets = _bucket_dirs(root, v0)
+    assert len(seeded_buckets) >= 2  # 4 distinct emails spread over 16 buckets
+
+    one = source.filter(F.col("email") == "match-same-month@example.com")
+    wh.merge_visitantes(one, process_date=PROCESS_DATE, applied_key="one")
+    v1 = wh._current_visitantes_version()
+    assert v1 != v0
+
+    # file-level check: the new version materializes EXACTLY one bucket dir
+    assert len(_bucket_dirs(root, v1)) == 1
+
+    # manifest: the touched bucket points at v1, every other bucket still
+    # points at v0 (carried by reference, zero bytes rewritten)
+    n_buckets, refs = wh._visitantes_manifest(v1)
+    assert n_buckets == 16
+    assert sorted(v for v in refs.values() if v == v1) == [v1]
+    assert {v for b, v in refs.items() if v != v1} == {v0}
+
+    # logical contents identical to a full merge
+    merged = {r["email"]: r for r in wh.read_visitantes().collect()}
+    assert merged["match-same-month@example.com"]["visitasTotales"] == 13
+    assert merged["match-prev-month@example.com"]["visitasTotales"] == 20  # untouched
+    assert len(merged) == 4
+
+    # second single-email merge: new visitor creates a bucket that never
+    # existed; all prior refs carry over
+    new = source.filter(F.col("email") == "new-visitor@example.com")
+    wh.merge_visitantes(new, process_date=PROCESS_DATE, applied_key="two")
+    v2 = wh._current_visitantes_version()
+    assert len(_bucket_dirs(root, v2)) == 1
+    assert wh.read_visitantes().count() == 5
+    assert wh.visitantes_applied() == {"seed", "one", "two"}
+
+
+def test_incremental_merge_pruned_read(spark, tmp_path, target, source):
+    """The merge's target-side scan must read only the touched buckets."""
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root, n_buckets=16)
+    wh.write_visitantes(target)
+    one = source.filter(F.col("email") == "match-prev-year@example.com")
+    b = int(
+        one.select(wh._bucket_col(16).alias("b")).first()["b"]
+    )
+    pruned = wh.read_visitantes(buckets={b})
+    emails = {r["email"] for r in pruned.collect()}
+    assert "match-prev-year@example.com" in emails
+    assert len(emails) < 4  # strictly fewer rows than the full snapshot
+
+
+def test_legacy_flat_snapshot_upgrades_to_bucketed(spark, tmp_path, target, source):
+    """A snapshot written by the pre-bucketed layout (flat dir, no _buckets
+    manifest) must keep working: first merge does a one-time full rebucket."""
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root, n_buckets=16)
+    # simulate the legacy layout by hand: flat parquet dir + pointer
+    target.write.parquet(os.path.join(root, "visitantes_v0"))
+    wh._write_small_text(os.path.join(root, "visitantes_CURRENT"), "visitantes_v0")
+    assert wh._visitantes_manifest("visitantes_v0") is None
+
+    wh.merge_visitantes(source, process_date=PROCESS_DATE, applied_key="up")
+    v1 = wh._current_visitantes_version()
+    assert wh._visitantes_manifest(v1) is not None  # now bucketed
+    out = {r["email"]: r for r in wh.read_visitantes().collect()}
+    assert len(out) == 5
+    assert out["match-same-month@example.com"]["visitasTotales"] == 13
+
+
+def test_gc_keeps_referenced_versions(spark, tmp_path, target, source):
+    """Version dirs still referenced by the current manifest must survive GC;
+    fully superseded ones must be deleted."""
+    root = str(tmp_path / "wh")
+    wh = Warehouse(spark, root, n_buckets=4)
+    wh.write_visitantes(target)
+    v0 = wh._current_visitantes_version()
+    for i, email in enumerate(
+        ["match-same-month@example.com", "new-visitor@example.com", "match-prev-year@example.com"]
+    ):
+        wh.merge_visitantes(
+            source.filter(F.col("email") == email), process_date=PROCESS_DATE, applied_key=f"k{i}"
+        )
+    cur = wh._current_visitantes_version()
+    _, refs = wh._visitantes_manifest(cur)
+    on_disk = {d for d in os.listdir(root) if d.startswith("visitantes_v")}
+    # every referenced version dir exists
+    assert set(refs.values()) <= on_disk
+    # full snapshot still correct after three incremental merges + GC
+    out = {r["email"]: r["visitasTotales"] for r in wh.read_visitantes().collect()}
+    assert out["match-same-month@example.com"] == 13
+    assert out["new-visitor@example.com"] == 2
+    assert out["match-prev-year@example.com"] == 33
+    assert out["match-prev-month@example.com"] == 20
+    assert out["match-older-last@example.com"] == 5
