@@ -99,22 +99,60 @@ def test_rolling_window_prunes_unused_columns(spark):
     assert "props" not in cols
 
 
-def test_gram_self_join_reuses_cached_partitioning(spark):
-    """x22: the gram index is repartitioned on the join key before caching,
-    so the self-join must not add exchanges on top of the cached data."""
+def test_gram_self_join_computes_shingles_once(spark):
+    """x22 one-shot path, at-scale shape: with broadcast off (at 100 TB the
+    gram relation never fits a broadcast), the self-join's two sides
+    canonicalize to ONE gram exchange — the expensive shingle scan is
+    computed once and the shuffle read twice (ReusedExchange), with no cache
+    materialization. (At toy scale AQE legitimately broadcasts one side
+    instead; that shape is not under test.)"""
     from pipeline_etl_website_visits_spark.operators.dedup import shingle_jaccard_pairs
 
-    docs = load_table(spark, SF_DIR, "documents")
-    df = shingle_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
-    plan = _executed_plan(df)
-    # The explicit repartition renders as REPARTITION_BY_NUM inside the
-    # cached relation (repeated per scan of it); what must NOT exist is a
-    # planner-inserted re-shuffle of the gram key on top of the cached
-    # data — that would render as an ENSURE_REQUIREMENTS exchange on gram.
-    for line in plan.splitlines():
-        if "hashpartitioning(gram" in line:
-            assert "ENSURE_REQUIREMENTS" not in line, line
+    # Static planner (AQE off) so ReuseExchange is visible in the plan text;
+    # with AQE on the same reuse happens at runtime via the shuffle-stage
+    # cache, which the pre-execution plan string cannot show.
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        docs = load_table(spark, SF_DIR, "documents")
+        df = shingle_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2)
+        plan = _executed_plan(df)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    gram_exchanges = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning(gram" in line and "Reused" not in line
+    ]
+    assert len(gram_exchanges) == 1, plan
+    assert "ReusedExchange" in plan, plan
+    # no cache in the one-shot path (shared gram_index covers composition)
+    assert "InMemoryRelation" not in plan, plan
     spark.catalog.clearCache()
+
+
+def test_shared_gram_index_join_has_no_extra_gram_shuffle(spark):
+    """Composed path: a shared gram_index is repartitioned on the join key
+    before caching, so the self-join must not re-shuffle the cached data
+    (no ENSURE_REQUIREMENTS exchange on gram)."""
+    from pipeline_etl_website_visits_spark.operators.dedup import (
+        gram_index,
+        shingle_jaccard_pairs,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    idx = gram_index(docs, "text", "doc_id", n=3)
+    try:
+        df = shingle_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.2, grams=idx)
+        plan = _executed_plan(df)
+        for line in plan.splitlines():
+            if "hashpartitioning(gram" in line:
+                assert "ENSURE_REQUIREMENTS" not in line, line
+    finally:
+        idx.unpersist()
 
 
 def test_chunking_is_map_only(spark):
