@@ -79,3 +79,92 @@ def archive_processed(
             purged.append(fname)
 
     return {"archived": moved, "zip": zip_path, "purged": purged}
+
+
+# ---------------------------------------------------------------------------
+# Quarantine (reference README.md:110-115 escalation ladder): files that end
+# a run in FALLO_SISTEMA / FALLO_LAYOUT move to a quarantine directory, get
+# re-attempted automatically on subsequent runs for up to ``max_age_days``
+# days (reference: "Reintento automático al día siguiente (máx. 2 días)"),
+# then stay quarantined for manual inspection. Driver-side local-filesystem
+# bookkeeping, same operational tier as archive_processed above.
+# ---------------------------------------------------------------------------
+
+QUARANTINE_LEDGER = "_quarantine.json"
+
+
+def _load_ledger(quarantine_dir: str) -> dict[str, str]:
+    import json
+
+    path = os.path.join(quarantine_dir, QUARANTINE_LEDGER)
+    if not os.path.isfile(path):
+        return {}
+    with open(path, encoding="utf-8") as f:
+        return json.load(f)
+
+
+def _save_ledger(quarantine_dir: str, ledger: dict[str, str]) -> None:
+    import json
+
+    tmp = os.path.join(quarantine_dir, QUARANTINE_LEDGER + ".tmp")
+    with open(tmp, "w", encoding="utf-8") as f:
+        json.dump(ledger, f, indent=0, sort_keys=True)
+    os.replace(tmp, os.path.join(quarantine_dir, QUARANTINE_LEDGER))
+
+
+def quarantine_failures(
+    input_dir: str,
+    quarantine_dir: str,
+    failures: list[str],
+    today: datetime.date | None = None,
+) -> dict:
+    """Move failed report files into quarantine, recording FIRST-failure dates.
+
+    A re-quarantined file (failed again on its retry day) keeps its original
+    date — the 2-day abandon clock runs from the first failure, not the last.
+    Returns {"quarantined": [...]}.
+    """
+    today = today or datetime.date.today()
+    os.makedirs(quarantine_dir, exist_ok=True)
+    ledger = _load_ledger(quarantine_dir)
+    moved: list[str] = []
+    for fname in sorted(set(failures)):
+        src = os.path.join(input_dir, fname)
+        if os.path.isfile(src):
+            shutil.move(src, os.path.join(quarantine_dir, fname))
+            moved.append(fname)
+            ledger.setdefault(fname, today.isoformat())
+    if moved:
+        _save_ledger(quarantine_dir, ledger)
+    return {"quarantined": moved}
+
+
+def requeue_quarantined(
+    input_dir: str,
+    quarantine_dir: str,
+    today: datetime.date | None = None,
+    max_age_days: int = 2,
+) -> dict:
+    """Move quarantined files back into the input dir for their automatic
+    retry; files first quarantined more than ``max_age_days`` days ago are
+    left in place (abandoned — manual intervention required).
+
+    Returns {"requeued": [...], "abandoned": [...]}.
+    """
+    today = today or datetime.date.today()
+    if not os.path.isdir(quarantine_dir):
+        return {"requeued": [], "abandoned": []}
+    ledger = _load_ledger(quarantine_dir)
+    requeued: list[str] = []
+    abandoned: list[str] = []
+    for fname, first in sorted(ledger.items()):
+        path = os.path.join(quarantine_dir, fname)
+        if not os.path.isfile(path):
+            continue
+        age = (today - datetime.date.fromisoformat(first)).days
+        if age <= max_age_days:
+            shutil.move(path, os.path.join(input_dir, fname))
+            requeued.append(fname)
+        else:
+            abandoned.append(fname)
+    return {"requeued": requeued, "abandoned": abandoned}

@@ -168,6 +168,7 @@ def process_directory(
     process_date: str | None = None,
     reprocess: bool = False,
     backup_dir: str | None = None,
+    quarantine_dir: str | None = None,
 ) -> list[FileResult]:
     """O1: process every report file in a directory, skipping completed ones.
 
@@ -175,19 +176,44 @@ def process_directory(
     epilogue after the batch: committed files move to ``backup_dir`` and are
     bundled into the daily ``backup_DDMMYY.zip`` (reference
     utils/utils_postprocessing.py:8-50), with retention pruning.
+
+    ``quarantine_dir`` (optional, local-filesystem) enables the reference's
+    escalation ladder (README.md:110-115): files ending the run in
+    FALLO_SISTEMA/FALLO_LAYOUT move to quarantine; quarantined files are
+    automatically re-queued (and re-attempted, bypassing their failure
+    marker) on runs within 2 days of first failure, then left in quarantine
+    for manual inspection. ``process_date`` pins "today" for the 2-day clock
+    (deterministic tests); otherwise the wall clock rules.
     """
+    import datetime as _dt
+
     warehouse = Warehouse(spark, warehouse_root)
+    today = _dt.date.fromisoformat(process_date) if process_date else None
+    forced: set[str] = set()
+    if quarantine_dir is not None:
+        from pipeline_etl_website_visits_spark.etl.backup import requeue_quarantined
+
+        forced = set(requeue_quarantined(input_dir, quarantine_dir, today=today)["requeued"])
     done = set() if reprocess else warehouse.processed_files()
     results = []
     for filepath in list_report_files(spark, input_dir):
         filename = os.path.basename(filepath)
-        if filename in done:
+        if filename in done and filename not in forced:
             continue
         results.append(
             process_file(
                 spark, warehouse, filepath, process_date=process_date, reapply_merge=reprocess
             )
         )
+    if quarantine_dir is not None:
+        from pipeline_etl_website_visits_spark.etl.backup import quarantine_failures
+
+        failed = [
+            r.filename
+            for r in results
+            if r.status in (S.STATUS_SYSTEM_FAIL, S.STATUS_LAYOUT_FAIL)
+        ]
+        quarantine_failures(input_dir, quarantine_dir, failed, today=today)
     if backup_dir is not None:
         from pipeline_etl_website_visits_spark.etl.backup import archive_processed
 

@@ -115,3 +115,60 @@ def test_process_directory_backup_flag(spark, tmp_path):
     assert len(zips) == 1
     with zipfile.ZipFile(os.path.join(bkd, zips[0])) as zf:
         assert zf.namelist() == ["report_allvalid.txt"]
+
+
+def test_quarantine_ladder_bad_layout_file(spark, tmp_path):
+    """Reference escalation ladder (README.md:110-115): a bad-layout file is
+    quarantined, re-attempted automatically on runs within 2 days of first
+    failure, and left in quarantine (not re-listed) after that."""
+    from pipeline_etl_website_visits_spark.etl.backup import _load_ledger
+
+    rep = tmp_path / "in"
+    rep.mkdir()
+    FX.make_badlayout(str(rep))
+    qd = str(tmp_path / "quarantine")
+    wh_root = str(tmp_path / "wh")
+
+    # day 0: layout fails -> file physically moves to quarantine, ledger stamped
+    res = process_directory(spark, str(rep), wh_root, process_date="2026-03-28", quarantine_dir=qd)
+    assert [r.status for r in res] == [S.STATUS_LAYOUT_FAIL]
+    assert not (rep / "report_badlayout.txt").exists()
+    assert os.path.isfile(os.path.join(qd, "report_badlayout.txt"))
+    assert _load_ledger(qd) == {"report_badlayout.txt": "2026-03-28"}
+
+    # day 1: automatic retry — requeued and re-attempted (bypassing the
+    # FALLO_LAYOUT completion marker), fails again, back to quarantine with
+    # the ORIGINAL first-failure date
+    res = process_directory(spark, str(rep), wh_root, process_date="2026-03-29", quarantine_dir=qd)
+    assert [r.status for r in res] == [S.STATUS_LAYOUT_FAIL]
+    assert os.path.isfile(os.path.join(qd, "report_badlayout.txt"))
+    assert _load_ledger(qd) == {"report_badlayout.txt": "2026-03-28"}
+
+    # day 3 (> 2 days after first failure): abandoned — not re-listed, no run
+    res = process_directory(spark, str(rep), wh_root, process_date="2026-03-31", quarantine_dir=qd)
+    assert res == []
+    assert os.path.isfile(os.path.join(qd, "report_badlayout.txt"))
+
+
+def test_quarantine_retry_succeeds_after_fix(spark, tmp_path):
+    """A quarantined file whose layout is fixed in place (re-delivered) loads
+    normally on its retry day and is NOT re-quarantined."""
+    rep = tmp_path / "in"
+    rep.mkdir()
+    FX.make_badlayout(str(rep), name="report_fixme.txt")
+    qd = str(tmp_path / "quarantine")
+    wh_root = str(tmp_path / "wh")
+    wh = Warehouse(spark, wh_root)
+
+    process_directory(spark, str(rep), wh_root, process_date="2026-03-28", quarantine_dir=qd)
+    assert os.path.isfile(os.path.join(qd, "report_fixme.txt"))
+
+    # operator fixes the file inside quarantine (re-delivery in place)
+    os.unlink(os.path.join(qd, "report_fixme.txt"))
+    FX.make_allvalid(str(qd), name="report_fixme.txt")
+
+    res = process_directory(spark, str(rep), wh_root, process_date="2026-03-29", quarantine_dir=qd)
+    assert [r.status for r in res] == [S.STATUS_OK]
+    assert (rep / "report_fixme.txt").exists()  # back in the input dir, committed
+    assert not os.path.isfile(os.path.join(qd, "report_fixme.txt"))
+    assert _totals(wh) == 10
