@@ -99,10 +99,44 @@ class Warehouse:
         fs, hpath, _ = self._fs(self.path(table))
         return fs.exists(hpath)
 
+    def _has_data(self, table: str) -> bool:
+        """True when the table dir holds any partition dir or data file
+        (ignores commit markers like _SUCCESS)."""
+        fs, hpath, _ = self._fs(self.path(table))
+        for st in fs.listStatus(hpath):
+            if not str(st.getPath().getName()).startswith("_"):
+                return True
+        return False
+
     def read(self, table: str) -> DataFrame | None:
-        if not self._exists(table):
+        """Current contents of an append table: live per-file partitions plus
+        the compacted region (if :meth:`compact` has run), LIVE WINS — a
+        nombreArchivo present as a live partition shadows its compacted copy,
+        which makes the read consistent in every compact crash window (rows
+        briefly present in both regions resolve to the live copy) and keeps
+        deliberate reprocesses visible (a re-written live partition beats the
+        stale compacted rows until the next compact absorbs it)."""
+        comp_version = self._current_compact_version(table)
+        live = None
+        # a table dir can exist with no data at all (an all-valid run writes
+        # an empty errores table; compaction GCs every live partition) —
+        # reading it would fail schema inference, so check for content first
+        if self._exists(table) and self._has_data(table):
+            live = self.spark.read.parquet(self.path(table))
+        comp = None
+        if comp_version is not None:
+            comp = self.spark.read.parquet(self.path(comp_version))
+            if "fecha" in comp.columns:
+                comp = comp.drop("fecha")
+        if live is None and comp is None:
             return None
-        return self.spark.read.parquet(self.path(table))
+        if comp is None:
+            return live
+        if live is None:
+            return comp
+        shadowed = sorted(self._live_partitions(table))
+        comp = comp.filter(~F.col("nombreArchivo").isin(shadowed))
+        return live.unionByName(comp.select(*live.columns))
 
     # -- append sinks (K1/K2), idempotent per file ---------------------------
     def append_partitioned(self, df: DataFrame, table: str) -> None:
@@ -114,6 +148,101 @@ class Warehouse:
             .partitionBy("nombreArchivo")
             .parquet(self.path(table))
         )
+
+    # -- small-file compaction (SURVEY §4.3: one parquet file per micro-batch
+    #    otherwise) ----------------------------------------------------------
+    def _live_partitions(self, table: str) -> set[str]:
+        """nombreArchivo values present as live partition dirs (one FS list)."""
+        fs, hpath, _ = self._fs(self.path(table))
+        if not fs.exists(hpath):
+            return set()
+        out = set()
+        for st in fs.listStatus(hpath):
+            name = str(st.getPath().getName())
+            if name.startswith("nombreArchivo="):
+                out.add(name.split("=", 1)[1])
+        return out
+
+    def _current_compact_version(self, table: str) -> str | None:
+        lines = self._read_small_text(self.path(f"{table}_compact_CURRENT"))
+        return lines[0] if lines else None
+
+    def compact(self, table: str, target_mb: int = 128) -> dict:
+        """Coalesce the per-file partitions of an append table into few
+        date-bucketed parquet files (sized ~``target_mb``), keeping every row.
+
+        ``append_partitioned`` writes one ``nombreArchivo=`` partition (≥1
+        file) per ingested report — operationally right for idempotent
+        re-runs, but at one micro-batch per file the table accretes thousands
+        of tiny files and every scan pays per-file open cost. ``compact``
+        rewrites live + previously-compacted rows into a new versioned
+        compact dir (partitioned by ``fecha`` = ddMMyy of fechaEnvio when the
+        table has one), atomically flips ``{table}_compact_CURRENT``, then
+        GCs the absorbed live partitions and the pre-previous version. Crash
+        at ANY point is safe because the read path resolves live-vs-compacted
+        by LIVE WINS (see :meth:`read`): rows duplicated across regions in a
+        crash window always resolve to one copy. Idempotent: a re-run with
+        nothing new to absorb is a no-op.
+
+        Returns {"version", "absorbed", "files"}.
+        """
+        import math
+
+        live = sorted(self._live_partitions(table))
+        prev = self._current_compact_version(table)
+        if not live and prev is not None:
+            return {"version": prev, "absorbed": [], "files": 0}
+        df = self.read(table)
+        if df is None:
+            return {"version": None, "absorbed": [], "files": 0}
+
+        # size the output: total bytes of both regions / target_mb
+        fs, tpath, jvm = self._fs(self.path(table))
+        total = 0
+        for p in ([self.path(table)] if live else []) + ([self.path(prev)] if prev else []):
+            _, hp, _ = self._fs(p)
+            if fs.exists(hp):
+                total += fs.getContentSummary(hp).getLength()
+        n_files = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+
+        n = int(prev.rsplit("_v", 1)[1]) + 1 if prev else 0
+        version = f"{table}_compact_v{n}"
+        if "fechaEnvio" in df.columns:
+            out = df.withColumn("fecha", F.date_format(F.col("fechaEnvio"), "ddMMyy"))
+            (
+                out.repartition(n_files, "fecha")
+                .write.mode("overwrite")
+                .partitionBy("fecha")
+                .parquet(self.path(version))
+            )
+        else:
+            df.repartition(n_files).write.mode("overwrite").parquet(self.path(version))
+
+        # atomic pointer flip (same protocol as the visitantes snapshot)
+        pointer = self.path(f"{table}_compact_CURRENT")
+        fsp, pointer_path, jvmp = self._fs(pointer)
+        tmp_path = jvmp.org.apache.hadoop.fs.Path(pointer + ".tmp")
+        outstream = fsp.create(tmp_path, True)
+        try:
+            outstream.write(bytearray(version.encode("utf-8")))
+        finally:
+            outstream.close()
+        if fsp.exists(pointer_path):
+            fsp.delete(pointer_path, False)
+        fsp.rename(tmp_path, pointer_path)
+
+        # GC: absorbed live partitions and the pre-previous compact version
+        for fname in live:
+            part = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(self.path(table), f"nombreArchivo={fname}")
+            )
+            if fs.exists(part):
+                fs.delete(part, True)
+        if prev is not None and n >= 2:
+            old = jvm.org.apache.hadoop.fs.Path(self.path(f"{table}_compact_v{n - 2}"))
+            if fs.exists(old):
+                fs.delete(old, True)
+        return {"version": version, "absorbed": live, "files": n_files}
 
     # -- small-file helpers (pointer / manifests via Hadoop FS) --------------
     def _read_small_text(self, p: str) -> list[str] | None:

@@ -172,3 +172,81 @@ def test_quarantine_retry_succeeds_after_fix(spark, tmp_path):
     assert (rep / "report_fixme.txt").exists()  # back in the input dir, committed
     assert not os.path.isfile(os.path.join(qd, "report_fixme.txt"))
     assert _totals(wh) == 10
+
+
+def _parquet_files(root):
+    out = []
+    for dirpath, _, files in os.walk(root):
+        out.extend(os.path.join(dirpath, f) for f in files if f.endswith(".parquet"))
+    return out
+
+
+def _rows_key(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_compact_coalesces_small_partitions(spark, tmp_path):
+    """N per-file appends -> compact -> identical rows, fewer files; later
+    appends stay visible and a re-compact absorbs them (idempotent)."""
+    rep = tmp_path / "in"
+    rep.mkdir()
+    # n=3 -> each file spans the same 3 fechaEnvio dates, so 4 live files
+    # compact into 3 date buckets (at real scale: thousands/day into a few)
+    for i in range(4):
+        FX.make_allvalid(str(rep), name=f"report_f{i}.txt", n=3)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    process_directory(spark, str(rep), str(tmp_path / "wh"), process_date="2026-03-28")
+
+    before = _rows_key(wh.read("estadisticas"))
+    files_before = _parquet_files(wh.path("estadisticas"))
+    assert len(files_before) >= 4  # one partition (>=1 file) per report
+
+    out = wh.compact("estadisticas", target_mb=128)
+    assert sorted(out["absorbed"]) == [f"report_f{i}.txt" for i in range(4)]
+    after = _rows_key(wh.read("estadisticas"))
+    assert after == before  # same rows, byte-for-byte values
+    live_files = _parquet_files(wh.path("estadisticas"))
+    comp_files = _parquet_files(wh.path(out["version"]))
+    assert live_files == []  # absorbed live partitions GC'd
+    assert len(comp_files) < len(files_before)
+
+    # idempotent: nothing to absorb -> no-op, same version
+    again = wh.compact("estadisticas", target_mb=128)
+    assert again["version"] == out["version"] and again["absorbed"] == []
+
+    # a new append lands live and is visible alongside the compacted region
+    FX.make_allvalid(str(rep), name="report_f9.txt", n=3)
+    process_directory(spark, str(rep), str(tmp_path / "wh"), process_date="2026-03-28")
+    assert wh.read("estadisticas").count() == 15
+    # re-compact absorbs it
+    out2 = wh.compact("estadisticas", target_mb=128)
+    assert out2["absorbed"] == ["report_f9.txt"]
+    assert wh.read("estadisticas").count() == 15
+
+    # errores table (no fechaEnvio column) compacts through the plain path
+    errs_before = _rows_key(wh.read("errores")) if wh.read("errores") is not None else []
+    wh.compact("errores")
+    errs_after = _rows_key(wh.read("errores")) if wh.read("errores") is not None else []
+    assert errs_after == errs_before
+
+
+def test_compact_live_wins_over_stale_compacted_rows(spark, tmp_path):
+    """A deliberate reprocess after compaction shadows the stale compacted
+    copy of that file until the next compact absorbs the fresh rows."""
+    rep = tmp_path / "in"
+    rep.mkdir()
+    FX.make_allvalid(str(rep), name="report_a.txt", n=5)
+    FX.make_allvalid(str(rep), name="report_b.txt", n=5)
+    wh = Warehouse(spark, str(tmp_path / "wh"))
+    process_directory(spark, str(rep), str(tmp_path / "wh"), process_date="2026-03-28")
+    wh.compact("estadisticas")
+    assert wh.read("estadisticas").count() == 10
+
+    # reprocess report_a: dynamic partition overwrite recreates its live
+    # partition; read must not double-count (live shadows compacted)
+    process_directory(
+        spark, str(rep), str(tmp_path / "wh"), process_date="2026-03-28", reprocess=True
+    )
+    assert wh.read("estadisticas").count() == 10
+    wh.compact("estadisticas")
+    assert wh.read("estadisticas").count() == 10
