@@ -81,10 +81,29 @@ class Warehouse:
     scale use thousands; the test default keeps directories readable).
     """
 
-    def __init__(self, spark: SparkSession, root: str, n_buckets: int = 16):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        n_buckets: int = 16,
+        bucketed: bool = False,
+    ):
+        """``bucketed=True`` opts the visitantes snapshot into Spark's
+        catalog-level bucketing (``bucketBy(n_buckets, email) + sortBy``):
+        the merge's full-outer join then needs NO exchange and NO sort on
+        the (big) target side — SURVEY §4.3's shuffle-free re-run story as
+        product code. Trade-off vs the default hash-partition-dir layout:
+        each bucketed merge rewrites the full snapshot (bucketed inserts
+        cannot overwrite single partitions), so choose it when batches touch
+        most of the key space anyway (bulk backfills, compaction-style
+        merges) and the join shuffle dominates; keep the default for narrow
+        per-file batches where touched-bucket write pruning dominates.
+        Both modes share pointer/crash-safety and migrate into each other on
+        the next merge."""
         self.spark = spark
         self.root = root
         self.n_buckets = int(n_buckets)
+        self.bucketed = bool(bucketed)
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -291,6 +310,20 @@ class Warehouse:
         lines = self._read_small_text(self.path(self._POINTER))
         return lines[0] if lines else None
 
+    @staticmethod
+    def _version_dir(version: str) -> str:
+        """Data dir name of a version: plain ``visitantes_vN``, or the dir
+        component of a bucketed ``tbl:<catalog_table>:<dir>`` pointer."""
+        return version.rsplit(":", 1)[1] if version.startswith("tbl:") else version
+
+    def _bucketed_table_name(self, n: int) -> str:
+        """Catalog name for a bucketed snapshot version — the warehouse root
+        is folded in so concurrent warehouses in one session never collide."""
+        import hashlib
+
+        h = hashlib.md5(self.root.encode("utf-8")).hexdigest()[:8]
+        return f"visitantes_b{h}_v{n}"
+
     def _bucket_col(self, n_buckets: int):
         # coalesce: hash(NULL) is NULL and a NULL bucket would fall out of
         # every partition dir; valid rows always carry an email, but the
@@ -324,6 +357,11 @@ class Warehouse:
         version = self._current_visitantes_version()
         if version is None:
             return self.spark.createDataFrame([], VISITANTES_SCHEMA)
+        if version.startswith("tbl:"):
+            # bucketed snapshot: the catalog scan carries the bucket spec the
+            # merge join's exchange elimination depends on (no pruned read —
+            # bucketed merges are full-keyspace by design)
+            return self.spark.table(version.split(":")[1])
         manifest = self._visitantes_manifest(version)
         if manifest is None:  # legacy layout: one flat dir, no pruning
             return self.spark.read.parquet(self.path(version))
@@ -345,7 +383,9 @@ class Warehouse:
         version = self._current_visitantes_version()
         if version is None:
             return set()
-        lines = self._read_small_text(os.path.join(self.path(version), "_applied"))
+        lines = self._read_small_text(
+            os.path.join(self.path(self._version_dir(version)), "_applied")
+        )
         return set(lines or [])
 
     def merge_visitantes(
@@ -367,10 +407,23 @@ class Warehouse:
         """
         from pipeline_etl_website_visits_spark.operators.merge import visitantes_merge
 
+        if self.bucketed:
+            # bucketed mode: the full-outer join reads the catalog-bucketed
+            # target with NO exchange on that side; the (small) source
+            # shuffles to match. Plain-equality join (null_safe=False) so the
+            # join keys line up with the bucketBy(email) spec — see
+            # visitantes_merge. Full-snapshot rewrite by design (__init__
+            # trade-off).
+            merged = visitantes_merge(
+                self.read_visitantes(), source, process_date=process_date, null_safe=False
+            )
+            self._publish_visitantes_bucketed(merged, applied_key=applied_key)
+            return
         version = self._current_visitantes_version()
         manifest = self._visitantes_manifest(version) if version else None
         if version is not None and manifest is None:
-            # legacy flat snapshot: one-time full merge + bucketed rewrite
+            # legacy flat (or bucketed-catalog) snapshot: one-time full merge
+            # + hash-partitioned rewrite
             merged = visitantes_merge(self.read_visitantes(), source, process_date=process_date)
             self.write_visitantes(merged, applied_key=applied_key)
             return
@@ -390,7 +443,51 @@ class Warehouse:
     def write_visitantes(self, df: DataFrame, applied_key: str | None = None) -> None:
         """Full snapshot (re)write — initial load / explicit rebucket. The
         per-batch path is ``merge_visitantes`` (touched buckets only)."""
-        self._publish_visitantes(df, touched_refs={}, applied_key=applied_key)
+        if self.bucketed:
+            self._publish_visitantes_bucketed(df, applied_key=applied_key)
+        else:
+            self._publish_visitantes(df, touched_refs={}, applied_key=applied_key)
+
+    def _publish_visitantes_bucketed(self, df: DataFrame, applied_key: str | None) -> None:
+        """Publish a full snapshot as a catalog-bucketed external table
+        (``bucketBy(n_buckets, email) + sortBy(email)``), with the same
+        versioned-dir + atomic-pointer protocol as the partitioned layout.
+        The pointer line is ``tbl:<catalog_table>:<data_dir>``."""
+        version_now = self._current_visitantes_version()
+        applied = self.visitantes_applied()
+        if applied_key is not None:
+            applied = applied | {applied_key}
+        n = int(version_now.rsplit("_v", 1)[1]) + 1 if version_now else 0
+        dirname = f"visitantes_v{n}"
+        table = self._bucketed_table_name(n)
+        (
+            df.write.format("parquet")
+            .bucketBy(self.n_buckets, "email")
+            .sortBy("email")
+            .option("path", self.path(dirname))
+            .mode("overwrite")
+            .saveAsTable(table)
+        )
+        self._write_small_text(
+            os.path.join(self.path(dirname), "_applied"),
+            ("\n".join(sorted(applied)) + "\n") if applied else "",
+        )
+        version = f"tbl:{table}:{dirname}"
+        fsp, pointer_path, jvmp = self._fs(self.path(self._POINTER))
+        tmp_path = jvmp.org.apache.hadoop.fs.Path(self.path(self._POINTER + ".tmp"))
+        tout = fsp.create(tmp_path, True)
+        try:
+            tout.write(bytearray(version.encode("utf-8")))
+        finally:
+            tout.close()
+        if fsp.exists(pointer_path):
+            fsp.delete(pointer_path, False)
+        fsp.rename(tmp_path, pointer_path)
+        self._gc_visitantes(keep_current=version, keep_prev=version_now)
+        # drop superseded catalog entries (data dirs are GC'd above; external
+        # tables keep catalog metadata until dropped)
+        if n >= 2:
+            self.spark.sql(f"DROP TABLE IF EXISTS {self._bucketed_table_name(n - 2)}")
 
     def _publish_visitantes(
         self,
@@ -456,14 +553,15 @@ class Warehouse:
         the previous version (kept, with ITS references, for post-crash
         inspection — the same one-version retention as before, expressed over
         reference sets instead of consecutive numbering)."""
-        keep: set[str] = {keep_current}
+        keep: set[str] = {self._version_dir(keep_current)}
         for ver in (keep_current, keep_prev):
             if ver is None:
                 continue
-            keep.add(ver)
-            manifest = self._visitantes_manifest(ver)
-            if manifest is not None:
-                keep.update(manifest[1].values())
+            keep.add(self._version_dir(ver))
+            if not ver.startswith("tbl:"):
+                manifest = self._visitantes_manifest(ver)
+                if manifest is not None:
+                    keep.update(manifest[1].values())
         fs, root_path, jvm = self._fs(self.root)
         if not fs.exists(root_path):
             return

@@ -77,11 +77,24 @@ def merge_upsert(
     return joined.select(*out)
 
 
-def visitantes_merge(target: DataFrame, source: DataFrame, process_date: str | None = None) -> DataFrame:
+def visitantes_merge(
+    target: DataFrame,
+    source: DataFrame,
+    process_date: str | None = None,
+    null_safe: bool = True,
+) -> DataFrame:
     """The concrete visitantes upsert (email-keyed), all rules applied.
 
     ``process_date`` (ISO yyyy-mm-dd) pins "current" year/month for
     deterministic tests; defaults to the batch's max fechaUltimaVisita.
+
+    ``null_safe=False`` joins on plain equality instead of ``eqNullSafe``:
+    required by the bucketed-warehouse path, because null-safe equality
+    rewrites the join keys to ``(coalesce(email,''), isnull(email))``, which
+    no longer matches the table's ``bucketBy(email)`` spec and silently
+    disables exchange elimination. Only safe when the key is non-null on
+    both sides (the VISITANTES_SCHEMA declares email non-nullable; the
+    batch aggregate groups by it).
     """
     if process_date is not None:
         cur = F.lit(process_date).cast("date")
@@ -91,7 +104,12 @@ def visitantes_merge(target: DataFrame, source: DataFrame, process_date: str | N
 
     t = target.select([F.col(c).alias(f"t_{c}") for c in target.columns])
     s = source.select([F.col(c).alias(f"s_{c}") for c in source.columns])
-    joined = t.join(s, F.col("t_email").eqNullSafe(F.col("s_email")), "full_outer")
+    cond = (
+        F.col("t_email").eqNullSafe(F.col("s_email"))
+        if null_safe
+        else F.col("t_email") == F.col("s_email")
+    )
+    joined = t.join(s, cond, "full_outer")
 
     t_last = F.col("t_fechaUltimaVisita")
     matched = F.col("t_email").isNotNull() & F.col("s_email").isNotNull()

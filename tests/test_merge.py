@@ -210,3 +210,49 @@ def test_gc_keeps_referenced_versions(spark, tmp_path, target, source):
     assert out["match-prev-year@example.com"] == 33
     assert out["match-prev-month@example.com"] == 20
     assert out["match-older-last@example.com"] == 5
+
+
+def test_bucketed_warehouse_merge_semantics(spark, tmp_path, target, source):
+    """Warehouse(bucketed=True): same merge semantics through the
+    catalog-bucketed snapshot path, with versioning/applied bookkeeping."""
+    wh = Warehouse(spark, str(tmp_path / "whb"), n_buckets=8, bucketed=True)
+    wh.write_visitantes(target, applied_key="seed")
+    assert wh._current_visitantes_version().startswith("tbl:")
+    wh.merge_visitantes(source, process_date=PROCESS_DATE, applied_key="b1")
+    out = {r["email"]: r for r in wh.read_visitantes().collect()}
+    assert len(out) == 5
+    assert out["match-same-month@example.com"]["visitasTotales"] == 13
+    assert out["new-visitor@example.com"]["visitasTotales"] == 2
+    assert wh.visitantes_applied() == {"seed", "b1"}
+
+
+def test_bucketed_merge_join_has_no_target_side_exchange(spark, tmp_path, target, source):
+    """The SURVEY §4.3 shuffle-free story as product code: the bucketed
+    snapshot side of the merge join must plan with NO exchange (only the
+    small batch side shuffles to match the bucket spec)."""
+    from pipeline_etl_website_visits_spark.operators.merge import visitantes_merge
+
+    wh = Warehouse(spark, str(tmp_path / "whb"), n_buckets=8, bucketed=True)
+    wh.write_visitantes(target)
+    merged = visitantes_merge(wh.read_visitantes(), source, PROCESS_DATE, null_safe=False)
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    exchanges = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert len(exchanges) == 1, plan  # batch side only; bucketed target side clean
+    assert "Bucketed: true" in plan, plan
+
+
+def test_bucketed_to_partitioned_migration(spark, tmp_path, target, source):
+    """Opting back out of bucketed mode migrates on the next merge."""
+    root = str(tmp_path / "whm")
+    whb = Warehouse(spark, root, n_buckets=8, bucketed=True)
+    whb.write_visitantes(target, applied_key="seed")
+    whp = Warehouse(spark, root, n_buckets=8)
+    whp.merge_visitantes(source, process_date=PROCESS_DATE, applied_key="m1")
+    v = whp._current_visitantes_version()
+    assert not v.startswith("tbl:")
+    assert whp._visitantes_manifest(v) is not None  # hash-partitioned again
+    out = {r["email"]: r["visitasTotales"] for r in whp.read_visitantes().collect()}
+    assert out["match-same-month@example.com"] == 13 and len(out) == 5
+    assert whp.visitantes_applied() == {"seed", "m1"}
