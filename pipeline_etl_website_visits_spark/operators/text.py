@@ -453,3 +453,46 @@ def learn_bpe_merges(df: DataFrame, text_col: str, num_merges: int = 8) -> DataF
     return spark.createDataFrame(
         merges, "merge_rank int, left string, right string, merged string, pair_count long"
     )
+
+
+def ngram_novelty(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> DataFrame:
+    """Per-document n-gram novelty: what fraction of a document's distinct
+    word n-grams appear in NO other document.
+
+    The memorization/uniqueness signal a curation pipeline ranks on — a
+    document whose 5-grams all recur elsewhere is boilerplate or a near-dup;
+    one whose grams are mostly corpus-unique carries new content (the same
+    family of signals as the reference pipeline's duplicate flagging, see
+    SURVEY §2.11 X4; cf. the dedup counting in
+    /root/reference utils/utils_transform.py duplicate handling).
+
+    Plan: one shingle explode (higher-order funcs, stays in codegen), one
+    groupBy(gram) for corpus doc-frequency, one groupBy(doc_id) to fold the
+    per-doc tally. Grams are xxhash64-compressed before the shuffle so the
+    exchanged key is 8 bytes, not the raw string — at 100 TB the gram
+    shuffle is the whole cost and this makes it ~10x smaller. (xxhash64
+    collisions can only ever merge two grams' counts — at 2^64 key space
+    the expected effect at any realistic corpus size is zero, and the
+    DuckDB oracle counts RAW grams, so the correctness gate itself would
+    surface a collision as a hash mismatch.)
+    """
+    from pipeline_etl_website_visits_spark.operators.dedup import shingles
+
+    g = shingles(df, text_col, id_col, n, with_size=True).select(
+        "doc_id", "sz", F.xxhash64("gram").alias("gram")
+    )
+    doc_freq = g.groupBy("gram").agg(F.count("*").alias("df"))
+    return (
+        g.join(doc_freq, on="gram")
+        .groupBy("doc_id")
+        .agg(
+            F.max("sz").alias("n_grams"),
+            F.sum(F.when(F.col("df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_unique").cast("long").alias("n_unique"),
+            ratio_round(F.col("n_unique"), F.col("n_grams"), 4).alias("novelty"),
+        )
+    )

@@ -1018,3 +1018,157 @@ def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-registration below does not affect this statement's plan
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return out
+
+
+# --------------------------------------------------------------------------
+# x80 — TPC-H Q9 shape: product-line profit by supplier nation and year
+#
+# The widest join in the suite (lineitem ⋈ part ⋈ supplier ⋈ orders ⋈
+# nation): the fact table streams once through three BROADCAST dims (part
+# filtered by name, supplier+nation, orders projected to key+date), then one
+# shuffle on the (nation, year) group key. There is no partsupp table in the
+# test schema, so cost is derived from part.p_retailprice (80% of retail per
+# unit) — the join/aggregate SHAPE is Q9's, which is what this certifies.
+# Money in integer cents end-to-end (the q60/q63 discipline); profit =
+# revenue_cents − cost_cents stays exact BIGINT until the final display
+# division. Scale: dims are O(|part|+|supplier|+|orders|) — orders is the
+# big one, but Q9's selective p_name filter cuts the fact rows first; on a
+# real cluster AQE would pick shuffle-hash for the orders side if it
+# outgrows the broadcast threshold, same plan family.
+# --------------------------------------------------------------------------
+@query(
+    "x80_product_profit",
+    oracle="""
+    SELECT n_name AS supp_nation,
+           CAST(strftime(o_orderdate, '%Y') AS INT) AS o_year,
+           CAST(((SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                      * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+                      - 100 * CAST(FLOOR(p_retailprice * 80 + 0.5) AS BIGINT)
+                            * CAST(l_quantity AS BIGINT))
+                  + 50) // 100) / 100.0 AS DOUBLE) AS profit,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN nation ON n_nationkey = s_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY supp_nation, o_year
+    ORDER BY supp_nation, o_year
+    """,
+    certifies="TPC-H Q9 shape: 5-table fact-through-broadcast-dims join, profit rollup by nation x year",
+    tags=("olap",),
+)
+def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    supp = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nation = _t(spark, sf_dir, "nation")
+    price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    disc_c = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
+    cost_c = F.floor(F.col("p_retailprice") * 80 + F.lit(0.5)).cast("long")
+    profit_c = price_c * (F.lit(100) - disc_c) - F.lit(100) * cost_c * F.col("l_quantity").cast("long")
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("supp_nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(F.sum(profit_c).alias("profit_num"), F.count("*").alias("n_lines"))
+        .select(
+            "supp_nation",
+            "o_year",
+            (F.expr("(profit_num + 50) div 100") / F.lit(100.0)).cast("double").alias("profit"),
+            F.col("n_lines").cast("long").alias("n_lines"),
+        )
+        .orderBy("supp_nation", "o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# x81 — TPC-H Q8 shape: a nation's market share within a region, by year
+#
+# Conditional-aggregate ratio over the same fact-through-dims join family
+# as x80: customer-side region filter (AMERICA via nation→region chain) and
+# a share numerator keyed on the SUPPLIER's nation. Exercises the
+# "aggregate-of-case" idiom (share = SUM(CASE)/SUM(all)) that Q8 is the
+# canonical test for. Numerator and denominator both stay in exact integer
+# cents; the share is one final double division of two BIGINTs (bit-exact
+# across engines for identical inputs).
+# --------------------------------------------------------------------------
+@query(
+    "x81_market_share",
+    oracle="""
+    SELECT CAST(strftime(o_orderdate, '%Y') AS INT) AS o_year,
+           CAST(SUM(CASE WHEN sn.n_name = 'NATION_6'
+                         THEN CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                              * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+                         ELSE 0 END) AS BIGINT) AS nation_vol,
+           CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))) AS BIGINT) AS total_vol,
+           ROUND(CAST(SUM(CASE WHEN sn.n_name = 'NATION_6'
+                               THEN CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                                    * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))
+                               ELSE 0 END) AS DOUBLE)
+                 / CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                            * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))) AS DOUBLE), 6) AS share
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation cn ON cn.n_nationkey = c_nationkey
+    JOIN region ON r_regionkey = cn.n_regionkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation sn ON sn.n_nationkey = s_nationkey
+    WHERE r_name = 'AMERICA'
+    GROUP BY o_year
+    ORDER BY o_year
+    """,
+    certifies="TPC-H Q8 shape: 7-table join, conditional-aggregate market-share ratio by year",
+    tags=("olap",),
+)
+def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    # customer-side dim chain folds to one broadcast: customers in AMERICA
+    cust_america = (
+        cust.join(
+            F.broadcast(
+                nation.join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+                .filter(F.col("r_name") == "AMERICA")
+                .select("n_nationkey")
+            ),
+            cust.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey")
+    )
+    supp_nation = supp.join(
+        F.broadcast(nation.select("n_nationkey", F.col("n_name").alias("supp_n_name"))),
+        supp.s_nationkey == F.col("n_nationkey"),
+    ).select("s_suppkey", "supp_n_name")
+    vol_c = (
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        * (F.lit(100) - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long"))
+    )
+    grouped = (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust_america), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_n_name") == "NATION_6", vol_c).otherwise(F.lit(0))).alias("nation_vol"),
+            F.sum(vol_c).alias("total_vol"),
+        )
+    )
+    return grouped.select(
+        "o_year",
+        F.col("nation_vol").cast("long").alias("nation_vol"),
+        F.col("total_vol").cast("long").alias("total_vol"),
+        F.round(F.col("nation_vol").cast("double") / F.col("total_vol").cast("double"), 6).alias("share"),
+    ).orderBy("o_year")

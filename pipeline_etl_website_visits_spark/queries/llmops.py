@@ -700,3 +700,88 @@ def x78(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-machine reference."""
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return T.learn_bpe_merges(docs, "text", num_merges=3)
+
+
+# --------------------------------------------------------------------------
+# x82 — product quantization (PQ) codes over the embeddings table
+#
+# The compression layer under large-scale ANN: 64-dim float vectors → 8
+# one-byte centroid codes (see operators/similarity.py:pq_encode for the
+# scale story). Oracle-backed because the operator quantizes floats to
+# integer micro-units BEFORE the distance math — squared L2 is exact BIGINT
+# in both engines and the per-(vector, subspace) argmin (centroid-id
+# tie-break) is deterministic. The codebook is the first 16 vectors by id,
+# so those 16 must encode to themselves with qerr = 0 (pinned in
+# tests/test_operators.py).
+# --------------------------------------------------------------------------
+@query(
+    "x82_embed_pq_codes",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    subs AS (
+      SELECT vec_id, m.sub, list_slice(qv, m.sub * 8 + 1, m.sub * 8 + 8) AS sv
+      FROM q, (SELECT unnest(range(0, 8)) AS sub) m
+    ),
+    cb AS (
+      SELECT sub, vec_id AS centroid_id, sv AS cv FROM subs WHERE vec_id < 16
+    ),
+    dists AS (
+      SELECT s.vec_id, s.sub, c.centroid_id,
+             CAST(list_sum(list_transform(range(1, 9),
+                  i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS BIGINT) AS d
+      FROM subs s JOIN cb c ON s.sub = c.sub
+    )
+    SELECT vec_id, CAST(sub AS INT) AS sub,
+           CAST(arg_min(centroid_id,
+                        LPAD(CAST(d AS VARCHAR), 20, '0')
+                          || LPAD(CAST(centroid_id AS VARCHAR), 4, '0')) AS BIGINT) AS code,
+           CAST(MIN(d) AS BIGINT) AS qerr
+    FROM dists GROUP BY vec_id, sub ORDER BY vec_id, sub
+    """,
+    certifies="X3 product quantization: per-subspace nearest-centroid codes, integer-exact distances, broadcast codebook",
+    tags=("llm", "similarity"),
+)
+def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.pq_encode(emb).orderBy("vec_id", "sub")
+
+
+# --------------------------------------------------------------------------
+# x83 — n-gram novelty scoring (corpus-uniqueness signal per document)
+#
+# Fraction of each doc's distinct 5-grams that occur in no other document —
+# the boilerplate-vs-new-content ranking signal (see operators/text.py:
+# ngram_novelty for the plan and the hashed-shuffle scale note). The oracle
+# counts raw gram strings where Spark counts xxhash64(gram) — identical
+# results unless a 64-bit collision merges two grams, which this very gate
+# would catch.
+# --------------------------------------------------------------------------
+@query(
+    "x83_ngram_novelty",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(lst) - 3),
+               i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2] || ' ' || lst[i+3] || ' ' || lst[i+4]))) AS gram
+      FROM (SELECT doc_id, {_TOKS} AS lst FROM documents)
+    ),
+    freq AS (SELECT gram, COUNT(*) AS df FROM g GROUP BY gram)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+           CAST(((SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) * 20000 + COUNT(*))
+                 // (2 * COUNT(*))) / 10000.0 AS DOUBLE) AS novelty
+    FROM g JOIN freq USING (gram)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    certifies="X4 n-gram novelty scoring: corpus doc-frequency vs per-doc distinct grams, hashed-key shuffle",
+    tags=("llm", "text"),
+)
+def x83(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.ngram_novelty(docs, "text", "doc_id", n=5).orderBy("doc_id")

@@ -322,3 +322,47 @@ def test_interval_overlap_pairs_matches_brute_force(spark):
         if a[0] == b[0] and a[2] <= b[3] and b[2] <= a[3] and a[1] < b[1]
     )
     assert got == expect
+
+
+def test_pq_encode_codebook_self_zero_error(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = S.pq_encode(emb).collect()
+    n_vecs = emb.count()
+    assert len(out) == n_vecs * 8  # one code per (vector, subspace)
+    by_vec = {}
+    for r in out:
+        assert 0 <= r["code"] < 16
+        assert r["qerr"] >= 0
+        by_vec.setdefault(r["vec_id"], []).append(r)
+    # codebook = first 16 vectors by id: each must quantize to ITSELF exactly
+    for vid in range(16):
+        for r in by_vec[vid]:
+            assert r["code"] == vid, (vid, r)
+            assert r["qerr"] == 0, (vid, r)
+    # every vector yields all 8 subspaces
+    assert all(sorted(r["sub"] for r in rows) == list(range(8)) for rows in by_vec.values())
+
+
+def test_pq_encode_broadcasts_codebook(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    plan = S.pq_encode(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan       # codebook never shuffles
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ngram_novelty_known_corpus(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),       # grams: "a b c d e", "b c d e f" — shared with doc 2
+            (2, "a b c d e f"),       # exact dup of 1 → novelty 0
+            (3, "p q r s t u v"),     # all grams unique → novelty 1
+            (4, "x y"),               # too short for 5-grams → absent from output
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in T.ngram_novelty(docs, "text", "doc_id", n=5).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[1]["n_grams"] == 2 and rows[1]["n_unique"] == 0 and rows[1]["novelty"] == 0.0
+    assert rows[2]["novelty"] == 0.0
+    assert rows[3]["n_grams"] == 3 and rows[3]["n_unique"] == 3 and rows[3]["novelty"] == 1.0
