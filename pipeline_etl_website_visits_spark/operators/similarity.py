@@ -588,58 +588,70 @@ def pq_encode(
 
     Engine-exactness discipline: floats are quantized to integer
     micro-units (``floor(v * quant_scale)``) BEFORE any distance math, so
-    squared L2 distances are exact BIGINT arithmetic — identical in any
+    squared L2 distances are exact int64 arithmetic — identical in any
     engine, no float-summation-order ambiguity — and the argmin (with
-    centroid-id tie-break) is fully deterministic.
+    centroid-id tie-break: numpy argmin takes the FIRST minimum, and the
+    codebook rows are ordered by centroid id) is fully deterministic.
+    The DuckDB oracle for x82 replays the identical integer math in SQL.
 
     The default codebook is the first ``num_centroids`` vectors by id —
     deterministic and oracle-expressible. Pass a learned ``codebook``
-    DataFrame (sub, centroid_id, cvec) for real use (e.g. per-subspace
-    k-means centroids from :func:`kmeans_summary`).
+    DataFrame with columns (``centroid_id``, ``cvec`` array<float/double>)
+    for real use (e.g. centroids from :func:`kmeans_summary`).
 
-    Scale shape: one explode to M rows per vector (row count M·N, each row
-    a ``dim/M``-element array), one BROADCAST join against the M·K codebook
-    (128 rows here — never a shuffle), one groupBy on (id, sub) whose
-    partial aggregation collapses the K candidates map-side. No Python, no
-    driver state; everything stays in whole-stage codegen.
+    Scale shape: MAP-ONLY. The codebook is tiny by contract (K x d ints —
+    enforced by the same driver-state guard as the kmeans/cosine paths), so
+    it rides into every task's closure and each input partition is encoded
+    in one Arrow-batched numpy pass (one einsum-shaped broadcast subtract
+    per batch): no join, no shuffle, no agg — the plan is a single
+    mapInPandas over the scan, which is the FAISS-style encode and the only
+    shape that survives 100 TB of vectors (a joined form would shuffle
+    M rows per vector). Output: (id, sub, code, qerr) — M rows per vector.
     """
     sublen = dim // num_subspaces
     if sublen * num_subspaces != dim:
         raise ValueError(f"dim {dim} not divisible into {num_subspaces} subspaces")
+    _guard_driver_bytes("pq_encode codebook", num_centroids, dim)
 
-    def quantize(col: Column) -> Column:
-        return F.transform(
-            col.cast("array<double>"),
-            lambda v: F.floor(v * F.lit(float(quant_scale))).cast("long"),
-        )
+    def _quantize_rows(raw) -> "np.ndarray":
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in raw])
+        return np.floor(mat * float(quant_scale)).astype(np.int64)
 
-    def subspaced(df: DataFrame, out_id: str) -> DataFrame:
-        q = quantize(F.col(vec_col))
-        slices = F.array(*[F.slice(q, m * sublen + 1, sublen) for m in range(num_subspaces)])
-        return df.select(
-            F.col(id_col).alias(out_id),
-            F.posexplode(slices).alias("sub", "sv"),
-        )
-
-    subs = subspaced(vectors, "pq_id")
     if codebook is None:
-        codebook = (
-            subspaced(vectors.filter(F.col(id_col) < num_centroids), "centroid_id")
-            .withColumnRenamed("sv", "cv")
+        cb_rows = (
+            vectors.filter(F.col(id_col) < num_centroids)
+            .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+            .collect()
         )
-    d = F.aggregate(
-        F.zip_with(F.col("sv"), F.col("cv"), lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return (
-        subs.join(F.broadcast(codebook), on="sub")
-        .groupBy(F.col("pq_id").alias(id_col), "sub")
-        .agg(F.min(F.struct(d.alias("d"), F.col("centroid_id").alias("c"))).alias("best"))
-        .select(
-            id_col,
-            F.col("sub").cast("int").alias("sub"),
-            F.col("best.c").cast("long").alias("code"),
-            F.col("best.d").cast("long").alias("qerr"),
-        )
-    )
+    else:
+        cb_rows = codebook.select("centroid_id", "cvec").collect()
+    if not cb_rows:
+        raise ValueError("pq_encode: empty codebook")
+    cb_rows.sort(key=lambda r: r["centroid_id"])
+    cids = np.array([r["centroid_id"] for r in cb_rows], dtype=np.int64)
+    # [K, M, sublen] — row order == ascending centroid id, so argmin's
+    # first-minimum rule IS the lowest-centroid-id tie-break.
+    cents = _quantize_rows([r["cvec"] for r in cb_rows]).reshape(len(cb_rows), num_subspaces, sublen)
+
+    out_schema = f"{id_col} long, sub int, code long, qerr long"
+    subs_idx = np.arange(num_subspaces, dtype=np.int32)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            v = _quantize_rows(pdf[vec_col].to_numpy()).reshape(len(ids), num_subspaces, sublen)
+            diff = v[:, None, :, :] - cents[None, :, :, :]  # [N, K, M, sublen]
+            d = (diff * diff).sum(axis=3)  # [N, K, M] exact int64
+            best = d.argmin(axis=1)  # [N, M]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(ids, num_subspaces),
+                    "sub": np.tile(subs_idx, len(ids)),
+                    "code": cids[best].reshape(-1),
+                    "qerr": d.min(axis=1).reshape(-1),
+                }
+            )
+
+    return vectors.select(id_col, vec_col).mapInPandas(encode, out_schema)

@@ -1024,17 +1024,16 @@ def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
 # x80 — TPC-H Q9 shape: product-line profit by supplier nation and year
 #
 # The widest join in the suite (lineitem ⋈ part ⋈ supplier ⋈ orders ⋈
-# nation): the fact table streams once through three BROADCAST dims (part
-# filtered by name, supplier+nation, orders projected to key+date), then one
-# shuffle on the (nation, year) group key. There is no partsupp table in the
-# test schema, so cost is derived from part.p_retailprice (80% of retail per
-# unit) — the join/aggregate SHAPE is Q9's, which is what this certifies.
-# Money in integer cents end-to-end (the q60/q63 discipline); profit =
-# revenue_cents − cost_cents stays exact BIGINT until the final display
-# division. Scale: dims are O(|part|+|supplier|+|orders|) — orders is the
-# big one, but Q9's selective p_name filter cuts the fact rows first; on a
-# real cluster AQE would pick shuffle-hash for the orders side if it
-# outgrows the broadcast threshold, same plan family.
+# nation): the fact table streams once through BROADCAST true dims (part
+# filtered by name, supplier, nation), joins orders under planner choice
+# (auto-broadcast of the narrow key+date projection at bench scale; shuffle
+# join via AQE at real scale — orders is itself a fact, so its strategy
+# must stay data-driven, never forced), then one shuffle on the
+# (nation, year) group key. There is no partsupp table in the test schema,
+# so cost is derived from part.p_retailprice (80% of retail per unit) —
+# the join/aggregate SHAPE is Q9's, which is what this certifies. Money in
+# integer cents end-to-end (the q60/q63 discipline); profit = revenue_cents
+# − cost_cents stays exact BIGINT until the final display division.
 # --------------------------------------------------------------------------
 @query(
     "x80_product_profit",
@@ -1060,11 +1059,24 @@ def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("olap",),
 )
 def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
-    supp = _t(spark, sf_dir, "supplier")
+    # Narrow every relation to exactly the joined/aggregated columns before
+    # the joins (broadcast builds then carry only what they must), force
+    # broadcast ONLY for the true dims (filtered part, supplier, nation) and
+    # let the planner pick the orders⋈lineitem strategy: at bench scale the
+    # projected orders side auto-broadcasts anyway; at 100 TB orders is a
+    # fact table and forcing a broadcast would be the wrong plan — AQE
+    # downgrades it to a shuffle join exactly when it must.
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey", "l_extendedprice", "l_discount", "l_quantity"
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
-    nation = _t(spark, sf_dir, "nation")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     price_c = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
     disc_c = F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long")
     cost_c = F.floor(F.col("p_retailprice") * 80 + F.lit(0.5)).cast("long")
@@ -1072,7 +1084,7 @@ def x80(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(
             F.col("n_name").alias("supp_nation"),
@@ -1156,8 +1168,15 @@ def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
         * (F.lit(100) - F.floor(F.col("l_discount") * 100 + F.lit(0.5)).cast("long"))
     )
+    # The cust_america key set is a join OUTPUT, so the planner has no size
+    # stats for it and (AQE off) would fall back to sort-merge; the hint
+    # restores the broadcast the statistics would justify. Same for the
+    # 3-column orders projection. At 100 TB both are fact-sized and these
+    # hints must go — the production session (session.py) keeps AQE on
+    # precisely so the runtime row counts make this call adaptively.
     grouped = (
-        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        li.select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(cust_america), F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(supp_nation), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))

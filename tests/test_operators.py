@@ -343,12 +343,14 @@ def test_pq_encode_codebook_self_zero_error(spark):
     assert all(sorted(r["sub"] for r in rows) == list(range(8)) for rows in by_vec.values())
 
 
-def test_pq_encode_broadcasts_codebook(spark):
+def test_pq_encode_is_map_only(spark):
+    # the 100 TB contract: codebook rides in the closure — encoding is one
+    # mapInPandas over the scan, with NO join and NO shuffle of any kind
     emb = load_table(spark, SF_DIR, "embeddings")
     plan = S.pq_encode(emb)._jdf.queryExecution().executedPlan().toString()
-    assert "BroadcastHashJoin" in plan       # codebook never shuffles
-    assert "CartesianProduct" not in plan
-    assert "SortMergeJoin" not in plan
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "ArrowEvalPython" in plan or "MapInPandas" in plan
 
 
 def test_ngram_novelty_known_corpus(spark):
