@@ -655,3 +655,105 @@ def pq_encode(
             )
 
     return vectors.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
+def pq_adc_topk(
+    queries: DataFrame,
+    candidates: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    num_subspaces: int = 8,
+    dim: int = 64,
+    num_centroids: int = 16,
+    quant_scale: int = 1_000_000,
+) -> DataFrame:
+    """Compressed-domain top-k search: ADC over product-quantization codes.
+
+    Asymmetric Distance Computation (Jégou et al. 2011 §IV): the query stays
+    un-quantized; each candidate is represented ONLY by its M centroid codes.
+    Per query, a distance table D[m][c] = ||q_m − centroid_{m,c}||² is built
+    once (M·K ints — here 128), and a candidate's distance is M table
+    lookups: sum_m D[m][code_m]. That turns a d-dim float scan into a
+    byte-codes scan + integer adds — the reason PQ indexes fit fact-scale
+    corpora in memory.
+
+    Scale shape: the query set and codebook are small by contract (guarded);
+    both ride into the task closure. One Arrow-batched numpy pass over the
+    candidates quantizes → encodes → table-looks-up → keeps the per-partition
+    top-k per query, so only nparts·|Q|·k candidate rows reach the final
+    exact top-k window (the :func:`cosine_topk` partial-top-k pattern). No
+    join, no wide shuffle. In a deployed index the codes are precomputed and
+    stored (see :func:`pq_encode`); this operator fuses encode+scan so its
+    certificate covers the whole path with the identical integer math — the
+    ADC result it returns is bit-identical to scanning stored codes.
+
+    Determinism: integer micro-unit quantization as in :func:`pq_encode`;
+    ties broken by (distance, candidate id) everywhere, including inside the
+    per-partition partial top-k.
+    """
+    sublen = dim // num_subspaces
+    if sublen * num_subspaces != dim:
+        raise ValueError(f"dim {dim} not divisible into {num_subspaces} subspaces")
+    _guard_driver_bytes("pq_adc_topk codebook", num_centroids, dim)
+
+    def _quantize_rows(raw) -> "np.ndarray":
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in raw])
+        return np.floor(mat * float(quant_scale)).astype(np.int64)
+
+    cb_rows = (
+        candidates.filter(F.col(id_col) < num_centroids)
+        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+        .collect()
+    )
+    if not cb_rows:
+        raise ValueError("pq_adc_topk: empty codebook")
+    cb_rows.sort(key=lambda r: r["centroid_id"])
+    cents = _quantize_rows([r["cvec"] for r in cb_rows]).reshape(
+        len(cb_rows), num_subspaces, sublen
+    )
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    _guard_driver_bytes("pq_adc_topk query set", len(q_rows), dim)
+    q_rows.sort(key=lambda r: r[id_col])
+    q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
+    qm = _quantize_rows([r[vec_col] for r in q_rows]).reshape(
+        len(q_rows), num_subspaces, sublen
+    )
+    # D[q, m, c] = ||q_m - centroid_{m,c}||^2, exact int64
+    qdiff = qm[:, None, :, :] - cents[None, :, :, :]
+    dtab = (qdiff * qdiff).sum(axis=3).transpose(0, 2, 1)  # [Q, M, K]
+
+    out_schema = f"query_id long, {id_col} long, adc_dist long"
+
+    def scan(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            v = _quantize_rows(pdf[vec_col].to_numpy()).reshape(
+                len(ids), num_subspaces, sublen
+            )
+            diff = v[:, None, :, :] - cents[None, :, :, :]
+            codes = (diff * diff).sum(axis=3).argmin(axis=1)  # [N, M]
+            # adc[q, n] = sum_m dtab[q, m, codes[n, m]]
+            adc = dtab[:, np.arange(num_subspaces)[None, :], codes].sum(axis=2)  # [Q, N]
+            kk = min(k, len(ids))
+            for qi in range(len(q_ids)):
+                d = adc[qi]
+                order = np.lexsort((ids, d))[:kk]  # (dist, id) tie-break
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.full(kk, q_ids[qi]),
+                        id_col: ids[order],
+                        "adc_dist": d[order],
+                    }
+                )
+
+    partial = candidates.select(id_col, vec_col).mapInPandas(scan, out_schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("adc_dist").asc(), F.col(id_col).asc())
+    return (
+        partial.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

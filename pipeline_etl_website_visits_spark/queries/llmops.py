@@ -785,3 +785,64 @@ def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x83(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.ngram_novelty(docs, "text", "doc_id", n=5).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x84 — ADC top-k search over PQ codes (compressed-domain similarity)
+#
+# The search half of the PQ story (x82 is the encode half): queries stay
+# exact, candidates are scanned as 8 centroid codes with per-query distance
+# TABLES (see operators/similarity.py:pq_adc_topk). Integer micro-unit
+# arithmetic end-to-end, so the oracle replays codes + table lookups + sum
+# exactly; ties broken by (distance, candidate id).
+# --------------------------------------------------------------------------
+@query(
+    "x84_embed_pq_adc_topk",
+    oracle="""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+                            v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000000) AS BIGINT)) AS qv
+      FROM embeddings
+    ),
+    subs AS (
+      SELECT vec_id, m.sub, list_slice(qv, m.sub * 8 + 1, m.sub * 8 + 8) AS sv
+      FROM q, (SELECT unnest(range(0, 8)) AS sub) m
+    ),
+    cb AS (
+      SELECT sub, vec_id AS centroid_id, sv AS cv FROM subs WHERE vec_id < 16
+    ),
+    dists AS (
+      SELECT s.vec_id, s.sub, c.centroid_id,
+             CAST(list_sum(list_transform(range(1, 9),
+                  i -> (s.sv[i] - c.cv[i]) * (s.sv[i] - c.cv[i]))) AS BIGINT) AS d
+      FROM subs s JOIN cb c ON s.sub = c.sub
+    ),
+    codes AS (
+      SELECT vec_id, sub,
+             arg_min(centroid_id,
+                     LPAD(CAST(d AS VARCHAR), 20, '0')
+                       || LPAD(CAST(centroid_id AS VARCHAR), 4, '0')) AS code
+      FROM dists GROUP BY vec_id, sub
+    ),
+    qd AS (
+      SELECT vec_id AS query_id, sub, centroid_id, d FROM dists WHERE vec_id < 10
+    ),
+    adc AS (
+      SELECT qd.query_id, codes.vec_id, CAST(SUM(qd.d) AS BIGINT) AS adc_dist
+      FROM codes JOIN qd ON codes.sub = qd.sub AND codes.code = qd.centroid_id
+      GROUP BY 1, 2
+    )
+    SELECT query_id, vec_id, adc_dist FROM (
+      SELECT query_id, vec_id, adc_dist,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
+      FROM adc
+    ) WHERE rn <= 5 ORDER BY query_id, vec_id
+    """,
+    certifies="X3 compressed-domain ANN: ADC top-k over PQ codes, per-query distance tables, partial-top-k map pass",
+    tags=("llm", "similarity"),
+)
+def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return S.pq_adc_topk(queries, emb, k=5).orderBy("query_id", "vec_id")

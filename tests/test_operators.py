@@ -368,3 +368,20 @@ def test_ngram_novelty_known_corpus(spark):
     assert rows[1]["n_grams"] == 2 and rows[1]["n_unique"] == 0 and rows[1]["novelty"] == 0.0
     assert rows[2]["novelty"] == 0.0
     assert rows[3]["n_grams"] == 3 and rows[3]["n_unique"] == 3 and rows[3]["novelty"] == 1.0
+
+
+def test_pq_adc_topk_self_hit_and_partition_invariance(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 4)
+    out = S.pq_adc_topk(queries, emb, k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["adc_dist"], r["vec_id"]))
+    assert set(by_q) == {0, 1, 2, 3}
+    for qid, rows in by_q.items():
+        assert len(rows) == 3
+        # codebook queries (id < 16) encode to themselves → ADC(self) = 0 → top hit
+        assert min(rows) == (0, qid)
+    # result must not depend on input partitioning (partial-top-k soundness)
+    out2 = S.pq_adc_topk(queries, emb.repartition(7), k=3).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
