@@ -846,3 +846,56 @@ def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.pq_adc_topk(queries, emb, k=5).orderBy("query_id", "vec_id")
+
+
+# --------------------------------------------------------------------------
+# x85 — incremental dedup: a new batch scored against the existing corpus
+#
+# The steady-state ingestion decision ("does today's crawl add anything
+# new") — containment of each incoming doc in its best-matching corpus doc
+# (see operators/dedup.py:incremental_containment_dedup for the
+# inverted-index scale shape). Split here by doc_id parity: even = already
+# ingested, odd = incoming batch.
+# --------------------------------------------------------------------------
+_X85_THRESHOLD = 0.5
+
+
+@query(
+    "x85_incremental_dedup",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(lst) - 1),
+               i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]))) AS gram
+      FROM (SELECT doc_id, {_TOKS} AS lst FROM documents)
+    ),
+    ig AS (SELECT doc_id AS new_id, gram FROM g WHERE doc_id % 2 = 1),
+    isz AS (SELECT new_id, CAST(COUNT(*) AS BIGINT) AS sz FROM ig GROUP BY new_id),
+    cg AS (SELECT doc_id AS old_id, gram FROM g WHERE doc_id % 2 = 0),
+    pairs AS (
+      SELECT new_id, old_id, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM ig JOIN cg USING (gram) GROUP BY new_id, old_id
+    ),
+    best AS (
+      SELECT new_id, old_id, inter,
+             ROW_NUMBER() OVER (PARTITION BY new_id ORDER BY inter DESC, old_id ASC) AS rn
+      FROM pairs
+    )
+    SELECT new_id AS doc_id,
+           CAST(old_id AS BIGINT) AS best_match,
+           inter,
+           CAST(((inter * 2000 + sz) // (2 * sz)) / 1000.0 AS DOUBLE) AS containment,
+           (CAST(((inter * 2000 + sz) // (2 * sz)) / 1000.0 AS DOUBLE) >= {_X85_THRESHOLD}) AS dropped
+    FROM best JOIN isz USING (new_id)
+    WHERE rn = 1 ORDER BY doc_id
+    """,
+    certifies="X3 incremental near-dup dedup: new batch vs existing corpus, inverted-index containment + best-match decision",
+    tags=("llm", "dedup"),
+)
+def x85(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    return D.incremental_containment_dedup(
+        corpus, incoming, "text", "doc_id", n=3, threshold=_X85_THRESHOLD
+    ).orderBy("doc_id")

@@ -385,3 +385,31 @@ def test_pq_adc_topk_self_hit_and_partition_invariance(spark):
     # result must not depend on input partitioning (partial-top-k soundness)
     out2 = S.pq_adc_topk(queries, emb.repartition(7), k=3).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_incremental_containment_dedup_decisions(spark):
+    corpus = spark.createDataFrame(
+        [
+            (2, "the quick brown fox jumps over the lazy dog"),
+            (4, "a completely unrelated corpus document lives here"),
+        ],
+        "doc_id long, text string",
+    )
+    incoming = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 2 → dropped
+            (3, "the quick brown fox jumps over it"),            # partial overlap
+            (5, "nothing shared with anything at all zzz"),      # no overlap → absent
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in D.incremental_containment_dedup(
+        corpus, incoming, "text", "doc_id", n=3, threshold=0.5).collect()}
+    assert set(out) == {1, 3}
+    assert out[1]["best_match"] == 2 and out[1]["containment"] == 1.0 and out[1]["dropped"]
+    assert out[3]["best_match"] == 2 and 0.0 < out[3]["containment"] < 1.0
+    # subset-direction check: a new doc fully contained in an old one drops
+    subset = spark.createDataFrame(
+        [(7, "quick brown fox jumps over")], "doc_id long, text string")
+    out7 = D.incremental_containment_dedup(corpus, subset, "text", "doc_id", n=3, threshold=0.5).collect()
+    assert len(out7) == 1 and out7[0]["dropped"] and out7[0]["containment"] == 1.0
