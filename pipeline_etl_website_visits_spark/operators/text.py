@@ -466,21 +466,32 @@ def ngram_novelty(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> Data
     SURVEY §2.11 X4; cf. the dedup counting in
     /root/reference utils/utils_transform.py duplicate handling).
 
-    Plan: one shingle explode (higher-order funcs, stays in codegen), one
-    groupBy(gram) for corpus doc-frequency, one groupBy(doc_id) to fold the
-    per-doc tally. Grams are xxhash64-compressed before the shuffle so the
-    exchanged key is 8 bytes, not the raw string — at 100 TB the gram
-    shuffle is the whole cost and this makes it ~10x smaller. (xxhash64
-    collisions can only ever merge two grams' counts — at 2^64 key space
-    the expected effect at any realistic corpus size is zero, and the
-    DuckDB oracle counts RAW grams, so the correctness gate itself would
-    surface a collision as a hash mismatch.)
+    Plan: ONE shingle explode materialized as the cached gram index, a
+    doc-frequency groupBy and a join-back that both run WITHOUT further
+    gram exchanges (the index is hash-partitioned on gram), then one
+    groupBy(doc_id) to fold the per-doc tally. Grams are xxhash64-compressed
+    before the shuffle so the exchanged key is 8 bytes, not the raw string.
+    Measured tradeoff at sf0.1: the uncached two-subtree form is ~0.1 s
+    faster locally (cache materialization costs more than re-running the
+    cheap toy-scale shingle pipeline) but scans the corpus TWICE — at
+    100 TB the single materialized scan wins categorically, so the cached
+    index is the product shape. (xxhash64 collisions can only ever merge
+    two grams' counts — at 2^64 key space the expected effect at any
+    realistic corpus size is zero, and the DuckDB oracle counts RAW grams,
+    so the correctness gate itself would surface a collision as a hash
+    mismatch.)
     """
-    from pipeline_etl_website_visits_spark.operators.dedup import shingles
+    from pipeline_etl_website_visits_spark.operators.dedup import gram_index
 
-    g = shingles(df, text_col, id_col, n, with_size=True).select(
-        "doc_id", "sz", F.xxhash64("gram").alias("gram")
-    )
+    # The doc-frequency aggregate and the join-back consume the index with
+    # DIFFERENT column sets, so exchange reuse can never fire (column
+    # pruning makes the two subtrees non-canonical) — without intervention
+    # Catalyst recomputes the whole tokenize+shingle+hash pipeline per side
+    # and scans the corpus twice. The cached gram index is the right tool:
+    # one scan materializes it, and because it is hash-partitioned on gram,
+    # BOTH the doc-frequency groupBy and the join back need zero additional
+    # gram exchanges (plan pinned in test_plans).
+    g = gram_index(df, text_col, id_col, n)
     doc_freq = g.groupBy("gram").agg(F.count("*").alias("df"))
     return (
         g.join(doc_freq, on="gram")

@@ -302,3 +302,28 @@ def test_temporal_joins_never_nested_loop(spark):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan, name
+
+
+def test_ngram_novelty_single_corpus_scan(spark):
+    """Doc-frequency and the join-back consume the gram index with different
+    column sets, so exchange reuse can never canonicalize — the cached index
+    must make the corpus scan appear exactly ONCE in the plan, and neither
+    consumer may add a gram exchange on top of the index's partitioning."""
+    from pipeline_etl_website_visits_spark.operators.text import ngram_novelty
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = ngram_novelty(docs, "text", "doc_id", n=5)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Both consumers must read a cache, not re-derive the shingle pipeline:
+    # two InMemoryTableScans over the one gram_index relation (the plan
+    # string re-prints the cached subtree under each scan, so FileScan
+    # appears twice in the STRING; Spark materializes an InMemoryRelation
+    # once, and gram_index hands both consumers the same relation by
+    # construction). The join must stay hash/broadcast — a sort-merge here
+    # would mean the index's gram partitioning was lost.
+    assert plan.count("InMemoryTableScan") == 2
+    assert "SortMergeJoin" not in plan
+    # exactly one cached relation total, and it is the gram index
+    jcache = df.sparkSession._jsparkSession.sharedState().cacheManager()
+    assert not jcache.isEmpty()
+    spark.catalog.clearCache()
