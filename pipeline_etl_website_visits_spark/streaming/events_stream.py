@@ -114,3 +114,46 @@ def sliding_window_value_sums(events: DataFrame, watermark: str = "2 hours") -> 
             "total_value",
         )
     )
+
+
+def enriched_segment_counts(events: DataFrame, users: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Stream-static enrichment join: each event picks up its user's market
+    segment from a STATIC dimension, then aggregates per (segment, type).
+
+    The canonical streaming-enrichment shape (SURVEY §2.10 streaming gap
+    map): the static side is re-planned per micro-batch — Spark re-reads it
+    each trigger, so a dimension refreshed in place is picked up without
+    restarting the query — and the broadcast keeps the join map-side, so
+    the stream never shuffles before its aggregation. State is bounded by
+    the watermark exactly as in the pure-aggregation queries; the join
+    itself is stateless (static side is never late).
+    """
+    joined = events.withWatermark("ts", watermark).join(
+        F.broadcast(users.select(F.col("c_custkey").alias("user_id"), "c_mktsegment")),
+        "user_id",
+    )
+    return (
+        joined.groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"))
+    )
+
+
+def start_enriched_to_memory(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    users: DataFrame,
+    checkpoint_dir: str,
+    query_name: str = "events_enriched",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """AvailableNow drain of the stream-static enrichment into memory."""
+    agg = enriched_segment_counts(read_events_stream(spark, events_dir, schema), users, watermark)
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -213,3 +213,33 @@ def test_sliding_window_stream_matches_batch(spark, tmp_path):
         for r in REGISTRY["x72_sliding_windows"].spark(spark, SF_DIR).collect()
     }
     assert got == batch
+
+
+def test_stream_static_enrichment_matches_batch(spark, tmp_path):
+    """Stream-static broadcast join: streamed events enriched with the
+    static customer dim must aggregate to exactly the batch join's result."""
+    from pipeline_etl_website_visits_spark.streaming.events_stream import start_enriched_to_memory
+
+    events = load_table(spark, SF_DIR, "events")
+    users = load_table(spark, SF_DIR, "customer")
+    events_dir = str(tmp_path / "events_enr")
+    events.write.parquet(events_dir)
+    ckpt = str(tmp_path / "ckpt_enr")
+
+    q = start_enriched_to_memory(spark, events_dir, events.schema, users, ckpt, query_name="t_enr")
+    q.awaitTermination(120)
+
+    got = {
+        (r["c_mktsegment"], r["event_type"]): r["n_events"]
+        for r in spark.sql("SELECT * FROM t_enr").collect()
+    }
+    batch = {
+        (r["c_mktsegment"], r["event_type"]): r["n_events"]
+        for r in events.join(
+            users.select(F.col("c_custkey").alias("user_id"), "c_mktsegment"), "user_id"
+        )
+        .groupBy("c_mktsegment", "event_type")
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .collect()
+    }
+    assert got == batch and len(got) > 0
