@@ -50,6 +50,11 @@ def main() -> None:
             # locality wait only adds latency (keep the default on a real
             # cluster where locality means network traffic)
             "spark.locality.wait": "0ms",
+            # no UI service during measurement: the event-bus bookkeeping
+            # behind the web UI costs ~40ms per job on this box — across a
+            # 116-query suite that is seconds of pure instrumentation
+            # (production sessions keep the UI; session.py default)
+            "spark.ui.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")

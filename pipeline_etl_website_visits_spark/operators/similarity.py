@@ -371,7 +371,7 @@ def dedup_embed_cosine(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.5,
-    num_planes: int = 6,
+    num_planes: int | None = None,
     seeds: tuple[int, ...] = (1, 2, 3),
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine >= threshold, found via multi-probe
@@ -383,7 +383,19 @@ def dedup_embed_cosine(
     never does). Verification is exact — no false positives — so the output
     is a subset of the true pair set with tunable recall; at 100 TB this is
     the only formulation that avoids the O(n^2) cosine matrix.
+
+    ``num_planes=None`` (default) scales the plane count with the corpus:
+    ceil(log2(N / 16)) bits, floored at 6 — FIXED planes are a latent scale
+    bug, because bucket population grows linearly with N and the
+    within-bucket self-join quadratically (6 bits at 100 TB would be one
+    giant cross join). The count needed for sizing is parquet-metadata-only
+    on a file source (no data scan); recall lost to the extra bits is
+    recovered the usual way (more probe seeds), which multiplies candidate
+    rows LINEARLY instead of quadratically.
     """
+    if num_planes is None:
+        n = candidates.count()
+        num_planes = max(6, int(np.ceil(np.log2(max(n, 1) / 16.0))) if n > 16 else 6)
     base = candidates.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     # All probe bucketings in ONE Arrow pass + ONE self-join: a per-seed
     # join loop re-scans and re-shuffles the table len(seeds) times; instead

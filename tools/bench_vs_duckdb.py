@@ -30,6 +30,11 @@ def main():
             "spark.sql.codegen.cache.maxEntries": "5000",
             "spark.sql.codegen.maxFields": "300",
             "spark.locality.wait": "0ms",
+            # no UI service during measurement: the event-bus bookkeeping
+            # behind the web UI costs ~40ms per job on this box — across a
+            # 116-query suite that is seconds of pure instrumentation
+            # (production sessions keep the UI; session.py default)
+            "spark.ui.enabled": "false",
         },
     )
     spark.sparkContext.setLogLevel("ERROR")
