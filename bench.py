@@ -64,14 +64,19 @@ def main() -> None:
     # on projection-heavy queries); noop-write evaluates every output column
     # like a real sink — the honest apples-to-apples against DuckDB, which
     # always materializes its result.
+    cache_mgr = spark._jsparkSession.sharedState().cacheManager()
+
     def run(name: str) -> None:
         REGISTRY[name].spark(spark, sf_dir).write.format("noop").mode("overwrite").save()
         # Each call builds a fresh DataFrame, so .cache()-ing operators
         # (gram indexes in the dedup family) would accumulate dead cached
-        # partitions across 80 queries x 3 passes — memory pressure that
+        # partitions across 100+ queries x 3 passes — memory pressure that
         # showed up as 3-4x in-suite slowdowns on later cache-heavy
         # queries. No cross-query reuse is possible anyway; drop them.
-        spark.catalog.clearCache()
+        # Most queries cache nothing: the emptiness probe is one py4j call
+        # (~1ms) vs ~10ms for an unconditional clearCache across the suite.
+        if not cache_mgr.isEmpty():
+            spark.catalog.clearCache()
 
     # Warm pass (untimed): BASELINE.md methodology is warm-session timing —
     # JIT, codegen compilation, and parquet footer caches are excluded.

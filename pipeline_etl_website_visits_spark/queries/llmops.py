@@ -899,3 +899,71 @@ def x85(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.incremental_containment_dedup(
         corpus, incoming, "text", "doc_id", n=3, threshold=_X85_THRESHOLD
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x86 — multi-criterion dedup pipeline off ONE shared gram index
+#
+# The composition certificate: Jaccard near-dups (symmetric) and
+# containment clones (subset duplication) both consume the SAME cached
+# gram_index — the corpus is tokenized/shingled/hashed exactly once for
+# the whole pipeline — and their pair union feeds connected-components
+# clustering. This is how a real curation run composes the dedup family at
+# 100 TB (SURVEY §2.11 X3; docs/SCALE.md "Dedup family"); the oracle
+# recomputes grams per CTE reference and a recursive-CTE closure, so this
+# query is also where Spark's shared-scan architecture shows up as a
+# direct wall-clock win over the re-deriving SQL formulation.
+# --------------------------------------------------------------------------
+_X86_JAC = 0.2
+_X86_CON = 0.8
+
+
+@query(
+    "x86_dedup_pipeline",
+    oracle=f"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(lst) - 1),
+               i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]))) AS gram
+      FROM (SELECT doc_id, {_TOKS} AS lst FROM documents)
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM g GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM p
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {_X86_JAC}
+         OR CAST(inter AS DOUBLE) / LEAST(sa.sz, sb.sz) >= {_X86_CON}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT doc_a, doc_a FROM pairs
+      UNION SELECT doc_b, doc_b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, CAST(MIN(b) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY a ORDER BY a
+    """,
+    certifies="X3 composed dedup pipeline: shared gram index → Jaccard ∪ containment pairs → connected components",
+    tags=("llm", "dedup"),
+)
+def x86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = D.gram_index(docs, "text", "doc_id", 3)
+    jac = D.shingle_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=_X86_JAC, grams=g)
+    con = D.shingle_containment_pairs(docs, "text", "doc_id", n=3, threshold=_X86_CON, grams=g)
+    pairs = jac.select("doc_a", "doc_b").union(con.select("doc_a", "doc_b")).distinct()
+    return D.dedup_clusters(pairs).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+    ).orderBy("doc_id")

@@ -42,3 +42,40 @@ def read_json(
 
 def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def read_text(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    whole_file: bool = False,
+    with_path: bool = False,
+) -> DataFrame:
+    """Raw text source for corpus ingestion: one row per line (default) or
+    per file (``whole_file`` — document-per-file corpora).
+
+    ``with_path`` adds the source file path via the metadata column —
+    lineage for per-file curation decisions (quota by source, provenance
+    filtering) without a custom input format. Line mode splits large files
+    across tasks; whole-file mode cannot (one row per file), which is the
+    standard trade for document-granularity corpora.
+    """
+    reader = spark.read
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    # NB: .text()'s own wholetext PARAMETER overrides any .option("wholetext")
+    # set on the reader — the option form is silently ignored
+    df = reader.text(path, wholetext=whole_file)
+    if with_path:
+        from pyspark.sql import functions as F
+
+        df = df.select(F.col("_metadata.file_path").alias("source_path"), "value")
+    return df
+
+
+def read_orc(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Columnar ORC source — same pushdown/pruning surface as parquet."""
+    reader = spark.read
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.orc(path)
