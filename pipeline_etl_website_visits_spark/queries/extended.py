@@ -1191,3 +1191,65 @@ def x81(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("total_vol").cast("long").alias("total_vol"),
         F.round(F.col("nation_vol").cast("double") / F.col("total_vol").cast("double"), 6).alias("share"),
     ).orderBy("o_year")
+
+
+# --------------------------------------------------------------------------
+# x87 — correlated EXISTS / NOT EXISTS (decorrelation certificate)
+#
+# The textual correlated-subquery surface, identical statement on both
+# engines: Catalyst must decorrelate EXISTS into a left-semi and NOT EXISTS
+# into a left-anti join (the DataFrame twins are certified by q13/q11; this
+# certifies the SQL entry path and the rewrite itself — plan asserted in
+# test_plans).
+# --------------------------------------------------------------------------
+_X87_SQL = """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o2
+                      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F')
+    ORDER BY c_custkey
+"""
+
+
+@query(
+    "x87_correlated_exists",
+    oracle=_X87_SQL,
+    certifies="correlated EXISTS/NOT EXISTS decorrelation to semi/anti joins — identical statement text both engines",
+    tags=("sql",),
+)
+def x87(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_X87_SQL)
+
+
+# --------------------------------------------------------------------------
+# x88 — LATERAL correlated top-k join
+#
+# Per-customer top-2 orders via a correlated LATERAL subquery with
+# ORDER BY + LIMIT — the SQL form of grouped top-k (DataFrame twin: q15's
+# window row_number). Identical statement text on both engines; Spark
+# plans the correlation as a rewritten join, and the outer c_custkey < 100
+# bound keeps the lateral fan-out a pruned scan on the customer side.
+# --------------------------------------------------------------------------
+_X88_SQL = """
+    SELECT c_custkey, o_orderkey, CAST(o_totalprice AS DOUBLE) AS price
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders o
+      WHERE o.o_custkey = c.c_custkey ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+    )
+    WHERE c_custkey < 100 ORDER BY c_custkey, o_orderkey
+"""
+
+
+@query(
+    "x88_lateral_topk",
+    oracle=_X88_SQL,
+    certifies="LATERAL correlated subquery with per-row ORDER BY/LIMIT (grouped top-k SQL form) — identical statement text both engines",
+    tags=("sql",),
+)
+def x88(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_X88_SQL)

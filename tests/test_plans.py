@@ -327,3 +327,12 @@ def test_ngram_novelty_single_corpus_scan(spark):
     jcache = df.sparkSession._jsparkSession.sharedState().cacheManager()
     assert not jcache.isEmpty()
     spark.catalog.clearCache()
+
+
+def test_correlated_exists_decorrelates_to_semi_anti(spark):
+    """EXISTS must plan as a left-semi join and NOT EXISTS as a left-anti —
+    never a per-row subquery execution."""
+    plan = REGISTRY["x87_correlated_exists"].spark(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
