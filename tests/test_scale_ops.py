@@ -160,3 +160,60 @@ def test_dedup_clusters_correct_at_10x(spark):
     assert len(labels) == 3000
     for doc_id, cluster in labels.items():
         assert cluster == doc_id % 50
+
+
+def _synthetic_embeddings(spark, n_vecs: int, dim: int = 64):
+    """Deterministic embeddings: 64 hash-derived floats in [0, 1) per id."""
+    comps = [
+        (F.xxhash64((F.col("id") * dim + j).cast("string")) % 10000 / 10000.0).cast("float")
+        for j in range(dim)
+    ]
+    return spark.range(n_vecs).select(
+        F.col("id").alias("vec_id"), F.array(*comps).alias("embedding")
+    )
+
+
+def test_pq_family_plan_shape_flat_at_10x(spark):
+    """pq_encode stays a zero-Exchange map pass and pq_adc_topk keeps
+    exactly its one final-top-k window exchange at 10x the vectors — a new
+    shuffle appearing with scale would break the compressed-domain search
+    contract (codebook/tables in the closure, partial top-k per partition)."""
+    from pipeline_etl_website_visits_spark.operators import similarity as S
+
+    counts = {}
+    for label, n in (("1x", 200), ("10x", 2000)):
+        vecs = _synthetic_embeddings(spark, n)
+        enc = S.pq_encode(vecs)
+        queries = vecs.filter(F.col("vec_id") < 5)
+        adc = S.pq_adc_topk(queries, vecs, k=3)
+        counts[label] = (_exchange_count(enc), _exchange_count(adc))
+    assert counts["1x"] == counts["10x"], counts
+    assert counts["1x"][0] == 0  # encode: map-only, no exchange at any scale
+
+
+def test_pq_adc_agrees_with_exact_quantized_l2_at_10x(spark):
+    """ADC distance for the TRUE nearest code must equal the exact
+    quantized-subspace distance recomputed in numpy — at 10x scale, across
+    every (query, candidate) pair returned."""
+    import numpy as np
+    from pipeline_etl_website_visits_spark.operators import similarity as S
+
+    vecs = _synthetic_embeddings(spark, 2000)
+    queries = vecs.filter(F.col("vec_id") < 3)
+    out = S.pq_adc_topk(queries, vecs, k=3).collect()
+    assert len(out) == 9
+
+    rows = {r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64) for r in vecs.filter(F.col("vec_id") < 20).collect()}
+    # recompute ADC for pairs whose candidate we have locally (ids < 20)
+    all_rows = {r["vec_id"]: r for r in vecs.collect()}
+    cents = np.stack([
+        np.floor(np.asarray(all_rows[i]["embedding"], dtype=np.float64) * 1e6).astype(np.int64)
+        for i in range(16)
+    ]).reshape(16, 8, 8)
+    for r in out:
+        q = np.floor(np.asarray(all_rows[r["query_id"]]["embedding"], dtype=np.float64) * 1e6).astype(np.int64).reshape(8, 8)
+        c = np.floor(np.asarray(all_rows[r["vec_id"]]["embedding"], dtype=np.float64) * 1e6).astype(np.int64).reshape(8, 8)
+        dtab = ((q[None, :, :] - cents) ** 2).sum(axis=2)  # [16, 8]
+        codes = ((c[None, :, :] - cents) ** 2).sum(axis=2).argmin(axis=0)  # [8]
+        expect = int(dtab[codes, np.arange(8)].sum())
+        assert r["adc_dist"] == expect, (r, expect)
