@@ -967,3 +967,37 @@ def x86(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
     ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x89 — edit-distance fuzzy matching (levenshtein)
+#
+# The record-linkage primitive the string-dedup family sits on: exact edit
+# distance between each customer name and its successor's (the x69
+# adjacent-pair discipline — a bounded linear pair set, never the quadratic
+# all-pairs; production blocks candidates first via shingles/LSH and only
+# then pays the O(len²) distance on survivors). Both engines implement
+# unit-cost Levenshtein.
+# --------------------------------------------------------------------------
+@query(
+    "x89_fuzzy_adjacent_names",
+    oracle="""
+    SELECT a.c_custkey AS k,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS edit_dist,
+           (levenshtein(a.c_name, b.c_name) <= 2) AS near_match
+    FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+    ORDER BY k
+    """,
+    certifies="edit-distance (Levenshtein) fuzzy matching over a bounded candidate pair set",
+    tags=("llm", "text"),
+)
+def x89(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    a = cust.select(F.col("c_custkey").alias("k"), F.col("c_name").alias("name_a"))
+    b = cust.select((F.col("c_custkey") - 1).alias("k"), F.col("c_name").alias("name_b"))
+    d = F.levenshtein("name_a", "name_b")
+    return (
+        a.join(b, "k")
+        .select("k", d.cast("int").alias("edit_dist"), (d <= 2).alias("near_match"))
+        .orderBy("k")
+    )
