@@ -507,3 +507,67 @@ def ngram_novelty(df: DataFrame, text_col: str, id_col: str, n: int = 5) -> Data
             ratio_round(F.col("n_unique"), F.col("n_grams"), 4).alias("novelty"),
         )
     )
+
+
+def bpe_token_counts(
+    df: DataFrame, text_col: str, id_col: str, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply a learned BPE merge table and count tokens per document — the
+    tokenizer-apply half of the train/apply loop (:func:`learn_bpe_merges`
+    is the train half; together they are the full tokenizer story a
+    training-data pipeline runs to budget sequence lengths).
+
+    Scale shape: merges apply to WORD TYPES, not the token stream — the
+    distinct-word table is encoded once in an Arrow map pass (with a
+    per-batch memo, so repeated types inside a batch cost a dict hit), and
+    documents join their per-word token counts back by word key. The join
+    is a plain equi-join on the word (planner's choice; vocabulary-sized
+    side auto-broadcasts when it fits), followed by one per-doc fold. The
+    merge list itself is tiny by contract (num_merges entries) and rides in
+    the closure.
+
+    Output: (doc_id, n_words, n_bpe_tokens) — whitespace words and the BPE
+    token total after applying all merges in rank order.
+    """
+    import pandas as pd
+
+    merge_list = list(merges)
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+    ).filter(F.length("w") > 0)
+    per_doc_word = toks.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
+    words = per_doc_word.select("w").distinct()
+
+    def encode(batches):
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            out = []
+            for w in pdf["w"]:
+                n = memo.get(w)
+                if n is None:
+                    syms = list(w[:-1]) + [w[-1] + "</w>"]
+                    for l, r in merge_list:
+                        res, i = [], 0
+                        while i < len(syms):
+                            if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                                res.append(l + r)
+                                i += 2
+                            else:
+                                res.append(syms[i])
+                                i += 1
+                        syms = res
+                    n = memo[w] = len(syms)
+                out.append(n)
+            yield pd.DataFrame({"w": pdf["w"], "n_bpe": out})
+
+    encoded = words.mapInPandas(encode, "w string, n_bpe int")
+    return (
+        per_doc_word.join(encoded, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_words"),
+            F.sum(F.col("cnt") * F.col("n_bpe")).cast("long").alias("n_bpe_tokens"),
+        )
+    )

@@ -1001,3 +1001,31 @@ def x89(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", d.cast("int").alias("edit_dist"), (d <= 2).alias("near_match"))
         .orderBy("k")
     )
+
+
+# --------------------------------------------------------------------------
+# x90 — BPE train → apply: per-document token counts under learned merges
+#
+# Completes the tokenizer loop that x78 opens: the merges learned from the
+# corpus are applied back to it (word-type encode + join-back — see
+# operators/text.py:bpe_token_counts) to produce the per-document BPE token
+# budget a sequence-packing pipeline feeds on (x49). Iterative + closure
+# state → rows-only driver check; exactness pinned against a classic
+# single-machine encode in tests/test_curation_ops.py. Two merges, not
+# x78's three: the train/apply LOOP is the certificate here (x78 already
+# certifies merge learning at depth), and each extra round is ~0.5 s of
+# pure per-round job scheduling at bench scale.
+# --------------------------------------------------------------------------
+@query(
+    "x90_bpe_token_counts",
+    oracle=None,
+    certifies="X4 BPE tokenizer apply: learned merges → per-doc token counts (train/apply loop closed)",
+    tags=("llm", "text", "no-oracle"),
+)
+def x90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    merges = [
+        (r["left"], r["right"])
+        for r in T.learn_bpe_merges(docs, "text", num_merges=2).collect()
+    ]
+    return T.bpe_token_counts(docs, "text", "doc_id", merges).orderBy("doc_id")

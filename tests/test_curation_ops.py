@@ -177,3 +177,48 @@ def test_bpe_merges_match_reference(spark):
         for r in learn_bpe_merges(df, "text", num_merges=6).collect()
     ]
     assert got == expect
+
+
+def test_bpe_token_counts_match_classic_encode(spark):
+    """Train merges distributed, apply them distributed, and compare per-doc
+    token counts against a classic single-machine encode."""
+    from pipeline_etl_website_visits_spark.operators.text import bpe_token_counts, learn_bpe_merges
+
+    texts = [
+        "low low low low low",
+        "lower lower newest newest",
+        "newest newest newest newest",
+        "wider wider new new",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "doc_id int, text string")
+    merges = [
+        (r["left"], r["right"])
+        for r in learn_bpe_merges(df, "text", num_merges=6).collect()
+    ]
+
+    def classic_encode(w):
+        syms = list(w[:-1]) + [w[-1] + "</w>"]
+        for l, r in merges:
+            res, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == l and syms[i + 1] == r:
+                    res.append(l + r)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return len(syms)
+
+    expect = {
+        i: (len(t.split()), sum(classic_encode(w) for w in t.split()))
+        for i, t in enumerate(texts)
+    }
+    got = {
+        r["doc_id"]: (r["n_words"], r["n_bpe_tokens"])
+        for r in bpe_token_counts(df, "text", "doc_id", merges).collect()
+    }
+    assert got == expect
+    # merges actually compress: every doc's BPE count < its char count
+    for i, t in enumerate(texts):
+        assert got[i][1] < sum(len(w) + 1 for w in t.split())
