@@ -1253,3 +1253,39 @@ def x88(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
     _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_X88_SQL)
+
+
+# --------------------------------------------------------------------------
+# x91 — mergeable HLL sketches: two-level approx-distinct rollup
+#
+# The SCALE half of the approx-distinct story (x36 is the direct form):
+# per-nation Apache DataSketches HLL sketches built in one pass, then
+# UNIONED to region level — sketches, not raw keys, cross the second
+# shuffle. This is the pattern that makes distinct-count rollups reusable
+# at 100 TB: per-partition/day sketches are stored once and any coarser
+# rollup (region, month, whole-corpus) is a cheap sketch-union, never a rescan.
+# DuckDB has no compatible sketch type → rows-only driver check; the
+# estimate-vs-exact tolerance is pinned in tests/test_operators.py.
+# --------------------------------------------------------------------------
+@query(
+    "x91_hll_union_rollup",
+    oracle=None,
+    certifies="X2 mergeable distinct sketches: hll_sketch_agg per nation → hll_union_agg per region → estimate",
+    tags=("approx", "no-oracle"),
+)
+def x91(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.hll_sketch_agg("c_custkey", 14).alias("sk"),
+        F.count("*").alias("n_rows"),
+    )
+    return (
+        per_nation.join(F.broadcast(nation), per_nation.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_regionkey").cast("int").alias("region"))
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk", True)).cast("long").alias("approx_customers"),
+            F.sum("n_rows").cast("long").alias("exact_rows"),
+        )
+        .orderBy("region")
+    )

@@ -57,7 +57,7 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 #
 # Round-4 pinning rule (VERDICT r3 item 4): every query whose latest driver
 # row predates its last code/testdata change goes at the HEAD —
-#   (a0) queries NEW in round 4 (x80–x90) — never driver-checked;
+#   (a0) queries NEW in round 4 (x80–x91) — never driver-checked;
 #   (a) queries whose implementation changed THIS round (x56 containment
 #       prefilter, x79 recursive-CTE pre-filtered view, q00/q10 via the
 #       bucketed incremental merge path), making their r3 rows stale;
@@ -68,7 +68,7 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # 50 is deliberate next-round spillover (stalest-first head for round 5) —
 # it is NOT checked in round 4.  See docs/COVERAGE.md.
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- (a0) new in round 4 — never driver-checked (11) --
+    # -- (a0) new in round 4 — never driver-checked (12) --
     "x80_product_profit",
     "x81_market_share",
     "x82_embed_pq_codes",
@@ -80,6 +80,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x88_lateral_topk",
     "x89_fuzzy_adjacent_names",
     "x90_bpe_token_counts",
+    "x91_hll_union_rollup",
     # -- (a) code changed in round 4 → r3 rows stale (4) --
     "x56_dedup_containment",
     "x79_recursive_cte",
@@ -118,11 +119,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q45_cube",
     "q46_window_rank_lag",
     "q47_window_frame_running_sum",
-    # -- (c) latest driver row is round 2 — first 3 fill the 50 prefix --
+    # -- (c) latest driver row is round 2 — first 2 fill the 50 prefix --
     "q48_having",
     "q49_conditional_agg",
-    "q50_scalar_subquery",
     # ---- slot 50 boundary: everything below is round-5 spillover ----
+    "q50_scalar_subquery",
     "q51_in_subquery",
     "q52_string_funcs",
     "q53_math_funcs",

@@ -413,3 +413,16 @@ def test_incremental_containment_dedup_decisions(spark):
         [(7, "quick brown fox jumps over")], "doc_id long, text string")
     out7 = D.incremental_containment_dedup(corpus, subset, "text", "doc_id", n=3, threshold=0.5).collect()
     assert len(out7) == 1 and out7[0]["dropped"] and out7[0]["containment"] == 1.0
+
+
+def test_hll_union_rollup_estimates_within_tolerance(spark):
+    """Region-level estimates from UNIONED per-nation sketches must sit
+    within HLL's error envelope of the exact distinct counts (c_custkey is
+    unique, so exact distinct == row count per region)."""
+    from pipeline_etl_website_visits_spark.queries.registry import REGISTRY
+
+    rows = REGISTRY["x91_hll_union_rollup"].spark(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    for r in rows:
+        exact = r["exact_rows"]
+        assert abs(r["approx_customers"] - exact) <= max(3, 0.05 * exact), r
