@@ -571,3 +571,70 @@ def bpe_token_counts(
             F.sum(F.col("cnt") * F.col("n_bpe")).cast("long").alias("n_bpe_tokens"),
         )
     )
+
+
+def heavy_hitters(
+    df: DataFrame, text_col: str, denom: int = 256, capacity: int = 1024
+) -> DataFrame:
+    """Exact corpus heavy hitters: every token whose frequency is at least
+    ``1/denom`` of the total token count, with its EXACT count.
+
+    The 100 TB shape is sketch-then-verify (same discipline as the x66
+    membership prefilter): a full ``groupBy token`` shuffles the entire
+    token stream — at corpus scale that is the vocabulary long tail, which
+    is almost all of the shuffle and none of the answer. Instead:
+
+    1. **Candidate pass** — per-partition mergeable Misra–Gries summaries
+       (Arrow ``mapInPandas``; per-batch ``value_counts`` is vectorized,
+       the sketch merge touches at most ``capacity`` keys per batch).
+       Guarantee: a token with global count > N/(capacity+1) survives in
+       at least one partition summary, because it must exceed
+       N_p/(capacity+1) in some partition. With ``capacity+1 > denom``
+       every true heavy hitter is a candidate — no false negatives.
+    2. **Exact recount** — re-scan with the candidate set broadcast and
+       count ONLY candidate tokens. The shuffle now carries
+       ≤ capacity × n_partitions distinct tokens instead of the
+       vocabulary; false positives get exact counts and are dropped by
+       the final threshold, so the result is exact, not approximate.
+
+    Nothing unbounded reaches the driver: candidates stay a DataFrame on
+    the broadcast-join build side (≤ capacity·n_partitions rows by
+    construction).
+    """
+    import pandas as pd
+
+    if capacity + 1 <= denom:
+        raise ValueError("capacity must be >= denom for the no-false-negative guarantee")
+
+    toks = df.select(F.split(normalize_text(F.col(text_col)), " ").alias("toks"))
+
+    def mg_partition(batches):
+        sketch: dict[str, int] = {}
+        for pdf in batches:
+            batch_counts = pd.Series(
+                [t for arr in pdf["toks"] for t in arr], dtype="object"
+            ).value_counts()
+            for tok, c in batch_counts.items():
+                sketch[tok] = sketch.get(tok, 0) + int(c)
+            if len(sketch) > capacity:
+                # mergeable-MG truncation: subtract the (capacity+1)-th
+                # largest count from everything, drop non-positive keys
+                cut = sorted(sketch.values(), reverse=True)[capacity]
+                sketch = {k: v - cut for k, v in sketch.items() if v > cut}
+        yield pd.DataFrame({"token": list(sketch.keys())})
+
+    candidates = toks.mapInPandas(mg_partition, "token string").distinct()
+
+    total = toks.agg(F.sum(F.size("toks")).alias("__n"))
+    exact = (
+        df.select(F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"))
+        .join(F.broadcast(candidates), "token")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    return (
+        exact.join(F.broadcast(total))
+        .filter(F.col("cnt") * denom >= F.col("__n"))
+        .select("token", "cnt")
+        .orderBy(F.col("cnt").desc(), "token")
+    )

@@ -1229,3 +1229,34 @@ def x75(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interval_overlap_pairs(
         iv, "user_id", "start_ts", "end_ts", "event_id", bucket_seconds=3600
     ).select(F.col("a_id").cast("long"), F.col("b_id").cast("long"))
+
+
+# --------------------------------------------------------------------------
+# x92 — exact heavy hitters via sketch-then-verify (Misra–Gries candidates)
+#
+# "Which tokens are ≥ 1/256 of the corpus" WITHOUT shuffling the vocabulary
+# long tail: per-partition mergeable Misra–Gries summaries nominate a
+# provably-complete candidate set (≤ capacity×n_partitions tokens), then an
+# exact recount over candidates-only makes the answer exact. The oracle is
+# the brute-force groupBy — the operator must equal it exactly.
+# --------------------------------------------------------------------------
+@query(
+    "x92_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split({_NORM_C}, ' ')) AS token FROM documents
+    ), tot AS (SELECT COUNT(*) AS n FROM toks),
+    cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY token)
+    SELECT token, cnt FROM cnt, tot WHERE cnt * 256 >= n ORDER BY cnt DESC, token
+    """,
+    certifies="exact heavy hitters / frequent-token mining via sketch-then-verify (north-star §0.3)",
+    tags=("llm", "text", "scale"),
+)
+def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators import text as T
+
+    # fan_out: the Misra–Gries candidate pass is per-partition compute over
+    # the token stream — spread a single-split scan before it (safe: the
+    # guarantee holds for ANY partitioning)
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return T.heavy_hitters(docs, "text", denom=256, capacity=1024)

@@ -222,3 +222,39 @@ def test_bpe_token_counts_match_classic_encode(spark):
     # merges actually compress: every doc's BPE count < its char count
     for i, t in enumerate(texts):
         assert got[i][1] < sum(len(w) + 1 for w in t.split())
+
+
+def test_heavy_hitters_exact_on_zipf_corpus(spark):
+    """Sketch-then-verify must EQUAL the brute-force count — including a
+    heavy token whose occurrences are spread thinly across partitions
+    (each partition alone would not rank it top-capacity)."""
+    import collections
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(400)]
+    docs = []
+    for d in range(64):
+        toks = ["hot"] * 4 + [vocab[min(int(rng.expovariate(0.02)), 399)] for _ in range(60)]
+        rng.shuffle(toks)
+        docs.append((d, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(16)
+
+    got = T.heavy_hitters(df, "text", denom=64, capacity=80).collect()
+
+    exact = collections.Counter(t for _, txt in docs for t in txt.split(" "))
+    n = sum(exact.values())
+    want = sorted(
+        ((t, c) for t, c in exact.items() if c * 64 >= n),
+        key=lambda tc: (-tc[1], tc[0]),
+    )
+    assert [(r["token"], r["cnt"]) for r in got] == want
+    assert any(r["token"] == "hot" for r in got)
+
+
+def test_heavy_hitters_rejects_unsound_capacity(spark):
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        T.heavy_hitters(df, "text", denom=256, capacity=100)
