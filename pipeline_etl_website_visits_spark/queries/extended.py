@@ -1289,3 +1289,48 @@ def x91(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("region")
     )
+
+
+# --------------------------------------------------------------------------
+# x93 — Z-order (Morton) clustering zone map
+#
+# Multi-dimensional data-layout clustering: interleave (p_size, price
+# bucket) into one z-value, bucket by its prefix (the "file" a z-sorted
+# writer would emit), and report per-bucket min/max of BOTH dims — the
+# zone-map envelopes a reader prunes with. The oracle reproduces the bit
+# interleave with native >> & << arithmetic, so the layout is verified
+# value-exact, not just shape-wise.
+# --------------------------------------------------------------------------
+def _z_interleave_sql(a: str, b: str, bits: int) -> str:
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({a} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({b} >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@query(
+    "x93_zorder_zone_map",
+    oracle=f"""
+    WITH dims AS (
+      SELECT p_size AS a,
+             LEAST(CAST(FLOOR(p_retailprice / 32) AS INT), 63) AS b
+      FROM part
+    ), z AS (
+      SELECT a, b, ({_z_interleave_sql('a', 'b', 6)}) >> 6 AS zone FROM dims
+    )
+    SELECT zone, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(a) AS INT) AS a_min, CAST(MAX(a) AS INT) AS a_max,
+           CAST(MIN(b) AS INT) AS b_min, CAST(MAX(b) AS INT) AS b_max
+    FROM z GROUP BY zone ORDER BY zone
+    """,
+    certifies="Z-order multi-dimensional clustering / zone-map data skipping (SURVEY §4 scale levers)",
+    tags=("layout", "scale"),
+)
+def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators.layout import zorder_zone_map
+
+    part = _t(spark, sf_dir, "part")
+    a = F.col("p_size")
+    b = F.least(F.floor(F.col("p_retailprice") / 32).cast("int"), F.lit(63))
+    return zorder_zone_map(part, a, b, bits=6, prefix_shift=6)

@@ -426,3 +426,35 @@ def test_hll_union_rollup_estimates_within_tolerance(spark):
     for r in rows:
         exact = r["exact_rows"]
         assert abs(r["approx_customers"] - exact) <= max(3, 0.05 * exact), r
+
+
+def test_zorder_value_matches_python_interleave(spark):
+    from pipeline_etl_website_visits_spark.operators.layout import zorder_value
+    import pyspark.sql.functions as F
+
+    def py_z(a, b, bits=8):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    rows = [(a, b) for a in (0, 1, 5, 63, 200, 255) for b in (0, 2, 7, 100, 255)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    got = df.select("a", "b", zorder_value(F.col("a"), F.col("b")).alias("z")).collect()
+    for r in got:
+        assert r["z"] == py_z(r["a"], r["b"]), (r["a"], r["b"])
+
+
+def test_zorder_zone_map_buckets_are_tight_rectangles(spark):
+    """A zone (6-bit z prefix of two 6-bit dims) covers exactly an 8x8
+    rectangle in (a, b) space — the zone-map envelope must stay inside it."""
+    from pipeline_etl_website_visits_spark.operators.layout import zorder_zone_map
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame([(a, b) for a in range(64) for b in range(64)], "a int, b int")
+    zones = zorder_zone_map(df, F.col("a"), F.col("b"), bits=6, prefix_shift=6).collect()
+    assert len(zones) == 64  # 4096 cells / 64 rows per zone
+    for z in zones:
+        assert z["n_rows"] == 64
+        assert z["a_max"] - z["a_min"] == 7 and z["b_max"] - z["b_min"] == 7
