@@ -1334,3 +1334,66 @@ def x93(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = F.col("p_size")
     b = F.least(F.floor(F.col("p_retailprice") / 32).cast("int"), F.lit(63))
     return zorder_zone_map(part, a, b, bits=6, prefix_shift=6)
+
+
+# --------------------------------------------------------------------------
+# x94 — incremental materialized-view maintenance (mergeable agg state)
+#
+# The warehouse pattern the reference's nightly full-recompute can't afford
+# at 100 TB: keep a per-key aggregate STATE table and fold each new batch
+# in by merging partial-aggregate states (counts add, sums add, max/last
+# take greatest) instead of rescanning history. Composes the same
+# merge_upsert/rule machinery as the visitantes upsert (J2). The oracle is
+# the full recompute over base ∪ delta — merged state must equal it
+# exactly, which is precisely the algebraic-mergeability contract.
+# --------------------------------------------------------------------------
+_MV_CUTOFF = "1997-01-01"
+
+
+@query(
+    "x94_incremental_mv",
+    oracle="""
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price,
+           CAST(MAX(o_orderdate) AS DATE) AS last_date
+    FROM orders GROUP BY o_custkey
+    """,
+    certifies="incremental materialized-view maintenance via mergeable partial-aggregate state (SURVEY §4; composes J2 merge rules)",
+    tags=("warehouse", "scale"),
+)
+def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators import merge as M
+
+    orders = _t(spark, sf_dir, "orders")
+
+    def agg_state(df: DataFrame) -> DataFrame:
+        return df.groupBy("o_custkey").agg(
+            F.count("*").cast("long").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total_price"),
+            F.max("o_totalprice").alias("max_price"),
+            F.max(F.col("o_orderdate").cast("date")).alias("last_date"),
+        )
+
+    cutoff = F.lit(_MV_CUTOFF).cast("date")
+    base = agg_state(orders.filter(F.col("o_orderdate").cast("date") < cutoff))
+    delta = agg_state(orders.filter(F.col("o_orderdate").cast("date") >= cutoff))
+    merged = M.merge_upsert(
+        base,
+        delta,
+        "o_custkey",
+        {
+            "n_orders": M.add_counters,
+            "total_price": M.add_counters,
+            "max_price": M.greatest_of,
+            "last_date": M.greatest_of,
+        },
+    )
+    return merged.select(
+        "o_custkey",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round(F.col("total_price").cast("double"), 2).alias("total_price"),
+        F.col("max_price").cast("double").alias("max_price"),
+        F.col("last_date").cast("date").alias("last_date"),
+    )

@@ -256,3 +256,34 @@ def test_bucketed_to_partitioned_migration(spark, tmp_path, target, source):
     out = {r["email"]: r["visitasTotales"] for r in whp.read_visitantes().collect()}
     assert out["match-same-month@example.com"] == 13 and len(out) == 5
     assert whp.visitantes_applied() == {"seed", "m1"}
+
+
+def test_agg_state_merge_is_iterable_and_exact(spark):
+    """Folding batches into the aggregate state one at a time (the
+    incremental-MV loop) must equal a full recompute, regardless of how
+    history is split into batches."""
+    import pyspark.sql.functions as F
+    from pipeline_etl_website_visits_spark.operators import merge as M
+
+    rows = [(k, float(v), d) for i, (k, v, d) in enumerate(
+        [(1, 10.0, "2024-01-01"), (1, 5.5, "2024-02-01"), (2, 7.0, "2024-01-15"),
+         (1, 2.25, "2024-03-01"), (3, 9.0, "2024-01-20"), (2, 1.0, "2024-04-02")]
+    )]
+    df = spark.createDataFrame(rows, "k int, v double, d string")
+
+    def state(b):
+        return b.groupBy("k").agg(
+            F.count("*").cast("long").alias("cnt"),
+            F.sum(F.col("v").cast("decimal(18,2)")).alias("tot"),
+            F.max(F.col("d").cast("date")).alias("last"),
+        )
+
+    rules = {"cnt": M.add_counters, "tot": M.add_counters, "last": M.greatest_of}
+    acc = None
+    for i in range(3):
+        batch = state(df.filter(F.col("d").substr(6, 2).cast("int") % 3 == i))
+        acc = batch if acc is None else M.merge_upsert(acc, batch, "k", rules)
+
+    got = {r["k"]: (r["cnt"], float(r["tot"]), str(r["last"])) for r in acc.collect()}
+    want = {r["k"]: (r["cnt"], float(r["tot"]), str(r["last"])) for r in state(df).collect()}
+    assert got == want
