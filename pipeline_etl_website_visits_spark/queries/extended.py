@@ -1397,3 +1397,39 @@ def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_price").cast("double").alias("max_price"),
         F.col("last_date").cast("date").alias("last_date"),
     )
+
+
+# --------------------------------------------------------------------------
+# x95 — skyline / Pareto frontier (two-phase local→global sweep)
+#
+# "Largest part for the least money": rows no other row dominates on
+# (p_size max, p_retailprice min). The oracle is the quadratic NOT EXISTS
+# self-join; the engine runs the two-phase skyline (operators/skyline.py)
+# — batch-local vectorized sweeps, then one pass over the tiny survivor
+# union. Same answer, nothing O(n²), nothing driver-side.
+# --------------------------------------------------------------------------
+@query(
+    "x95_skyline_pareto",
+    oracle="""
+    SELECT p_partkey, CAST(p_size AS INT) AS p_size,
+           CAST(p_retailprice AS DOUBLE) AS p_retailprice
+    FROM part a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part b
+      WHERE b.p_size >= a.p_size AND b.p_retailprice <= a.p_retailprice
+        AND (b.p_size > a.p_size OR b.p_retailprice < a.p_retailprice)
+    )
+    ORDER BY p_partkey
+    """,
+    certifies="skyline / Pareto-dominance query via two-phase local-global sweep (north-star analytics)",
+    tags=("analytics", "scale"),
+)
+def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators.skyline import skyline_2d
+
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.col("p_size").cast("int").alias("p_size"),
+        F.col("p_retailprice").cast("double").alias("p_retailprice"),
+    )
+    return skyline_2d(part, "p_size", "p_retailprice").orderBy("p_partkey")

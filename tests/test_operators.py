@@ -458,3 +458,34 @@ def test_zorder_zone_map_buckets_are_tight_rectangles(spark):
     for z in zones:
         assert z["n_rows"] == 64
         assert z["a_max"] - z["a_min"] == 7 and z["b_max"] - z["b_min"] == 7
+
+
+def test_skyline_matches_bruteforce_with_ties(spark):
+    import random
+
+    from pipeline_etl_website_visits_spark.operators.skyline import skyline_2d
+
+    rng = random.Random(11)
+    rows = [(i, rng.randint(0, 20), float(rng.randint(0, 30))) for i in range(300)]
+    rows += [(1000, 20, 0.0), (1001, 20, 0.0)]  # identical optimum twice: both kept
+    df = spark.createDataFrame(rows, "id long, x int, y double").repartition(16)
+
+    got = sorted(r["id"] for r in skyline_2d(df, "x", "y").collect())
+    want = sorted(
+        i for i, x, y in rows
+        if not any(
+            (bx >= x and by <= y and (bx > x or by < y)) for _, bx, by in rows
+        )
+    )
+    assert got == want
+    assert 1000 in got and 1001 in got
+
+
+def test_skyline_anticorrelated_frontier_survives_global_pass(spark):
+    """Fully anti-correlated input: EVERY row is on the frontier — the
+    global pass must keep them all (stress of the survivor-union path)."""
+    from pipeline_etl_website_visits_spark.operators.skyline import skyline_2d
+
+    rows = [(i, i, float(i)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, x int, y double").repartition(8)
+    assert skyline_2d(df, "x", "y").count() == 500
