@@ -769,3 +769,53 @@ def pq_adc_topk(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+# A within-cluster pairwise pass materializes an n_cluster² sim block; this
+# cap turns a degenerate clustering (one giant cluster) into a loud error
+# instead of an executor OOM. Production fix: raise k so clusters shrink.
+MAX_CLUSTER_PAIRWISE = 20_000
+
+
+def semantic_dedup(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster the embedding space
+    with spherical k-means, then WITHIN each cluster drop every vector
+    that has a lower-id neighbor above ``threshold`` cosine (the kept row
+    is the deterministic representative of its near-duplicate group).
+
+    Returns (id, cluster) for the KEPT vectors.
+
+    Scale shape — the whole point of the SemDeDup recipe: pairwise cosine
+    is only ever computed inside a cluster (k-means quantizes the O(n²)
+    global problem into k independent O((n/k)²) blocks), as one Arrow
+    ``applyInPandas`` task per cluster with a hard size guard. The
+    clustering itself is the shuffle-free map-only Lloyd loop of
+    :func:`kmeans_assign`; the only shuffle here is the groupBy(cluster).
+    """
+    assigned = kmeans_assign(df, vec_col, id_col, k=k, iters=iters).withColumnRenamed(
+        "cluster_id", "cluster"
+    )
+    clustered = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
+        assigned, "id"
+    )
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) > MAX_CLUSTER_PAIRWISE:
+            raise RuntimeError(
+                f"cluster of {len(pdf)} rows exceeds MAX_CLUSTER_PAIRWISE "
+                f"({MAX_CLUSTER_PAIRWISE}); raise k to shrink clusters"
+            )
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        m = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        dup = (np.triu(m @ m.T, 1) > threshold).any(axis=0)
+        return pdf.loc[~dup, ["id", "cluster"]]
+
+    return clustered.groupBy("cluster").applyInPandas(prune, "id long, cluster int")

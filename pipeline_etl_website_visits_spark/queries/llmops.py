@@ -1029,3 +1029,22 @@ def x90(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in T.learn_bpe_merges(docs, "text", num_merges=2).collect()
     ]
     return T.bpe_token_counts(docs, "text", "doc_id", merges).orderBy("doc_id")
+
+
+@query(
+    "x96_semantic_dedup",
+    oracle=None,
+    certifies="X3 semantic deduplication (SemDeDup: k-means quantization + within-cluster cosine pruning; iterative, not SQL-expressible)",
+    tags=("llm", "similarity", "dedup", "no-oracle"),
+)
+def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    # Per-cluster survivor counts (stable 8-row summary for the rows-only
+    # driver check); tests/test_operators.py pins the pruning rule exactly
+    # against a numpy brute force on planted duplicate groups.
+    kept = S.semantic_dedup(emb, k=8, iters=5, threshold=0.95)
+    return (
+        kept.groupBy("cluster")
+        .agg(F.count("*").cast("long").alias("n_kept"), F.min("id").cast("long").alias("min_kept_id"))
+        .orderBy("cluster")
+    )

@@ -489,3 +489,47 @@ def test_skyline_anticorrelated_frontier_survives_global_pass(spark):
     rows = [(i, i, float(i)) for i in range(500)]
     df = spark.createDataFrame(rows, "id long, x int, y double").repartition(8)
     assert skyline_2d(df, "x", "y").count() == 500
+
+
+def test_semantic_dedup_prunes_planted_groups_exactly(spark):
+    """Two planted near-duplicate groups + isolated points: within each
+    cluster only the lowest-id member of a >threshold cosine group may
+    survive, and every isolated point must survive."""
+    import numpy as np
+
+    from pipeline_etl_website_visits_spark.operators.similarity import (
+        kmeans_assign,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(3)
+    base_a = rng.normal(size=16)
+    base_b = rng.normal(size=16)
+    rows = []
+    for i in range(4):  # group A: near-identical copies of base_a
+        rows.append((i, (base_a + rng.normal(scale=1e-3, size=16)).tolist()))
+    for i in range(4, 7):  # group B: near-identical copies of base_b
+        rows.append((i, (base_b + rng.normal(scale=1e-3, size=16)).tolist()))
+    for i in range(7, 27):  # isolated random points
+        rows.append((i, rng.normal(size=16).tolist()))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    kept = {r["id"] for r in semantic_dedup(df, k=4, iters=3, threshold=0.95).collect()}
+
+    # replicate the rule in numpy over the SAME clustering
+    clusters = {
+        r["id"]: r["cluster_id"] for r in kmeans_assign(df, k=4, iters=3).collect()
+    }
+    vecs = {i: np.asarray(v) / np.linalg.norm(v) for i, v in rows}
+    want = set()
+    for i, v in sorted(vecs.items()):
+        dup = any(
+            j < i and clusters[j] == clusters[i] and j in want
+            and float(vecs[j] @ v) > 0.95
+            for j in vecs
+        )
+        if not dup:
+            want.add(i)
+    assert kept == want
+    assert 0 in kept and 4 in kept  # group representatives
+    assert len(kept & {1, 2, 3, 5, 6}) == 0  # planted dups pruned
