@@ -609,12 +609,16 @@ def heavy_hitters(
     toks = df.select(F.split(normalize_text(F.col(text_col)), " ").alias("toks"))
 
     def mg_partition(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
         sketch: dict[str, int] = {}
         for pdf in batches:
-            batch_counts = pd.Series(
-                [t for arr in pdf["toks"] for t in arr], dtype="object"
-            ).value_counts()
-            for tok, c in batch_counts.items():
+            # flatten + count in Arrow C kernels; only the ≤capacity-ish
+            # distinct-token tail of each batch touches Python
+            flat = pc.list_flatten(pa.array(pdf["toks"]))
+            vc = pc.value_counts(flat)
+            for tok, c in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
                 sketch[tok] = sketch.get(tok, 0) + int(c)
             if len(sketch) > capacity:
                 # mergeable-MG truncation: subtract the (capacity+1)-th

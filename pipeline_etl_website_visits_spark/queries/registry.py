@@ -68,7 +68,12 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # 50 is deliberate next-round spillover (stalest-first head for round 5) —
 # it is NOT checked in round 4.  See docs/COVERAGE.md.
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- (a0) new in round 4 — never driver-checked (12) --
+    # -- (a0) new in round 4 — never driver-checked (12 + 5 late-round) --
+    "x92_heavy_hitters",
+    "x93_zorder_zone_map",
+    "x94_incremental_mv",
+    "x95_skyline_pareto",
+    "x96_semantic_dedup",
     "x80_product_profit",
     "x81_market_share",
     "x82_embed_pq_codes",
