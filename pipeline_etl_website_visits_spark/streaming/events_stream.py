@@ -157,3 +157,121 @@ def start_enriched_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def click_purchase_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the same user's
+    click(s) within ``horizon`` before it.
+
+    The canonical two-stream shape: BOTH sides carry a watermark and the
+    join condition bounds event-time distance, so state for either side is
+    evictable once the other side's watermark passes the horizon — without
+    the time bound Spark would have to buffer both streams forever. State
+    is keyed by user_id (the equi-part of the condition), so it shuffles
+    once per side and scales with active users × horizon, not history.
+    """
+    c = (
+        clicks.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    p = (
+        purchases.withWatermark("ts", watermark)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    return c.join(
+        p,
+        F.expr(
+            f"c_user = p_user AND purchase_ts >= click_ts "
+            f"AND purchase_ts <= click_ts + INTERVAL {horizon}"
+        ),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        F.col("p_user").alias("user_id"),
+        (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")).alias("lag_seconds"),
+    )
+
+
+def start_attribution_to_memory(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    checkpoint_dir: str,
+    query_name: str = "events_attr",
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """AvailableNow drain of the click→purchase stream-stream join."""
+    ev = read_events_stream(spark, events_dir, schema)
+    joined = click_purchase_attribution(
+        ev.filter(F.col("event_type") == "click"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon,
+        watermark,
+    )
+    return (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def session_window_user_stats(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Event-time SESSION windows per user: activity bursts separated by
+    ``gap``-long silences collapse into one dynamic-width window (the
+    streaming twin of the batch sessionize x33, expressed with the native
+    ``session_window`` stateful operator instead of a lag/cumsum window).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("sw"), F.col("user_id"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def start_sessions_to_memory(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    checkpoint_dir: str,
+    query_name: str = "events_sessions",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> StreamingQuery:
+    """AvailableNow drain of the session-window aggregation into memory."""
+    agg = session_window_user_stats(read_events_stream(spark, events_dir, schema), gap, watermark)
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

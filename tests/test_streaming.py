@@ -243,3 +243,71 @@ def test_stream_static_enrichment_matches_batch(spark, tmp_path):
         .collect()
     }
     assert got == batch and len(got) > 0
+
+
+def test_stream_stream_attribution_matches_batch_join(spark, tmp_path):
+    """The click→purchase stream-stream join (AvailableNow) must produce
+    exactly the batch inner-join within the same 1-hour horizon."""
+    from pipeline_etl_website_visits_spark.streaming.events_stream import (
+        start_attribution_to_memory,
+    )
+
+    events = load_table(spark, SF_DIR, "events").limit(2000).cache()
+    events_dir = str(tmp_path / "events_attr")
+    events.write.parquet(events_dir)
+
+    q = start_attribution_to_memory(
+        spark, events_dir, events.schema, str(tmp_path / "ckpt_attr"), query_name="t_attr"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["purchase_id"], r["click_id"], r["lag_seconds"])
+        for r in spark.sql("SELECT * FROM t_attr").collect()
+    }
+
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    want = {
+        (
+            r["purchase_id"],
+            r["click_id"],
+            int(r["pts"].timestamp()) - int(r["cts"].timestamp()),
+        )
+        for r in c.join(p, "user_id")
+        .filter((F.col("pts") >= F.col("cts")) & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR")))
+        .collect()
+    }
+    assert got == want
+    assert len(got) > 0
+
+
+def test_session_window_stream_matches_batch(spark, tmp_path):
+    """Streaming session windows == the same session_window agg in batch
+    mode (dynamic window assembly survives micro-batching + watermarks)."""
+    from pipeline_etl_website_visits_spark.streaming.events_stream import (
+        session_window_user_stats,
+        start_sessions_to_memory,
+    )
+
+    events = load_table(spark, SF_DIR, "events").limit(3000).cache()
+    events_dir = str(tmp_path / "events_sess")
+    events.write.parquet(events_dir)
+
+    q = start_sessions_to_memory(
+        spark, events_dir, events.schema, str(tmp_path / "ckpt_sess"), query_name="t_sess"
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM t_sess").collect()
+    }
+    want = {
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in session_window_user_stats(events).collect()
+    }
+    assert got == want
+    assert len(got) > 0
