@@ -642,3 +642,49 @@ def heavy_hitters(
         .select("token", "cnt")
         .orderBy(F.col("cnt").desc(), "token")
     )
+
+
+def cms_token_estimates(
+    df: DataFrame,
+    text_col: str,
+    probes: list[str],
+    eps: float = 0.0001,
+    confidence: float = 0.99,
+    seed: int = 42,
+) -> DataFrame:
+    """Count-min-sketch frequency estimates for a fixed probe set of
+    tokens, alongside their exact counts.
+
+    The sketch side is the 100 TB path: ``count_min_sketch`` is a JVM
+    aggregate with map-side partial sketches merged tree-wise — one pass,
+    no token shuffle, fixed O(depth×width) state regardless of corpus
+    size. Only the serialized sketch (~100 KB at these parameters)
+    reaches the driver, where the public
+    ``org.apache.spark.util.sketch.CountMinSketch`` API answers point
+    queries. The exact counts (for the CMS ≥ exact guarantee check)
+    filter to the probe set BEFORE the groupBy, so the verification
+    shuffle carries |probes| tokens, not the vocabulary.
+    """
+    toks = df.select(F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"))
+    sk_row = toks.agg(
+        F.count_min_sketch("token", F.lit(eps), F.lit(confidence), F.lit(seed)).alias("sk")
+    ).collect()[0]
+    spark = df.sparkSession
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(sk_row["sk"]))
+    est = [(p, int(cms.estimateCount(p))) for p in probes]
+    est_df = spark.createDataFrame(est, "token string, cms_estimate long")
+    exact = (
+        toks.filter(F.col("token").isin(probes))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("exact_count"))
+    )
+    return (
+        est_df.join(exact, "token", "left")
+        .select(
+            "token",
+            "cms_estimate",
+            F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
+            (F.col("cms_estimate") - F.coalesce("exact_count", F.lit(0))).alias("overestimate"),
+        )
+        .orderBy("token")
+    )

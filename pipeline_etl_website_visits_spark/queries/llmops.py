@@ -1048,3 +1048,26 @@ def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_kept"), F.min("id").cast("long").alias("min_kept_id"))
         .orderBy("cluster")
     )
+
+
+# fixed probe set: stable high-frequency vocabulary of the synthetic corpus
+# generator (present at every sf), plus one guaranteed-absent token to pin
+# the estimate-0 path
+_CMS_PROBES = [
+    "join", "hash", "row", "batch", "scan",
+    "column", "customer", "filter", "small", "merge",
+    "zz-not-a-token",
+]
+
+
+@query(
+    "x97_cms_token_counts",
+    oracle=None,
+    certifies="count-min-sketch frequency estimation (mergeable JVM sketch agg; sketch state not SQL-expressible)",
+    tags=("llm", "text", "sketch", "no-oracle"),
+)
+def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    # rows-only driver check (|probes| rows); tests pin the CMS ≥ exact
+    # guarantee and exactness at these parameters on a planted corpus
+    return T.cms_token_estimates(docs, "text", _CMS_PROBES)

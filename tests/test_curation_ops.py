@@ -258,3 +258,21 @@ def test_heavy_hitters_rejects_unsound_capacity(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         T.heavy_hitters(df, "text", denom=256, capacity=100)
+
+
+def test_cms_estimates_never_underestimate_and_hit_exact_when_wide(spark):
+    """Count-min guarantees est >= exact always; with eps far below 1/n the
+    sketch is collision-free on this corpus, so est == exact."""
+    docs = spark.createDataFrame(
+        [(i, ("alpha " * (i + 1)) + "beta gamma") for i in range(20)],
+        "doc_id long, text string",
+    )
+    probes = ["alpha", "beta", "gamma", "absent-token"]
+    out = {r["token"]: r for r in T.cms_token_estimates(docs, "text", probes).collect()}
+    assert out["alpha"]["exact_count"] == sum(i + 1 for i in range(20))
+    assert out["absent-token"]["exact_count"] == 0
+    for r in out.values():
+        assert r["overestimate"] >= 0
+        assert r["cms_estimate"] >= r["exact_count"]
+    # eps=1e-4 => width 2719*..; corpus has ~4 distinct tokens: no collisions
+    assert all(r["overestimate"] == 0 for r in out.values())
