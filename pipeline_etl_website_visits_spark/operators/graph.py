@@ -1,0 +1,75 @@
+"""Graph analytics over edge lists: random-walk centrality (PageRank).
+
+Companion to the label-propagation connected components in
+``operators.dedup`` — together they cover the two iterative graph shapes a
+curation pipeline needs: "which docs belong to the same near-dup group"
+(components) and "which nodes are most central" (PageRank — e.g. ranking
+canonical pages in a crawl graph, or hub documents in a citation/link
+graph, before sampling training data).
+
+Scale shape per iteration: one join (edges ⋈ ranks, equi on src) + one
+groupBy-sum shuffle on dst — the standard edge-partitioned power
+iteration; the graph never leaves the executors and lineage is truncated
+per round exactly like ``dedup_clusters`` (reliable ``checkpoint()`` when
+a checkpoint dir exists, else ``localCheckpoint``).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 5,
+) -> DataFrame:
+    """Bounded power-iteration PageRank over a directed edge list.
+
+    Variant implemented (stated precisely so the exactness test can mirror
+    it): ranks initialize to 1.0 per node; each iteration sets
+    ``rank(v) = (1 - d) + d * Σ_{(u,v)∈E} rank(u) / out_degree(u)``;
+    dangling nodes (no out-edges) keep receiving but do not redistribute
+    (their mass leaks — the simple variant, fine for relative ranking).
+    Ranks are rounded to 9 dp each iteration so float combine-order noise
+    cannot compound across rounds (the ``kmeans_assign`` determinism
+    trick); node set = every endpoint of any edge.
+    """
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # pre-divide: each edge carries its 1/deg weight once, not per iteration
+    weighted = e.join(out_deg, "src").select(
+        "src", "dst", (F.lit(1.0) / F.col("deg")).alias("w")
+    ).cache()
+    ranks = nodes.select("node", F.lit(1.0).alias("rank"))
+
+    sc = edges.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+    for _ in range(iters):
+        contribs = (
+            weighted.join(ranks, weighted.src == ranks.node, "inner")
+            .select(F.col("dst").alias("node"), (F.col("rank") * F.col("w")).alias("c"))
+            .groupBy("node")
+            .agg(F.sum("c").alias("in_mass"))
+        )
+        ranks = (
+            ranks.select("node")
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0)),
+                    9,
+                ).alias("rank"),
+            )
+        )
+        ranks = ranks.checkpoint(eager=True) if reliable else ranks.localCheckpoint(eager=True)
+    weighted.unpersist()
+    return ranks

@@ -1071,3 +1071,29 @@ def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rows-only driver check (|probes| rows); tests pin the CMS ≥ exact
     # guarantee and exactness at these parameters on a planted corpus
     return T.cms_token_estimates(docs, "text", _CMS_PROBES)
+
+
+@query(
+    "x98_doc_pagerank",
+    oracle=None,
+    certifies="random-walk centrality (power-iteration PageRank) over the near-dup similarity graph (iterative, not SQL-expressible)",
+    tags=("llm", "graph", "no-oracle"),
+)
+def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    # similarity graph (undirected → both directions) over n-gram Jaccard
+    # pairs; PageRank then surfaces the hub documents of each near-dup
+    # neighborhood. Top 25 by (rank desc, doc_id) — deterministic via the
+    # 9-dp per-iteration rounding in the operator.
+    pairs = D.shingle_jaccard_pairs(docs, "text", "doc_id", threshold=0.2)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    return (
+        pagerank(edges, iters=5)
+        .select(F.col("node").cast("long").alias("doc_id"), F.col("rank").cast("double").alias("rank"))
+        .orderBy(F.col("rank").desc(), "doc_id")
+        .limit(25)
+    )

@@ -533,3 +533,31 @@ def test_semantic_dedup_prunes_planted_groups_exactly(spark):
     assert kept == want
     assert 0 in kept and 4 in kept  # group representatives
     assert len(kept & {1, 2, 3, 5, 6}) == 0  # planted dups pruned
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """5 rounds on a small directed graph == the same variant in numpy
+    (init 1.0, dangling mass leaks, 9-dp rounding per round)."""
+    import numpy as np
+
+    from pipeline_etl_website_visits_spark.operators.graph import pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 1), (4, 3), (5, 4)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r["node"]: r["rank"] for r in pagerank(df, iters=5).collect()}
+
+    nodes = sorted({n for e in edges for n in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    deg = {n: sum(1 for s, _ in edges if s == n) for n in nodes}
+    r = np.ones(len(nodes))
+    for _ in range(5):
+        new = np.full(len(nodes), 0.15)
+        for s, d in edges:
+            new[idx[d]] += 0.85 * r[idx[s]] / deg[s]
+        r = np.round(new, 9)
+    want = {n: r[idx[n]] for n in nodes}
+    assert got.keys() == want.keys()
+    for n in nodes:
+        assert abs(got[n] - want[n]) < 1e-9, (n, got[n], want[n])
+    # structural sanity: 3 (two in-edges incl. from hub 1's cycle) outranks 5 (no in-edges)
+    assert got[3] > got[5]
