@@ -1260,3 +1260,40 @@ def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
     # guarantee holds for ANY partitioning)
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return T.heavy_hitters(docs, "text", denom=256, capacity=1024)
+
+
+# --------------------------------------------------------------------------
+# x100 — deterministic weighted sampling without replacement (A-ES keys)
+#
+# Efraimidis–Spirakis reservoir sampling made deterministic: each doc gets
+# u ~ Uniform(0,1) derived from md5(doc_id) (content-independent, identical
+# on every run and engine), and the 25 smallest exponential keys
+# -ln(u)/w win — equivalent to sampling without replacement with
+# probability ∝ w (here w = n_chars: longer docs proportionally more
+# likely, the quality-weighted curation draw). Distributed shape =
+# TakeOrdered partial top-k per partition, same as x50. Rows-only driver
+# check; tests pin the exact selected set against a pure-Python replica
+# of the same formula.
+# --------------------------------------------------------------------------
+_WS_K = 25
+
+
+@query(
+    "x100_weighted_sample",
+    oracle=None,
+    certifies="weighted sampling without replacement (A-ES exponential keys; ln() ulp portability keeps it off the SQL oracle)",
+    tags=("llm", "curation", "no-oracle"),
+)
+def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    u48 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10).cast("long")
+    )
+    u = (u48 + F.lit(0.5)) / F.lit(float(1 << 48))
+    key = -F.log(u) / F.col("n_chars")
+    return (
+        docs.select("doc_id", F.col("n_chars").cast("long").alias("n_chars"), key.alias("__k"))
+        .orderBy(F.col("__k").asc(), "doc_id")
+        .limit(_WS_K)
+        .select("doc_id", "n_chars")
+    )

@@ -1441,3 +1441,43 @@ def x95(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_retailprice").cast("double").alias("p_retailprice"),
     )
     return skyline_2d(part, "p_size", "p_retailprice").orderBy("p_partkey")
+
+
+# --------------------------------------------------------------------------
+# x99 — TPC-H Q13 shape: customer order-count distribution (custdist)
+#
+# Completes the classic-OLAP fleet next to x80 (Q9) and x81 (Q8): a LEFT
+# join whose non-key predicate lives in the JOIN CONDITION (zero-order
+# customers must survive with count 0), a per-customer count, then the
+# distribution of those counts. Scale: one shuffle join on custkey (orders
+# side pre-filtered at the scan), then a second agg over at most
+# |distinct counts| rows — effectively free after the map-side combine.
+# --------------------------------------------------------------------------
+@query(
+    "x99_custdist",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey
+    )
+    GROUP BY c_count ORDER BY custdist DESC, c_count DESC
+    """,
+    certifies="TPC-H Q13 shape: left join with non-key condition + two-level count distribution",
+    tags=("olap",),
+)
+def x99(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "1-URGENT")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )

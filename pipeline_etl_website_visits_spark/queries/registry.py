@@ -70,6 +70,10 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 DRIVER_ORDER: tuple[str, ...] = (
     # -- (a0) new in round 4 — never driver-checked (12 + 5 late-round) --
     "x92_heavy_hitters",
+    "x99_custdist",
+    "x100_weighted_sample",
+    "x97_cms_token_counts",
+    "x98_doc_pagerank",
     "x93_zorder_zone_map",
     "x94_incremental_mv",
     "x95_skyline_pareto",

@@ -158,3 +158,31 @@ def test_mixture_sampling_rates_within_tolerance(spark):
             assert rate == 1.0
         else:
             assert abs(rate - expected) < 0.35  # ~50 docs/source at sf0.001
+
+
+def test_weighted_sample_matches_python_replica(spark):
+    """x100's A-ES draw == the same md5-uniform + -ln(u)/w formula in pure
+    Python over the same table (set equality of the 25 winners)."""
+    import hashlib
+    import math
+
+    from pipeline_etl_website_visits_spark.queries.registry import REGISTRY
+    from pipeline_etl_website_visits_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    got = [r["doc_id"] for r in REGISTRY["x100_weighted_sample"].spark(spark, SF_DIR).collect()]
+
+    rows = load_table(spark, SF_DIR, "documents").select("doc_id", "n_chars").collect()
+    keyed = []
+    for r in rows:
+        u48 = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:12], 16)
+        u = (u48 + 0.5) / float(1 << 48)
+        keyed.append((-math.log(u) / r["n_chars"], r["doc_id"]))
+    want = [d for _, d in sorted(keyed)[:25]]
+    assert got == want
+    # weighting sanity: the weighted draw should skew long — median sampled
+    # n_chars above the corpus median
+    n_by_id = {r["doc_id"]: r["n_chars"] for r in rows}
+    sampled = sorted(n_by_id[d] for d in got)
+    all_chars = sorted(n_by_id.values())
+    assert sampled[len(sampled) // 2] >= all_chars[len(all_chars) // 2]
