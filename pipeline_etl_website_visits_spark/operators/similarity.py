@@ -819,3 +819,67 @@ def semantic_dedup(
         return pdf.loc[~dup, ["id", "cluster"]]
 
     return clustered.groupBy("cluster").applyInPandas(prune, "id long, cluster int")
+
+
+def semantic_decontam_hits(
+    corpus: DataFrame,
+    evals: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-space decontamination hit list: corpus vectors whose best
+    cosine against ANY eval-set vector reaches ``threshold`` (rounded to
+    4 dp), with that best eval id — the semantic twin of the exact-hash
+    decontamination x47/x66: training documents that would leak an eval
+    benchmark are found by meaning, not fingerprint.
+
+    Output: (corpus_id, eval_id, sim) — ranking/argmax on the RAW double
+    (ties by eval_id), output rounded 4 dp and thresholded on the rounded
+    value, exactly the cosine_topk oracle-parity discipline.
+
+    Scale shape: the eval set is the small side by definition — collected
+    under the broadcast guard and closed over by a mapInPandas matmul, so
+    the corpus scan is MAP-ONLY: no join, no shuffle, nothing corpus-sized
+    moves. At 100 TB this runs at scan speed.
+    """
+    ev_rows = evals.select(F.col(id_col), F.col(vec_col)).collect()
+    ev_rows.sort(key=lambda r: r[0])
+    eids = np.asarray([r[0] for r in ev_rows])
+    em = np.asarray([r[1] for r in ev_rows], dtype=np.float64)
+    if em.size:
+        _guard_driver_bytes("semantic_decontam eval set", em.shape[0], em.shape[1])
+    en = em / np.maximum(np.linalg.norm(em, axis=1, keepdims=True), 1e-12)
+    id_type = corpus.schema[id_col].dataType.simpleString()
+
+    def scan(batches):
+        for pdf in batches:
+            if len(pdf) == 0 or em.size == 0:
+                continue
+            cids = pdf["__cid"].to_numpy()
+            m = np.asarray(pdf["__vec"].tolist(), dtype=np.float64)
+            mn = m / np.maximum(np.sqrt(np.einsum("ij,ij->i", m, m))[:, None], 1e-12)
+            sims = mn @ en.T  # (n, |E|)
+            # argmax on raw sims; first index of max = lowest eval_id (eids
+            # sorted asc), matching the oracle's (sim DESC, eval_id) window
+            best_j = sims.argmax(axis=1)
+            best = sims[np.arange(len(cids)), best_j]
+            # raw pre-filter with a 4dp-safe margin; exact rounded filter is
+            # applied JVM-side below so the cut matches the oracle bit-wise
+            keep = best >= threshold - 5e-5
+            yield pd.DataFrame(
+                {
+                    "corpus_id": cids[keep],
+                    "eval_id": eids[best_j[keep]],
+                    "sim_raw": best[keep],
+                }
+            )
+
+    hits = corpus.select(
+        F.col(id_col).alias("__cid"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(scan, f"corpus_id {id_type}, eval_id {id_type}, sim_raw double")
+    return (
+        hits.select("corpus_id", "eval_id", F.round("sim_raw", 4).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+        .orderBy("corpus_id")
+    )

@@ -1097,3 +1097,37 @@ def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rank").desc(), "doc_id")
         .limit(25)
     )
+
+
+_SD_THRESHOLD = 0.35
+
+
+@query(
+    "x101_semantic_decontam",
+    oracle=f"""
+    WITH ev AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 50 = 0
+    ), corpus AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id % 50 <> 0
+    ), sims AS (
+      SELECT c.vec_id AS corpus_id, e.vec_id AS eval_id,
+             list_dot_product(c.v, e.v)
+               / (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(e.v, e.v))) AS sim_raw
+      FROM corpus c, ev e
+    ), ranked AS (
+      SELECT corpus_id, eval_id, sim_raw,
+             ROW_NUMBER() OVER (PARTITION BY corpus_id ORDER BY sim_raw DESC, eval_id) AS rn
+      FROM sims
+    )
+    SELECT corpus_id, eval_id, ROUND(sim_raw, 4) AS sim
+    FROM ranked WHERE rn = 1 AND ROUND(sim_raw, 4) >= {_SD_THRESHOLD}
+    ORDER BY corpus_id
+    """,
+    certifies="semantic (embedding-space) decontamination vs a broadcast eval set — map-only corpus scan (north-star §0.3)",
+    tags=("llm", "similarity", "curation", "scale"),
+)
+def x101(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    evals = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    return S.semantic_decontam_hits(corpus, evals, threshold=_SD_THRESHOLD)

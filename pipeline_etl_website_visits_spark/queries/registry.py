@@ -72,6 +72,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x92_heavy_hitters",
     "x99_custdist",
     "x100_weighted_sample",
+    "x101_semantic_decontam",
     "x97_cms_token_counts",
     "x98_doc_pagerank",
     "x93_zorder_zone_map",

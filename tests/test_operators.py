@@ -561,3 +561,35 @@ def test_pagerank_matches_numpy_power_iteration(spark):
         assert abs(got[n] - want[n]) < 1e-9, (n, got[n], want[n])
     # structural sanity: 3 (two in-edges incl. from hub 1's cycle) outranks 5 (no in-edges)
     assert got[3] > got[5]
+
+
+def test_semantic_decontam_hits_planted_leak(spark):
+    """A corpus vector planted near an eval vector must be flagged with
+    that eval id; orthogonal vectors must not. Full replica check in numpy."""
+    import numpy as np
+
+    from pipeline_etl_website_visits_spark.operators.similarity import semantic_decontam_hits
+
+    rng = np.random.default_rng(5)
+    ev = [(1000 + i, rng.normal(size=32).tolist()) for i in range(5)]
+    corpus = [(i, rng.normal(size=32).tolist()) for i in range(40)]
+    # plant: corpus 50 = eval 1002 + tiny noise (sim ~1.0)
+    corpus.append((50, (np.asarray(ev[2][1]) + rng.normal(scale=1e-3, size=32)).tolist()))
+    cdf = spark.createDataFrame(corpus, "vec_id long, embedding array<double>").repartition(4)
+    edf = spark.createDataFrame(ev, "vec_id long, embedding array<double>")
+
+    got = {
+        (r["corpus_id"], r["eval_id"], r["sim"])
+        for r in semantic_decontam_hits(cdf, edf, threshold=0.5).collect()
+    }
+
+    en = {i: np.asarray(v) / np.linalg.norm(v) for i, v in ev}
+    want = set()
+    for cid, v in corpus:
+        vn = np.asarray(v) / np.linalg.norm(v)
+        sims = sorted(((float(vn @ en[e]), -e) for e in en), reverse=True)
+        best, neg_e = sims[0]
+        if round(best, 4) >= 0.5:
+            want.add((cid, -neg_e, round(best, 4)))
+    assert got == want
+    assert any(c == 50 and e == 1002 for c, e, _ in got)
