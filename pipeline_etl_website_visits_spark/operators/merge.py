@@ -51,6 +51,7 @@ def merge_upsert(
     source: DataFrame,
     key: str | list[str],
     rules: dict[str, MergeRule],
+    null_safe: bool = True,
 ) -> DataFrame:
     """Generic full-outer-join merge.
 
@@ -60,13 +61,22 @@ def merge_upsert(
     (it must see both sides' unmatched rows), so the hint is ignored with a
     warning; the scale path to a shuffle-free merge is bucketing both
     sides on the key (docs/SCALE.md), not broadcasting.
+
+    ``null_safe=False`` joins with plain equality instead of ``eqNullSafe``.
+    Use it when the key is known non-null (e.g. it is a groupBy key over a
+    non-null column): Spark plans a null-safe join on the rewritten keys
+    ``(coalesce(k, 0), isnull(k))``, which does NOT match the
+    hashpartitioning either input already carries from its aggregation —
+    both (pre-aggregated) sides re-shuffle. Plain equality reuses the agg
+    partitioning: zero extra exchanges (asserted in test_plans).
     """
     keys = [key] if isinstance(key, str) else list(key)
     t = target.select([F.col(c).alias(f"t_{c}") for c in target.columns])
     s = source.select([F.col(c).alias(f"s_{c}") for c in source.columns])
     cond = None
     for k in keys:
-        c = t[f"t_{k}"].eqNullSafe(s[f"s_{k}"])
+        tk, sk = t[f"t_{k}"], s[f"s_{k}"]
+        c = tk.eqNullSafe(sk) if null_safe else (tk == sk)
         cond = c if cond is None else (cond & c)
     joined = t.join(s, cond, "full_outer")
     out = [F.coalesce(f"t_{k}", f"s_{k}").alias(k) for k in keys]

@@ -1397,6 +1397,9 @@ def x94(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_price": M.greatest_of,
             "last_date": M.greatest_of,
         },
+        # o_custkey is non-null: plain-equality join reuses the two agg
+        # exchanges instead of re-shuffling on (coalesce(k,0), isnull(k))
+        null_safe=False,
     )
     return merged.select(
         "o_custkey",

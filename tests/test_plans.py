@@ -336,3 +336,39 @@ def test_correlated_exists_decorrelates_to_semi_anti(spark):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_zorder_zone_map_is_single_shuffle_bit_math(spark):
+    """x93: the z-value is map-side codegen bit arithmetic; the only
+    exchange is the zone groupBy (plus the output sort)."""
+    df = REGISTRY["x93_zorder_zone_map"].spark(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchScan" in plan or "Scan parquet" in plan
+
+
+def test_heavy_hitter_recount_joins_broadcast(spark):
+    """x92 phase 2: the candidate set joins broadcast — the token stream
+    must never shuffle on token before the filter."""
+    df = REGISTRY["x92_heavy_hitters"].spark(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_incremental_mv_merges_without_extra_exchange(spark):
+    """x94: base and delta aggregate on o_custkey; the full-outer merge
+    join must REUSE that partitioning — exactly 2 hash exchanges (one per
+    agg side), none for the join itself."""
+    df = REGISTRY["x94_incremental_mv"].spark(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_semantic_decontam_corpus_scan_is_map_only(spark):
+    """x101: the eval side is closed over (broadcast by construction); the
+    corpus path has NO join and NO hash exchange — scan → Arrow map →
+    filter, plus only the deterministic output sort."""
+    df = REGISTRY["x101_semantic_decontam"].spark(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert "Join" not in plan, plan
+    assert "Exchange hashpartitioning" not in plan, plan
