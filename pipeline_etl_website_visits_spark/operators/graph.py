@@ -38,7 +38,16 @@ def pagerank(
     cannot compound across rounds (the ``kmeans_assign`` determinism
     trick); node set = every endpoint of any edge.
     """
+    sc = edges.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+    # Materialize the edge list ONCE before anything fans out from it: the
+    # caller's edge derivation is often the expensive part (e.g. the
+    # inverted-index near-dup join in x98), and nodes/out_deg/weighted
+    # would each recompute it — a lazy cache() still computes it twice
+    # inside the first multi-branch job (no cross-branch reuse before the
+    # cache is populated).
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.checkpoint(eager=True) if reliable else e.localCheckpoint(eager=True)
     nodes = e.select(F.col("src").alias("node")).union(
         e.select(F.col("dst").alias("node"))
     ).distinct()
@@ -49,9 +58,7 @@ def pagerank(
     ).cache()
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
 
-    sc = edges.sparkSession.sparkContext
-    reliable = sc.getCheckpointDir() is not None
-    for _ in range(iters):
+    for it in range(iters):
         contribs = (
             weighted.join(ranks, weighted.src == ranks.node, "inner")
             .select(F.col("dst").alias("node"), (F.col("rank") * F.col("w")).alias("c"))
@@ -70,6 +77,11 @@ def pagerank(
                 ).alias("rank"),
             )
         )
-        ranks = ranks.checkpoint(eager=True) if reliable else ranks.localCheckpoint(eager=True)
+        # truncate lineage every other round (and always on the last): one
+        # materialization job per checkpoint is the dominant per-iteration
+        # cost for small rank tables, and two rounds of join+agg lineage
+        # are well inside what the analyzer/scheduler handle
+        if it % 2 == 1 or it == iters - 1:
+            ranks = ranks.checkpoint(eager=True) if reliable else ranks.localCheckpoint(eager=True)
     weighted.unpersist()
     return ranks

@@ -665,7 +665,12 @@ def cms_token_estimates(
     filter to the probe set BEFORE the groupBy, so the verification
     shuffle carries |probes| tokens, not the vocabulary.
     """
-    toks = df.select(F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"))
+    # one materialized token pass feeds BOTH the sketch agg and the exact
+    # recount (the normalize+split+explode corpus scan is the dominant cost
+    # — without this it runs twice per call)
+    toks = df.select(
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token")
+    ).localCheckpoint(eager=False)
     sk_row = toks.agg(
         F.count_min_sketch("token", F.lit(eps), F.lit(confidence), F.lit(seed)).alias("sk")
     ).collect()[0]
