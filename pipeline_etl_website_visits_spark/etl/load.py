@@ -351,10 +351,32 @@ class Warehouse:
             os.path.join(self.path(ver), f"bucket={b}") for b, ver in sorted(refs.items())
         ]
 
-    def read_visitantes(self, buckets: set[int] | None = None) -> DataFrame:
-        """The current snapshot; ``buckets`` prunes the read to those bucket
-        dirs only (the merge path reads just the buckets a batch touches)."""
+    def visitantes_versions(self) -> list[str]:
+        """Snapshot versions still readable, oldest→current. The GC keeps
+        the current and previous version (plus any bucket dirs they carry
+        by reference), so this is a bounded two-deep time-travel window —
+        the same retention contract as a VACUUM'd lakehouse table."""
         version = self._current_visitantes_version()
+        if version is None:
+            return []
+        lines = self._read_small_text(self.path(self._POINTER)) or []
+        # pointer file: current on line 1, previous (if retained) on line 2
+        return list(reversed([v for v in lines[:2] if v]))
+
+    def read_visitantes(
+        self, buckets: set[int] | None = None, version: str | None = None
+    ) -> DataFrame:
+        """The current snapshot — or, with ``version`` (from
+        :meth:`visitantes_versions`), a time-travel read of a retained
+        earlier snapshot. ``buckets`` prunes the read to those bucket dirs
+        only (the merge path reads just the buckets a batch touches)."""
+        if version is not None and version not in self.visitantes_versions():
+            raise ValueError(
+                f"visitantes version {version!r} is not retained; "
+                f"available: {self.visitantes_versions()}"
+            )
+        if version is None:
+            version = self._current_visitantes_version()
         if version is None:
             return self.spark.createDataFrame([], VISITANTES_SCHEMA)
         if version.startswith("tbl:"):
@@ -477,7 +499,10 @@ class Warehouse:
         tmp_path = jvmp.org.apache.hadoop.fs.Path(self.path(self._POINTER + ".tmp"))
         tout = fsp.create(tmp_path, True)
         try:
-            tout.write(bytearray(version.encode("utf-8")))
+            # line 1: current; line 2: previous (retained by the GC) — the
+            # bounded time-travel window read_visitantes(version=...) serves
+            pointer = version + (("\n" + version_now) if version_now else "")
+            tout.write(bytearray(pointer.encode("utf-8")))
         finally:
             tout.close()
         if fsp.exists(pointer_path):
@@ -540,7 +565,10 @@ class Warehouse:
         tmp_path = jvmp.org.apache.hadoop.fs.Path(self.path(self._POINTER + ".tmp"))
         tout = fsp.create(tmp_path, True)
         try:
-            tout.write(bytearray(version.encode("utf-8")))
+            # line 1: current; line 2: previous (retained by the GC) — the
+            # bounded time-travel window read_visitantes(version=...) serves
+            pointer = version + (("\n" + version_now) if version_now else "")
+            tout.write(bytearray(pointer.encode("utf-8")))
         finally:
             tout.close()
         if fsp.exists(pointer_path):

@@ -1484,3 +1484,45 @@ def x99(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+# --------------------------------------------------------------------------
+# x102 — VARIANT semi-structured path (schema-less shredding)
+#
+# x70 parses props with a DECLARED schema (from_json); this is the Spark 4
+# VARIANT path — parse once to the binary variant encoding, extract typed
+# paths at query time with no schema up front (the lakehouse
+# semi-structured pattern: land JSON as VARIANT, shred lazily). Aggregates
+# on the extracted value + counts a missing path to pin null-path
+# semantics. Oracle = the identical json_extract arithmetic in DuckDB.
+# --------------------------------------------------------------------------
+@query(
+    "x102_variant_extract",
+    oracle="""
+    SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) % 7 AS INT) AS k_mod,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(COUNT(*) FILTER (WHERE json_extract_string(props, '$.missing') IS NULL) AS BIGINT) AS n_missing_path
+    FROM events
+    WHERE json_extract_string(props, '$.k') IS NOT NULL
+    GROUP BY 1 ORDER BY 1
+    """,
+    certifies="VARIANT semi-structured type: parse_json + variant_get typed path extraction without a declared schema (Spark 4 surface)",
+    tags=("json", "events"),
+)
+def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select(F.parse_json(F.col("props")).alias("v"))
+    shredded = v.select(
+        F.variant_get(F.col("v"), "$.k", "bigint").alias("k"),
+        F.variant_get(F.col("v"), "$.missing", "bigint").alias("m"),
+    ).filter(F.col("k").isNotNull())
+    return (
+        shredded.groupBy((F.col("k") % 7).cast("int").alias("k_mod"))
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+            F.count_if(F.col("m").isNull()).cast("long").alias("n_missing_path"),
+        )
+        .orderBy("k_mod")
+    )

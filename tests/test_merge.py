@@ -287,3 +287,37 @@ def test_agg_state_merge_is_iterable_and_exact(spark):
     got = {r["k"]: (r["cnt"], float(r["tot"]), str(r["last"])) for r in acc.collect()}
     want = {r["k"]: (r["cnt"], float(r["tot"]), str(r["last"])) for r in state(df).collect()}
     assert got == want
+
+
+def test_visitantes_time_travel_reads_previous_snapshot(spark, tmp_path, target, source):
+    """read_visitantes(version=...) serves the retained previous version:
+    after a merge, the pre-merge counters are still readable; versions
+    older than the two-deep retention window raise."""
+    import pytest
+
+    root = str(tmp_path / "wh_tt")
+    wh = Warehouse(spark, root, n_buckets=8)
+    wh.write_visitantes(target, applied_key="seed")
+    v0 = wh._current_visitantes_version()
+
+    wh.merge_visitantes(source, process_date=PROCESS_DATE, applied_key="b1")
+    v1 = wh._current_visitantes_version()
+    assert wh.visitantes_versions() == [v0, v1]
+
+    email = "match-same-month@example.com"
+    now = wh.read_visitantes().filter(F.col("email") == email).first()
+    then = wh.read_visitantes(version=v0).filter(F.col("email") == email).first()
+    assert now["visitasTotales"] > then["visitasTotales"]
+    # the time-travel read is the full old snapshot, not a delta
+    assert wh.read_visitantes(version=v0).count() == target.count()
+
+    # a third publish rotates v0 out of the retention window
+    wh.merge_visitantes(
+        source.filter(F.col("email") == email), process_date=PROCESS_DATE, applied_key="b2"
+    )
+    v2 = wh._current_visitantes_version()
+    assert wh.visitantes_versions() == [v1, v2]
+    with pytest.raises(ValueError):
+        wh.read_visitantes(version=v0)
+    # previous still readable after rotation
+    assert wh.read_visitantes(version=v1).count() >= target.count()
