@@ -217,3 +217,51 @@ def test_pq_adc_agrees_with_exact_quantized_l2_at_10x(spark):
         codes = ((c[None, :, :] - cents) ** 2).sum(axis=2).argmin(axis=0)  # [8]
         expect = int(dtab[codes, np.arange(8)].sum())
         assert r["adc_dist"] == expect, (r, expect)
+
+
+def test_new_ops_plan_shape_flat_at_10x(spark):
+    """heavy_hitters / skyline_2d / semantic_decontam_hits / zorder_zone_map
+    keep IDENTICAL exchange counts on 10x larger inputs (static planner) —
+    the candidate/sketch/broadcast structures, not the data volume, decide
+    the shuffle count."""
+    import numpy as np
+
+    from pipeline_etl_website_visits_spark.operators import text as T
+    from pipeline_etl_website_visits_spark.operators.layout import zorder_zone_map
+    from pipeline_etl_website_visits_spark.operators.similarity import semantic_decontam_hits
+    from pipeline_etl_website_visits_spark.operators.skyline import skyline_2d
+
+    prev_bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        rng = np.random.default_rng(2)
+        evals = spark.createDataFrame(
+            [(i, rng.normal(size=16).tolist()) for i in range(20)],
+            "vec_id long, embedding array<double>",
+        )
+        counts = {}
+        for label, n in (("1x", 300), ("10x", 3000)):
+            docs = _synthetic_docs(spark, n)
+            nums = spark.range(n).select(
+                F.col("id").alias("id"),
+                (F.col("id") % 61).cast("int").alias("x"),
+                (F.col("id") % 97).cast("double").alias("y"),
+            )
+            vecs = spark.range(n).select(
+                F.col("id").alias("vec_id"),
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(15)),
+                    lambda j: (F.pmod(F.xxhash64(F.col("id"), j), F.lit(1000)) / 500.0) - 1.0,
+                ).alias("embedding"),
+            )
+            counts[label] = {
+                "heavy_hitters": _exchange_count(T.heavy_hitters(docs, "text", denom=64, capacity=128)),
+                "skyline": _exchange_count(skyline_2d(nums, "x", "y")),
+                "decontam": _exchange_count(semantic_decontam_hits(vecs, evals, threshold=0.9)),
+                "zone_map": _exchange_count(zorder_zone_map(nums, F.col("x"), F.col("y").cast("int"))),
+            }
+        assert counts["10x"] == counts["1x"], counts
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
