@@ -186,7 +186,9 @@ class Warehouse:
         lines = self._read_small_text(self.path(f"{table}_compact_CURRENT"))
         return lines[0] if lines else None
 
-    def compact(self, table: str, target_mb: int = 128) -> dict:
+    def compact(
+        self, table: str, target_mb: int = 128, cluster_by: list[str] | None = None
+    ) -> dict:
         """Coalesce the per-file partitions of an append table into few
         date-bucketed parquet files (sized ~``target_mb``), keeping every row.
 
@@ -228,10 +230,26 @@ class Warehouse:
         version = f"{table}_compact_v{n}"
         if "fechaEnvio" in df.columns:
             out = df.withColumn("fecha", F.date_format(F.col("fechaEnvio"), "ddMMyy"))
+            shaped = out.repartition(n_files, "fecha")
+            if cluster_by:
+                # keep the fecha dir layout; cluster rows inside each file
+                shaped = shaped.sortWithinPartitions(*cluster_by)
             (
-                out.repartition(n_files, "fecha")
-                .write.mode("overwrite")
+                shaped.write.mode("overwrite")
                 .partitionBy("fecha")
+                .parquet(self.path(version))
+            )
+        elif cluster_by:
+            # OPTIMIZE ... ZORDER/CLUSTER BY: range-partition so each output
+            # file owns a contiguous key range, sort inside files — parquet
+            # footer min/max on the cluster columns become tight envelopes
+            # and later scans with cluster-key predicates skip whole files.
+            # (For multi-dim locality pass a z-value expression column, e.g.
+            # operators.layout.zorder_value, as a materialized column.)
+            (
+                df.repartitionByRange(n_files, *cluster_by)
+                .sortWithinPartitions(*cluster_by)
+                .write.mode("overwrite")
                 .parquet(self.path(version))
             )
         else:

@@ -1526,3 +1526,51 @@ def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_mod")
     )
+
+
+# --------------------------------------------------------------------------
+# x103 — cohort retention matrix (product analytics)
+#
+# Cohort = each user's first-seen day; cell (cohort, day_offset) = distinct
+# users of that cohort active day_offset days later. The shape: a
+# self-derived dimension (MIN per user), joined back to the fact, then a
+# distinct + matrix count. Scale: the firsts agg and the join share the
+# user_id shuffle key (partitioning reuse — same discipline as x94), and
+# the distinct is on (user, cohort, offset) — bounded by user-days, far
+# below raw events.
+# --------------------------------------------------------------------------
+@query(
+    "x103_cohort_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_day,
+             CAST(CAST(e.ts AS DATE) - f.cohort_day AS INT) AS day_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT cohort_day, day_offset, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM activity GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    certifies="cohort retention matrix: self-derived first-seen dimension + distinct activity matrix (north-star analytics)",
+    tags=("events", "analytics"),
+)
+def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).cast("int").alias("day_offset"),
+        )
+        .distinct()
+    )
+    return (
+        activity.groupBy("cohort_day", "day_offset")
+        .agg(F.count("*").cast("long").alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )

@@ -250,3 +250,47 @@ def test_compact_live_wins_over_stale_compacted_rows(spark, tmp_path):
     assert wh.read("estadisticas").count() == 10
     wh.compact("estadisticas")
     assert wh.read("estadisticas").count() == 10
+
+
+def test_compact_cluster_by_produces_tight_file_envelopes(spark, tmp_path):
+    """compact(cluster_by=[k]) = OPTIMIZE ... CLUSTER BY: same rows, and
+    each output file's parquet footer min/max on k covers a narrow,
+    non-overlapping range — the file-skipping contract."""
+    import pyarrow.parquet as pq
+
+    wh = Warehouse(spark, str(tmp_path / "wh_cl"))
+    # 6 tiny appends, k interleaved across appends so pre-compact files all
+    # span the whole k range (worst case for skipping)
+    for i in range(6):
+        df = spark.createDataFrame(
+            [(k, f"v{k}", f"part{i}.txt") for k in range(i, 600, 6)],
+            "k long, v string, nombreArchivo string",
+        )
+        wh.append_partitioned(df, "clustered")
+    before = sorted((r["k"], r["v"]) for r in wh.read("clustered").select("k", "v").collect())
+
+    out = wh.compact("clustered", target_mb=1, cluster_by=["k"])
+    after = sorted((r["k"], r["v"]) for r in wh.read("clustered").select("k", "v").collect())
+    assert after == before
+
+    import glob
+
+    files = sorted(glob.glob(str(tmp_path / "wh_cl" / out["version"] / "*.parquet")))
+    assert files
+    envelopes = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        ks = [
+            (md.row_group(g).column(c).statistics.min, md.row_group(g).column(c).statistics.max)
+            for g in range(md.num_row_groups)
+            for c in range(md.num_columns)
+            if md.row_group(g).column(c).path_in_schema == "k"
+        ]
+        envelopes.append((min(lo for lo, _ in ks), max(hi for _, hi in ks)))
+    envelopes.sort()
+    # non-overlapping contiguous ranges across files (range partitioning)
+    for (lo1, hi1), (lo2, hi2) in zip(envelopes, envelopes[1:]):
+        assert hi1 <= lo2, envelopes
+    # each envelope is narrow: far below the full 0..599 span
+    if len(envelopes) > 1:
+        assert all(hi - lo < 600 / len(envelopes) * 2 for lo, hi in envelopes), envelopes
