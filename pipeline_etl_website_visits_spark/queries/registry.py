@@ -63,12 +63,13 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 #       bucketed incremental merge path), making their r3 rows stale;
 #   (b) the 32 queries whose latest driver row is ROUND 1 (stalest — they
 #       predate the round-3 timestamp-normalization loader rework, fd214e6);
-#   (c) as many of the 28 round-2-latest rows as fit the 50 prefix.
+#   (b) fills the remaining slots with round-1-latest rows (stalest);
+#       the rest of (b) and all round-2-latest rows spill to round 5.
 # ONLY the first 50 names below are checked this round; the tail past slot
 # 50 is deliberate next-round spillover (stalest-first head for round 5) —
 # it is NOT checked in round 4.  See docs/COVERAGE.md.
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- (a0) new in round 4 — never driver-checked (12 + 5 late-round) --
+    # -- (a0) new in round 4 — never driver-checked (12 early + 12 late) --
     "x92_heavy_hitters",
     "x99_custdist",
     "x100_weighted_sample",
@@ -121,6 +122,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x30_text_fingerprint",
     "x31_doc_stats_by_lang",
     "x34_events_user_daily",
+    # ---- slot 50 boundary: everything below is round-5 spillover ----
     "x35_distinct",
     "x38_top_bigrams",
     "q40_left_outer_join",
@@ -131,10 +133,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q45_cube",
     "q46_window_rank_lag",
     "q47_window_frame_running_sum",
-    # -- (c) latest driver row is round 2 — first 2 fill the 50 prefix --
+    # -- latest driver row is round 2 (spillover continues) --
     "q48_having",
     "q49_conditional_agg",
-    # ---- slot 50 boundary: everything below is round-5 spillover ----
     "q50_scalar_subquery",
     "q51_in_subquery",
     "q52_string_funcs",
