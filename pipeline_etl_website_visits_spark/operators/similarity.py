@@ -844,11 +844,15 @@ def semantic_decontam_hits(
     moves. At 100 TB this runs at scan speed.
     """
     ev_rows = evals.select(F.col(id_col), F.col(vec_col)).collect()
+    id_type_ = corpus.schema[id_col].dataType.simpleString()
+    if not ev_rows:  # no eval set ⇒ nothing can be contaminated
+        return corpus.sparkSession.createDataFrame(
+            [], f"corpus_id {id_type_}, eval_id {id_type_}, sim double"
+        )
     ev_rows.sort(key=lambda r: r[0])
     eids = np.asarray([r[0] for r in ev_rows])
     em = np.asarray([r[1] for r in ev_rows], dtype=np.float64)
-    if em.size:
-        _guard_driver_bytes("semantic_decontam eval set", em.shape[0], em.shape[1])
+    _guard_driver_bytes("semantic_decontam eval set", em.shape[0], em.shape[1])
     en = em / np.maximum(np.linalg.norm(em, axis=1, keepdims=True), 1e-12)
     id_type = corpus.schema[id_col].dataType.simpleString()
 

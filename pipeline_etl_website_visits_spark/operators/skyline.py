@@ -63,7 +63,10 @@ def skyline_2d(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
             yield _sweep(pdf, x_col, y_col)
 
     def global_pass(batches):
-        pdf = pd.concat(list(batches), ignore_index=True)
+        frames = list(batches)
+        if not frames:  # empty input: no batches at all
+            return
+        pdf = pd.concat(frames, ignore_index=True)
         if len(pdf) > MAX_GLOBAL_CANDIDATES:
             raise RuntimeError(
                 f"skyline candidate set {len(pdf)} exceeds MAX_GLOBAL_CANDIDATES "

@@ -76,6 +76,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x101_semantic_decontam",
     "x102_variant_extract",
     "x103_cohort_retention",
+    "x104_session_window_native",
     "x97_cms_token_counts",
     "x98_doc_pagerank",
     "x93_zorder_zone_map",

@@ -167,3 +167,56 @@ def events_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("value_sum"),
         )
     )
+
+
+@query(
+    "x104_session_window_native",
+    oracle=f"""
+    WITH lagged AS (
+      SELECT user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR epoch_us(ts) - epoch_us(prev_ts) >= {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM lagged
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM sessions GROUP BY user_id, session_seq ORDER BY user_id, session_start
+    """,
+    certifies="native session_window dynamic-gap aggregation in batch (x33's lag/cumsum twin; boundary = half-open windows, diff >= gap splits)",
+    tags=("events", "streaming-shaped"),
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same sessionization as x33 expressed with the NATIVE
+    ``session_window`` operator (the one the streaming path uses) instead
+    of lag+cumsum windows — certifying that the stateful operator's merge
+    semantics match the portable SQL formulation value-for-value. NOTE the
+    boundary: session_window is half-open ([start, last+gap)), so a gap of
+    EXACTLY 30min starts a new session — the oracle uses >= where x33's
+    cumsum form uses >.
+    """
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("sw"), F.col("user_id"))
+        .agg(F.count("*").cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format(F.col("sw.start"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.col("sw.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )

@@ -593,3 +593,29 @@ def test_semantic_decontam_hits_planted_leak(spark):
             want.add((cid, -neg_e, round(best, 4)))
     assert got == want
     assert any(c == 50 and e == 1002 for c, e, _ in got)
+
+
+def test_new_operators_tolerate_empty_inputs(spark):
+    """Empty corpus / empty edge list / empty eval set must yield empty
+    results, not crashes — the first thing a scheduled pipeline hits on a
+    quiet day."""
+    from pipeline_etl_website_visits_spark.operators.graph import pagerank
+    from pipeline_etl_website_visits_spark.operators.similarity import (
+        semantic_decontam_hits,
+    )
+    from pipeline_etl_website_visits_spark.operators.skyline import skyline_2d
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert T.heavy_hitters(empty_docs, "text").count() == 0
+
+    empty_edges = spark.createDataFrame([], "src long, dst long")
+    assert pagerank(empty_edges, iters=2).count() == 0
+
+    empty_pts = spark.createDataFrame([], "id long, x int, y double")
+    assert skyline_2d(empty_pts, "x", "y").count() == 0
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    empty_ev = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert semantic_decontam_hits(vecs, empty_ev).count() == 0
