@@ -148,3 +148,58 @@ def test_repetition_metrics_match_python_reference(spark, docs):
         top = max(c.items(), key=lambda kv: (kv[1], kv[0]))  # count, then token desc
         assert r["top_token"] == top[0]
         assert r["top_token_frac"] == ((top[1] * 2000 + len(toks)) // (2 * len(toks))) / 1000.0
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=15), st.integers(min_value=0, max_value=15)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_skyline_dominance_invariants(spark, pts):
+    """For ANY point set: (a) every returned point is non-dominated, (b)
+    every omitted point is dominated by some input point, (c) result is
+    independent of partitioning."""
+    from pipeline_etl_website_visits_spark.operators.skyline import skyline_2d
+
+    rows = [(i, x, float(y)) for i, (x, y) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id long, x int, y double")
+    got = {r["id"] for r in skyline_2d(df, "x", "y").collect()}
+    got_repart = {r["id"] for r in skyline_2d(df.repartition(7), "x", "y").collect()}
+    assert got == got_repart
+
+    def dominated(i, x, y):
+        return any(
+            (bx >= x and by <= y and (bx > x or by < y)) for j, bx, by in rows if j != i
+        )
+
+    for i, x, y in rows:
+        assert (i not in got) == dominated(i, x, y), (i, x, y, sorted(got))
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "d", "e", "f", "g", "hot"]), min_size=1, max_size=12),
+        min_size=1,
+        max_size=25,
+    ),
+    denom=st.sampled_from([4, 8, 16]),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_heavy_hitters_exact_for_any_corpus(spark, docs, denom):
+    """For ANY corpus and threshold: the sketch-then-verify result equals
+    the brute-force frequency filter exactly (capacity >= denom holds)."""
+    import collections
+
+    from pipeline_etl_website_visits_spark.operators.text import heavy_hitters
+
+    rows = [(i, " ".join(toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(5)
+    got = [(r["token"], r["cnt"]) for r in heavy_hitters(df, "text", denom=denom, capacity=denom + 7).collect()]
+
+    cnt = collections.Counter(t for _, txt in rows for t in txt.split(" "))
+    n = sum(cnt.values())
+    want = sorted(((t, c) for t, c in cnt.items() if c * denom >= n), key=lambda tc: (-tc[1], tc[0]))
+    assert got == want
