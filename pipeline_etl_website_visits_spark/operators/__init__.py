@@ -1,4 +1,5 @@
-"""Reusable distributed operators (merge/upsert, dedup, similarity, text).
+"""Reusable distributed operators (merge/upsert, dedup, similarity, text,
+graph, skyline, layout, multimodal, skew, range joins).
 
 These are the engine's "custom operators": everything Spark lacks as a
 single built-in, composed from DataFrame primitives so Catalyst still owns
