@@ -6,7 +6,9 @@
 
 Batch mode mirrors the reference's daily run (process everything new in the
 input dir); --stream runs the Structured Streaming path with AvailableNow
-(same outcome, checkpoint-tracked).
+(same outcome, checkpoint-tracked); --compact TABLE [--cluster-by k1,k2]
+runs the warehouse maintenance job instead (crash-safe small-file
+compaction, optionally range-clustered for file skipping).
 """
 
 from __future__ import annotations
@@ -25,11 +27,35 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--stream", action="store_true", help="run via Structured Streaming (AvailableNow)")
     ap.add_argument("--checkpoint", default=None, help="checkpoint dir (stream mode)")
     ap.add_argument("--master", default=None, help="spark master override")
+    ap.add_argument(
+        "--compact",
+        default=None,
+        metavar="TABLE",
+        help="run maintenance instead of the ETL: compact TABLE's small per-file partitions",
+    )
+    ap.add_argument(
+        "--cluster-by",
+        default=None,
+        metavar="COLS",
+        help="with --compact: comma-separated columns to range-cluster the rewrite by",
+    )
+    ap.add_argument("--target-mb", type=int, default=128, help="with --compact: target file size")
     args = ap.parse_args(argv)
 
     from pipeline_etl_website_visits_spark.session import get_spark
 
     spark = get_spark("visits-etl", master=args.master)
+    if args.compact:
+        from pipeline_etl_website_visits_spark.etl.load import Warehouse
+
+        wh = Warehouse(spark, args.warehouse)
+        out = wh.compact(
+            args.compact,
+            target_mb=args.target_mb,
+            cluster_by=args.cluster_by.split(",") if args.cluster_by else None,
+        )
+        print(json.dumps({"mode": "compact", "table": args.compact, **out}))
+        return 0
     if args.stream:
         from pipeline_etl_website_visits_spark.streaming.visits_stream import start_visits_stream
 

@@ -294,3 +294,28 @@ def test_compact_cluster_by_produces_tight_file_envelopes(spark, tmp_path):
     # each envelope is narrow: far below the full 0..599 span
     if len(envelopes) > 1:
         assert all(hi - lo < 600 / len(envelopes) * 2 for lo, hi in envelopes), envelopes
+
+
+def test_cli_compact_mode(spark, tmp_path):
+    """python -m ...etl --compact TABLE drives the maintenance path."""
+    import json as _json
+
+    from pipeline_etl_website_visits_spark.etl.__main__ import main
+
+    wh = Warehouse(spark, str(tmp_path / "wh_cli"))
+    for i in range(3):
+        df = spark.createDataFrame(
+            [(k, f"part{i}.txt") for k in range(10)], "k long, nombreArchivo string"
+        )
+        wh.append_partitioned(df, "t")
+    rc = main(
+        [
+            "--input", "unused",
+            "--warehouse", str(tmp_path / "wh_cli"),
+            "--compact", "t",
+            "--cluster-by", "k",
+            "--target-mb", "1",
+        ]
+    )
+    assert rc == 0
+    assert wh.read("t").count() == 30
