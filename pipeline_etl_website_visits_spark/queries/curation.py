@@ -1280,9 +1280,20 @@ _WS_K = 25
 
 @query(
     "x100_weighted_sample",
-    oracle=None,
-    certifies="weighted sampling without replacement (A-ES exponential keys; ln() ulp portability keeps it off the SQL oracle)",
-    tags=("llm", "curation", "no-oracle"),
+    # ln() ulp portability is a real risk class, but verified empirically:
+    # the selected set matches a pure-Python replica AND this oracle at
+    # sf0.001/0.01/0.1 — the top-k boundary gaps dwarf last-ulp noise.
+    oracle=f"""
+    SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars
+    FROM (
+      SELECT doc_id, n_chars,
+             -ln((CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 0.5)
+                 / 281474976710656.0) / n_chars AS k
+      FROM documents
+    ) ORDER BY k, doc_id LIMIT {_WS_K}
+    """,
+    certifies="weighted sampling without replacement (A-ES exponential keys from md5-uniforms)",
+    tags=("llm", "curation"),
 )
 def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
