@@ -99,3 +99,40 @@ def test_asof_join_equal_timestamp_tie_rule(spark):
         [(1, t0 - dt.timedelta(hours=1), 5)], "k int, ts timestamp, id int"
     )
     assert asof_join(left3, right, "k", "ts", "id").first()["right_id"] is None
+
+
+def test_partition_pruning_static_and_dynamic(spark, tmp_path):
+    """The two partition-pruning levers the warehouse layouts rely on:
+    (a) a literal filter on the partition column reaches PartitionFilters
+    (only matching dirs are listed/read); (b) a join against a filtered dim
+    plants a dynamic-pruning subquery on the fact's partition column."""
+    import pyspark.sql.functions as F
+
+    from pipeline_etl_website_visits_spark.plans import formatted_plan
+
+    fact = spark.range(1000).select(
+        F.col("id"), (F.col("id") % 7).alias("day"), (F.col("id") % 5).alias("k")
+    )
+    path = str(tmp_path / "fact_part")
+    fact.write.partitionBy("day").parquet(path)
+    part = spark.read.parquet(path)
+
+    # (a) static pruning
+    plan = formatted_plan(part.filter(F.col("day") == 3).select("id"))
+    assert "PartitionFilters" in plan
+    seg = plan[plan.index("PartitionFilters"):].splitlines()[0]
+    assert "day" in seg and "3" in seg, seg
+
+    # (b) dynamic partition pruning: dim filter not known until runtime
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        dim = spark.range(7).select(F.col("id").alias("day"), (F.col("id") * 10).alias("w"))
+        dim_path = str(tmp_path / "dim")
+        dim.write.parquet(dim_path)
+        dimr = spark.read.parquet(dim_path).filter(F.col("w") == 30)
+        joined = part.join(dimr, "day").select(part.id)
+        plan_j = formatted_plan(joined)
+        assert "dynamicpruning" in plan_j.lower(), plan_j
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
