@@ -1308,3 +1308,57 @@ def x100(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_WS_K)
         .select("doc_id", "n_chars")
     )
+
+
+# --------------------------------------------------------------------------
+# x105 — token-budgeted mixture (per-source budget, deterministic order)
+#
+# The budgeted cousin of x53's count quota: each source contributes docs in
+# content-independent md5 order until its character budget is exhausted
+# (the "take N tokens per source" mixture recipe). One per-source window
+# cumsum + filter + agg — the window partitions by source, so at 100 TB
+# each source's running sum is an independent partition-local sort, no
+# global ordering anywhere.
+# --------------------------------------------------------------------------
+_MIX_BUDGET_CHARS = 20_000
+
+
+@query(
+    "x105_token_budget_mixture",
+    oracle=f"""
+    WITH ordered AS (
+      SELECT source, doc_id, n_chars,
+             SUM(n_chars) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(cum) AS BIGINT) AS chars_taken,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM ordered WHERE cum <= {_MIX_BUDGET_CHARS}
+    GROUP BY source ORDER BY source
+    """,
+    certifies="token/char-budgeted mixture sampling per source (north-star §0.3 curation; x53's budget twin)",
+    tags=("llm", "curation"),
+)
+def x105(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    taken = docs.select(
+        "source", "doc_id", "n_chars", F.sum("n_chars").over(w).alias("cum")
+    ).filter(F.col("cum") <= _MIX_BUDGET_CHARS)
+    return (
+        taken.groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.max("cum").cast("long").alias("chars_taken"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+        )
+        .orderBy("source")
+    )
