@@ -122,9 +122,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x28_text_quality",
     "x29_text_token_count",
     "x30_text_fingerprint",
+    # ---- slot 50 boundary: everything below is round-5 spillover ----
     "x31_doc_stats_by_lang",
     "x34_events_user_daily",
-    # ---- slot 50 boundary: everything below is round-5 spillover ----
     "x35_distinct",
     "x38_top_bigrams",
     "q40_left_outer_join",
