@@ -454,13 +454,18 @@ def kmeans_assign(
     id_col: str = "vec_id",
     k: int = 8,
     iters: int = 5,
+    carry_cols: list[str] | None = None,
 ) -> DataFrame:
     """Spherical k-means (Lloyd's iterations, cosine assignment) over an
     embedding column — the iterative-algorithm tier of the similarity
     family (semantic clustering / semantic-dedup bucketing; also the
     production replacement for :func:`ivf_topk`'s strided-sample centroids).
 
-    Returns (id, cluster_id) assignments. Deterministic: init is the same
+    Returns (id, *carry_cols, cluster_id) assignments — ``carry_cols``
+    ride through the final assignment projection so consumers that need
+    other columns of ``df`` (labels, the vectors themselves) pay ZERO join:
+    without this, re-attaching even one column costs a two-exchange
+    sort-merge join against the full assignment output. Deterministic: init is the same
     hash-ordered take as IVF (no RNG, no count pass), assignment is an
     Arrow-batched argmax, and each update rounds centroids to 9 dp so float
     combine-order noise cannot flip later assignments.
@@ -476,7 +481,10 @@ def kmeans_assign(
     convergence checks are skipped in favor of a fixed iteration count (one
     job per check is not worth it for the few extra Lloyd's passes).
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    carry = list(carry_cols or [])
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), *[F.col(c) for c in carry]
+    )
     # hash-ordered take: deterministic pseudo-random k-seed in ONE job
     # (TakeOrderedAndProject — no count pass, no global sort; see ivf_topk)
     sampled = base.orderBy(F.xxhash64(F.col("id")), F.col("id")).limit(k)
@@ -500,7 +508,7 @@ def kmeans_assign(
         centroids = np.round(new, 9)
 
     assign = ivf_assign_udf(centroids)
-    return base.select("id", assign(F.col("v")).alias("cluster_id"))
+    return base.select("id", *carry, assign(F.col("v")).alias("cluster_id"))
 
 
 def _centroid_partials_frame(vecs_only: DataFrame, centroids: "np.ndarray") -> DataFrame:
@@ -552,10 +560,9 @@ def kmeans_summary(
     (the purity view — how well unsupervised clusters track a labeled
     column). One groupBy on (cluster, label) + a top-1 window, both over at
     most k·|labels| rows after the map-side combine."""
-    assigned = kmeans_assign(df, vec_col, id_col, k=k, iters=iters)
-    labeled = assigned.join(
-        df.select(F.col(id_col).alias("id"), F.col(label_col).alias("label")), "id"
-    )
+    labeled = kmeans_assign(
+        df, vec_col, id_col, k=k, iters=iters, carry_cols=[label_col]
+    ).withColumnRenamed(label_col, "label")
     by_label = labeled.groupBy("cluster_id", "label").agg(
         F.count("*").cast("long").alias("n")
     )
@@ -799,11 +806,10 @@ def semantic_dedup(
     clustering itself is the shuffle-free map-only Lloyd loop of
     :func:`kmeans_assign`; the only shuffle here is the groupBy(cluster).
     """
-    assigned = kmeans_assign(df, vec_col, id_col, k=k, iters=iters).withColumnRenamed(
-        "cluster_id", "cluster"
-    )
-    clustered = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).join(
-        assigned, "id"
+    clustered = (
+        kmeans_assign(df, vec_col, id_col, k=k, iters=iters, carry_cols=[vec_col])
+        .withColumnRenamed("cluster_id", "cluster")
+        .withColumnRenamed(vec_col, "v")
     )
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
