@@ -164,9 +164,16 @@ def click_purchase_attribution(
     purchases: DataFrame,
     horizon: str = "1 hour",
     watermark: str = "2 hours",
+    join_type: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: attribute each purchase to the same user's
+    """Stream-stream join: attribute each purchase to the same user's
     click(s) within ``horizon`` before it.
+
+    ``join_type="left_outer"`` additionally emits unmatched clicks (null
+    purchase columns) — but only once the watermark proves no matching
+    purchase can still arrive, i.e. in a LATER micro-batch than the click:
+    un-attributed clicks surface with watermark delay, the canonical
+    streaming outer-join semantics.
 
     The canonical two-stream shape: BOTH sides carry a watermark and the
     join condition bounds event-time distance, so state for either side is
@@ -197,11 +204,11 @@ def click_purchase_attribution(
             f"c_user = p_user AND purchase_ts >= click_ts "
             f"AND purchase_ts <= click_ts + INTERVAL {horizon}"
         ),
-        "inner",
+        join_type,
     ).select(
         "purchase_id",
         "click_id",
-        F.col("p_user").alias("user_id"),
+        F.col("c_user").alias("user_id"),
         (F.col("purchase_ts").cast("long") - F.col("click_ts").cast("long")).alias("lag_seconds"),
     )
 
@@ -214,14 +221,27 @@ def start_attribution_to_memory(
     query_name: str = "events_attr",
     horizon: str = "1 hour",
     watermark: str = "2 hours",
+    join_type: str = "inner",
+    max_files_per_trigger: int | None = None,
 ) -> StreamingQuery:
-    """AvailableNow drain of the click→purchase stream-stream join."""
+    """AvailableNow drain of the click→purchase stream-stream join.
+
+    ``max_files_per_trigger`` splits the drain into several micro-batches —
+    required for observing left-outer null emissions, which only flush
+    after a subsequent batch advances the watermark."""
     ev = read_events_stream(spark, events_dir, schema)
+    if max_files_per_trigger is not None:
+        ev = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", max_files_per_trigger)
+            .parquet(events_dir)
+        )
     joined = click_purchase_attribution(
         ev.filter(F.col("event_type") == "click"),
         ev.filter(F.col("event_type") == "purchase"),
         horizon,
         watermark,
+        join_type,
     )
     return (
         joined.writeStream.format("memory")

@@ -311,3 +311,60 @@ def test_session_window_stream_matches_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) > 0
+
+
+def test_stream_stream_left_outer_emits_unmatched_clicks(spark, tmp_path):
+    """left_outer attribution: inner rows still exactly match the batch
+    join; unmatched clicks surface as null-purchase rows once the watermark
+    passes their horizon — and ONLY genuinely unmatched ones do."""
+    from pipeline_etl_website_visits_spark.streaming.events_stream import (
+        start_attribution_to_memory,
+    )
+
+    events = load_table(spark, SF_DIR, "events").limit(2000).cache()
+    events_dir = str(tmp_path / "events_lo")
+    # CONTIGUOUS time quartiles, one file each => the watermark advances
+    # gradually BETWEEN batches and outer state can flush. (An interleaved
+    # split would make batch 1 span the whole range, marking every later
+    # batch late and dropping it wholesale.)
+    from pyspark.sql import Window as W
+
+    ev = events.withColumn("part", F.ntile(4).over(W.orderBy("ts")))
+    for i in range(1, 5):
+        ev.filter(F.col("part") == i).drop("part").coalesce(1).write.mode(
+            "append"
+        ).parquet(events_dir)
+
+    q = start_attribution_to_memory(
+        spark,
+        events_dir,
+        events.schema,
+        str(tmp_path / "ckpt_lo"),
+        query_name="t_lo",
+        watermark="30 minutes",
+        join_type="left_outer",
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM t_lo").collect()
+    inner_got = {(r["purchase_id"], r["click_id"]) for r in rows if r["purchase_id"] is not None}
+    outer_got = {r["click_id"] for r in rows if r["purchase_id"] is None}
+
+    c = events.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("cts")
+    )
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("pts")
+    )
+    matched = c.join(p, "user_id").filter(
+        (F.col("pts") >= F.col("cts")) & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    inner_want = {(r["purchase_id"], r["click_id"]) for r in matched.collect()}
+    assert inner_got == inner_want
+
+    matched_clicks = {cid for _, cid in inner_want}
+    all_clicks = {r["click_id"] for r in c.collect()}
+    assert outer_got, "no outer rows emitted — watermark never flushed state"
+    # every outer row is a genuinely unmatched click, emitted exactly once
+    assert outer_got <= (all_clicks - matched_clicks)
+    assert len(outer_got) == len([r for r in rows if r["purchase_id"] is None])
