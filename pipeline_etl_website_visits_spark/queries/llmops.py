@@ -1131,3 +1131,66 @@ def x101(spark: SparkSession, sf_dir: str) -> DataFrame:
     evals = emb.filter(F.col("vec_id") % 50 == 0)
     corpus = emb.filter(F.col("vec_id") % 50 != 0)
     return S.semantic_decontam_hits(corpus, evals, threshold=_SD_THRESHOLD)
+
+
+@query(
+    "x106_label_centroids",
+    oracle="""
+    WITH vecs AS (
+      SELECT label, CAST(embedding AS DOUBLE[]) AS arr FROM embeddings
+    ), dims AS (
+      SELECT label, i AS pos, CAST(arr[i] AS DECIMAL(18,9)) AS val
+      FROM vecs, unnest(generate_series(1, len(arr))) AS u(i)
+    ), means AS (
+      SELECT label, pos,
+             ROUND(CAST(SUM(val) / COUNT(*) AS DOUBLE), 6) AS m
+      FROM dims GROUP BY label, pos
+    )
+    SELECT label, CAST(MAX(n_vecs) AS BIGINT) AS n_vecs,
+           array_agg(m ORDER BY pos) AS centroid
+    FROM (
+      SELECT label, pos, m,
+             (SELECT COUNT(*) FROM embeddings e WHERE e.label = means.label) AS n_vecs
+      FROM means
+    ) GROUP BY label ORDER BY label
+    """,
+    certifies="distributed per-class vector mean (class centroids / mean-pooling; exact DECIMAL sums, order-pinned array rebuild)",
+    tags=("llm", "similarity"),
+)
+def x106(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid — the class-prototype / mean-pooling
+    aggregate (nearest-class-mean classifiers, IVF codebook warm starts).
+
+    Exactness across engines: per-dimension sums run in DECIMAL(18,9)
+    (float combine-order noise would flip 6-dp rounding at scale), and the
+    centroid array is rebuilt with an ORDER-PINNED collect (sort_array of
+    (pos, val) structs — collect_list order is partition-arrival
+    nondeterministic, never rely on it).
+
+    Scale: posexplode fans each vector into dim rows, but the partial
+    aggregate collapses every partition to ≤ |labels|·dim rows before the
+    one shuffle — the same footprint as the kmeans partials pass.
+    """
+    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    dims = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    means = (
+        dims.groupBy("label", "pos")
+        .agg(
+            F.round(
+                (F.sum(F.col("val").cast("decimal(18,9)")) / F.count("*")).cast("double"), 6
+            ).alias("m"),
+            F.count("*").cast("long").alias("n_vecs"),
+        )
+    )
+    return (
+        means.groupBy("label")
+        .agg(
+            F.max("n_vecs").alias("n_vecs"),
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            ).alias("centroid"),
+        )
+        .orderBy("label")
+    )

@@ -78,6 +78,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x103_cohort_retention",
     "x104_session_window_native",
     "x105_token_budget_mixture",
+    "x106_label_centroids",
     "x97_cms_token_counts",
     "x98_doc_pagerank",
     "x93_zorder_zone_map",
