@@ -122,8 +122,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q20_text_ops",
     "x28_text_quality",
     "x29_text_token_count",
-    "x30_text_fingerprint",
     # ---- slot 50 boundary: everything below is round-5 spillover ----
+    "x30_text_fingerprint",
     "x31_doc_stats_by_lang",
     "x34_events_user_daily",
     "x35_distinct",
