@@ -81,3 +81,70 @@ def visitor_state_stream(visits: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# The same operator on the Spark 4 transformWithState API — the successor
+# to applyInPandasWithState: typed named state (ValueState) managed by the
+# RocksDB state store provider, with timers and TTL available. Kept
+# alongside the classic formulation so both stateful surfaces are covered.
+# ---------------------------------------------------------------------------
+try:  # pyspark >= 4.0
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class VisitorProcessor(StatefulProcessor):
+        """ValueState per email: (first_date, last_date, total) — identical
+        fold semantics to :func:`_track_visitor` (keep-first D22, max-last,
+        count-all), emitting the consolidated row per batch."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("visitor", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            (email,) = key
+            if self._state.exists():
+                first_date, last_date, total = self._state.get()
+            else:
+                first_date, last_date, total = None, None, 0
+            for pdf in rows:
+                dates = pd.to_datetime(pdf["fechaEnvio"], errors="coerce").dt.date.dropna()
+                total += len(pdf)
+                if len(dates):
+                    lo, hi = dates.min(), dates.max()
+                    first_date = lo if first_date is None else min(first_date, lo)
+                    last_date = hi if last_date is None else max(last_date, hi)
+            self._state.update((first_date, last_date, total))
+            yield pd.DataFrame(
+                [
+                    {
+                        "email": email,
+                        "fechaPrimeraVisita": first_date,
+                        "fechaUltimaVisita": last_date,
+                        "visitasTotales": total,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    def visitor_state_stream_tws(visits: DataFrame) -> DataFrame:
+        """transformWithState formulation of :func:`visitor_state_stream`.
+        Requires (a) the RocksDB state store provider (set
+        ``spark.sql.streaming.stateStore.providerClass`` to
+        ``...state.RocksDBStateStoreProvider`` on the session) and (b)
+        ``protobuf`` (pyspark's [connect] extra) — the TWS Python state
+        server speaks protobuf; without it the driver worker fails with
+        STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE."""
+        return visits.groupBy("email").transformWithStateInPandas(
+            statefulProcessor=VisitorProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+
+except ImportError:  # pragma: no cover - pyspark < 4.0
+    pass

@@ -368,3 +368,72 @@ def test_stream_stream_left_outer_emits_unmatched_clicks(spark, tmp_path):
     # every outer row is a genuinely unmatched click, emitted exactly once
     assert outer_got <= (all_clicks - matched_clicks)
     assert len(outer_got) == len([r for r in rows if r["purchase_id"] is None])
+
+
+def test_transform_with_state_matches_classic_stateful(spark, tmp_path):
+    """The Spark 4 transformWithState formulation (ValueState + RocksDB
+    provider) accumulates identical per-email state to the classic
+    applyInPandasWithState operator across micro-batches.
+
+    transformWithState's Python state-server protocol rides on protobuf
+    (pyspark's [connect] extra); without it the TWS driver worker cannot
+    start, so this container skips — the applyInPandasWithState test above
+    pins the identical fold semantics either way."""
+    import pytest
+
+    pytest.importorskip("google.protobuf")
+    import datetime
+
+    from pyspark.sql.types import StringType, StructField, StructType, TimestampType
+
+    from pipeline_etl_website_visits_spark.streaming.stateful_visitors import (
+        visitor_state_stream_tws,
+    )
+
+    schema = StructType(
+        [StructField("email", StringType()), StructField("fechaEnvio", TimestampType())]
+    )
+    in_dir = tmp_path / "visits_tws"
+    in_dir.mkdir()
+    T = datetime.datetime
+    batch1 = [("a@x.com", T(2026, 3, 1, 10)), ("a@x.com", T(2026, 3, 2, 10)), ("b@x.com", T(2026, 3, 5, 9))]
+    batch2 = [("a@x.com", T(2026, 2, 20, 8)), ("c@x.com", T(2026, 3, 9, 7))]
+    spark.createDataFrame(batch1, schema).coalesce(1).write.parquet(str(in_dir / "f1"))
+    spark.createDataFrame(batch2, schema).coalesce(1).write.parquet(str(in_dir / "f2"))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(in_dir / "*"))
+        )
+        q = (
+            visitor_state_stream_tws(stream)
+            .writeStream.format("memory")
+            .queryName("t_tws")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    rows = spark.sql("SELECT * FROM t_tws").collect()
+    final = {}
+    for r in rows:  # memory sink appends updates in emission order
+        final[r["email"]] = r
+    assert final["a@x.com"]["visitasTotales"] == 3
+    assert final["a@x.com"]["fechaPrimeraVisita"] == datetime.date(2026, 2, 20)
+    assert final["a@x.com"]["fechaUltimaVisita"] == datetime.date(2026, 3, 2)
+    assert final["b@x.com"]["visitasTotales"] == 1
+    assert final["c@x.com"]["visitasTotales"] == 1
