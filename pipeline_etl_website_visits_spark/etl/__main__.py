@@ -20,7 +20,7 @@ import sys
 
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="pipeline_etl_website_visits_spark.etl")
-    ap.add_argument("--input", required=True, help="directory of report_*.txt files")
+    ap.add_argument("--input", default=None, help="directory of report_*.txt files (required unless --compact)")
     ap.add_argument("--warehouse", required=True, help="warehouse root directory")
     ap.add_argument("--process-date", default=None, help="pin 'current' date (tests/replays)")
     ap.add_argument("--reprocess", action="store_true", help="ignore bitacora completion markers")
@@ -44,6 +44,8 @@ def main(argv: list[str] | None = None) -> int:
 
     from pipeline_etl_website_visits_spark.session import get_spark
 
+    if args.input is None and not args.compact:
+        ap.error("--input is required unless running --compact maintenance")
     spark = get_spark("visits-etl", master=args.master)
     if args.compact:
         from pipeline_etl_website_visits_spark.etl.load import Warehouse
