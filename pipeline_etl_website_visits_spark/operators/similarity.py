@@ -780,8 +780,10 @@ def pq_adc_topk(
 
 # A within-cluster pairwise pass materializes an n_cluster² sim block; this
 # cap turns a degenerate clustering (one giant cluster) into a loud error
-# instead of an executor OOM. Production fix: raise k so clusters shrink.
-MAX_CLUSTER_PAIRWISE = 20_000
+# instead of an executor OOM. 12k² doubles ≈ 1.2 GB — safely inside a
+# 4 GB/thread budget (local[32] on 128 GiB) with the normalized copy and
+# Arrow buffers alongside. Production fix: raise k so clusters shrink.
+MAX_CLUSTER_PAIRWISE = 12_000
 
 
 def semantic_dedup(
