@@ -606,7 +606,12 @@ def heavy_hitters(
     if capacity + 1 <= denom:
         raise ValueError("capacity must be >= denom for the no-false-negative guarantee")
 
-    toks = df.select(F.split(normalize_text(F.col(text_col)), " ").alias("toks"))
+    # null text contributes zero tokens (matches SQL string_split(NULL) →
+    # unnest → no rows); dropping it here also keeps the Arrow flatten off
+    # null list entries
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        F.split(normalize_text(F.col(text_col)), " ").alias("toks")
+    )
 
     def mg_partition(batches):
         import pyarrow as pa

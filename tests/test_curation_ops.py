@@ -276,3 +276,13 @@ def test_cms_estimates_never_underestimate_and_hit_exact_when_wide(spark):
         assert r["cms_estimate"] >= r["exact_count"]
     # eps=1e-4 => width 2719*..; corpus has ~4 distinct tokens: no collisions
     assert all(r["overestimate"] == 0 for r in out.values())
+
+
+def test_heavy_hitters_ignores_null_text(spark):
+    """Null text rows contribute zero tokens (SQL string_split(NULL)
+    semantics) — and must not crash the Arrow sketch pass."""
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, None), (3, "b")], "doc_id long, text string"
+    )
+    got = {(r["token"], r["cnt"]) for r in T.heavy_hitters(df, "text", denom=4, capacity=16).collect()}
+    assert got == {("a", 4)}  # 4/5 >= 1/4; b is 1/5 < 1/4
