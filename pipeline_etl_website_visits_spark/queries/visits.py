@@ -218,5 +218,6 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format(F.col("sw.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
             "n_events",
         )
-        .orderBy("user_id", "session_start")
+        # no ORDER BY: the result set is deterministic without it (no LIMIT)
+        # and the global sort would be the single most expensive node here
     )
