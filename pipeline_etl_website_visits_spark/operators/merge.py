@@ -152,3 +152,54 @@ def visitantes_merge(
         .cast("long")
         .alias("visitasMesActual"),
     )
+
+
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    attr_cols: list[str],
+    effective_date: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+    current: str = "is_current",
+) -> DataFrame:
+    """Slowly-changing-dimension Type 2 maintenance: apply an update batch
+    to a versioned dimension, closing changed current rows at
+    ``effective_date`` and opening new versions, while no-op updates
+    (identical attributes) and history rows pass through untouched.
+
+    Scale shape — ONE dimension scan total: the (small) batch broadcasts
+    onto the current slice, each row maps to an array of 1 or 2 versions
+    (pass-through, or [closed, new]) and explodes — no shuffle beyond the
+    broadcast, no union re-scans, history never leaves its partitions.
+    Attribute comparison is null-safe (NULL → NULL is "unchanged").
+    """
+    eff = F.lit(effective_date).cast("date")
+    u = F.broadcast(
+        updates.select(
+            F.col(key),
+            F.lit(True).alias("__upd"),
+            *[F.col(a).alias(f"__u_{a}") for a in attr_cols],
+        )
+    )
+    joined = dim.join(u, key, "left")
+    differs = F.lit(False)
+    for a in attr_cols:
+        differs = differs | ~F.col(a).eqNullSafe(F.col(f"__u_{a}"))
+    changed = F.col(current) & F.coalesce(F.col("__upd"), F.lit(False)) & differs
+
+    out_cols = [key, *attr_cols, valid_from, valid_to, current]
+
+    def version(attrs: dict[str, Column]) -> Column:
+        return F.struct(*[attrs.get(c, F.col(c)).alias(c) for c in out_cols])
+
+    closed = version({valid_to: eff, current: F.lit(False)})
+    opened = version(
+        {
+            **{a: F.col(f"__u_{a}") for a in attr_cols},
+            valid_from: eff,
+        }
+    )
+    rows = F.when(changed, F.array(closed, opened)).otherwise(F.array(version({})))
+    return joined.select(F.explode(rows).alias("__v")).select("__v.*")

@@ -1574,3 +1574,65 @@ def x103(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_users"))
         .orderBy("cohort_day", "day_offset")
     )
+
+
+# --------------------------------------------------------------------------
+# x107 — SCD Type 2 dimension maintenance
+#
+# The versioned-dimension pattern every warehouse needs: an update batch
+# closes changed current rows at the effective date and opens new
+# versions; no-op updates (same attributes) and history pass through.
+# Engine side: operators/merge.scd2_apply — ONE dim scan, broadcast batch,
+# per-row 1-or-2-version explode. Oracle: the UNION-of-cases SQL
+# reformulation. Batch here: every 7k+3 customer moves to 'PROMO' (real
+# changes) and every 7k+5 "changes" to its existing segment (no-ops that
+# must NOT version).
+# --------------------------------------------------------------------------
+@query(
+    "x107_scd2_dimension",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment, DATE '1995-01-01' AS valid_from,
+             DATE '9999-12-31' AS valid_to, TRUE AS is_current
+      FROM customer
+    ), upd AS (
+      SELECT c_custkey, 'PROMO' AS new_seg FROM customer WHERE c_custkey % 7 = 3
+      UNION ALL
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_custkey % 7 = 5
+    ), changed AS (
+      SELECT d.c_custkey, d.c_mktsegment AS old_seg, u.new_seg
+      FROM dim d JOIN upd u ON d.c_custkey = u.c_custkey
+      WHERE d.is_current AND d.c_mktsegment <> u.new_seg
+    )
+    SELECT c_custkey, c_mktsegment, valid_from, valid_to, is_current
+    FROM dim WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+    UNION ALL
+    SELECT c_custkey, old_seg, DATE '1995-01-01', DATE '2000-06-01', FALSE FROM changed
+    UNION ALL
+    SELECT c_custkey, new_seg, DATE '2000-06-01', DATE '9999-12-31', TRUE FROM changed
+    ORDER BY c_custkey, valid_from
+    """,
+    certifies="SCD Type 2 versioned-dimension maintenance (close-and-open with no-op suppression; SURVEY §4 warehouse)",
+    tags=("warehouse", "scale"),
+)
+def x107(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators.merge import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        F.lit("9999-12-31").cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = (
+        cust.filter(F.col("c_custkey") % 7 == 3)
+        .select("c_custkey", F.lit("PROMO").alias("c_mktsegment"))
+        .unionByName(
+            cust.filter(F.col("c_custkey") % 7 == 5).select("c_custkey", "c_mktsegment")
+        )
+    )
+    return scd2_apply(
+        dim, updates, "c_custkey", ["c_mktsegment"], effective_date="2000-06-01"
+    ).orderBy("c_custkey", "valid_from")

@@ -321,3 +321,44 @@ def test_visitantes_time_travel_reads_previous_snapshot(spark, tmp_path, target,
         wh.read_visitantes(version=v0)
     # previous still readable after rotation
     assert wh.read_visitantes(version=v1).count() >= target.count()
+
+
+def test_scd2_apply_versions_and_noops(spark):
+    """SCD2: changed rows close+reopen at the effective date; identical
+    (no-op) updates and history rows pass through; NULL attr == NULL attr
+    counts as unchanged; re-applying the same batch creates nothing new."""
+    from pipeline_etl_website_visits_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [
+            # key, seg, from, to, current
+            (1, "A", "1990-01-01", "9999-12-31", True),
+            (2, "B", "1990-01-01", "9999-12-31", True),
+            (2, "Z", "1980-01-01", "1990-01-01", False),  # history row
+            (3, None, "1990-01-01", "9999-12-31", True),  # null attr
+        ],
+        "k long, seg string, valid_from string, valid_to string, is_current boolean",
+    ).selectExpr("k", "seg", "CAST(valid_from AS DATE) valid_from", "CAST(valid_to AS DATE) valid_to", "is_current")
+    updates = spark.createDataFrame(
+        [(1, "A2"), (2, "B"), (3, None)], "k long, seg string"
+    )  # 1 changes; 2 and 3 are no-ops (3 via NULL==NULL)
+
+    def snap(df):
+        return sorted(
+            (r["k"], r["seg"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+            for r in df.collect()
+        )
+
+    out = scd2_apply(dim, updates, "k", ["seg"], "2000-06-01")
+    got = snap(out)
+    assert got == sorted(
+        [
+            (1, "A", "1990-01-01", "2000-06-01", False),
+            (1, "A2", "2000-06-01", "9999-12-31", True),
+            (2, "B", "1990-01-01", "9999-12-31", True),
+            (2, "Z", "1980-01-01", "1990-01-01", False),
+            (3, None, "1990-01-01", "9999-12-31", True),
+        ]
+    )
+    # re-apply: the changed row is now current with the new value => no-op
+    assert snap(scd2_apply(out, updates, "k", ["seg"], "2001-01-01")) == got
