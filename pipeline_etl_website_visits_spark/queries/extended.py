@@ -1636,3 +1636,77 @@ def x107(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(
         dim, updates, "c_custkey", ["c_mktsegment"], effective_date="2000-06-01"
     ).orderBy("c_custkey", "valid_from")
+
+
+# --------------------------------------------------------------------------
+# x108 — point-in-time (AS OF) lookup against the SCD2 dimension
+#
+# The consumer side of x107: each order picks the dimension VERSION that
+# was valid on its order date (pre-2000-06 orders see the original
+# segment, later ones see PROMO for changed customers). Equi-join on the
+# key with the validity range as a join-side filter — the dim broadcasts,
+# so the planner keeps a hash join (never a nested loop) and the range
+# check rides along for free.
+# --------------------------------------------------------------------------
+@query(
+    "x108_scd2_asof_lookup",
+    oracle="""
+    WITH dim AS (
+      SELECT c_custkey, c_mktsegment, DATE '1995-01-01' AS valid_from,
+             DATE '9999-12-31' AS valid_to, TRUE AS is_current
+      FROM customer
+    ), changed AS (
+      SELECT c_custkey, c_mktsegment AS old_seg, 'PROMO' AS new_seg
+      FROM customer WHERE c_custkey % 7 = 3 AND c_mktsegment <> 'PROMO'
+    ), versions AS (
+      SELECT c_custkey, c_mktsegment, valid_from, valid_to
+      FROM dim WHERE c_custkey NOT IN (SELECT c_custkey FROM changed)
+      UNION ALL
+      SELECT c_custkey, old_seg, DATE '1995-01-01', DATE '2000-06-01' FROM changed
+      UNION ALL
+      SELECT c_custkey, new_seg, DATE '2000-06-01', DATE '9999-12-31' FROM changed
+    )
+    SELECT v.c_mktsegment AS segment,
+           CAST(strftime(o.o_orderdate, '%Y') AS INT) AS o_year,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o JOIN versions v
+      ON o.o_custkey = v.c_custkey
+     AND CAST(o.o_orderdate AS DATE) >= v.valid_from
+     AND CAST(o.o_orderdate AS DATE) < v.valid_to
+    GROUP BY segment, o_year ORDER BY segment, o_year
+    """,
+    certifies="point-in-time (AS OF) dimension lookup over SCD2 versions (temporal join; composes x107)",
+    tags=("warehouse", "join", "scale"),
+)
+def x108(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators.merge import scd2_apply
+
+    cust = _t(spark, sf_dir, "customer")
+    dim = cust.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.lit("1995-01-01").cast("date").alias("valid_from"),
+        F.lit("9999-12-31").cast("date").alias("valid_to"),
+        F.lit(True).alias("is_current"),
+    )
+    updates = cust.filter(F.col("c_custkey") % 7 == 3).select(
+        "c_custkey", F.lit("PROMO").alias("c_mktsegment")
+    )
+    versions = scd2_apply(dim, updates, "c_custkey", ["c_mktsegment"], "2000-06-01")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderdate").cast("date").alias("o_date")
+    )
+    joined = orders.join(
+        F.broadcast(versions),
+        (orders.o_custkey == versions.c_custkey)
+        & (F.col("o_date") >= F.col("valid_from"))
+        & (F.col("o_date") < F.col("valid_to")),
+    )
+    return (
+        joined.groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_date").cast("int").alias("o_year"),
+        )
+        .agg(F.count("*").cast("long").alias("n_orders"))
+        .orderBy("segment", "o_year")
+    )

@@ -80,6 +80,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x105_token_budget_mixture",
     "x106_label_centroids",
     "x107_scd2_dimension",
+    "x108_scd2_asof_lookup",
     "x97_cms_token_counts",
     "x98_doc_pagerank",
     "x93_zorder_zone_map",
@@ -121,8 +122,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q18_rollup",
     "q19_extract_ym",
     "q20_text_ops",
-    "x28_text_quality",
     # ---- slot 50 boundary: everything below is round-5 spillover ----
+    "x28_text_quality",
     "x29_text_token_count",
     "x30_text_fingerprint",
     "x31_doc_stats_by_lang",

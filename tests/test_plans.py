@@ -372,3 +372,13 @@ def test_semantic_decontam_corpus_scan_is_map_only(spark):
     plan = simple_plan(df)
     assert "Join" not in plan, plan
     assert "Exchange hashpartitioning" not in plan, plan
+
+
+def test_scd2_asof_lookup_is_hash_join(spark):
+    """x108: the versioned-dim temporal lookup must plan as a broadcast
+    HASH join on the key (range checks as join filters) — never a nested
+    loop over fact x versions."""
+    df = REGISTRY["x108_scd2_asof_lookup"].spark(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
