@@ -187,7 +187,11 @@ class Warehouse:
         return lines[0] if lines else None
 
     def compact(
-        self, table: str, target_mb: int = 128, cluster_by: list[str] | None = None
+        self,
+        table: str,
+        target_mb: int = 128,
+        cluster_by: list[str] | None = None,
+        drop_where: "Column | None" = None,
     ) -> dict:
         """Coalesce the per-file partitions of an append table into few
         date-bucketed parquet files (sized ~``target_mb``), keeping every row.
@@ -211,11 +215,17 @@ class Warehouse:
 
         live = sorted(self._live_partitions(table))
         prev = self._current_compact_version(table)
-        if not live and prev is not None:
+        if not live and prev is not None and drop_where is None:
             return {"version": prev, "absorbed": [], "files": 0}
         df = self.read(table)
         if df is None:
             return {"version": None, "absorbed": [], "files": 0}
+        if drop_where is not None:
+            # erasure rewrite (``forget``): matching rows vanish from the new
+            # compacted region; the crash window between pointer flip and
+            # live-partition GC can transiently resurrect them (live wins) —
+            # re-running the same call is the remedy (idempotent).
+            df = df.filter(~drop_where)
 
         # size the output: total bytes of both regions / target_mb
         fs, tpath, jvm = self._fs(self.path(table))
@@ -368,6 +378,55 @@ class Warehouse:
         return [
             os.path.join(self.path(ver), f"bucket={b}") for b, ver in sorted(refs.items())
         ]
+
+    def forget(self, email: str) -> dict:
+        """GDPR erasure (right to be forgotten): remove every row for
+        ``email`` from visitantes, estadisticas and errores, crash-safely.
+
+        - **visitantes**: only the hash bucket holding the email is
+          rewritten (same touched-bucket machinery as the merge); the
+          bucket's manifest reference is dropped first so an
+          emptied-to-zero bucket disappears instead of being carried by
+          reference with the stale rows.
+        - **append tables**: an erasure compaction
+          (``compact(drop_where=email match)``) rewrites live + compacted
+          rows without the matching ones, under the same versioned-pointer
+          protocol.
+
+        Idempotent — re-running after any crash completes the erasure (a
+        crash between a compact pointer flip and its live-partition GC can
+        transiently resurrect rows via live-wins; the re-run clears them).
+        Returns {table: action} for the audit trail.
+        """
+        out: dict[str, str] = {}
+        version = self._current_visitantes_version()
+        if version is not None:
+            manifest = (
+                None if version.startswith("tbl:") else self._visitantes_manifest(version)
+            )
+            if manifest is None:
+                # bucketed-catalog or legacy flat snapshot: full rewrite
+                snap = self.read_visitantes().filter(F.col("email") != email)
+                self.write_visitantes(snap, applied_key=f"forget:{email}")
+                out["visitantes"] = "full-rewrite"
+            else:
+                n_buckets, refs = manifest
+                b = (
+                    self.spark.createDataFrame([(email,)], "email string")
+                    .select(self._bucket_col(n_buckets).alias("b"))
+                    .collect()[0]["b"]
+                )
+                subset = self.read_visitantes(buckets={b}).filter(F.col("email") != email)
+                carried = {bb: v for bb, v in refs.items() if bb != b}
+                self._publish_visitantes(
+                    subset, touched_refs=carried, applied_key=f"forget:{email}"
+                )
+                out["visitantes"] = f"bucket={b}"
+        for t in ("estadisticas", "errores"):
+            if self._exists(t) or self._current_compact_version(t) is not None:
+                r = self.compact(t, drop_where=F.col("email") == email)
+                out[t] = str(r["version"])
+        return out
 
     def visitantes_versions(self) -> list[str]:
         """Snapshot versions still readable, oldest→current. The GC keeps

@@ -319,3 +319,42 @@ def test_cli_compact_mode(spark, tmp_path):
     )
     assert rc == 0
     assert wh.read("t").count() == 30
+
+
+def test_forget_erases_email_everywhere(spark, tmp_path):
+    """GDPR erasure: after forget(email), the email is gone from
+    visitantes/estadisticas/errores; every other row survives byte-equal;
+    visitantes rewrote ONE bucket; re-running is a no-op."""
+    from pipeline_etl_website_visits_spark.etl.pipeline import process_directory
+
+    rep = tmp_path / "in"
+    rep.mkdir()
+    FX.make_allvalid(str(rep), name="report_a.txt", n=5)
+    FX.make_mixed(str(rep), name="report_b.txt")
+    wh = Warehouse(spark, str(tmp_path / "wh_forget"), n_buckets=8)
+    process_directory(spark, str(rep), str(tmp_path / "wh_forget"), process_date="2026-03-28")
+
+    target = "user0@example.com"
+    est_before = wh.read("estadisticas")
+    others_est = sorted(
+        map(tuple, est_before.filter(F.col("email") != target).collect())
+    )
+    vis_before = wh.read_visitantes()
+    assert vis_before.filter(F.col("email") == target).count() == 1
+    n_vis_others = vis_before.filter(F.col("email") != target).count()
+
+    out = wh.forget(target)
+    assert out["visitantes"].startswith("bucket=")
+
+    assert wh.read_visitantes().filter(F.col("email") == target).count() == 0
+    assert wh.read_visitantes().count() == n_vis_others
+    est_after = wh.read("estadisticas")
+    assert est_after.filter(F.col("email") == target).count() == 0
+    assert sorted(map(tuple, est_after.collect())) == others_est
+    err = wh.read("errores")
+    if err is not None:
+        assert err.filter(F.col("email") == target).count() == 0
+
+    out2 = wh.forget(target)  # idempotent re-run
+    assert wh.read_visitantes().count() == n_vis_others
+    assert wh.read("estadisticas").filter(F.col("email") == target).count() == 0
