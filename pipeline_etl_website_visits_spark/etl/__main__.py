@@ -8,7 +8,8 @@ Batch mode mirrors the reference's daily run (process everything new in the
 input dir); --stream runs the Structured Streaming path with AvailableNow
 (same outcome, checkpoint-tracked); --compact TABLE [--cluster-by k1,k2]
 runs the warehouse maintenance job instead (crash-safe small-file
-compaction, optionally range-clustered for file skipping).
+compaction, optionally range-clustered for file skipping);
+--forget EMAIL runs the GDPR erasure job.
 """
 
 from __future__ import annotations
@@ -40,13 +41,25 @@ def main(argv: list[str] | None = None) -> int:
         help="with --compact: comma-separated columns to range-cluster the rewrite by",
     )
     ap.add_argument("--target-mb", type=int, default=128, help="with --compact: target file size")
+    ap.add_argument(
+        "--forget",
+        default=None,
+        metavar="EMAIL",
+        help="run maintenance instead of the ETL: GDPR-erase EMAIL from every warehouse table",
+    )
     args = ap.parse_args(argv)
 
     from pipeline_etl_website_visits_spark.session import get_spark
 
-    if args.input is None and not args.compact:
-        ap.error("--input is required unless running --compact maintenance")
+    if args.input is None and not (args.compact or args.forget):
+        ap.error("--input is required unless running --compact/--forget maintenance")
     spark = get_spark("visits-etl", master=args.master)
+    if args.forget:
+        from pipeline_etl_website_visits_spark.etl.load import Warehouse
+
+        out = Warehouse(spark, args.warehouse).forget(args.forget)
+        print(json.dumps({"mode": "forget", **out}))
+        return 0
     if args.compact:
         from pipeline_etl_website_visits_spark.etl.load import Warehouse
 

@@ -358,3 +358,22 @@ def test_forget_erases_email_everywhere(spark, tmp_path):
     out2 = wh.forget(target)  # idempotent re-run
     assert wh.read_visitantes().count() == n_vis_others
     assert wh.read("estadisticas").filter(F.col("email") == target).count() == 0
+
+
+def test_cli_forget_mode(spark, tmp_path):
+    """python -m ...etl --forget EMAIL drives the erasure path."""
+    from pipeline_etl_website_visits_spark.etl.__main__ import main
+    from pipeline_etl_website_visits_spark.etl.pipeline import process_directory
+
+    rep = tmp_path / "in"
+    rep.mkdir()
+    FX.make_allvalid(str(rep), name="report_a.txt", n=5)
+    wh_root = str(tmp_path / "wh_cli_forget")
+    process_directory(spark, str(rep), wh_root, process_date="2026-03-28")
+    wh = Warehouse(spark, wh_root)
+    assert wh.read_visitantes().filter(F.col("email") == "user0@example.com").count() == 1
+
+    rc = main(["--warehouse", wh_root, "--forget", "user0@example.com"])
+    assert rc == 0
+    assert wh.read_visitantes().filter(F.col("email") == "user0@example.com").count() == 0
+    assert wh.read("estadisticas").filter(F.col("email") == "user0@example.com").count() == 0
