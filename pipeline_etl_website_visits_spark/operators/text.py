@@ -590,7 +590,11 @@ def heavy_hitters(
        Guarantee: a token with global count > N/(capacity+1) survives in
        at least one partition summary, because it must exceed
        N_p/(capacity+1) in some partition. With ``capacity+1 > denom``
-       every true heavy hitter is a candidate — no false negatives.
+       every true heavy hitter is a candidate — no false negatives. The
+       SAME pass also emits each partition's exact token total as a
+       sentinel row (token NULL), so the global denominator N needs no
+       second corpus scan — at 100 TB that third scan is the single
+       largest avoidable cost in the naive 3-pass formulation.
     2. **Exact recount** — re-scan with the candidate set broadcast and
        count ONLY candidate tokens. The shuffle now carries
        ≤ capacity × n_partitions distinct tokens instead of the
@@ -599,7 +603,10 @@ def heavy_hitters(
 
     Nothing unbounded reaches the driver: candidates stay a DataFrame on
     the broadcast-join build side (≤ capacity·n_partitions rows by
-    construction).
+    construction). The per-partition summary (candidates + totals) is
+    cached — it is bounded by construction, and both consumers (the
+    candidate broadcast and the N aggregate) read the one materialized
+    copy instead of re-running the corpus scan.
     """
     import pandas as pd
 
@@ -618,10 +625,12 @@ def heavy_hitters(
         import pyarrow.compute as pc
 
         sketch: dict[str, int] = {}
+        n_part = 0
         for pdf in batches:
             # flatten + count in Arrow C kernels; only the ≤capacity-ish
             # distinct-token tail of each batch touches Python
             flat = pc.list_flatten(pa.array(pdf["toks"]))
+            n_part += len(flat)
             vc = pc.value_counts(flat)
             for tok, c in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
                 sketch[tok] = sketch.get(tok, 0) + int(c)
@@ -630,11 +639,19 @@ def heavy_hitters(
                 # largest count from everything, drop non-positive keys
                 cut = sorted(sketch.values(), reverse=True)[capacity]
                 sketch = {k: v - cut for k, v in sketch.items() if v > cut}
-        yield pd.DataFrame({"token": list(sketch.keys())})
+        # sketch rows + one sentinel row carrying this partition's exact
+        # token total (tokens from split() are never NULL, so NULL is free)
+        yield pd.DataFrame(
+            {
+                "token": list(sketch.keys()) + [None],
+                "part_n": [None] * len(sketch) + [n_part],
+            }
+        )
 
-    candidates = toks.mapInPandas(mg_partition, "token string").distinct()
+    summary = toks.mapInPandas(mg_partition, "token string, part_n long").cache()
+    candidates = summary.filter(F.col("token").isNotNull()).select("token").distinct()
 
-    total = toks.agg(F.sum(F.size("toks")).alias("__n"))
+    total = summary.agg(F.sum("part_n").alias("__n"))
     exact = (
         df.select(F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"))
         .join(F.broadcast(candidates), "token")
