@@ -1710,3 +1710,124 @@ def x108(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_orders"))
         .orderBy("segment", "o_year")
     )
+
+
+# --------------------------------------------------------------------------
+# x109 — TPC-H Q21 shape: suppliers who shipped last in shared orders
+#
+# The benchmark's hardest decorrelation pattern: TWO correlated subqueries
+# on the same fact table (EXISTS another supplier in the order, NOT EXISTS
+# a later-shipping other supplier), plus dimension joins and a grouped
+# top-k. Catalyst must turn the EXISTS into a left-semi and the NOT EXISTS
+# into a left-anti self-join of lineitem on l_orderkey — three passes over
+# the fact co-partitioned on the SAME join key, so at 100 TB the three
+# scans share one exchange footprint (AQE reuses the l_orderkey shuffle),
+# never a per-row subquery loop. Identical statement text on both engines
+# (reference has no subqueries at all — SURVEY §2.10 gap map; adapted from
+# TPC-H Q21 with l_shipdate standing in for the receipt/commit delay, as
+# the test schema carries no receiptdate).
+# --------------------------------------------------------------------------
+_X109_SQL = """
+    SELECT n_name, s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s, lineitem l1, orders o, nation n
+    WHERE s.s_suppkey = l1.l_suppkey
+      AND o.o_orderkey = l1.l_orderkey
+      AND o.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > l1.l_shipdate)
+      AND s.s_nationkey = n.n_nationkey
+    GROUP BY n_name, s_name ORDER BY numwait DESC, s_name LIMIT 25
+"""
+
+
+@query(
+    "x109_waiting_supplier",
+    oracle=_X109_SQL,
+    certifies="TPC-H Q21 shape: double correlated subquery (EXISTS + NOT EXISTS) self-joins on the fact table, decorrelated to semi/anti joins — identical statement text both engines",
+    tags=("sql", "tpch"),
+)
+def x109(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("supplier", "lineitem", "orders", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_X109_SQL)
+
+
+# --------------------------------------------------------------------------
+# x110 — TPC-H Q22 shape: dormant high-balance customers
+#
+# Scalar aggregate subquery as a filter threshold + NOT EXISTS anti-join +
+# aggregation on a derived code. The classic float trap is engineered out:
+# "balance above the positive-balance average" is evaluated in exact
+# integer cents as bal_cents * COUNT > SUM(bal_cents) — multiplication
+# instead of division, so no engine ever compares against a rounded
+# average (the q60/q63 money discipline applied to a threshold). Both
+# scalar subqueries are one-row broadcasts; the anti-join's build side is
+# the filtered orders projection. Identical statement text both engines.
+# --------------------------------------------------------------------------
+_X110_SQL = """
+    WITH pos AS (SELECT CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents
+                 FROM customer WHERE c_acctbal > 0.0)
+    SELECT CAST(c_nationkey % 10 AS INT) AS cntrycode,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT) AS totacctbal_cents
+    FROM customer c
+    WHERE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) * (SELECT COUNT(*) FROM pos)
+          > (SELECT CAST(SUM(bal_cents) AS BIGINT) FROM pos)
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND CAST(o.o_orderdate AS DATE) >= DATE '1999-01-01')
+    GROUP BY 1 ORDER BY 1
+"""
+
+
+@query(
+    "x110_dormant_customers",
+    oracle=_X110_SQL,
+    certifies="TPC-H Q22 shape: scalar aggregate subquery as filter threshold + NOT EXISTS, exact-integer average comparison — identical statement text both engines",
+    tags=("sql", "tpch"),
+)
+def x110(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_X110_SQL)
+
+
+# --------------------------------------------------------------------------
+# x111 — TPC-H Q20 shape: suppliers with bulk part shipments
+#
+# Membership in a grouped-HAVING subquery: the inner aggregate groups the
+# fact by (supplier, part) with a date-bounded scan and keeps groups over a
+# quantity threshold; the outer IN becomes a left-semi join against the
+# DISTINCT supplier side of that aggregate. The date filter sits INSIDE
+# the subquery, so predicate pushdown prunes the fact scan before the
+# group-by — the aggregate's shuffle carries only the date-window rows
+# (the test schema has no partsupp, so availability is expressed directly
+# over lineitem; the IN-over-HAVING shape is what this certifies).
+# --------------------------------------------------------------------------
+_X111_SQL = """
+    SELECT s.s_suppkey, s.s_name FROM supplier s
+    WHERE s.s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1995-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1997-01-01'
+      GROUP BY l_suppkey, l_partkey
+      HAVING SUM(l_quantity) > 90
+    )
+    ORDER BY s_suppkey
+"""
+
+
+@query(
+    "x111_bulk_suppliers",
+    oracle=_X111_SQL,
+    certifies="TPC-H Q20 shape: IN over a grouped-HAVING aggregate subquery (semi-join against an aggregate) — identical statement text both engines",
+    tags=("sql", "tpch"),
+)
+def x111(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("supplier", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_X111_SQL)

@@ -338,6 +338,33 @@ def test_correlated_exists_decorrelates_to_semi_anti(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_q21_shape_decorrelates_both_subqueries(spark):
+    """x109 (TPC-H Q21 shape): the EXISTS and NOT EXISTS self-joins on
+    lineitem must both decorrelate — a semi and an anti join on
+    l_orderkey — with no nested-loop fallback anywhere in the plan."""
+    plan = (
+        REGISTRY["x109_waiting_supplier"]
+        .spark(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q20_shape_plans_in_as_aggregate_semi_join(spark):
+    """x111 (TPC-H Q20 shape): IN over a grouped-HAVING subquery must plan
+    as a semi join against the aggregate, and the date filter must reach
+    the lineitem scan (pushdown below the group-by)."""
+    df = REGISTRY["x111_bulk_suppliers"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "PushedFilters: [" in plan  # scan-level pushdown present
+
+
 def test_zorder_zone_map_is_single_shuffle_bit_math(spark):
     """x93: the z-value is map-side codegen bit arithmetic; the only
     exchange is the zone groupBy (plus the output sort)."""
