@@ -1362,3 +1362,60 @@ def x105(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --------------------------------------------------------------------------
+# x112 — duplicate-span scrubbing (the rewrite side of dedup)
+#
+# Every other dedup query FINDS duplication (pairs, clusters, keep-sets);
+# this one emits the CLEANED CORPUS: tokens covered by a 5-gram that also
+# occurs in an earlier document are deleted (the earliest doc keeps its
+# copy; intra-doc repeats untouched), and each document's surviving tokens
+# are rejoined in original order — the C4/Dolma span-scrub step. The Spark
+# side never sorts tokens back together: the removed positions are a SET
+# per doc and the rewrite is an indexed array filter (order preserved by
+# construction). Oracle replays the identical keep-first span semantics
+# with positional grams + string_agg ORDER BY idx.
+# --------------------------------------------------------------------------
+@query(
+    "x112_dup_span_scrub",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_C}, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, i AS start,
+             md5(t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4]) AS gh
+      FROM toks, unnest(generate_series(1, GREATEST(len(t) - 4, 0))) AS u(i)
+    ), dup AS (
+      SELECT gh, MIN(doc_id) AS keep_doc
+      FROM grams GROUP BY gh HAVING COUNT(*) > 1
+    ), covered AS (
+      SELECT DISTINCT g.doc_id, g.start + o.off AS idx
+      FROM grams g JOIN dup d ON g.gh = d.gh,
+           unnest(generate_series(0, 4)) AS o(off)
+      WHERE g.doc_id > d.keep_doc
+    ), tokpos AS (
+      SELECT doc_id, i AS idx, t[i] AS tok
+      FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+    ), kept AS (
+      SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.idx) AS txt
+      FROM tokpos tp LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.idx = c.idx
+      WHERE c.idx IS NULL GROUP BY tp.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(cv.n_rm, 0) AS BIGINT) AS n_removed,
+           COALESCE(k.txt, '') AS text_clean
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS n_rm FROM covered GROUP BY doc_id) cv
+           ON d.doc_id = cv.doc_id
+    LEFT JOIN kept k ON d.doc_id = k.doc_id
+    ORDER BY d.doc_id
+    """,
+    certifies="cross-document duplicate-span scrubbing with keep-first semantics — the corpus REWRITE step of dedup (C4-style), order-preserving reassembly",
+    tags=("llm", "dedup", "text", "scale"),
+)
+def x112(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators import dedup as D
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return D.scrub_duplicate_spans(docs, "text", "doc_id", n=5)

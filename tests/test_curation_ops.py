@@ -286,3 +286,43 @@ def test_heavy_hitters_ignores_null_text(spark):
     )
     got = {(r["token"], r["cnt"]) for r in T.heavy_hitters(df, "text", denom=4, capacity=16).collect()}
     assert got == {("a", 4)}  # 4/5 >= 1/4; b is 1/5 < 1/4
+
+
+def test_scrub_duplicate_spans_keep_first_semantics(spark):
+    """x112 operator: a 5-gram shared across docs is kept only in the
+    earliest doc; intra-doc repeats and short docs are untouched; token
+    order of survivors is preserved."""
+    span = "one two three four five"
+    df = spark.createDataFrame(
+        [
+            (1, f"{span} tail1"),            # earliest owner: keeps the span
+            (2, f"head2 {span} tail2"),      # later doc: span removed
+            (3, f"{span} {span}"),           # later doc: both occurrences removed
+            (4, "solo only short"),           # <5 tokens: never grammed
+            (5, "p q r s t p q r s t"),      # intra-doc repeat only: untouched
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in D.scrub_duplicate_spans(df, "text", "doc_id", n=5).collect()}
+    assert out[1]["n_removed"] == 0 and out[1]["text_clean"] == f"{span} tail1"
+    assert out[2]["n_removed"] == 5 and out[2]["text_clean"] == "head2 tail2"
+    # doc 3: positions 1..10 all covered (two occurrences + bridging grams)
+    assert out[3]["n_removed"] == 10 and out[3]["text_clean"] == ""
+    assert out[4]["n_removed"] == 0 and out[4]["text_clean"] == "solo only short"
+    assert out[5]["n_removed"] == 0 and out[5]["text_clean"] == "p q r s t p q r s t"
+
+
+def test_scrub_duplicate_spans_partial_overlap(spark):
+    """Only the positions covered by a duplicated window go; the doc's
+    unique remainder survives in order."""
+    df = spark.createDataFrame(
+        [
+            (10, "a b c d e unique1 unique2"),
+            (20, "x a b c d e y z w v"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in D.scrub_duplicate_spans(df, "text", "doc_id", n=5).collect()}
+    assert out[10]["n_removed"] == 0
+    assert out[20]["n_removed"] == 5
+    assert out[20]["text_clean"] == "x y z w v"
