@@ -377,3 +377,58 @@ def test_cli_forget_mode(spark, tmp_path):
     assert rc == 0
     assert wh.read_visitantes().filter(F.col("email") == "user0@example.com").count() == 0
     assert wh.read("estadisticas").filter(F.col("email") == "user0@example.com").count() == 0
+
+
+def test_clustered_compaction_skips_row_groups_on_read(spark, tmp_path):
+    """The read-side payoff of compact(cluster_by=): with tight per-file
+    envelopes, a selective filter on the cluster key makes the parquet
+    reader skip whole row groups — the SCAN emits only the matching
+    files' rows, while the same data compacted without clustering scans
+    everything. Asserted on the executed plan's scan metric, not on
+    wall-clock."""
+    import pyspark.sql.functions as F
+
+    # ~2 KB high-entropy payload per row so compact's byte-based sizing
+    # yields multiple output files even at test scale
+    base = spark.range(3000).select(
+        "id",
+        (F.col("id") % 600).alias("k"),
+        F.concat_ws(
+            "", *[F.md5(F.concat(F.col("id").cast("string"), F.lit(f"s{i}"))) for i in range(32)]
+        ).alias("v"),
+    )
+
+    def scan_output_rows(df):
+        # scan+filter+collect has no exchange, so the executed plan is
+        # non-adaptive and its leaves are the parquet scans
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan()
+        leaves = plan.collectLeaves()
+        total = 0
+        for i in range(leaves.size()):
+            m = leaves.apply(i).metrics()
+            if m.contains("numOutputRows"):
+                total += m.apply("numOutputRows").value()
+        return total
+
+    results = {}
+    for mode, cluster in (("plain", None), ("clustered", ["k"])):
+        wh = Warehouse(spark, str(tmp_path / f"wh_{mode}"))
+        for i in range(6):
+            wh.append_partitioned(
+                base.filter(F.col("id") % 6 == i)
+                .drop("id")
+                .withColumn("nombreArchivo", F.lit(f"part{i}.txt")),
+                "t",
+            )
+        out = wh.compact("t", target_mb=1, cluster_by=cluster)
+        assert out["files"] >= 2, f"{mode}: need >1 file for a skipping test"
+        q = wh.read("t").filter((F.col("k") >= 100) & (F.col("k") <= 110))
+        assert q.count() == 55  # 11 keys x 5 copies
+        results[mode] = scan_output_rows(
+            wh.read("t").filter((F.col("k") >= 100) & (F.col("k") <= 110))
+        )
+
+    # plain layout: every file spans the whole key range -> no skipping;
+    # clustered: only the file(s) owning k in [100, 110] are decoded
+    assert results["clustered"] * 3 <= results["plain"], results
