@@ -326,3 +326,17 @@ def test_scrub_duplicate_spans_partial_overlap(spark):
     assert out[10]["n_removed"] == 0
     assert out[20]["n_removed"] == 5
     assert out[20]["text_clean"] == "x y z w v"
+
+
+def test_scrub_duplicate_spans_null_text(spark):
+    """NULL text passes through as an empty clean text with nothing
+    removed (the SQL COALESCE convention), and never poisons grams."""
+    df = spark.createDataFrame(
+        [(1, None), (2, "a b c d e f"), (3, "z a b c d e f")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in D.scrub_duplicate_spans(df, "text", "doc_id", n=5).collect()}
+    assert out[1]["n_removed"] == 0 and out[1]["text_clean"] == ""
+    assert out[2]["n_removed"] == 0
+    assert out[3]["n_removed"] == 6 and out[3]["text_clean"] == "z"
+
