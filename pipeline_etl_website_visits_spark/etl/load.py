@@ -134,14 +134,25 @@ class Warehouse:
         which makes the read consistent in every compact crash window (rows
         briefly present in both regions resolve to the live copy) and keeps
         deliberate reprocesses visible (a re-written live partition beats the
-        stale compacted rows until the next compact absorbs it)."""
+        stale compacted rows until the next compact absorbs it).
+
+        Additive schema evolution: a later file may carry columns earlier
+        files lack (the reference tolerates extra input columns — V1's
+        warn-only path). The LIVE region is read with ``mergeSchema`` — it
+        only ever holds the recent, not-yet-compacted micro-batches, so the
+        footer-merge cost is bounded by the compaction cadence, never by
+        table size. The compacted region is written by a single job per
+        version (one schema — the union of everything absorbed), so it
+        needs no footer merge, and the two regions reconcile with
+        ``unionByName(allowMissingColumns=True)`` (absent columns read as
+        NULL)."""
         comp_version = self._current_compact_version(table)
         live = None
         # a table dir can exist with no data at all (an all-valid run writes
         # an empty errores table; compaction GCs every live partition) —
         # reading it would fail schema inference, so check for content first
         if self._exists(table) and self._has_data(table):
-            live = self.spark.read.parquet(self.path(table))
+            live = self.spark.read.option("mergeSchema", "true").parquet(self.path(table))
         comp = None
         if comp_version is not None:
             comp = self.spark.read.parquet(self.path(comp_version))
@@ -155,7 +166,7 @@ class Warehouse:
             return comp
         shadowed = sorted(self._live_partitions(table))
         comp = comp.filter(~F.col("nombreArchivo").isin(shadowed))
-        return live.unionByName(comp.select(*live.columns))
+        return live.unionByName(comp, allowMissingColumns=True)
 
     # -- append sinks (K1/K2), idempotent per file ---------------------------
     def append_partitioned(self, df: DataFrame, table: str) -> None:

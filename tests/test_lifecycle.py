@@ -432,3 +432,43 @@ def test_clustered_compaction_skips_row_groups_on_read(spark, tmp_path):
     # plain layout: every file spans the whole key range -> no skipping;
     # clustered: only the file(s) owning k in [100, 110] are decoded
     assert results["clustered"] * 3 <= results["plain"], results
+
+
+def test_append_schema_evolution_additive_column(spark, tmp_path):
+    """A later file may carry a column earlier files lack (the V1
+    warn-only extra-column ruling): read() surfaces the union schema with
+    NULLs for old rows, through live reads, compaction, and the mixed
+    live+compacted window."""
+    import pyspark.sql.functions as F
+
+    wh = Warehouse(spark, str(tmp_path / "wh_evo"))
+    wh.append_partitioned(
+        spark.createDataFrame([(1, "a", "f1.txt")], "k long, v string, nombreArchivo string"),
+        "t",
+    )
+    wh.append_partitioned(
+        spark.createDataFrame(
+            [(2, "b", "x", "f2.txt")], "k long, v string, extra string, nombreArchivo string"
+        ),
+        "t",
+    )
+    live = wh.read("t")
+    assert "extra" in live.columns
+    got = {r["k"]: r["extra"] for r in live.collect()}
+    assert got == {1: None, 2: "x"}
+
+    # compaction absorbs the union schema
+    wh.compact("t")
+    assert {r["k"]: r["extra"] for r in wh.read("t").collect()} == {1: None, 2: "x"}
+
+    # mixed window: new live file with yet another column over the
+    # compacted region
+    wh.append_partitioned(
+        spark.createDataFrame(
+            [(3, "c", 7, "f3.txt")], "k long, v string, extra2 int, nombreArchivo string"
+        ),
+        "t",
+    )
+    mixed = wh.read("t")
+    rows = {r["k"]: (r["extra"], r["extra2"]) for r in mixed.collect()}
+    assert rows == {1: (None, None), 2: ("x", None), 3: (None, 7)}
