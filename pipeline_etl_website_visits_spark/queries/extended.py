@@ -1831,3 +1831,71 @@ def x111(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("supplier", "lineitem"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_X111_SQL)
+
+
+# --------------------------------------------------------------------------
+# x113 — declarative data-quality constraint audit (Deequ/dbt-test shape)
+#
+# A whole constraint suite — completeness, key uniqueness, accepted value
+# sets, numeric and date ranges — evaluated in ONE scan of the table:
+# every row predicate folds into the same partial aggregate and
+# uniqueness rides it as COUNT(*) − COUNT(DISTINCT key). N checks cost
+# one scan, not N scans; the gate result is one bounded row per check.
+# The oracle spells each aggregate out per check (multi-scan SQL — same
+# values, which is the point: the operator's fused pass must equal the
+# straightforward per-check formulation).
+# --------------------------------------------------------------------------
+@query(
+    "x113_constraint_audit",
+    oracle="""
+    WITH t AS (SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+                      CAST(o_orderdate AS DATE) AS o_date FROM orders),
+         base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM t)
+    SELECT c.check_name, base.n_rows, c.n_violations,
+           c.n_violations = 0 AS passed
+    FROM base, (
+      SELECT 'accepted_values(o_orderstatus:F,O,P)' AS check_name,
+             CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('F','O','P')
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_violations FROM t
+      UNION ALL
+      SELECT 'between(o_date:1995-01-01..2000-12-31)',
+             CAST(SUM(CASE WHEN o_date IS NOT NULL
+                            AND (o_date < DATE '1995-01-01' OR o_date > DATE '2000-12-31')
+                           THEN 1 ELSE 0 END) AS BIGINT) FROM t
+      UNION ALL
+      SELECT 'between(o_totalprice:0..400000)',
+             CAST(SUM(CASE WHEN o_totalprice IS NOT NULL
+                            AND (o_totalprice < 0 OR o_totalprice > 400000)
+                           THEN 1 ELSE 0 END) AS BIGINT) FROM t
+      UNION ALL
+      SELECT 'not_null(o_custkey)',
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM t
+      UNION ALL
+      SELECT 'unique(o_orderkey)',
+             CAST(COUNT(o_orderkey) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM t
+    ) c ORDER BY check_name
+    """,
+    certifies="declarative data-quality constraint audit (Deequ/dbt-test shape): N checks in one fused scan — completeness, uniqueness, domain, ranges",
+    tags=("warehouse", "quality"),
+)
+def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators import constraints as C
+
+    t = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("date").alias("o_date"),
+    )
+    return C.audit(
+        t,
+        [
+            C.accepted_values("o_orderstatus", ["F", "O", "P"]),
+            C.between("o_date", "1995-01-01", "2000-12-31"),
+            C.between("o_totalprice", 0, 400000),
+            C.not_null("o_custkey"),
+            C.unique("o_orderkey"),
+        ],
+    )

@@ -619,3 +619,48 @@ def test_new_operators_tolerate_empty_inputs(spark):
     )
     empty_ev = spark.createDataFrame([], "vec_id long, embedding array<double>")
     assert semantic_decontam_hits(vecs, empty_ev).count() == 0
+
+
+def test_constraint_audit_counts_and_single_scan(spark):
+    """x113 operator: violation counting per kind (NULL conventions: range
+    and domain checks ignore NULLs, completeness counts them; uniqueness
+    counts each extra key copy), and the whole suite runs as ONE scan."""
+    from pipeline_etl_website_visits_spark.operators import constraints as C
+
+    df = spark.createDataFrame(
+        [
+            (1, "A", 10),
+            (1, "B", -5),      # dup key, below range
+            (2, None, 200),    # null status (ignored by domain), above range
+            (3, "X", None),    # bad status, null value (ignored by range)
+            (None, "A", 50),   # null key (ignored by unique count)
+        ],
+        "k int, status string, v int",
+    )
+    out = {r["check_name"]: r for r in C.audit(
+        df,
+        [
+            C.not_null("k"),
+            C.unique("k"),
+            C.accepted_values("status", ["A", "B"]),
+            C.between("v", 0, 100),
+        ],
+    ).collect()}
+    assert all(r["n_rows"] == 5 for r in out.values())
+    assert out["not_null(k)"]["n_violations"] == 1
+    assert out["unique(k)"]["n_violations"] == 1          # 4 non-null keys, 3 distinct
+    assert out["accepted_values(status:A,B)"]["n_violations"] == 1
+    assert out["between(v:0..100)"]["n_violations"] == 2
+    assert out["between(v:0..100)"]["passed"] is False
+    assert out["unique(k)"]["passed"] is False
+
+    plan = C.audit(df, [C.not_null("k"), C.between("v", 0, 100), C.unique("k")])._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("LogicalRDD") <= 1  # the source appears once: one scan
+
+
+def test_constraint_audit_all_pass_on_clean_table(spark):
+    from pipeline_etl_website_visits_spark.operators import constraints as C
+
+    df = spark.createDataFrame([(1, "A"), (2, "B")], "k int, status string")
+    rows = C.audit(df, [C.not_null("k"), C.unique("k"), C.accepted_values("status", ["A", "B"])]).collect()
+    assert all(r["passed"] and r["n_violations"] == 0 for r in rows)
