@@ -136,3 +136,31 @@ def test_partition_pruning_static_and_dynamic(spark, tmp_path):
         assert "dynamicpruning" in plan_j.lower(), plan_j
     finally:
         spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """session.py enables runtime bloom-filter join pruning: a selective
+    dim-side filter becomes a bloom membership test on the fact side
+    BEFORE the join shuffle (the engine-native form of x66's prefilter
+    shape). The size gates that keep it inert on toy data are lowered
+    here to prove the rule fires; at real scale the defaults fire on
+    their own (creation side <100MB, fact scan >10GB)."""
+    import pyspark.sql.functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # broadcast join would not need the filter
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        sf = "/root/testdata/sf0.001"
+        li = spark.read.parquet(f"{sf}/lineitem.parquet")
+        od = spark.read.parquet(f"{sf}/orders.parquet").filter(F.col("o_totalprice") > 450000)
+        j = li.join(od, li.l_orderkey == od.o_orderkey).groupBy("o_orderstatus").count()
+        plan = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom" in plan.lower(), plan[:2000]
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
