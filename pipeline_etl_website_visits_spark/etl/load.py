@@ -498,6 +498,54 @@ class Warehouse:
         )
         return set(lines or [])
 
+    def visitantes_changes(self, include_same: bool = False) -> DataFrame:
+        """Change data feed between the retained previous snapshot and the
+        current one (the Delta/Iceberg CDF surface on the versioned-pointer
+        protocol): one row per email whose consolidated record differs,
+        classified insert / update / delete, with before/after counters.
+
+        Deletes only ever come from :meth:`forget` (the merge is additive),
+        so the feed doubles as the GDPR-erasure audit: a downstream
+        consumer sees exactly which subjects vanished in the last publish.
+
+        One full-outer join on email — the same key both snapshots are
+        bucketed/partitioned on, so at scale the join is co-located
+        (docs/SCALE.md); nothing but changed rows leave the join.
+        """
+        versions = self.visitantes_versions()
+        cur = self.read_visitantes()
+        if len(versions) < 2:
+            prev = self.spark.createDataFrame([], VISITANTES_SCHEMA)
+        else:
+            prev = self.read_visitantes(version=versions[0])
+        cols = [f.name for f in VISITANTES_SCHEMA.fields if f.name != "email"]
+        o = prev.select(
+            "email", F.lit(True).alias("__in_prev"),
+            *[F.col(c).alias(f"{c}_before") for c in cols],
+        )
+        n = cur.select(
+            "email", F.lit(True).alias("__in_cur"),
+            *[F.col(c).alias(f"{c}_after") for c in cols],
+        )
+        j = o.join(n, "email", "full_outer")
+        changed = [
+            ~F.col(f"{c}_before").eqNullSafe(F.col(f"{c}_after")) for c in cols
+        ]
+        any_change = changed[0]
+        for c in changed[1:]:
+            any_change = any_change | c
+        change = (
+            F.when(F.col("__in_cur").isNull(), "delete")
+            .when(F.col("__in_prev").isNull(), "insert")
+            .when(any_change, "update")
+            .otherwise("same")
+        )
+        out = j.select("email", change.alias("change_type"),
+                       *[c2 for c in cols for c2 in (f"{c}_before", f"{c}_after")])
+        if not include_same:
+            out = out.filter(F.col("change_type") != "same")
+        return out
+
     def merge_visitantes(
         self,
         source: DataFrame,

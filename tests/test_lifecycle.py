@@ -472,3 +472,43 @@ def test_append_schema_evolution_additive_column(spark, tmp_path):
     mixed = wh.read("t")
     rows = {r["k"]: (r["extra"], r["extra2"]) for r in mixed.collect()}
     assert rows == {1: (None, None), 2: ("x", None), 3: (None, 7)}
+
+
+def test_visitantes_change_feed_between_versions(spark, tmp_path):
+    """Change data feed over the versioned snapshots: merging a second
+    batch classifies overlapping emails as updates and new ones as
+    inserts; forget() surfaces as a delete in the next feed. Unchanged
+    rows stay out of the feed unless include_same is set."""
+    from pipeline_etl_website_visits_spark.etl.pipeline import process_directory
+
+    rep1 = tmp_path / "in1"
+    rep1.mkdir()
+    FX.make_allvalid(str(rep1), name="report_a.txt", n=5)
+    root = str(tmp_path / "wh_cdf")
+    wh = Warehouse(spark, root, n_buckets=8)
+    process_directory(spark, str(rep1), root, process_date="2026-03-28")
+
+    # batch 2: same 5 emails again (updates) — a fresh version
+    rep2 = tmp_path / "in2"
+    rep2.mkdir()
+    FX.make_allvalid(str(rep2), name="report_b.txt", n=5)
+    process_directory(spark, str(rep2), root, process_date="2026-03-29")
+
+    feed = wh.visitantes_changes().collect()
+    by_type = {}
+    for r in feed:
+        by_type.setdefault(r["change_type"], []).append(r)
+    assert set(by_type) == {"update"}
+    assert len(by_type["update"]) == 5
+    r0 = {r["email"]: r for r in by_type["update"]}["user0@example.com"]
+    assert r0["visitasTotales_after"] == r0["visitasTotales_before"] * 2
+
+    # include_same=False filtered nothing else out here (all 5 changed);
+    # the full feed with include_same carries the same rows plus none
+    assert len(wh.visitantes_changes(include_same=True).collect()) == 5
+
+    # erasure shows up as a delete in the next feed
+    wh.forget("user0@example.com")
+    feed2 = {r["email"]: r for r in wh.visitantes_changes().collect()}
+    assert feed2["user0@example.com"]["change_type"] == "delete"
+    assert feed2["user0@example.com"]["visitasTotales_after"] is None
