@@ -1194,3 +1194,58 @@ def x106(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# --------------------------------------------------------------------------
+# x114 — exact triangle counting over the near-dup graph (motif analytics)
+#
+# The third graph shape next to connected components (x71) and PageRank
+# (x98): triangles in the Jaccard near-dup graph are tightly-knit
+# duplicate cliques — the transitivity evidence that separates a true
+# duplicate cluster from a chain of borderline pairs. Edges come from the
+# SAME inverted-index pair join as x22 (threshold 0.2), stored once in
+# canonical a<b order, so each triangle is found exactly once by two
+# equi-joins (the Suri–Vassilvitskii discipline): no orientation dedup,
+# no 6x overcount. triangle_count caches the edge list — it is referenced
+# by three join legs plus the node/edge tallies, and recomputing the
+# pair-join lineage per reference would be five corpus joins.
+# --------------------------------------------------------------------------
+@query(
+    "x114_neardup_triangles",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(lst) - 1),
+               i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]))) AS gram
+      FROM (SELECT doc_id, {_TOKS} AS lst FROM documents)
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM g GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT p.a, p.b
+      FROM pairs p JOIN sizes sa ON p.a = sa.doc_id JOIN sizes sb ON p.b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {_JACCARD_THRESHOLD}
+    ),
+    nodes AS (SELECT a AS v FROM edges UNION SELECT b FROM edges)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS n_edges,
+           (SELECT CAST(COUNT(*) AS BIGINT)
+            FROM edges e1
+            JOIN edges e2 ON e1.b = e2.a
+            JOIN edges e3 ON e1.a = e3.a AND e2.b = e3.b) AS n_triangles
+    """,
+    certifies="exact triangle counting / motif analytics over the near-dup graph: canonical-order edge storage + two equi-joins finds each triangle once",
+    tags=("graph", "llm", "dedup", "scale"),
+)
+def x114(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators.graph import triangle_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    edges = D.shingle_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=_JACCARD_THRESHOLD
+    ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    return triangle_count(edges)

@@ -664,3 +664,18 @@ def test_constraint_audit_all_pass_on_clean_table(spark):
     df = spark.createDataFrame([(1, "A"), (2, "B")], "k int, status string")
     rows = C.audit(df, [C.not_null("k"), C.unique("k"), C.accepted_values("status", ["A", "B"])]).collect()
     assert all(r["passed"] and r["n_violations"] == 0 for r in rows)
+
+
+def test_triangle_count_known_graph(spark):
+    """Exact triangles on a hand-checkable graph: K4 has 4 triangles, a
+    square has 0, and attaching a pendant edge changes nothing."""
+    from pipeline_etl_website_visits_spark.operators.graph import triangle_count
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    square = [(10, 11), (11, 12), (10, 13), (12, 13)]  # 4-cycle, no chord
+    pendant = [(3, 20)]
+    edges = spark.createDataFrame(k4 + square + pendant, "a int, b int")
+    row = triangle_count(edges).first()
+    assert row["n_triangles"] == 4
+    assert row["n_edges"] == len(k4) + len(square) + len(pendant)
+    assert row["n_nodes"] == 4 + 4 + 1
