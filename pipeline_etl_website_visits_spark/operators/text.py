@@ -715,3 +715,64 @@ def cms_token_estimates(
         )
         .orderBy("token")
     )
+
+
+def scrub_repeated_spans(
+    df: DataFrame, text_col: str, id_col: str, n: int = 3
+) -> DataFrame:
+    """Intra-document repetition removal — the REWRITE twin of
+    :func:`repetition_features` (which only measures; Gopher-style
+    pipelines then actually strip the boilerplate/loop artifacts).
+    Within each document, any token covered by an n-gram whose identical
+    gram occurred EARLIER in the same document is deleted; the first
+    occurrence survives. Cross-document duplication is x112's
+    (`dedup.scrub_duplicate_spans`) job — together they are the two
+    halves of duplicate-span removal.
+
+    Scale shape: repetition is a per-document property, so the whole
+    rewrite is ARRAY higher-order functions inside one projection —
+    MAP-ONLY, zero shuffles, no joins (contrast x112, which must shuffle
+    gram keys because its keeper lives in another document). Per-doc cost
+    is O(g·g) gram comparisons (exists() over the earlier-grams slice),
+    bounded by document length, not corpus size — embarrassingly
+    parallel at any scale.
+
+    Output: (doc_id, n_removed, text_clean), token order preserved.
+    """
+    t = F.split(normalize_text(F.col(text_col)), " ")
+    toks = df.select(F.col(id_col).alias("doc_id"), t.alias("__t"))
+    ghs = F.when(
+        F.size("__t") >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__t") - (n - 1)),
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__t", i, n))),
+        ),
+    ).otherwise(F.array().cast("array<bigint>"))
+    with_g = toks.withColumn("__g", ghs)
+    # starts (1-based) whose gram already appeared earlier in THIS doc
+    repeats = F.filter(
+        F.sequence(F.lit(1), F.size("__g")),
+        lambda s: F.exists(
+            F.slice("__g", 1, s - 1), lambda x: x == F.element_at("__g", s)
+        ),
+    )
+    rm = F.array_distinct(
+        F.flatten(F.transform(repeats, lambda s: F.sequence(s, s + (n - 1))))
+    )
+    out = with_g.withColumn(
+        "__rm", F.when(F.size("__g") > 0, rm).otherwise(F.array().cast("array<int>"))
+    ).select(
+        "doc_id",
+        F.size("__rm").cast("long").alias("n_removed"),
+        F.coalesce(
+            F.array_join(
+                F.filter(
+                    "__t",
+                    lambda x, i: ~F.array_contains("__rm", (i + 1).cast("int")),
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("text_clean"),
+    )
+    return out.orderBy("doc_id")

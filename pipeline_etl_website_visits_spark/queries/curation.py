@@ -1419,3 +1419,56 @@ def x112(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return D.scrub_duplicate_spans(docs, "text", "doc_id", n=5)
+
+
+# --------------------------------------------------------------------------
+# x115 — intra-document repetition scrubbing (map-only corpus rewrite)
+#
+# The rewrite twin of x52's repetition METRICS and the intra-doc half of
+# span dedup (x112 handles cross-document spans): tokens covered by a
+# 3-gram whose identical gram occurred earlier in the SAME document are
+# deleted, first occurrence kept. Repetition is a per-document property,
+# so the whole rewrite is array higher-order functions in one projection
+# — MAP-ONLY, zero shuffles, no joins (plan-asserted): the strongest
+# possible scale shape for a corpus rewrite.
+# --------------------------------------------------------------------------
+@query(
+    "x115_repetition_scrub",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_C}, ' ') AS t FROM documents
+    ), grams AS (
+      SELECT doc_id, i AS start, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+      FROM toks, unnest(generate_series(1, GREATEST(len(t) - 2, 0))) AS u(i)
+    ), firsts AS (
+      SELECT doc_id, g, MIN(start) AS first_start FROM grams GROUP BY doc_id, g
+    ), covered AS (
+      SELECT DISTINCT gr.doc_id, gr.start + o.off AS idx
+      FROM grams gr JOIN firsts f ON gr.doc_id = f.doc_id AND gr.g = f.g,
+           unnest(generate_series(0, 2)) AS o(off)
+      WHERE gr.start > f.first_start
+    ), tokpos AS (
+      SELECT doc_id, i AS idx, t[i] AS tok
+      FROM toks, unnest(generate_series(1, len(t))) AS u(i)
+    ), kept AS (
+      SELECT tp.doc_id, string_agg(tp.tok, ' ' ORDER BY tp.idx) AS txt
+      FROM tokpos tp LEFT JOIN covered c ON tp.doc_id = c.doc_id AND tp.idx = c.idx
+      WHERE c.idx IS NULL GROUP BY tp.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(cv.n_rm, 0) AS BIGINT) AS n_removed,
+           COALESCE(k.txt, '') AS text_clean
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, COUNT(*) AS n_rm FROM covered GROUP BY doc_id) cv
+           ON d.doc_id = cv.doc_id
+    LEFT JOIN kept k ON d.doc_id = k.doc_id
+    ORDER BY d.doc_id
+    """,
+    certifies="intra-document repetition scrubbing (Gopher-style rewrite, keep-first): map-only array-HOF corpus rewrite, zero shuffles",
+    tags=("llm", "text", "dedup", "scale"),
+)
+def x115(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    return T.scrub_repeated_spans(docs, "text", "doc_id", n=3)

@@ -340,3 +340,33 @@ def test_scrub_duplicate_spans_null_text(spark):
     assert out[2]["n_removed"] == 0
     assert out[3]["n_removed"] == 6 and out[3]["text_clean"] == "z"
 
+
+
+def test_scrub_repeated_spans_semantics_and_map_only(spark):
+    """x115: intra-doc repeats removed keep-first; cross-doc repeats NOT
+    touched (that is x112's job); and the only exchange in the plan is
+    the final orderBy's range partitioning — the rewrite itself is
+    map-only."""
+    import re
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b c"),    # 3-gram "a b c" repeats at 4 -> drop 4..6
+            (2, "a a a a a"),      # "a a a" repeats at 2,3 -> drop 2..5
+            (3, "x y z"),          # no repeat
+            (4, "x y z w x y z"),  # "x y z" repeats at 5 -> drop 5..7
+            (5, "a b c d e"),      # doc 1 has the same grams; must not matter
+        ],
+        "doc_id int, text string",
+    )
+    result = T.scrub_repeated_spans(df, "text", "doc_id", n=3)
+    out = {r["doc_id"]: r for r in result.collect()}
+    assert out[1]["text_clean"] == "a b c" and out[1]["n_removed"] == 3
+    assert out[2]["text_clean"] == "a" and out[2]["n_removed"] == 4
+    assert out[3]["text_clean"] == "x y z" and out[3]["n_removed"] == 0
+    assert out[4]["text_clean"] == "x y z w" and out[4]["n_removed"] == 3
+    assert out[5]["text_clean"] == "a b c d e"  # cross-doc sameness ignored
+
+    plan = result._jdf.queryExecution().executedPlan().toString()
+    exchanges = re.findall(r"Exchange (\w+)", plan)
+    assert all(e.startswith("rangepartitioning") for e in exchanges), exchanges
