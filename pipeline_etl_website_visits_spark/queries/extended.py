@@ -1899,3 +1899,40 @@ def x113(spark: SparkSession, sf_dir: str) -> DataFrame:
             C.unique("o_orderkey"),
         ],
     )
+
+
+# --------------------------------------------------------------------------
+# x116 — TPC-H Q2 shape: correlated scalar-aggregate subquery
+#
+# The last classic subquery form next to x87/x88/x109-x111: a correlated
+# scalar MIN in the WHERE clause ("the supplier line AT the per-part
+# minimum price" — Q2's ps_supplycost = (SELECT MIN ...) pattern over the
+# test schema). Catalyst must decorrelate it to a per-key aggregate
+# joined back on the correlation key — never a per-row subquery loop; the
+# outer p_partkey < 200 bound also has to reach BOTH the outer scan and
+# (via the join) keep the inner aggregate bounded. Identical statement
+# text on both engines; price surfaces in exact integer cents, the float
+# equality itself compares stored values (no arithmetic → no rounding
+# divergence).
+# --------------------------------------------------------------------------
+_X116_SQL = """
+    SELECT p.p_partkey, p.p_name, l.l_suppkey,
+           CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS best_price_cents
+    FROM part p JOIN lineitem l ON l.l_partkey = p.p_partkey
+    WHERE p.p_partkey < 200
+      AND l.l_extendedprice = (SELECT MIN(l2.l_extendedprice) FROM lineitem l2
+                               WHERE l2.l_partkey = p.p_partkey)
+    ORDER BY p_partkey, l_suppkey
+"""
+
+
+@query(
+    "x116_cheapest_supplier",
+    oracle=_X116_SQL,
+    certifies="TPC-H Q2 shape: correlated scalar-aggregate subquery decorrelated to aggregate + join on the correlation key — identical statement text both engines",
+    tags=("sql", "tpch"),
+)
+def x116(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("part", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_X116_SQL)

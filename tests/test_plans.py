@@ -409,3 +409,18 @@ def test_scd2_asof_lookup_is_hash_join(spark):
     plan = simple_plan(df)
     assert "BroadcastHashJoin" in plan, plan
     assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan
+
+
+def test_q2_shape_decorrelates_scalar_min_subquery(spark):
+    """x116 (TPC-H Q2 shape): the correlated scalar MIN must plan as a
+    per-key aggregate joined back on the correlation key, with no
+    nested-loop execution of the subquery."""
+    plan = (
+        REGISTRY["x116_cheapest_supplier"]
+        .spark(spark, SF_DIR)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Aggregate" in plan or "HashAggregate" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
