@@ -71,8 +71,12 @@ def audit(df: DataFrame, constraints: Sequence[tuple[str, str, Column]]) -> Data
     aggs = [F.count(F.lit(1)).cast("long").alias("__n")]
     for i, (name, kind, expr) in enumerate(constraints):
         if kind == "row":
+            # coalesce: SUM over an EMPTY table is NULL — an empty table
+            # violates nothing, and `passed` must be a real boolean there
             aggs.append(
-                F.sum(F.when(expr, 1).otherwise(0)).cast("long").alias(f"__v{i}")
+                F.coalesce(F.sum(F.when(expr, 1).otherwise(0)), F.lit(0))
+                .cast("long")
+                .alias(f"__v{i}")
             )
         elif kind == "unique":
             aggs.append(

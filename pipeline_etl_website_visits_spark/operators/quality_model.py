@@ -39,8 +39,14 @@ def _featurize(df: DataFrame, text_col: str, num_features: int):
     """
     from pyspark.ml.feature import HashingTF
 
+    from pipeline_etl_website_visits_spark.operators.dedup import normalize_text
+
+    # the family's canonical tokenization (lower/trim/collapse-whitespace
+    # via normalize_text), so model features can never drift from the
+    # heuristic quality signals computed on the same corpus
     toks = df.withColumn(
-        "__toks", F.split(F.lower(F.trim(F.coalesce(F.col(text_col), F.lit("")))), "\\s+")
+        "__toks",
+        F.split(normalize_text(F.coalesce(F.col(text_col), F.lit(""))), " "),
     )
     tf = HashingTF(
         inputCol="__toks", outputCol="__feat", numFeatures=num_features, binary=True

@@ -739,16 +739,14 @@ def scrub_repeated_spans(
 
     Output: (doc_id, n_removed, text_clean), token order preserved.
     """
+    from pipeline_etl_website_visits_spark.operators.dedup import (
+        positional_gram_hashes,
+        rebuild_text_without,
+    )
+
     t = F.split(normalize_text(F.col(text_col)), " ")
     toks = df.select(F.col(id_col).alias("doc_id"), t.alias("__t"))
-    ghs = F.when(
-        F.size("__t") >= n,
-        F.transform(
-            F.sequence(F.lit(1), F.size("__t") - (n - 1)),
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice("__t", i, n))),
-        ),
-    ).otherwise(F.array().cast("array<bigint>"))
-    with_g = toks.withColumn("__g", ghs)
+    with_g = toks.withColumn("__g", positional_gram_hashes(F.col("__t"), n))
     # starts (1-based) whose gram already appeared earlier in THIS doc
     repeats = F.filter(
         F.sequence(F.lit(1), F.size("__g")),
@@ -759,20 +757,11 @@ def scrub_repeated_spans(
     rm = F.array_distinct(
         F.flatten(F.transform(repeats, lambda s: F.sequence(s, s + (n - 1))))
     )
-    out = with_g.withColumn(
+    staged = with_g.withColumn(
         "__rm", F.when(F.size("__g") > 0, rm).otherwise(F.array().cast("array<int>"))
-    ).select(
-        "doc_id",
-        F.size("__rm").cast("long").alias("n_removed"),
-        F.coalesce(
-            F.array_join(
-                F.filter(
-                    "__t",
-                    lambda x, i: ~F.array_contains("__rm", (i + 1).cast("int")),
-                ),
-                " ",
-            ),
-            F.lit(""),
-        ).alias("text_clean"),
+    )
+    n_removed, clean = rebuild_text_without(F.col("__t"), F.col("__rm"))
+    out = staged.select(
+        "doc_id", n_removed.alias("n_removed"), clean.alias("text_clean")
     )
     return out.orderBy("doc_id")

@@ -42,13 +42,13 @@ _DEFAULTS = {
     # second consumer). Correctness is unaffected: the filter is implied by
     # the explode itself.
     "spark.sql.optimizer.excludedRules": "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate",
-    # Runtime bloom-filter join pruning: a selective dimension filter is
-    # pushed to the fact side as a bloom membership test before the join
-    # shuffle (the engine-native form of x66's prefilter shape). The
-    # default size gates (creation side <100MB, application side >10GB
-    # scan) mean it only fires at real scale — free insurance at 100 TB,
-    # inert on test/bench data (plan-asserted in test_scale_levers).
-    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # Runtime bloom-filter join pruning (a selective dim filter becomes a
+    # bloom membership test on the fact side before the join shuffle — the
+    # engine-native form of x66's prefilter shape) is ALREADY on by
+    # default in this Spark version; it is deliberately NOT pinned here.
+    # Its size gates (creation side <100MB, application scan >10GB) keep
+    # it inert on test/bench data and automatic at real scale; that the
+    # rule fires is plan-asserted in test_scale_levers.
     "spark.sql.shuffle.partitions": "32",
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",

@@ -679,3 +679,18 @@ def test_triangle_count_known_graph(spark):
     assert row["n_triangles"] == 4
     assert row["n_edges"] == len(k4) + len(square) + len(pendant)
     assert row["n_nodes"] == 4 + 4 + 1
+
+
+def test_constraint_audit_empty_table_passes_all(spark):
+    """An empty table violates nothing: every check (row-kind AND
+    uniqueness) must report 0 violations and a real passed=True, never
+    NULL from a zero-row SUM."""
+    from pipeline_etl_website_visits_spark.operators import constraints as C
+
+    df = spark.createDataFrame([], "k int, status string, v int")
+    rows = C.audit(
+        df,
+        [C.not_null("k"), C.unique("k"), C.accepted_values("status", ["A"]), C.between("v", 0, 1)],
+    ).collect()
+    assert len(rows) == 4
+    assert all(r["n_violations"] == 0 and r["passed"] is True and r["n_rows"] == 0 for r in rows)
