@@ -236,7 +236,11 @@ class Warehouse:
             # compacted region; the crash window between pointer flip and
             # live-partition GC can transiently resurrect them (live wins) —
             # re-running the same call is the remedy (idempotent).
-            df = df.filter(~drop_where)
+            # NULL-safe: a predicate that evaluates to NULL (e.g.
+            # email == 'x' on a NULL email — errores keeps rows that FAILED
+            # email validation, so NULLs are expected there) must KEEP the
+            # row, not silently drop it.
+            df = df.filter(~F.coalesce(drop_where, F.lit(False)))
 
         # size the output: total bytes of both regions / target_mb
         fs, tpath, jvm = self._fs(self.path(table))
@@ -417,7 +421,9 @@ class Warehouse:
             )
             if manifest is None:
                 # bucketed-catalog or legacy flat snapshot: full rewrite
-                snap = self.read_visitantes().filter(F.col("email") != email)
+                # null-safe inequality: NULL-email rows are untouched, not
+                # silently erased (email <> 'x' is NULL on a NULL email).
+                snap = self.read_visitantes().filter(~F.col("email").eqNullSafe(email))
                 self.write_visitantes(snap, applied_key=f"forget:{email}")
                 out["visitantes"] = "full-rewrite"
             else:
@@ -427,7 +433,9 @@ class Warehouse:
                     .select(self._bucket_col(n_buckets).alias("b"))
                     .collect()[0]["b"]
                 )
-                subset = self.read_visitantes(buckets={b}).filter(F.col("email") != email)
+                subset = self.read_visitantes(buckets={b}).filter(
+                    ~F.col("email").eqNullSafe(email)
+                )
                 carried = {bb: v for bb, v in refs.items() if bb != b}
                 self._publish_visitantes(
                     subset, touched_refs=carried, applied_key=f"forget:{email}"

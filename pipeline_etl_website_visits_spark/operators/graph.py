@@ -58,32 +58,40 @@ def pagerank(
     ).cache()
     ranks = nodes.select("node", F.lit(1.0).alias("rank"))
 
-    for it in range(iters):
-        contribs = (
-            weighted.join(ranks, weighted.src == ranks.node, "inner")
-            .select(F.col("dst").alias("node"), (F.col("rank") * F.col("w")).alias("c"))
-            .groupBy("node")
-            .agg(F.sum("c").alias("in_mass"))
-        )
-        ranks = (
-            ranks.select("node")
-            .join(contribs, "node", "left")
-            .select(
-                "node",
-                F.round(
-                    F.lit(1.0 - damping)
-                    + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0)),
-                    9,
-                ).alias("rank"),
+    try:
+        for it in range(iters):
+            contribs = (
+                weighted.join(ranks, weighted.src == ranks.node, "inner")
+                .select(F.col("dst").alias("node"), (F.col("rank") * F.col("w")).alias("c"))
+                .groupBy("node")
+                .agg(F.sum("c").alias("in_mass"))
             )
-        )
-        # truncate lineage every other round (and always on the last): one
-        # materialization job per checkpoint is the dominant per-iteration
-        # cost for small rank tables, and two rounds of join+agg lineage
-        # are well inside what the analyzer/scheduler handle
-        if it % 2 == 1 or it == iters - 1:
-            ranks = ranks.checkpoint(eager=True) if reliable else ranks.localCheckpoint(eager=True)
-    weighted.unpersist()
+            ranks = (
+                ranks.select("node")
+                .join(contribs, "node", "left")
+                .select(
+                    "node",
+                    F.round(
+                        F.lit(1.0 - damping)
+                        + F.lit(damping) * F.coalesce(F.col("in_mass"), F.lit(0.0)),
+                        9,
+                    ).alias("rank"),
+                )
+            )
+            # truncate lineage every other round (and always on the last):
+            # one materialization job per checkpoint is the dominant
+            # per-iteration cost for small rank tables, and two rounds of
+            # join+agg lineage are well inside what the analyzer/scheduler
+            # handle
+            if it % 2 == 1 or it == iters - 1:
+                ranks = (
+                    ranks.checkpoint(eager=True)
+                    if reliable
+                    else ranks.localCheckpoint(eager=True)
+                )
+    finally:
+        # a failed checkpoint mid-loop must not leak the cached edge list
+        weighted.unpersist()
     return ranks
 
 

@@ -163,24 +163,56 @@ def scd2_apply(
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
     current: str = "is_current",
+    open_end: str | None = "9999-12-31",
 ) -> DataFrame:
     """Slowly-changing-dimension Type 2 maintenance: apply an update batch
     to a versioned dimension, closing changed current rows at
     ``effective_date`` and opening new versions, while no-op updates
     (identical attributes) and history rows pass through untouched.
 
-    Scale shape — ONE dimension scan total: the (small) batch broadcasts
+    Semantics (standard SCD2 MERGE):
+
+    - matched + changed attributes → close the current row at
+      ``effective_date`` and open a new version;
+    - matched + identical attributes (null-safe) → no-op pass-through;
+    - update key absent from the dimension → INSERT a brand-new current
+      row (``valid_from = effective_date``, ``valid_to = open_end`` — the
+      dimension's open-ended sentinel, NULL if ``open_end=None``);
+    - duplicate keys in the update batch → **error** (raise_error at
+      evaluation time): two updates for one key would multiply each
+      current dim row into conflicting closed/open pairs, so the batch
+      must be pre-deduplicated (pick last-writer-wins upstream).
+
+    Scale shape — ONE full dimension scan: the (small) batch broadcasts
     onto the current slice, each row maps to an array of 1 or 2 versions
     (pass-through, or [closed, new]) and explodes — no shuffle beyond the
     broadcast, no union re-scans, history never leaves its partitions.
-    Attribute comparison is null-safe (NULL → NULL is "unchanged").
+    The insert branch costs one extra key-pruned scan of the CURRENT
+    slice (an anti-join on just the key column) — proportional to
+    |current keys|, not |history|. Attribute comparison is null-safe
+    (NULL → NULL is "unchanged").
     """
+    from pyspark.sql.window import Window
+
     eff = F.lit(effective_date).cast("date")
+    u_checked = updates.select(
+        F.col(key), *[F.col(a).alias(f"__u_{a}") for a in attr_cols]
+    ).withColumn("__k_cnt", F.count("*").over(Window.partitionBy(key)))
+    # evaluates to TRUE per row, or raises if the batch carries the key twice
+    guard = F.when(
+        F.col("__k_cnt") > 1,
+        F.raise_error(
+            F.concat(
+                F.lit("scd2_apply: duplicate update-batch key "),
+                F.col(key).cast("string"),
+            )
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
     u = F.broadcast(
-        updates.select(
+        u_checked.select(
             F.col(key),
-            F.lit(True).alias("__upd"),
-            *[F.col(a).alias(f"__u_{a}") for a in attr_cols],
+            guard.alias("__upd"),
+            *[f"__u_{a}" for a in attr_cols],
         )
     )
     joined = dim.join(u, key, "left")
@@ -202,4 +234,22 @@ def scd2_apply(
         }
     )
     rows = F.when(changed, F.array(closed, opened)).otherwise(F.array(version({})))
-    return joined.select(F.explode(rows).alias("__v")).select("__v.*")
+    versioned = joined.select(F.explode(rows).alias("__v")).select("__v.*")
+
+    # INSERT branch: update keys with no current dim member become new
+    # open rows. The anti-join's dim side is pruned to (key, is_current)
+    # by Catalyst; the filter(guard) pins the duplicate-key check to this
+    # path too (column pruning would otherwise drop it).
+    inserts = (
+        u_checked.filter(guard)
+        .join(dim.filter(F.col(current)).select(key), key, "left_anti")
+        .select(
+            F.col(key),
+            *[F.col(f"__u_{a}").alias(a) for a in attr_cols],
+            eff.alias(valid_from),
+            F.lit(open_end).cast(dim.schema[valid_to].dataType).alias(valid_to),
+            F.lit(True).alias(current),
+        )
+        .select(out_cols)
+    )
+    return versioned.unionByName(inserts)

@@ -606,7 +606,11 @@ def heavy_hitters(
     construction). The per-partition summary (candidates + totals) is
     cached — it is bounded by construction, and both consumers (the
     candidate broadcast and the N aggregate) read the one materialized
-    copy instead of re-running the corpus scan.
+    copy instead of re-running the corpus scan. The final result is
+    computed EAGERLY (it is ≤ denom-1 rows by the threshold's pigeonhole
+    bound) so the summary cache can be unpersisted before returning —
+    repeated calls in a long session must not accumulate pinned storage
+    (the triangle_count discipline).
     """
     import pandas as pd
 
@@ -649,8 +653,22 @@ def heavy_hitters(
         )
 
     summary = toks.mapInPandas(mg_partition, "token string, part_n long").cache()
-    candidates = summary.filter(F.col("token").isNotNull()).select("token").distinct()
+    try:
+        result = _heavy_hitters_recount(df, text_col, summary, denom)
+        rows = result.collect()  # ≤ denom-1 rows: cnt ≥ n/denom can't hold denom times
+        schema = result.schema
+    finally:
+        summary.unpersist()
+    return df.sparkSession.createDataFrame(rows, schema)
 
+
+def _heavy_hitters_recount(
+    df: DataFrame, text_col: str, summary: DataFrame, denom: int
+) -> DataFrame:
+    """The lazy phase-2 plan of :func:`heavy_hitters` (candidate broadcast
+    + exact recount + threshold), split out so plan tests can assert its
+    shape before the eager materialization."""
+    candidates = summary.filter(F.col("token").isNotNull()).select("token").distinct()
     total = summary.agg(F.sum("part_n").alias("__n"))
     exact = (
         df.select(F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"))

@@ -1147,7 +1147,7 @@ def x101(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dims GROUP BY label, pos
     )
     SELECT label, CAST(MAX(n_vecs) AS BIGINT) AS n_vecs,
-           array_agg(m ORDER BY pos) AS centroid
+           array_to_string(array_agg(printf('%.6f', m) ORDER BY pos), ',') AS centroid
     FROM (
       SELECT label, pos, m,
              (SELECT COUNT(*) FROM embeddings e WHERE e.label = means.label) AS n_vecs
@@ -1165,7 +1165,11 @@ def x106(spark: SparkSession, sf_dir: str) -> DataFrame:
     (float combine-order noise would flip 6-dp rounding at scale), and the
     centroid array is rebuilt with an ORDER-PINNED collect (sort_array of
     (pos, val) structs — collect_list order is partition-arrival
-    nondeterministic, never rely on it).
+    nondeterministic, never rely on it). The centroid is emitted as a
+    canonical comma-joined fixed-6dp STRING, not a raw array<double> —
+    the driver's pandas canonicalizer sort_values over all columns cannot
+    hash list cells (the q56 precedent from round 2; round-4 verdict
+    What's-wrong #1).
 
     Scale: posexplode fans each vector into dim rows, but the partial
     aggregate collapses every partition to ≤ |labels|·dim rows before the
@@ -1188,8 +1192,12 @@ def x106(spark: SparkSession, sf_dir: str) -> DataFrame:
         means.groupBy("label")
         .agg(
             F.max("n_vecs").alias("n_vecs"),
-            F.transform(
-                F.sort_array(F.collect_list(F.struct("pos", "m"))), lambda s: s["m"]
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: F.format_string("%.6f", s["m"]),
+                ),
+                ",",
             ).alias("centroid"),
         )
         .orderBy("label")

@@ -360,6 +360,38 @@ def test_forget_erases_email_everywhere(spark, tmp_path):
     assert wh.read("estadisticas").filter(F.col("email") == target).count() == 0
 
 
+def test_forget_keeps_null_email_rows(spark, tmp_path):
+    """Erasure must be NULL-safe: errores retains rows that FAILED email
+    validation (Spark CSV reads empty fields as NULL), so a NULL-email
+    row must survive forget() — `email == 'x'` evaluates to NULL there,
+    and an un-coalesced `~NULL` filter would silently delete it."""
+    wh = Warehouse(spark, str(tmp_path / "wh_nullsafe"))
+    err = spark.createDataFrame(
+        [
+            ("a@example.com", "bad date", "f.txt"),
+            (None, "bad email", "f.txt"),
+            ("b@example.com", "bad flag", "f.txt"),
+        ],
+        "email string, error string, nombreArchivo string",
+    )
+    est = spark.createDataFrame(
+        [("a@example.com", 3, "f.txt"), (None, 1, "f.txt"), ("b@example.com", 2, "f.txt")],
+        "email string, visitas int, nombreArchivo string",
+    )
+    wh.append_partitioned(err, "errores")
+    wh.append_partitioned(est, "estadisticas")
+
+    wh.forget("a@example.com")
+
+    err_after = wh.read("errores")
+    assert err_after.filter(F.col("email").isNull()).count() == 1
+    assert err_after.filter(F.col("email") == "a@example.com").count() == 0
+    assert err_after.count() == 2
+    est_after = wh.read("estadisticas")
+    assert est_after.filter(F.col("email").isNull()).count() == 1
+    assert est_after.count() == 2
+
+
 def test_cli_forget_mode(spark, tmp_path):
     """python -m ...etl --forget EMAIL drives the erasure path."""
     from pipeline_etl_website_visits_spark.etl.__main__ import main

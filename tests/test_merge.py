@@ -362,3 +362,61 @@ def test_scd2_apply_versions_and_noops(spark):
     )
     # re-apply: the changed row is now current with the new value => no-op
     assert snap(scd2_apply(out, updates, "k", ["seg"], "2001-01-01")) == got
+
+
+def test_scd2_apply_inserts_new_members(spark):
+    """Standard SCD2 MERGE inserts update keys absent from the dimension
+    as brand-new current rows (valid_from = effective date, open-ended
+    valid_to); re-applying the same batch then no-ops."""
+    from pipeline_etl_website_visits_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "A", "1990-01-01", "9999-12-31", True)],
+        "k long, seg string, valid_from string, valid_to string, is_current boolean",
+    ).selectExpr(
+        "k", "seg", "CAST(valid_from AS DATE) valid_from",
+        "CAST(valid_to AS DATE) valid_to", "is_current",
+    )
+    updates = spark.createDataFrame([(1, "A"), (9, "NEW")], "k long, seg string")
+
+    def snap(df):
+        return sorted(
+            (r["k"], r["seg"], str(r["valid_from"]), str(r["valid_to"]), r["is_current"])
+            for r in df.collect()
+        )
+
+    out = scd2_apply(dim, updates, "k", ["seg"], "2000-06-01")
+    assert snap(out) == sorted(
+        [
+            (1, "A", "1990-01-01", "9999-12-31", True),
+            (9, "NEW", "2000-06-01", "9999-12-31", True),
+        ]
+    )
+    # idempotent re-apply: key 9 is now a current no-op, nothing inserts twice
+    assert snap(scd2_apply(out, updates, "k", ["seg"], "2001-01-01")) == snap(out)
+    # open_end=None uses a NULL open-ended marker instead of the sentinel
+    out_null = scd2_apply(dim, updates, "k", ["seg"], "2000-06-01", open_end=None)
+    assert (9, "NEW", "2000-06-01", "None", True) in snap(out_null)
+
+
+def test_scd2_apply_rejects_duplicate_update_keys(spark):
+    """Two updates for one key would multiply each current dim row into
+    conflicting closed/open pairs — the batch must fail fast, in both the
+    matched path and the insert path."""
+    import pytest
+
+    from pipeline_etl_website_visits_spark.operators.merge import scd2_apply
+
+    dim = spark.createDataFrame(
+        [(1, "A", "1990-01-01", "9999-12-31", True)],
+        "k long, seg string, valid_from string, valid_to string, is_current boolean",
+    ).selectExpr(
+        "k", "seg", "CAST(valid_from AS DATE) valid_from",
+        "CAST(valid_to AS DATE) valid_to", "is_current",
+    )
+    dup_matched = spark.createDataFrame([(1, "X"), (1, "Y")], "k long, seg string")
+    with pytest.raises(Exception, match="duplicate update-batch key"):
+        scd2_apply(dim, dup_matched, "k", ["seg"], "2000-06-01").collect()
+    dup_new = spark.createDataFrame([(9, "X"), (9, "Y")], "k long, seg string")
+    with pytest.raises(Exception, match="duplicate update-batch key"):
+        scd2_apply(dim, dup_new, "k", ["seg"], "2000-06-01").collect()

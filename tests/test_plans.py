@@ -376,9 +376,16 @@ def test_zorder_zone_map_is_single_shuffle_bit_math(spark):
 
 def test_heavy_hitter_recount_joins_broadcast(spark):
     """x92 phase 2: the candidate set joins broadcast — the token stream
-    must never shuffle on token before the filter."""
-    df = REGISTRY["x92_heavy_hitters"].spark(spark, SF_DIR)
-    plan = simple_plan(df)
+    must never shuffle on token before the filter. Asserted on the lazy
+    recount plan (the public operator materializes eagerly so it can
+    unpersist its summary cache before returning)."""
+    from pipeline_etl_website_visits_spark.operators.text import _heavy_hitters_recount
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    summary = spark.createDataFrame(
+        [("the", None), (None, 1000)], "token string, part_n long"
+    )
+    plan = simple_plan(_heavy_hitters_recount(docs, "text", summary, denom=50))
     assert "BroadcastHashJoin" in plan, plan
 
 
