@@ -51,78 +51,42 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in dict order.  With 110 registered queries a single round can never cover
-# them all, so we rotate (rotation history in docs/COVERAGE.md; union of
-# rounds 1+2+3 = all 110 queries — zero never-checked names).
+# in dict order; with 147 registered queries we rotate so every query's
+# latest driver row postdates its last code change (history in
+# docs/COVERAGE.md).
 #
-# Round-4 pinning rule (VERDICT r3 item 4): every query whose latest driver
-# row predates its last code/testdata change goes at the HEAD —
-#   (a0) queries NEW in round 4 (x80–x91) — never driver-checked;
-#   (a) queries whose implementation changed THIS round (x56 containment
-#       prefilter, x79 recursive-CTE pre-filtered view, q00/q10 via the
-#       bucketed incremental merge path), making their r3 rows stale;
-#   (b) the 32 queries whose latest driver row is ROUND 1 (stalest — they
-#       predate the round-3 timestamp-normalization loader rework, fd214e6);
-#   (b) fills the remaining slots with round-1-latest rows (stalest);
-#       the rest of (b) and all round-2-latest rows spill to round 5.
-# ONLY the first 50 names below are checked this round; the tail past slot
-# 50 is deliberate next-round spillover (stalest-first head for round 5) —
-# it is NOT checked in round 4.  See docs/COVERAGE.md.
+# Round-5 pinning rule (VERDICT r4 item 2): HEAD = the 8 round-4 late
+# registrations that have NEVER had a driver row (x109-x116), then the one
+# red r4 row (x106, output format fixed this round) and every query whose
+# implementation changed in round 5 (x92 heavy-hitter eager rework,
+# x107/x108 scd2 insert branch, x98 pagerank cache scope, x79 iterative
+# twin, x84 fused collects, x58 two-level aggregate, q00/q10 unified
+# bucketed merge), then the stalest rows: all 15 round-1-latest, then
+# round-2-latest up to slot 50.  The 11 remaining round-2-latest names
+# spill past slot 50 to round 6 (every one has 2 green driver rows and an
+# unchanged implementation since round 2).
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- (a0) new in round 4 — never driver-checked (12 early + 12 late) --
-    "x92_heavy_hitters",
-    "x99_custdist",
-    "x100_weighted_sample",
-    "x101_semantic_decontam",
-    "x102_variant_extract",
-    "x103_cohort_retention",
-    "x104_session_window_native",
-    "x105_token_budget_mixture",
+    # -- (a0) registered late in round 4 -- never driver-checked (8) --
+    "x109_waiting_supplier",
+    "x110_dormant_customers",
+    "x111_bulk_suppliers",
+    "x112_dup_span_scrub",
+    "x113_constraint_audit",
+    "x114_neardup_triangles",
+    "x115_repetition_scrub",
+    "x116_cheapest_supplier",
+    # -- (a) red in r4 (x106) or implementation changed in round 5 (10) --
     "x106_label_centroids",
+    "x92_heavy_hitters",
     "x107_scd2_dimension",
     "x108_scd2_asof_lookup",
-    "x97_cms_token_counts",
     "x98_doc_pagerank",
-    "x93_zorder_zone_map",
-    "x94_incremental_mv",
-    "x95_skyline_pareto",
-    "x96_semantic_dedup",
-    "x80_product_profit",
-    "x81_market_share",
-    "x82_embed_pq_codes",
-    "x83_ngram_novelty",
-    "x84_embed_pq_adc_topk",
-    "x85_incremental_dedup",
-    "x86_dedup_pipeline",
-    "x87_correlated_exists",
-    "x88_lateral_topk",
-    "x89_fuzzy_adjacent_names",
-    "x90_bpe_token_counts",
-    "x91_hll_union_rollup",
-    # -- (a) code changed in round 4 → r3 rows stale (4) --
-    "x56_dedup_containment",
     "x79_recursive_cte",
+    "x84_embed_pq_adc_topk",
+    "x58_tfidf_top_terms",
     "q00_flagship_visitantes",
     "q10_merge_upsert",
-    # -- (b) latest driver row is round 1 — stalest (32) --
-    "q02_regex_filter",
-    "q03_null_or_pattern",
-    "q04_bool_split",
-    "q06_nullif_trim",
-    "q07_casts",
-    "q08_visits_agg",
-    "q09_scalar_counts",
-    "q11_anti_join",
-    "q12_inner_join",
-    "q13_semi_join",
-    "q14_window_dedup",
-    "q15_topk",
-    "q16_union",
-    "q17_count_distinct",
-    "q18_rollup",
-    "q19_extract_ym",
-    "q20_text_ops",
-    # ---- slot 50 boundary: everything below is round-5 spillover ----
+    # -- (b) latest driver row is round 1 -- stalest (15) --
     "x28_text_quality",
     "x29_text_token_count",
     "x30_text_fingerprint",
@@ -138,7 +102,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q45_cube",
     "q46_window_rank_lag",
     "q47_window_frame_running_sum",
-    # -- latest driver row is round 2 (spillover continues) --
+    # -- (c) latest driver row is round 2, first 17 fill to slot 50 --
     "q48_having",
     "q49_conditional_agg",
     "q50_scalar_subquery",
@@ -156,6 +120,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x37_approx_percentile",
     "q63_shipping_priority",
     "q64_regional_volume",
+    # ---- slot 50 boundary: everything below is round-6 spillover ----
     "q65_median_manual",
     "q66_regexp_extract",
     "x44_hash_split",
