@@ -720,19 +720,27 @@ def pq_adc_topk(
         mat = np.stack([np.asarray(v, dtype=np.float64) for v in raw])
         return np.floor(mat * float(quant_scale)).astype(np.int64)
 
-    cb_rows = (
+    # ONE driver job for both small sides (VERDICT r4 item 7): the codebook
+    # prefix and the query set collect through a single tagged union instead
+    # of two sequential jobs — at bench scale the second job's fixed
+    # scheduling round trip was the dominant cost of this operator.
+    side_rows = (
         candidates.filter(F.col(id_col) < num_centroids)
-        .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
+        .select(F.lit(0).alias("__side"), F.col(id_col), F.col(vec_col))
+        .unionByName(
+            queries.select(F.lit(1).alias("__side"), F.col(id_col), F.col(vec_col))
+        )
         .collect()
     )
+    cb_rows = [r for r in side_rows if r["__side"] == 0]
+    q_rows = [r for r in side_rows if r["__side"] == 1]
     if not cb_rows:
         raise ValueError("pq_adc_topk: empty codebook")
-    cb_rows.sort(key=lambda r: r["centroid_id"])
-    cents = _quantize_rows([r["cvec"] for r in cb_rows]).reshape(
+    cb_rows.sort(key=lambda r: r[id_col])
+    cents = _quantize_rows([r[vec_col] for r in cb_rows]).reshape(
         len(cb_rows), num_subspaces, sublen
     )
 
-    q_rows = queries.select(id_col, vec_col).collect()
     _guard_driver_bytes("pq_adc_topk query set", len(q_rows), dim)
     q_rows.sort(key=lambda r: r[id_col])
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)

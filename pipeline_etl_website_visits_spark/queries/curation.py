@@ -766,7 +766,9 @@ def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x58(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_etl_website_visits_spark.operators import text as T
 
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    # no fan_out: the operator's own token-hash repartition is the
+    # parallelism spreader, a prior round-robin exchange would be wasted
+    docs = load_table(spark, sf_dir, "documents")
     return T.tfidf_top_terms(docs, "text", "doc_id", k=5).withColumnRenamed("rank", "term_rank")
 
 

@@ -958,30 +958,39 @@ def x77(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# x79 — recursive CTE (bounded hierarchy walk)
+# x79 — recursive CTE semantics (bounded hierarchy walk)
 #
-# Spark 4.1's WITH RECURSIVE (UNION ALL form) over a synthetic binary tree
-# on order keys (parent(k) = k // 2 — acyclic, so UNION ALL terminates;
-# every node is reached exactly once). Both engines run the IDENTICAL
-# statement text. Depth bound belt-and-braces against runaway recursion.
+# The oracle is WITH RECURSIVE (UNION ALL form) over a synthetic binary
+# tree on order keys (parent(k) = k // 2 — acyclic, every node reached
+# exactly once). Rounds 3-4 ran the IDENTICAL statement through Spark
+# 4.1's own WITH RECURSIVE, which executes one job per recursion LEVEL
+# (UnionLoopExec) — a measured ~0.8-1.1 s scheduling floor REGARDLESS of
+# input size (~80 ms/level × ~11 levels; DuckDB's in-process recursion
+# does the walk in ~50 ms). Per VERDICT r4 item 5 the Spark side is now an
+# algebraic twin that runs the whole walk in ONE job:
 #
-# Scale (VERDICT r3 item 3): the recursion's WHERE already bounds the walk
-# to o_orderkey < 1024, so the Spark side registers ``orders`` for this
-# statement as the pre-filtered, single-partition, CACHED subset — results
-# are identical (the in-statement filter subsumes the view filter) but each
-# of the ~11 recursion levels joins a 1023-row in-memory relation instead
-# of re-scanning the full orders table. At 100 TB that is the difference
-# between 11 full scans and zero.
+#   The recursion's WHERE (o_orderkey < 1024) statically bounds the
+#   entire walk to <1024 keys — every row the fixpoint can ever touch is
+#   ~8 KB. So the plan is: pushed-down, zonemap-pruned key-range scan →
+#   ONE collect job (size-guarded against the bound) → the fixpoint runs
+#   on the driver → the 10-row aggregate returns as a local relation.
+#   Exactly the constant-folding a planner should do for a provably-
+#   bounded recursion, and what DuckDB itself does (in-process recursion
+#   over the pruned range). At 100 TB the scan is the same pruned
+#   <1024-key read, so cost is invariant in corpus size. Measured: 1.09 s
+#   (UnionLoopExec, r4) → ~0.1 s.
 #
-# Measured floor, documented for the bench ratio: Spark 4.1 executes one
-# job per recursion LEVEL (UnionLoopExec); on a warm local[32] session a
-# trivial no-join recursion costs ~17 ms/level and a join-per-level walk
-# ~65-80 ms/level, so this 11-level walk has a ~0.8 s floor REGARDLESS of
-# input size (an equivalent hand-rolled 11-join DataFrame loop measures the
-# same 0.74 s). DuckDB runs its whole recursion in-process in ~50 ms. The
-# remaining gap is fixed per-level scheduling, not a plan defect: it is
-# invariant in data size, so at real scale it is noise, and shrinking it
-# further would mean not exercising WITH RECURSIVE at all.
+#   This bounded-inline rule is NOT the general recursion path: when the
+#   frontier is unbounded or the parent relation is data (arbitrary edge
+#   lists), the engine's iterative driver-loop pattern is the recursive-
+#   CTE replacement — lineage-truncated per-round DataFrame jobs, as
+#   dedup_clusters (x71) and pagerank (x98) certify. Two rejected
+#   middles, both dominated by fixed per-stage overhead on a 1022-row
+#   working set: a single-task Arrow BFS kernel (0.31 s — one Python
+#   worker round trip) and ancestor-path factorization (explode each key
+#   into its ≤log2(B) proper ancestors + one equi-join; 1.9 s — three
+#   shuffle stages). The latter IS the right shape when the bound is too
+#   big to collect but the parent stays key-computable.
 # --------------------------------------------------------------------------
 _X79_SQL = """
     WITH RECURSIVE walk(k, depth) AS (
@@ -1006,26 +1015,45 @@ _X79_SQL = """
     tags=("sql", "recursive"),
 )
 def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Measured floor (r4 knob sweep at sf0.1, warm): ~1.1s with AQE off,
-    # ~2.1s with AQE on, ~2.1s with broadcast disabled, eager vs lazy cache
-    # ±0.1s. The cost is the ~10 recursion levels × ~110ms of per-iteration
-    # planning + job scheduling in Spark's UnionLoop execution — INVARIANT
-    # in data size once the scan below bounds the working set to <1024 keys
-    # (at 100 TB this query costs the same ~1.1s). DuckDB's in-process
-    # recursion does the same walk in ~50ms; the gap is engine fixed
-    # overhead, not a plan defect — accepted and documented per r3 verdict.
-    bounded = (
+    # keys eligible to appear in the walk (the recursion's own WHERE,
+    # pushed down to the parquet scan); <1024 rows by the same predicate
+    keys = (
         _t(spark, sf_dir, "orders")
-        .select("o_orderkey")
-        .filter(F.col("o_orderkey") < 1024)
-        .coalesce(1)
-        .cache()
+        .select(F.col("o_orderkey").alias("k"))
+        .filter((F.col("k") > 1) & (F.col("k") < 1024))
     )
-    bounded.createOrReplaceTempView("orders")
-    out = spark.sql(_X79_SQL)  # analysis resolves the view eagerly, so the
-    # re-registration below does not affect this statement's plan
-    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    return out
+    present = {r["k"] for r in keys.collect()}
+    # the statement's own WHERE is the contract that makes this collect
+    # legal — enforce it the way similarity.py guards its driver state
+    assert len(present) < 1024, "bounded-recursion contract violated"
+
+    # the UNION ALL fixpoint: anchor k=1 at depth 0; children of p are
+    # exactly {2p, 2p+1} (floor(k/2) = p), admitted while parent
+    # depth < 30. Acyclic + unique keys => each node reached once.
+    depths: dict[int, int] = {1: 0}
+    frontier, d = [1], 0
+    while frontier and d < 30:
+        frontier = [c for p in frontier for c in (2 * p, 2 * p + 1) if c in present]
+        d += 1
+        for c in frontier:
+            depths[c] = d
+    agg: dict[int, list[int]] = {}
+    for k, dd in depths.items():
+        row = agg.setdefault(dd, [0, k, k])
+        row[0] += 1
+        row[1] = min(row[1], k)
+        row[2] = max(row[2], k)
+    import pandas as pd
+
+    # pandas input -> Arrow LocalRelation: collect() is job-free (a python
+    # list would parallelize into default-parallelism tasks instead)
+    return spark.createDataFrame(
+        pd.DataFrame(
+            [(dd, n, lo, hi) for dd, (n, lo, hi) in sorted(agg.items())],
+            columns=["depth", "n_nodes", "min_key", "max_key"],
+        ),
+        "depth int, n_nodes long, min_key long, max_key long",
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1752,9 +1780,73 @@ _X109_SQL = """
     tags=("sql", "tpch"),
 )
 def x109(spark: SparkSession, sf_dir: str) -> DataFrame:
-    for t in ("supplier", "lineitem", "orders", "nation"):
-        _t(spark, sf_dir, t).createOrReplaceTempView(t)
-    return spark.sql(_X109_SQL)
+    """Single-scan window decorrelation (VERDICT r4 item 4).
+
+    Catalyst decorrelates the statement's EXISTS/NOT EXISTS into semi/anti
+    self-joins — three passes over lineitem. Both quantifiers only depend
+    on per-order extrema, so ONE pass over lineitem (pre-filtered to
+    F-orders — the subqueries are correlated on the same l_orderkey, so
+    the status filter commutes) evaluates them as CODEGEN window
+    aggregates over the l_orderkey partition — max/min/conditional-max,
+    no collect_list objects (an array-HOF variant measured 1.3 s in the
+    ObjectHashAggregate alone):
+
+    - EXISTS other-supplier line  ⟺  min(suppkey) ≠ max(suppkey);
+    - NOT EXISTS later-shipping other supplier  ⟺  shipdate ≥ other_max,
+      where other_max = the order's global max shipdate m1 when some
+      OTHER supplier attains it (this row's supplier differs from a
+      max-attaining one, or two different suppliers attain m1), else the
+      max shipdate over the remaining suppliers (m2).
+
+    lineitem scans once and shuffles once on the 8-byte order key (the
+    stacked windows share one partitioning/sort); dims broadcast; the
+    orders filter prunes ~half the fact before the shuffle. The SQL
+    oracle keeps the identical correlated-subquery text.
+    """
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    f_orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"))
+    )
+    w = Window.partitionBy("l_orderkey")
+    x = (
+        li.join(f_orders, "l_orderkey")
+        .withColumn("m1", F.max("l_shipdate").over(w))
+        .withColumn(
+            "multi_supp", F.min("l_suppkey").over(w) != F.max("l_suppkey").over(w)
+        )
+    )
+    at_max = F.when(F.col("l_shipdate") == F.col("m1"), F.col("l_suppkey"))
+    x = x.withColumn("s1min", F.min(at_max).over(w)).withColumn(
+        "s1max", F.max(at_max).over(w)
+    )
+    x = x.withColumn(
+        "m2",
+        F.max(F.when(F.col("l_suppkey") != F.col("s1min"), F.col("l_shipdate"))).over(w),
+    )
+    other_max = F.when(
+        (F.col("l_suppkey") != F.col("s1min")) | (F.col("s1min") != F.col("s1max")),
+        F.col("m1"),
+    ).otherwise(F.col("m2"))
+    waiters = x.filter(
+        F.col("multi_supp") & (F.col("l_shipdate") >= other_max)
+    ).select("l_suppkey")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select(F.col("s_suppkey").alias("l_suppkey"), "s_name", "n_name")
+    )
+    return (
+        waiters.join(F.broadcast(sup), "l_suppkey")
+        .groupBy("n_name", "s_name")
+        .agg(F.count("*").cast("long").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(25)
+    )
 
 
 # --------------------------------------------------------------------------
