@@ -243,6 +243,68 @@ def test_bucketed_merge_join_has_no_target_side_exchange(spark, tmp_path, target
     assert "Bucketed: true" in plan, plan
 
 
+def test_bucketed_merge_is_exchange_free_AND_touched_bucket(spark, tmp_path, target, source):
+    """VERDICT r4 item 3: the two round-4 merge wins in the SAME mode —
+    the bucketed merge join plans with no target-side exchange (pruned
+    catalog scan stays Bucketed) AND a 1-email batch rewrites exactly one
+    bucket's files, untouched buckets carried by partition-location
+    reference."""
+    from pipeline_etl_website_visits_spark.operators.merge import visitantes_merge
+
+    root = str(tmp_path / "whbi")
+    wh = Warehouse(spark, root, n_buckets=8, bucketed=True)
+    wh.write_visitantes(target, applied_key="seed")
+    v0 = wh._current_visitantes_version()
+    assert v0.startswith("tbl:")
+    n_buckets, refs0 = wh._visitantes_manifest(v0)
+    assert n_buckets == 8
+
+    one = source.filter(F.col("email") == "match-same-month@example.com")
+    # plan check on the exact join the incremental path runs: pruned
+    # bucketed target, batch source
+    b = int(one.select(wh._bucket_col(8).alias("b")).first()["b"])
+    merged = visitantes_merge(
+        wh.read_visitantes(buckets={b}), one, PROCESS_DATE, null_safe=False
+    )
+    plan = merged._jdf.queryExecution().executedPlan().toString()
+    exchanges = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert len(exchanges) == 1, plan  # batch side only
+    assert "Bucketed: true" in plan, plan
+
+    wh.merge_visitantes(one, process_date=PROCESS_DATE, applied_key="one")
+    v1 = wh._current_visitantes_version()
+    assert v1 != v0 and v1.startswith("tbl:")
+    # file-level: the new version dir materializes EXACTLY one bucket dir
+    assert _bucket_dirs(root, wh._version_dir(v1)) == [f"bucket={b}"]
+    # manifest: touched bucket points at v1's dir, others carried at v0's
+    _, refs1 = wh._visitantes_manifest(v1)
+    assert refs1[b] == wh._version_dir(v1)
+    assert {v for bb, v in refs1.items() if bb != b} == {wh._version_dir(v0)}
+    # logical contents identical to a full merge
+    out = {r["email"]: r for r in wh.read_visitantes().collect()}
+    assert out["match-same-month@example.com"]["visitasTotales"] == 13
+    assert out["match-prev-month@example.com"]["visitasTotales"] == 20  # untouched
+    assert len(out) == 4
+    assert wh.visitantes_applied() == {"seed", "one"}
+
+
+def test_bucketed_forget_rewrites_one_bucket(spark, tmp_path, target, source):
+    """GDPR erasure in bucketed mode is bucket-cost too (it previously
+    forced a full-snapshot rewrite)."""
+    root = str(tmp_path / "whbf")
+    wh = Warehouse(spark, root, n_buckets=8, bucketed=True)
+    wh.write_visitantes(target, applied_key="seed")
+    out = wh.forget("match-prev-month@example.com")
+    assert out["visitantes"].startswith("bucket=")
+    v = wh._current_visitantes_version()
+    assert v.startswith("tbl:")
+    emails = {r["email"] for r in wh.read_visitantes().collect()}
+    assert "match-prev-month@example.com" not in emails
+    assert len(emails) == 3
+
+
 def test_bucketed_to_partitioned_migration(spark, tmp_path, target, source):
     """Opting back out of bucketed mode migrates on the next merge."""
     root = str(tmp_path / "whm")
