@@ -131,6 +131,29 @@ class Warehouse:
                 return True
         return False
 
+    # -- stored vector index (encode once / search many; VERDICT r4 item 6,
+    #    docs/SCALE.md "deployed index") ----------------------------------
+    def write_vector_index(self, vectors: DataFrame, name: str = "embeddings", **kw) -> dict:
+        """Build + persist an IVF-PQ index under the warehouse root
+        (``vindex_<name>/codes`` partitioned by coarse cell + ``meta``).
+        One corpus scan, map-only; see operators/vector_index.py."""
+        from pipeline_etl_website_visits_spark.operators.vector_index import (
+            build_ivfpq_index,
+        )
+
+        return build_ivfpq_index(vectors, self.path(f"vindex_{name}"), **kw)
+
+    def search_vector_index(
+        self, queries: DataFrame, name: str = "embeddings", **kw
+    ) -> DataFrame:
+        """ADC top-k over the STORED codes — no re-encode, partition-pruned
+        to the probed cells (plan-asserted in tests)."""
+        from pipeline_etl_website_visits_spark.operators.vector_index import (
+            ivfpq_search,
+        )
+
+        return ivfpq_search(self.spark, self.path(f"vindex_{name}"), queries, **kw)
+
     def read(self, table: str) -> DataFrame | None:
         """Current contents of an append table: live per-file partitions plus
         the compacted region (if :meth:`compact` has run), LIVE WINS — a
