@@ -356,10 +356,14 @@ def bigram_rarity(
     with at least one bigram; rare_pct is half-up integer-rounded to 0.1%.
 
     Shape: positional bigrams from a materialized token array (no
-    re-tokenization per element), compacted to (doc, bigram, cnt) with
-    map-side combine BEFORE the corpus-count window — the window and the
-    final per-doc agg both run on vocabulary-footprint rows, so only the
-    initial bigram explode ever touches corpus-scale row counts.
+    re-tokenization per element); ONE bigram-hash exchange serves both
+    the (bigram, doc) compaction — subset partitioning satisfies the
+    clustered distribution, the x58 fold — and the corpus-count window,
+    so only the final per-doc aggregate re-shuffles. Two key exchanges
+    total. As with TF-IDF, an ultra-frequent bigram concentrates its raw
+    occurrences on one task under this fold; a stop-word-dominated corpus
+    would reinstate the compact-before-shuffle form (see
+    :func:`tfidf_top_terms` ``compact_first``).
     """
     from pyspark.sql import Window
 
@@ -373,7 +377,11 @@ def bigram_rarity(
         lambda i: F.concat_ws(" ", F.element_at(t, i + 1), F.element_at(t, i + 2)),
     )
     occ = toked.select("doc_id", F.explode(bigrams).alias("bigram"))
-    compact = occ.groupBy("doc_id", "bigram").agg(F.count("*").cast("long").alias("cnt"))
+    compact = (
+        occ.repartition("bigram")
+        .groupBy("bigram", "doc_id")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
     with_corpus = compact.withColumn(
         "corpus_cnt", F.sum("cnt").over(Window.partitionBy("bigram")).cast("long")
     )

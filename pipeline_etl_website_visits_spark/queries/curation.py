@@ -802,6 +802,9 @@ def x58(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x59(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_etl_website_visits_spark.operators import text as T
 
+    # fan_out stays: the bigram-construction HOF dominates and must spread
+    # across cores BEFORE the explode (a single-file scan is one task);
+    # the operator's bigram-hash repartition then serves the agg + window
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return T.bigram_rarity(docs, "text", "doc_id", rare_max_count=2)
 

@@ -338,10 +338,12 @@ def test_correlated_exists_decorrelates_to_semi_anti(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
-def test_q21_shape_decorrelates_both_subqueries(spark):
-    """x109 (TPC-H Q21 shape): the EXISTS and NOT EXISTS self-joins on
-    lineitem must both decorrelate — a semi and an anti join on
-    l_orderkey — with no nested-loop fallback anywhere in the plan."""
+def test_q21_shape_single_scan_window_decorrelation(spark):
+    """x109 (TPC-H Q21 shape): the round-5 rewrite evaluates BOTH
+    quantifiers as window aggregates over the l_orderkey partition — the
+    plan must scan lineitem exactly ONCE (the r4 decorrelated form scanned
+    it three times), stack the windows on one shared exchange, and never
+    fall back to a nested loop."""
     plan = (
         REGISTRY["x109_waiting_supplier"]
         .spark(spark, SF_DIR)
@@ -349,8 +351,8 @@ def test_q21_shape_decorrelates_both_subqueries(spark):
         .executedPlan()
         .toString()
     )
-    assert "LeftSemi" in plan
-    assert "LeftAnti" in plan
+    assert plan.count("lineitem.parquet") == 1, plan
+    assert "Window" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
