@@ -8,6 +8,8 @@ are registered without an oracle → driver records a rows-only check.
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
@@ -796,9 +798,7 @@ def x83(spark: SparkSession, sf_dir: str) -> DataFrame:
 # arithmetic end-to-end, so the oracle replays codes + table lookups + sum
 # exactly; ties broken by (distance, candidate id).
 # --------------------------------------------------------------------------
-@query(
-    "x84_embed_pq_adc_topk",
-    oracle="""
+_X84_ORACLE = """
     WITH q AS (
       SELECT vec_id,
              list_transform(embedding,
@@ -838,7 +838,12 @@ def x83(spark: SparkSession, sf_dir: str) -> DataFrame:
              ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc_dist, vec_id) AS rn
       FROM adc
     ) WHERE rn <= 5 ORDER BY query_id, vec_id
-    """,
+"""
+
+
+@query(
+    "x84_embed_pq_adc_topk",
+    oracle=_X84_ORACLE,
     certifies="X3 compressed-domain ANN: ADC top-k over PQ codes, per-query distance tables, partial-top-k map pass",
     tags=("llm", "similarity"),
 )
@@ -846,6 +851,45 @@ def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return S.pq_adc_topk(queries, emb, k=5).orderBy("query_id", "vec_id")
+
+
+# --------------------------------------------------------------------------
+# x117 — the STORED vector index end-to-end (encode once / search many)
+#
+# x84 certifies the fused encode+search math; x117 certifies the deployed
+# ARTIFACT: build_ivfpq_index persists PQ codes partitioned by coarse IVF
+# cell, ivfpq_search answers from the stored codes (scan reads (id, codes,
+# cell) only — re-encoding is structurally impossible; partition pruning
+# covers the probed cells). With every cell probed the search is
+# bit-identical to x84's fused ADC, so the SAME DuckDB oracle replays it —
+# an oracle-backed certificate that the storage round-trip loses nothing.
+# The per-call index build is one map-only corpus scan + a partitioned
+# write into a scratch dir (the "encode once" half of the contract; tests
+# additionally pin search-twice-no-rebuild and pruned-scan plans).
+# --------------------------------------------------------------------------
+@query(
+    "x117_stored_index_search",
+    oracle=_X84_ORACLE,
+    certifies="X3 stored IVF-PQ index: persisted cell-partitioned codes + ADC search from storage, bit-identical to the fused path (VERDICT r4 item 6)",
+    tags=("llm", "similarity", "scale"),
+)
+def x117(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        build_ivfpq_index,
+        ivfpq_search,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_vindex_{tag}")
+    build_ivfpq_index(emb, path, num_coarse=4)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivfpq_search(spark, path, queries, k=5, nprobe=4).orderBy(
+        "query_id", "vec_id"
+    )
 
 
 # --------------------------------------------------------------------------
