@@ -2028,3 +2028,117 @@ def x116(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("part", "lineitem"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_X116_SQL)
+
+
+# --------------------------------------------------------------------------
+# x118 — TPC-H Q14 shape: conditional-aggregate share over a date window
+#
+# Promo revenue share: a one-month pushed-down date window on the fact,
+# one broadcast dim join, and a CASE-conditional sum next to the total in
+# the SAME aggregate (one pass — never two scans for numerator and
+# denominator). Money in exact integer cents: FLOOR(x*100 + 0.5) of the
+# IEEE double product is bit-identical across engines, and the cent sums
+# are order-free BIGINTs. Identical statement text on both engines; the
+# share itself stays a display-layer division (the q60/q63 discipline —
+# emitting both cent sums certifies everything the ratio would, with no
+# cross-engine rounding surface).
+# --------------------------------------------------------------------------
+_X118_SQL = """
+    SELECT CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS promo_rev_cents,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_rev_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1995-09-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1995-10-01'
+"""
+
+
+@query(
+    "x118_promo_revenue",
+    oracle=_X118_SQL,
+    certifies="TPC-H Q14 shape: conditional aggregate (CASE share) over a pushed-down date window + dim join, exact integer cents — identical statement text both engines",
+    tags=("sql", "tpch"),
+)
+def x118(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_X118_SQL)
+
+
+# --------------------------------------------------------------------------
+# x119 — TPC-H Q19 shape: disjunctive multi-attribute predicates
+#
+# OR-of-ANDs across BOTH join sides (brand+size on the dim, quantity on
+# the fact). The planner test for this shape is predicate decomposition:
+# Catalyst must extract the common conjuncts it CAN push (each disjunct
+# constrains p_brand to a literal, so a brand IN-list reaches the part
+# scan; quantity bounds reach lineitem) while evaluating the full
+# disjunction as the join's residual filter — a per-disjunct UNION plan
+# would scan the fact three times instead. Identical statement text.
+# --------------------------------------------------------------------------
+_X119_SQL = """
+    SELECT CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 1 AND 35
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+"""
+
+
+@query(
+    "x119_disjunctive_revenue",
+    oracle=_X119_SQL,
+    certifies="TPC-H Q19 shape: OR-of-ANDs predicates spanning both join sides, common-conjunct extraction + residual join filter — identical statement text both engines",
+    tags=("sql", "tpch"),
+)
+def x119(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_X119_SQL)
+
+
+# --------------------------------------------------------------------------
+# x120 — TPC-H Q15 shape: argmax against a reused aggregate CTE
+#
+# The revenue view is referenced TWICE — as the join input and inside the
+# scalar MAX subquery. Both engines must compute one grouped aggregate
+# and compare each group against its global max (ties keep every
+# achiever — Q15's "the top supplier(s)"). Spark inlines the CTE into
+# both references (two fact scans) unless the aggregate is materialized;
+# at scale the engine-side fix is a cached/checkpointed aggregate or a
+# rank window (x15's top-k pattern) — the certificate here is the
+# statement shape, scan count pinned by the plan audit. Exact integer
+# cents as in x118.
+# --------------------------------------------------------------------------
+_X120_SQL = """
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_rev_cents
+      FROM lineitem
+      WHERE CAST(l_shipdate AS DATE) >= DATE '1996-01-01'
+        AND CAST(l_shipdate AS DATE) < DATE '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_rev_cents
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_rev_cents = (SELECT MAX(total_rev_cents) FROM revenue)
+    ORDER BY s_suppkey
+"""
+
+
+@query(
+    "x120_top_supplier",
+    oracle=_X120_SQL,
+    certifies="TPC-H Q15 shape: aggregate CTE reused by a scalar-MAX argmax filter (ties kept) — identical statement text both engines",
+    tags=("sql", "tpch"),
+)
+def x120(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "supplier"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_X120_SQL)

@@ -51,20 +51,21 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in dict order; with 147 registered queries we rotate so every query's
+# in dict order; with 151 registered queries we rotate so every query's
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-5 pinning rule (VERDICT r4 item 2): HEAD = the 8 round-4 late
-# registrations that have NEVER had a driver row (x109-x116), then the one
-# red r4 row (x106, output format fixed this round) and every query whose
-# implementation changed in round 5 (x92 heavy-hitter eager rework,
-# x107/x108 scd2 insert branch, x98 pagerank cache scope, x79 iterative
-# twin, x84 fused collects, x58 two-level aggregate, q00/q10 unified
-# bucketed merge), then the stalest rows: all 15 round-1-latest, then
-# round-2-latest up to slot 50.  The 11 remaining round-2-latest names
-# spill past slot 50 to round 6 (every one has 2 green driver rows and an
-# unchanged implementation since round 2).
+# Round-5 pinning rule (VERDICT r4 item 2): HEAD = the 12 never-checked
+# names (x109-x116 from round 4's late registrations, x117-x120 new in
+# round 5), then the one red r4 row (x106, output format fixed this
+# round) and every query whose implementation changed in round 5 (x92
+# heavy-hitter eager rework, x107/x108 scd2 insert branch, x98 pagerank
+# cache scope, x79 bounded-inline twin, x84 fused collects, x58/x59
+# single-exchange folds, q00/q10 unified bucketed merge), then the
+# stalest rows: all 15 round-1-latest, then round-2-latest up to slot 50.
+# The 16 remaining round-2-latest names spill past slot 50 to round 6
+# (every one has 2 green driver rows and an unchanged implementation
+# since round 2).
 DRIVER_ORDER: tuple[str, ...] = (
     # -- (a0) registered late in round 4 -- never driver-checked (8) --
     "x109_waiting_supplier",
@@ -75,7 +76,13 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x114_neardup_triangles",
     "x115_repetition_scrub",
     "x116_cheapest_supplier",
-    # -- (a) red in r4 (x106) or implementation changed in round 5 (10) --
+    # -- (a0b) NEW in round 5 -- never driver-checked (4) --
+    "x117_stored_index_search",
+    "x118_promo_revenue",
+    "x119_disjunctive_revenue",
+    "x120_top_supplier",
+    # -- (a) red in r4 (x106) or implementation changed in round 5 (11) --
+    "x59_bigram_rarity",
     "x106_label_centroids",
     "x92_heavy_hitters",
     "x107_scd2_dimension",
@@ -102,7 +109,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q45_cube",
     "q46_window_rank_lag",
     "q47_window_frame_running_sum",
-    # -- (c) latest driver row is round 2, first 17 fill to slot 50 --
+    # -- (c) latest driver row is round 2, first 12 fill to slot 50 --
     "q48_having",
     "q49_conditional_agg",
     "q50_scalar_subquery",
@@ -115,12 +122,12 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q58_star_join",
     "q59_sql_identical_text",
     "q61_pivot",
+    # ---- slot 50 boundary: everything below is round-6 spillover ----
     "q62_variance_manual",
     "x36_approx_count_distinct",
     "x37_approx_percentile",
     "q63_shipping_priority",
     "q64_regional_volume",
-    # ---- slot 50 boundary: everything below is round-6 spillover ----
     "q65_median_manual",
     "q66_regexp_extract",
     "x44_hash_split",
