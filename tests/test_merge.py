@@ -290,6 +290,35 @@ def test_bucketed_merge_is_exchange_free_AND_touched_bucket(spark, tmp_path, tar
     assert wh.visitantes_applied() == {"seed", "one"}
 
 
+def test_bucketed_publish_crash_window_retry(spark, tmp_path, target, source):
+    """Crash between the new bucketed version's table/dir creation and the
+    pointer flip: the old version stays current (readers never see a
+    half-published snapshot) and re-running the SAME merge completes with
+    correct totals — the retry overwrites the orphaned table/dir."""
+    root = str(tmp_path / "whbc")
+    wh = Warehouse(spark, root, n_buckets=8, bucketed=True)
+    wh.write_visitantes(target, applied_key="seed")
+    v0 = wh._current_visitantes_version()
+    base = {r["email"]: r["visitasTotales"] for r in wh.read_visitantes().collect()}
+
+    one = source.filter(F.col("email") == "match-same-month@example.com")
+    wh.merge_visitantes(one, process_date=PROCESS_DATE, applied_key="one")
+    # simulate the crash: rewind the pointer to v0 (as if the flip never
+    # happened; the v1 dir + catalog table are orphaned on disk)
+    wh._write_small_text(wh.path(wh._POINTER), v0 + "\n")
+    assert wh._current_visitantes_version() == v0
+    assert {
+        r["email"]: r["visitasTotales"] for r in wh.read_visitantes().collect()
+    } == base  # readers still see the pre-merge snapshot
+    assert "one" not in wh.visitantes_applied()  # redo is not blocked
+
+    wh.merge_visitantes(one, process_date=PROCESS_DATE, applied_key="one")
+    out = {r["email"]: r["visitasTotales"] for r in wh.read_visitantes().collect()}
+    assert out["match-same-month@example.com"] == 13  # applied exactly once
+    assert out["match-prev-month@example.com"] == base["match-prev-month@example.com"]
+    assert "one" in wh.visitantes_applied()
+
+
 def test_bucketed_forget_rewrites_one_bucket(spark, tmp_path, target, source):
     """GDPR erasure in bucketed mode is bucket-cost too (it previously
     forced a full-snapshot rewrite)."""
