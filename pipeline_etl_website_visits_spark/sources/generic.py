@@ -79,3 +79,91 @@ def read_orc(spark: SparkSession, path: str, glob: str | None = None) -> DataFra
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.orc(path)
+
+
+def read_jsonl_quarantined(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | str,
+    glob: str | None = None,
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """JSONL corpus ingestion with corrupt-record quarantine: returns
+    ``(valid, quarantine)``.
+
+    The practical reality of web-scale JSONL is that some fraction of
+    lines are truncated, mis-encoded, or schema-violating; failing the
+    job (FAILFAST) or silently nulling them (default PERMISSIVE with no
+    corrupt column) both lose data. This reader applies the warehouse's
+    V1 quarantine discipline to the corpus source: PERMISSIVE parse with
+    an explicit ``_corrupt_record`` column, then one filter splits clean
+    rows from quarantined raw lines (kept verbatim for repair/audit).
+
+    Scale notes: the schema is explicit (inference would be a second full
+    pass and is unstable across corpus shards); the split is a map-side
+    filter over ONE parsed pass. Spark requires the corrupt column
+    declared in the schema (appended here, never part of the caller's
+    contract) and DISALLOWS projecting only the corrupt column straight
+    off a raw file scan — the parsed frame is therefore cached (the
+    exception's own prescribed remedy), which is also what you want: both
+    branches consume the same parse. The cache entry lives until
+    ``valid.unpersist()`` / ``spark.catalog.clearCache()``; ingestion
+    jobs write both branches immediately, so the scope is one job.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType
+
+    if isinstance(schema, str):
+        schema = StructType.fromDDL(schema)
+    full = StructType(schema.fields[:]).add("_corrupt_record", StringType())
+    reader = (
+        spark.read.schema(full)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+    )
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    df = reader.json(path).cache()
+    valid = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    quarantine = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return valid, quarantine
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_rows: int = 100_000,
+    order_col: str | None = None,
+    format: str = "parquet",
+) -> None:
+    """Export a curated corpus as size-bounded, deterministically-ordered
+    shards — the last mile of a training-data pipeline (the files a
+    data-loader consumes).
+
+    - ``maxRecordsPerFile`` bounds every shard at ``shard_rows`` rows, so
+      loader memory / sequence-packing buffers size against a constant
+      regardless of corpus size;
+    - with ``order_col``, rows are RANGE-partitioned then sorted within
+      partitions: global order across the shard sequence with exactly one
+      shuffle (a global ``orderBy`` costs the same exchange; doing it
+      this way makes the intent explicit and keeps the sort spill-local);
+    - without ``order_col``, the input partitioning is preserved
+      (no shuffle — for corpora already shuffled/salted upstream, e.g.
+      x50's deterministic shuffle keys).
+
+    JSONL output (``format='json'``) is the interchange form most
+    training stacks read; parquet keeps types and compresses ~5x better.
+    """
+    out = df
+    if order_col is not None:
+        out = df.repartitionByRange(order_col).sortWithinPartitions(order_col)
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", shard_rows)
+        .format(format)
+        .save(path)
+    )

@@ -60,3 +60,58 @@ def test_orc_round_trip(spark, tmp_path):
     nation.write.orc(path)
     back = read_orc(spark, path)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, nation.collect()))
+
+
+def test_jsonl_quarantine_splits_corrupt_lines(spark, tmp_path):
+    """PERMISSIVE JSONL ingestion: clean rows parse, broken lines land in
+    the quarantine verbatim — nothing is dropped, nothing fails the job."""
+    from pipeline_etl_website_visits_spark.sources.generic import read_jsonl_quarantined
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "good doc"}\n'
+        '{"doc_id": 2, "text": "truncated\n'          # broken JSON
+        '{"doc_id": "NaN?", "text": 42}\n'            # schema-violating types
+        '{"doc_id": 3, "text": "another good one"}\n'
+    )
+    valid, quarantine = read_jsonl_quarantined(
+        spark, str(p), "doc_id long, text string"
+    )
+    rows = {r["doc_id"]: r["text"] for r in valid.collect()}
+    assert rows == {1: "good doc", 3: "another good one"}
+    q = [r["raw_line"] for r in quarantine.collect()]
+    assert len(q) == 2
+    assert any("truncated" in line for line in q)  # raw line kept verbatim
+    assert "_corrupt_record" not in valid.columns
+
+
+def test_training_shards_bounded_and_ordered(spark, tmp_path):
+    """write_training_shards: every shard has <= shard_rows rows; with an
+    order column the shard sequence is globally ordered (range partition
+    boundaries are non-overlapping)."""
+    import os
+
+    from pipeline_etl_website_visits_spark.sources.generic import write_training_shards
+
+    df = spark.range(1000).selectExpr("id", "concat('doc-', id) AS text")
+    out = str(tmp_path / "shards")
+    write_training_shards(df, out, shard_rows=150, order_col="id")
+
+    files = sorted(
+        os.path.join(out, f) for f in os.listdir(out) if f.endswith(".parquet")
+    )
+    assert len(files) >= 7  # 1000 rows / 150-cap
+    seen_ranges = []
+    total = 0
+    for f in files:
+        part = spark.read.parquet(f)
+        n = part.count()
+        total += n
+        assert n <= 150
+        r = part.agg({"id": "min"}).collect()[0][0], part.agg({"id": "max"}).collect()[0][0]
+        seen_ranges.append(r)
+    assert total == 1000
+    # shards sort by filename into a globally ordered sequence
+    seen_ranges.sort()
+    for (lo1, hi1), (lo2, hi2) in zip(seen_ranges, seen_ranges[1:]):
+        assert hi1 < lo2 or (lo1, hi1) == (lo2, hi2)
