@@ -621,15 +621,23 @@ class Warehouse:
 
         version = self._current_visitantes_version()
         manifest = self._visitantes_manifest(version) if version else None
-        if version is not None and manifest is None:
-            # legacy flat / legacy bucketBy-only snapshot: one-time full
-            # merge + rewrite into the current layout (null_safe only off
-            # when the target carries a bucket spec the join can use)
+        # a mode switch needs a one-time FULL rewrite, incremental carry
+        # would be wrong-layout: bucketed mode cannot ADD-PARTITION plain
+        # hash-partitioned files into a catalog-bucketed table (the
+        # bucketed scan derives bucket ids from FILE NAMES and throws
+        # 'Invalid bucket file' on names without the bucket suffix), and
+        # legacy flat / legacy bucketBy-only snapshots have no manifest.
+        layout_matches = version is not None and (
+            version.startswith("tbl:") == self.bucketed
+        )
+        if version is not None and (manifest is None or not layout_matches):
             merged = visitantes_merge(
                 self.read_visitantes(),
                 source,
                 process_date=process_date,
-                null_safe=not self.bucketed,
+                # null-safe equality only when the target carries no bucket
+                # spec the join could otherwise use
+                null_safe=not version.startswith("tbl:"),
             )
             self.write_visitantes(merged, applied_key=applied_key)
             return
@@ -723,11 +731,16 @@ class Warehouse:
         carry = {
             b: ver for b, ver in (touched_refs or {}).items() if b not in written
         }
-        for b, ver in sorted(carry.items()):
-            loc = os.path.join(self.path(ver), f"bucket={b}")
-            self.spark.sql(
-                f"ALTER TABLE {table} ADD PARTITION (bucket={b}) LOCATION '{loc}'"
+        if carry:
+            # ONE catalog statement for all carried buckets — a per-bucket
+            # loop would serialize n_buckets-1 metastore round trips per
+            # merge, defeating the touched-bucket cost model at scale
+            clauses = " ".join(
+                f"PARTITION (bucket={b}) "
+                f"LOCATION '{os.path.join(self.path(ver), f'bucket={b}')}'"
+                for b, ver in sorted(carry.items())
             )
+            self.spark.sql(f"ALTER TABLE {table} ADD {clauses}")
         refs = dict(carry)
         refs.update({b: dirname for b in written})
         manifest_lines = [f"n_buckets={n_buckets}"] + [

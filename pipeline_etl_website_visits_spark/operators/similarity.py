@@ -585,6 +585,36 @@ def kmeans_summary(
     )
 
 
+def pq_quantize_rows(raw, quant_scale: int) -> "np.ndarray":
+    """THE PQ quantization: ``floor(v * quant_scale)`` into exact int64.
+
+    One shared kernel for every PQ consumer (pq_encode, pq_adc_topk, the
+    stored index in operators/vector_index.py) — the bit-identity
+    contract between the fused and stored paths holds only while they
+    quantize identically, so the math lives in exactly one place (the
+    dedup.positional_gram_hashes "semantics cannot drift" discipline).
+    """
+    mat = np.stack([np.asarray(v, dtype=np.float64) for v in raw])
+    return np.floor(mat * float(quant_scale)).astype(np.int64)
+
+
+def pq_code_batch(
+    vmat: "np.ndarray", cents: "np.ndarray", num_subspaces: int, sublen: int
+) -> tuple["np.ndarray", "np.ndarray"]:
+    """Assign each quantized vector its per-subspace nearest-centroid codes.
+
+    Returns ``(codes [N, M] int, qerr [N, M] int64)`` — exact int64
+    squared-L2; numpy argmin's first-minimum rule == lowest-centroid-id
+    tie-break (codebook rows are id-ordered). Shared by the fused encode
+    (x82), the fused ADC search (x84) and the stored index
+    (operators/vector_index.py) for the same drift reason as
+    :func:`pq_quantize_rows`."""
+    v = vmat.reshape(len(vmat), num_subspaces, sublen)
+    diff = v[:, None, :, :] - cents[None, :, :, :]
+    d = (diff * diff).sum(axis=3)  # [N, K, M]
+    return d.argmin(axis=1), d.min(axis=1)
+
+
 def pq_encode(
     vectors: DataFrame,
     vec_col: str = "embedding",
@@ -632,10 +662,6 @@ def pq_encode(
         raise ValueError(f"dim {dim} not divisible into {num_subspaces} subspaces")
     _guard_driver_bytes("pq_encode codebook", num_centroids, dim)
 
-    def _quantize_rows(raw) -> "np.ndarray":
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in raw])
-        return np.floor(mat * float(quant_scale)).astype(np.int64)
-
     if codebook is None:
         cb_rows = (
             vectors.filter(F.col(id_col) < num_centroids)
@@ -650,7 +676,7 @@ def pq_encode(
     cids = np.array([r["centroid_id"] for r in cb_rows], dtype=np.int64)
     # [K, M, sublen] — row order == ascending centroid id, so argmin's
     # first-minimum rule IS the lowest-centroid-id tie-break.
-    cents = _quantize_rows([r["cvec"] for r in cb_rows]).reshape(len(cb_rows), num_subspaces, sublen)
+    cents = pq_quantize_rows([r["cvec"] for r in cb_rows], quant_scale).reshape(len(cb_rows), num_subspaces, sublen)
 
     out_schema = f"{id_col} long, sub int, code long, qerr long"
     subs_idx = np.arange(num_subspaces, dtype=np.int32)
@@ -660,16 +686,18 @@ def pq_encode(
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy()
-            v = _quantize_rows(pdf[vec_col].to_numpy()).reshape(len(ids), num_subspaces, sublen)
-            diff = v[:, None, :, :] - cents[None, :, :, :]  # [N, K, M, sublen]
-            d = (diff * diff).sum(axis=3)  # [N, K, M] exact int64
-            best = d.argmin(axis=1)  # [N, M]
+            best, qerr = pq_code_batch(
+                pq_quantize_rows(pdf[vec_col].to_numpy(), quant_scale),
+                cents,
+                num_subspaces,
+                sublen,
+            )
             yield pd.DataFrame(
                 {
                     id_col: np.repeat(ids, num_subspaces),
                     "sub": np.tile(subs_idx, len(ids)),
                     "code": cids[best].reshape(-1),
-                    "qerr": d.min(axis=1).reshape(-1),
+                    "qerr": qerr.reshape(-1),
                 }
             )
 
@@ -716,10 +744,6 @@ def pq_adc_topk(
         raise ValueError(f"dim {dim} not divisible into {num_subspaces} subspaces")
     _guard_driver_bytes("pq_adc_topk codebook", num_centroids, dim)
 
-    def _quantize_rows(raw) -> "np.ndarray":
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in raw])
-        return np.floor(mat * float(quant_scale)).astype(np.int64)
-
     # ONE driver job for both small sides (VERDICT r4 item 7): the codebook
     # prefix and the query set collect through a single tagged union instead
     # of two sequential jobs — at bench scale the second job's fixed
@@ -737,14 +761,14 @@ def pq_adc_topk(
     if not cb_rows:
         raise ValueError("pq_adc_topk: empty codebook")
     cb_rows.sort(key=lambda r: r[id_col])
-    cents = _quantize_rows([r[vec_col] for r in cb_rows]).reshape(
+    cents = pq_quantize_rows([r[vec_col] for r in cb_rows], quant_scale).reshape(
         len(cb_rows), num_subspaces, sublen
     )
 
     _guard_driver_bytes("pq_adc_topk query set", len(q_rows), dim)
     q_rows.sort(key=lambda r: r[id_col])
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
-    qm = _quantize_rows([r[vec_col] for r in q_rows]).reshape(
+    qm = pq_quantize_rows([r[vec_col] for r in q_rows], quant_scale).reshape(
         len(q_rows), num_subspaces, sublen
     )
     # D[q, m, c] = ||q_m - centroid_{m,c}||^2, exact int64
@@ -758,11 +782,12 @@ def pq_adc_topk(
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy()
-            v = _quantize_rows(pdf[vec_col].to_numpy()).reshape(
-                len(ids), num_subspaces, sublen
+            codes, _ = pq_code_batch(
+                pq_quantize_rows(pdf[vec_col].to_numpy(), quant_scale),
+                cents,
+                num_subspaces,
+                sublen,
             )
-            diff = v[:, None, :, :] - cents[None, :, :, :]
-            codes = (diff * diff).sum(axis=3).argmin(axis=1)  # [N, M]
             # adc[q, n] = sum_m dtab[q, m, codes[n, m]]
             adc = dtab[:, np.arange(num_subspaces)[None, :], codes].sum(axis=2)  # [Q, N]
             kk = min(k, len(ids))

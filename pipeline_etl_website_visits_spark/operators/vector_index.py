@@ -8,16 +8,22 @@ partitioned by a coarse cell id, and every search reads ONLY the probed
 cells' partitions. This module is that artifact:
 
 - :func:`build_ivfpq_index` — one map-only Arrow pass assigns each vector
-  to its nearest coarse cell (IVF) and product-quantizes it (PQ, the exact
-  integer math of ``similarity.pq_encode``), then writes
-  ``<path>/codes`` parquet **partitioned by the cell id** plus a single
-  small ``<path>/meta`` parquet holding coarse centroids and PQ codebook.
-  Write cost: one corpus scan, zero shuffles (partitionBy on the narrow
-  (id, cell, codes) projection), codes ~32x smaller than float32 vectors.
-- :func:`ivfpq_search` — loads meta (one tiny job), probes the ``nprobe``
-  nearest cells per query, and scans ONLY those partitions of the stored
-  codes (partition pruning is plan-asserted in tests — the scan's
-  ReadSchema carries no embedding column, so a re-encode is structurally
+  to its nearest coarse cell (IVF) and product-quantizes it (PQ — the
+  SAME shared kernel as ``similarity.pq_encode``: ``pq_quantize_rows`` +
+  ``pq_code_batch``, so the fused/stored bit-identity contract cannot
+  drift), then writes ``<path>/codes`` parquet **partitioned by the cell
+  id** plus a single small ``<path>/meta`` parquet holding coarse
+  centroids, the PQ codebook AND the build parameters. Write cost: one
+  corpus scan, zero shuffles (partitionBy on the narrow (id, cell, codes)
+  projection), codes ~32x smaller than float32 vectors. ``meta`` is
+  written LAST — its ``_SUCCESS`` marker is the build's commit point, so
+  a crash mid-build can never be mistaken for a completed index.
+- :func:`ivfpq_search` — loads meta (one tiny job; the stored build
+  parameters govern the search, so a caller cannot mismatch
+  quantization/subspace geometry), probes the ``nprobe`` nearest cells
+  per query, and scans ONLY those partitions of the stored codes
+  (partition pruning is plan-asserted in tests — the scan's ReadSchema
+  carries no embedding column, so a re-encode is structurally
   impossible). ADC distances are table lookups over int64 distance tables
   (Jégou et al. 2011 §IV), bit-identical to ``similarity.pq_adc_topk``
   when every cell is probed.
@@ -40,13 +46,15 @@ import numpy as np
 import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql.types import StringType
 
-from pipeline_etl_website_visits_spark.operators.similarity import _guard_driver_bytes
+from pipeline_etl_website_visits_spark.operators.similarity import (
+    _guard_driver_bytes,
+    pq_code_batch,
+    pq_quantize_rows,
+)
 
-
-def _quantize_rows(raw, quant_scale: int) -> np.ndarray:
-    mat = np.stack([np.asarray(v, dtype=np.float64) for v in raw])
-    return np.floor(mat * float(quant_scale)).astype(np.int64)
+_PARAM_NAMES = ("num_coarse", "num_subspaces", "dim", "num_centroids", "quant_scale")
 
 
 def build_ivfpq_index(
@@ -66,7 +74,9 @@ def build_ivfpq_index(
     ride in the task closure (guarded small). The codes table schema is
     ``(id, codes array<int>)`` partitioned by ``cell`` — at 100 TB each
     cell is a directory a search can prune to, and within a cell the codes
-    are byte-scale rows (M small ints per vector).
+    are byte-scale rows (M small ints per vector). The build parameters
+    persist in ``meta`` so every later search reads the geometry it was
+    encoded with.
     """
     sublen = dim // num_subspaces
     if sublen * num_subspaces != dim:
@@ -85,10 +95,10 @@ def build_ivfpq_index(
             f"ivfpq codebook contract needs ids 0..{bound - 1} present; got {len(rows)}"
         )
     rows.sort(key=lambda r: r["mid"])
-    cents = _quantize_rows(
+    cents = pq_quantize_rows(
         [r["mvec"] for r in rows if r["mid"] < num_centroids], quant_scale
     ).reshape(num_centroids, num_subspaces, sublen)
-    coarse = _quantize_rows(
+    coarse = pq_quantize_rows(
         [r["mvec"] for r in rows if r["mid"] < num_coarse], quant_scale
     ).reshape(num_coarse, dim)
 
@@ -99,15 +109,13 @@ def build_ivfpq_index(
             if not len(pdf):
                 continue
             ids = pdf[id_col].to_numpy()
-            q = _quantize_rows(pdf[vec_col].to_numpy(), quant_scale)
+            q = pq_quantize_rows(pdf[vec_col].to_numpy(), quant_scale)
             # coarse cell: exact int64 L2, first-minimum = lowest cell id
             cd = q[:, None, :] - coarse[None, :, :]
             cell = (cd * cd).sum(axis=2).argmin(axis=1).astype(np.int32)
-            v = q.reshape(len(ids), num_subspaces, sublen)
-            diff = v[:, None, :, :] - cents[None, :, :, :]
-            codes = (diff * diff).sum(axis=3).argmin(axis=1).astype(np.int32)  # [N, M]
+            codes, _ = pq_code_batch(q, cents, num_subspaces, sublen)
             yield pd.DataFrame(
-                {id_col: ids, "cell": cell, "codes": list(codes)}
+                {id_col: ids, "cell": cell, "codes": list(codes.astype(np.int32))}
             )
 
     codes_dir = os.path.join(path, "codes")
@@ -120,18 +128,37 @@ def build_ivfpq_index(
         .parquet(codes_dir)
     )
     spark = vectors.sparkSession
-    meta_rows = [
-        ("coarse", int(i), [float(x) for x in np.asarray(r["mvec"], dtype=np.float64)])
-        for i, r in enumerate(rows[:num_coarse])
-    ] + [
-        ("pq", int(i), [float(x) for x in np.asarray(r["mvec"], dtype=np.float64)])
-        for i, r in enumerate(rows[:num_centroids])
-    ]
+    params = dict(
+        num_coarse=num_coarse,
+        num_subspaces=num_subspaces,
+        dim=dim,
+        num_centroids=num_centroids,
+        quant_scale=quant_scale,
+    )
+    meta_rows = (
+        [
+            ("coarse", int(i), [float(x) for x in np.asarray(r["mvec"], dtype=np.float64)])
+            for i, r in enumerate(rows[:num_coarse])
+        ]
+        + [
+            ("pq", int(i), [float(x) for x in np.asarray(r["mvec"], dtype=np.float64)])
+            for i, r in enumerate(rows[:num_centroids])
+        ]
+        # the geometry the codes were built with — searches MUST replay it
+        + [("param", i, [float(params[n])]) for i, n in enumerate(_PARAM_NAMES)]
+    )
+    # meta is written LAST: its _SUCCESS is the whole build's commit marker
     spark.createDataFrame(
         pd.DataFrame(meta_rows, columns=["kind", "idx", "vec"]),
         "kind string, idx int, vec array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(meta_dir)
     return {"codes": codes_dir, "meta": meta_dir}
+
+
+def index_is_complete(path: str) -> bool:
+    """True when a prior build COMMITTED (meta's _SUCCESS exists — it is
+    written last, so codes are guaranteed present too)."""
+    return os.path.exists(os.path.join(path, "meta", "_SUCCESS"))
 
 
 def ivfpq_search(
@@ -142,26 +169,31 @@ def ivfpq_search(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 2,
-    num_subspaces: int = 8,
-    dim: int = 64,
-    quant_scale: int = 1_000_000,
 ) -> DataFrame:
     """Search the stored index: (query_id, id, adc_dist) top-``k`` rows.
 
-    Reads the ``meta`` table (one tiny job) and the ``nprobe`` probed
-    cells' partitions of ``codes`` — the corpus vectors are never touched
-    (the codes scan's ReadSchema is (id, codes, cell); no embedding column
-    exists to re-encode from). With ``nprobe`` == the cell count the
-    result is bit-identical to ``similarity.pq_adc_topk`` over the same
-    corpus: same quantization, same first-minimum code assignment, same
-    int64 ADC tables, same (distance, id) tie-break.
+    Reads the ``meta`` table (one tiny job — centroids, codebook AND the
+    stored build geometry: quantization scale, subspace layout; callers
+    cannot mismatch them) and the ``nprobe`` probed cells' partitions of
+    ``codes`` — the corpus vectors are never touched (the codes scan's
+    ReadSchema is (id, codes, cell); no embedding column exists to
+    re-encode from). With ``nprobe`` == the cell count the result is
+    bit-identical to ``similarity.pq_adc_topk`` over the same corpus:
+    same shared quantize/encode kernel, same int64 ADC tables, same
+    (distance, id) tie-break.
     """
-    sublen = dim // num_subspaces
     meta = spark.read.parquet(os.path.join(path, "meta")).collect()
+    p = {
+        _PARAM_NAMES[r["idx"]]: int(r["vec"][0])
+        for r in meta
+        if r["kind"] == "param"
+    }
+    num_subspaces, dim, quant_scale = p["num_subspaces"], p["dim"], p["quant_scale"]
+    sublen = dim // num_subspaces
     coarse_rows = sorted((r for r in meta if r["kind"] == "coarse"), key=lambda r: r["idx"])
     pq_rows = sorted((r for r in meta if r["kind"] == "pq"), key=lambda r: r["idx"])
-    coarse = _quantize_rows([r["vec"] for r in coarse_rows], quant_scale)
-    cents = _quantize_rows([r["vec"] for r in pq_rows], quant_scale).reshape(
+    coarse = pq_quantize_rows([r["vec"] for r in coarse_rows], quant_scale)
+    cents = pq_quantize_rows([r["vec"] for r in pq_rows], quant_scale).reshape(
         len(pq_rows), num_subspaces, sublen
     )
 
@@ -169,7 +201,7 @@ def ivfpq_search(
     _guard_driver_bytes("ivfpq_search query set", len(q_rows), dim)
     q_rows.sort(key=lambda r: r[id_col])
     q_ids = np.array([r[id_col] for r in q_rows], dtype=np.int64)
-    qmat = _quantize_rows([r[vec_col] for r in q_rows], quant_scale)
+    qmat = pq_quantize_rows([r[vec_col] for r in q_rows], quant_scale)
     qm = qmat.reshape(len(q_rows), num_subspaces, sublen)
     qdiff = qm[:, None, :, :] - cents[None, :, :, :]
     dtab = (qdiff * qdiff).sum(axis=3).transpose(0, 2, 1)  # [Q, M, K]
@@ -188,14 +220,18 @@ def ivfpq_search(
     }
     probed_union = sorted(set().union(*probes.values())) if probes else []
 
-    # the session disables partition-column type inference, so ``cell``
-    # reads back as a STRING partition value: filter on the raw column
-    # (that is what partition pruning sees), then cast for the kernel
-    codes = (
-        spark.read.parquet(os.path.join(path, "codes"))
-        .filter(F.col("cell").isin([str(c) for c in probed_union]))
-        .withColumn("cell", F.col("cell").cast("int"))
-    )
+    # partition-pruning filter: literal type must MATCH the partition
+    # column's read type, or the implicit cast wraps the column and the
+    # CatalogFileIndex stops pruning (partition-type inference makes it
+    # int on default sessions, string when inference is disabled — this
+    # project's session config)
+    raw = spark.read.parquet(os.path.join(path, "codes"))
+    if isinstance(raw.schema["cell"].dataType, StringType):
+        cell_filter = F.col("cell").isin([str(c) for c in probed_union])
+    else:
+        cell_filter = F.col("cell").isin(probed_union)
+    codes = raw.filter(cell_filter).withColumn("cell", F.col("cell").cast("int"))
+
     out_schema = f"query_id long, {id_col} long, adc_dist long"
     m_idx = np.arange(num_subspaces)[None, :]
 

@@ -1022,10 +1022,19 @@ def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_orderkey").alias("k"))
         .filter((F.col("k") > 1) & (F.col("k") < 1024))
     )
-    present = {r["k"] for r in keys.collect()}
-    # the statement's own WHERE is the contract that makes this collect
-    # legal — enforce it the way similarity.py guards its driver state
-    assert len(present) < 1024, "bounded-recursion contract violated"
+    rows = keys.collect()
+    # The WHERE bound (k < 1024) is what makes this collect legal; the
+    # check guards FUTURE EDITS that widen the filter without revisiting
+    # the driver-side fixpoint (a real exception, not an assert — asserts
+    # strip under -O). It counts raw rows, pre-dedup, so a duplicate-key
+    # regression in the source also trips it.
+    if len(rows) >= 1024:
+        raise ValueError(
+            "bounded-recursion contract violated: the pushed-down key range "
+            f"returned {len(rows)} rows; widen-the-filter edits must move this "
+            "query to the iterative-loop pattern (x71/x98)"
+        )
+    present = {r["k"] for r in rows}
 
     # the UNION ALL fixpoint: anchor k=1 at depth 0; children of p are
     # exactly {2p, 2p+1} (floor(k/2) = p), admitted while parent

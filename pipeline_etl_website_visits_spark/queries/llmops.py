@@ -879,6 +879,7 @@ def x117(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pipeline_etl_website_visits_spark.operators.vector_index import (
         build_ivfpq_index,
+        index_is_complete,
         ivfpq_search,
     )
 
@@ -888,8 +889,10 @@ def x117(spark: SparkSession, sf_dir: str) -> DataFrame:
     # encode ONCE per corpus dir, search many: repeat calls (bench's
     # min-of-N, repeated gate runs) hit the stored codes — which is the
     # artifact's whole contract; the test data behind a sf_dir is
-    # immutable, so a completed build (_SUCCESS) never goes stale
-    if not os.path.exists(os.path.join(path, "codes", "_SUCCESS")):
+    # immutable, so a COMMITTED build never goes stale. The completeness
+    # probe is meta's _SUCCESS (written last), so a build killed between
+    # the codes and meta writes retries instead of wedging every later run.
+    if not index_is_complete(path):
         build_ivfpq_index(emb, path, num_coarse=4)
     queries = emb.filter(F.col("vec_id") < 10)
     return ivfpq_search(spark, path, queries, k=5, nprobe=4).orderBy(

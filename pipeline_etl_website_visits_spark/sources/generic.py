@@ -87,9 +87,9 @@ def read_jsonl_quarantined(
     schema: StructType | str,
     glob: str | None = None,
     **options: str,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """JSONL corpus ingestion with corrupt-record quarantine: returns
-    ``(valid, quarantine)``.
+    ``(valid, quarantine, parsed)``.
 
     The practical reality of web-scale JSONL is that some fraction of
     lines are truncated, mis-encoded, or schema-violating; failing the
@@ -106,9 +106,10 @@ def read_jsonl_quarantined(
     contract) and DISALLOWS projecting only the corrupt column straight
     off a raw file scan — the parsed frame is therefore cached (the
     exception's own prescribed remedy), which is also what you want: both
-    branches consume the same parse. The cache entry lives until
-    ``valid.unpersist()`` / ``spark.catalog.clearCache()``; ingestion
-    jobs write both branches immediately, so the scope is one job.
+    branches consume the same parse. The third return value ``parsed`` IS
+    the cached frame: call ``parsed.unpersist()`` once both branches are
+    written (unpersisting a DERIVED frame like ``valid`` is a silent
+    no-op — only the cached plan itself releases the entry).
     """
     from pyspark.sql import functions as F
     from pyspark.sql.types import StringType
@@ -130,7 +131,7 @@ def read_jsonl_quarantined(
     quarantine = df.filter(F.col("_corrupt_record").isNotNull()).select(
         F.col("_corrupt_record").alias("raw_line")
     )
-    return valid, quarantine
+    return valid, quarantine, df
 
 
 def write_training_shards(

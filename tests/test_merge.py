@@ -334,6 +334,32 @@ def test_bucketed_forget_rewrites_one_bucket(spark, tmp_path, target, source):
     assert len(emails) == 3
 
 
+def test_partitioned_to_bucketed_migration(spark, tmp_path, target, source):
+    """Opting INTO bucketed mode over an existing hash-partitioned snapshot
+    must full-rewrite into the bucketed layout — carrying plain parquet
+    files into a catalog-bucketed table by partition reference would make
+    the scan throw 'Invalid bucket file' (bucket ids come from file
+    names). The snapshot must stay readable and correct."""
+    root = str(tmp_path / "whm2")
+    whp = Warehouse(spark, root, n_buckets=8)
+    whp.write_visitantes(target, applied_key="seed")
+    assert not whp._current_visitantes_version().startswith("tbl:")
+
+    whb = Warehouse(spark, root, n_buckets=8, bucketed=True)
+    whb.merge_visitantes(source, process_date=PROCESS_DATE, applied_key="m1")
+    v = whb._current_visitantes_version()
+    assert v.startswith("tbl:")
+    out = {r["email"]: r["visitasTotales"] for r in whb.read_visitantes().collect()}
+    assert out["match-same-month@example.com"] == 13 and len(out) == 5
+    assert whb.visitantes_applied() == {"seed", "m1"}
+    # and the NEXT merge in bucketed mode is incremental (layout matches)
+    one = source.filter(F.col("email") == "new-visitor@example.com")
+    whb.merge_visitantes(one, process_date=PROCESS_DATE, applied_key="m2")
+    v2 = whb._current_visitantes_version()
+    assert len(_bucket_dirs(root, whb._version_dir(v2))) == 1
+    assert whb.read_visitantes().count() == 5
+
+
 def test_bucketed_to_partitioned_migration(spark, tmp_path, target, source):
     """Opting back out of bucketed mode migrates on the next merge."""
     root = str(tmp_path / "whm")

@@ -74,7 +74,7 @@ def test_jsonl_quarantine_splits_corrupt_lines(spark, tmp_path):
         '{"doc_id": "NaN?", "text": 42}\n'            # schema-violating types
         '{"doc_id": 3, "text": "another good one"}\n'
     )
-    valid, quarantine = read_jsonl_quarantined(
+    valid, quarantine, parsed = read_jsonl_quarantined(
         spark, str(p), "doc_id long, text string"
     )
     rows = {r["doc_id"]: r["text"] for r in valid.collect()}
@@ -83,6 +83,10 @@ def test_jsonl_quarantine_splits_corrupt_lines(spark, tmp_path):
     assert len(q) == 2
     assert any("truncated" in line for line in q)  # raw line kept verbatim
     assert "_corrupt_record" not in valid.columns
+    # the returned handle releases the one pinned parse
+    assert parsed.storageLevel.useMemory
+    parsed.unpersist()
+    assert not parsed.storageLevel.useMemory
 
 
 def test_training_shards_bounded_and_ordered(spark, tmp_path):
