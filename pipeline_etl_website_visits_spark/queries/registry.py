@@ -63,7 +63,7 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # cache scope, x79 bounded-inline twin, x84 fused collects, x58/x59
 # single-exchange folds, q00/q10 unified bucketed merge), then the
 # stalest rows: all 15 round-1-latest, then round-2-latest up to slot 50.
-# The 16 remaining round-2-latest names spill past slot 50 to round 6
+# The 17 remaining round-2-latest names spill past slot 50 to round 6
 # (every one has 2 green driver rows and an unchanged implementation
 # since round 2).
 DRIVER_ORDER: tuple[str, ...] = (
@@ -81,7 +81,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x118_promo_revenue",
     "x119_disjunctive_revenue",
     "x120_top_supplier",
-    # -- (a) red in r4 (x106) or implementation changed in round 5 (11) --
+    # -- (a) red in r4 (x106) or implementation changed in round 5 (12) --
+    "x82_embed_pq_codes",
     "x59_bigram_rarity",
     "x106_label_centroids",
     "x92_heavy_hitters",
@@ -109,7 +110,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q45_cube",
     "q46_window_rank_lag",
     "q47_window_frame_running_sum",
-    # -- (c) latest driver row is round 2, first 12 fill to slot 50 --
+    # -- (c) latest driver row is round 2, first 11 fill to slot 50 --
     "q48_having",
     "q49_conditional_agg",
     "q50_scalar_subquery",
@@ -121,8 +122,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q57_inline_lookup_join",
     "q58_star_join",
     "q59_sql_identical_text",
-    "q61_pivot",
     # ---- slot 50 boundary: everything below is round-6 spillover ----
+    "q61_pivot",
     "q62_variance_manual",
     "x36_approx_count_distinct",
     "x37_approx_percentile",
