@@ -2174,3 +2174,51 @@ def x120(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_rev_cents")
         .orderBy("s_suppkey")
     )
+
+
+# --------------------------------------------------------------------------
+# x121 — TPC-H Q7 shape: symmetric nation-pair volume over a double-aliased
+# dimension
+#
+# The one classic join shape the suite lacked: nation joins TWICE under
+# different aliases (supplier's nation, customer's nation) with a
+# SYMMETRIC disjunctive pair predicate — the planner must broadcast the
+# 25-row dim into both legs (never self-join nation against itself first)
+# and keep the pair predicate as a cheap post-join filter while the fact
+# date window pushes to the scan. EXTRACT(YEAR ...) is portable; cents
+# discipline as in x118. Identical statement text on both engines.
+# --------------------------------------------------------------------------
+_X121_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume_cents) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(EXTRACT(YEAR FROM CAST(l.l_shipdate AS DATE)) AS INT) AS l_year,
+             CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS volume_cents
+      FROM supplier s
+      JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND CAST(l.l_shipdate AS DATE) >= DATE '1995-01-01'
+        AND CAST(l.l_shipdate AS DATE) < DATE '1997-01-01'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query(
+    "x121_nation_volume",
+    oracle=_X121_SQL,
+    certifies="TPC-H Q7 shape: double-aliased dimension join with a symmetric disjunctive pair predicate — identical statement text both engines",
+    tags=("sql", "tpch"),
+)
+def x121(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("supplier", "lineitem", "orders", "customer", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_X121_SQL)
