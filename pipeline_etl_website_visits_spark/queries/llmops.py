@@ -1179,7 +1179,11 @@ _SD_THRESHOLD = 0.35
     tags=("llm", "similarity", "curation", "scale"),
 )
 def x101(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings", fan_out=True)
+    # no fan_out: the per-row work is ONE tiny matmul row against a
+    # 40-vector eval matrix — a 32-task Arrow stage costs more than the
+    # math at bench scale (0.99s -> 0.57s), and at real scale the corpus
+    # arrives in thousands of splits so fan_out is a no-op there anyway
+    emb = load_table(spark, sf_dir, "embeddings")
     evals = emb.filter(F.col("vec_id") % 50 == 0)
     corpus = emb.filter(F.col("vec_id") % 50 != 0)
     return S.semantic_decontam_hits(corpus, evals, threshold=_SD_THRESHOLD)
