@@ -265,3 +265,74 @@ def ivfpq_search(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def append_to_ivfpq_index(new_vectors: DataFrame, path: str,
+                          id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+    """Append a batch of new vectors to an EXISTING index — the steady-state
+    ingestion path ("encode once, append forever"): daily embedding batches
+    land as new code files inside their coarse cells' partitions, with the
+    geometry and centroids read from the STORED meta (never re-derived from
+    the batch — a batch-local codebook would silently fork the index's
+    distance space).
+
+    One map-only Arrow pass over the batch + a partitioned parquet APPEND:
+    no shuffle, no rewrite of existing cells, searches pick the new rows up
+    immediately (same partition dirs). The codebook stays frozen — the
+    standard IVF-PQ production contract (FAISS add_with_ids); re-training
+    centroids is an explicit full rebuild, not an append.
+    """
+    if not index_is_complete(path):
+        raise ValueError(f"no committed index at {path}; run build_ivfpq_index first")
+    spark = new_vectors.sparkSession
+    meta = spark.read.parquet(os.path.join(path, "meta")).collect()
+    p = {
+        _PARAM_NAMES[r["idx"]]: int(r["vec"][0]) for r in meta if r["kind"] == "param"
+    }
+    num_subspaces, dim, quant_scale = p["num_subspaces"], p["dim"], p["quant_scale"]
+    sublen = dim // num_subspaces
+    coarse_rows = sorted((r for r in meta if r["kind"] == "coarse"), key=lambda r: r["idx"])
+    pq_rows = sorted((r for r in meta if r["kind"] == "pq"), key=lambda r: r["idx"])
+    coarse = pq_quantize_rows([r["vec"] for r in coarse_rows], quant_scale)
+    cents = pq_quantize_rows([r["vec"] for r in pq_rows], quant_scale).reshape(
+        len(pq_rows), num_subspaces, sublen
+    )
+    out_schema = f"{id_col} long, cell int, codes array<int>"
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            q = pq_quantize_rows(pdf[vec_col].to_numpy(), quant_scale)
+            cd = q[:, None, :] - coarse[None, :, :]
+            cell = (cd * cd).sum(axis=2).argmin(axis=1).astype(np.int32)
+            codes, _ = pq_code_batch(q, cents, num_subspaces, sublen)
+            yield pd.DataFrame(
+                {id_col: ids, "cell": cell, "codes": list(codes.astype(np.int32))}
+            )
+
+    (
+        new_vectors.select(id_col, vec_col)
+        .mapInPandas(encode, out_schema)
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(os.path.join(path, "codes"))
+    )
+
+
+def index_cell_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-cell vector counts — the skew monitor for the stored index.
+
+    An unbalanced coarse quantizer concentrates searches on a few hot
+    cells (the IVF analogue of a skewed shuffle key); this one aggregate
+    over the codes table (cells only — column-pruned to the partition
+    column, no code bytes read) is what an operator watches to decide a
+    centroid re-train / cell split.
+    """
+    return (
+        spark.read.parquet(os.path.join(path, "codes"))
+        .groupBy(F.col("cell").cast("int").alias("cell"))
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+        .orderBy("cell")
+    )

@@ -86,3 +86,39 @@ def test_warehouse_roundtrip(spark, emb, tmp_path):
     # a query's own vector is its nearest neighbor at distance 0
     self_hits = {r["query_id"] for r in got if r["vec_id"] == r["query_id"] and r["adc_dist"] == 0}
     assert self_hits == {0, 1}
+
+
+def test_append_then_search_equals_full_rebuild(spark, emb, tmp_path):
+    """Steady-state ingestion: append a batch to an existing index; the
+    search answers over old+new vectors and is bit-identical to an index
+    built over the union (the codebook is frozen by contract, so encode
+    order cannot matter)."""
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        append_to_ivfpq_index,
+        index_cell_stats,
+    )
+
+    base = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    p_inc = str(tmp_path / "inc")
+    p_full = str(tmp_path / "full")
+    build_ivfpq_index(base, p_inc, num_coarse=4)
+    append_to_ivfpq_index(batch, p_inc)
+    build_ivfpq_index(emb, p_full, num_coarse=4)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    inc = _rows(ivfpq_search(spark, p_inc, queries, k=4, nprobe=4))
+    full = _rows(ivfpq_search(spark, p_full, queries, k=4, nprobe=4))
+    assert inc == full and len(inc) == 5 * 4
+    # appended vectors are represented in the cell stats
+    stats = {r["cell"]: r["n_vectors"] for r in index_cell_stats(spark, p_inc).collect()}
+    assert sum(stats.values()) == emb.count()
+
+
+def test_append_requires_committed_index(spark, emb, tmp_path):
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        append_to_ivfpq_index,
+    )
+
+    with pytest.raises(ValueError, match="no committed index"):
+        append_to_ivfpq_index(emb, str(tmp_path / "nope"))
