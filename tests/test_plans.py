@@ -400,6 +400,25 @@ def test_incremental_mv_merges_without_extra_exchange(spark):
     assert plan.count("Exchange hashpartitioning") == 2, plan
 
 
+def test_tfidf_shares_one_token_exchange(spark):
+    """x58 (round-5 fold): repartition(token) must satisfy BOTH the
+    (token, doc) aggregate's clustered distribution (subset partitioning)
+    and the doc-frequency count window — exactly TWO hash exchanges in
+    the plan (token + the final per-doc rank window). A Catalyst
+    regression to three would mean the fold silently stopped working."""
+    df = REGISTRY["x58_tfidf_top_terms"].spark(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_bigram_rarity_shares_one_bigram_exchange(spark):
+    """x59: same subset-partitioning fold — two hash exchanges total
+    (bigram + the final per-doc aggregate)."""
+    df = REGISTRY["x59_bigram_rarity"].spark(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
 def test_semantic_decontam_corpus_scan_is_map_only(spark):
     """x101: the eval side is closed over (broadcast by construction); the
     corpus path has NO join and NO hash exchange — scan → Arrow map →
