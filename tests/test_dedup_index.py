@@ -1,0 +1,60 @@
+"""Stored gram index: the dedup counterpart of the stored vector index —
+persist the corpus inverted index once, score every batch against it."""
+
+import pyspark.sql.functions as F
+
+from pipeline_etl_website_visits_spark.operators.dedup import (
+    append_to_gram_index,
+    containment_dedup_vs_stored,
+    incremental_containment_dedup,
+    save_gram_index,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_stored_index_matches_inline_operator(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    save_gram_index(corpus, "gram_idx_t1", str(tmp_path / "gidx"), "text", "doc_id", n=3)
+    stored = containment_dedup_vs_stored(
+        batch, spark.table("gram_idx_t1"), "text", "doc_id", n=3, threshold=0.5
+    )
+    inline = incremental_containment_dedup(corpus, batch, "text", "doc_id", n=3, threshold=0.5)
+    assert _rows(stored) == _rows(inline)
+    spark.sql("DROP TABLE IF EXISTS gram_idx_t1")
+
+
+def test_append_equals_rebuild_and_index_side_is_exchange_free(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    base = docs.filter(F.col("doc_id") % 3 == 0)
+    ingested = docs.filter(F.col("doc_id") % 3 == 1)
+    batch = docs.filter(F.col("doc_id") % 3 == 2)
+
+    save_gram_index(base, "gram_idx_t2", str(tmp_path / "g2"), "text", "doc_id", n=3)
+    append_to_gram_index(ingested, "gram_idx_t2", "text", "doc_id", n=3)
+    save_gram_index(
+        docs.filter(F.col("doc_id") % 3 != 2), "gram_idx_t3", str(tmp_path / "g3"),
+        "text", "doc_id", n=3,
+    )
+    a = containment_dedup_vs_stored(batch, spark.table("gram_idx_t2"), "text", "doc_id")
+    b = containment_dedup_vs_stored(batch, spark.table("gram_idx_t3"), "text", "doc_id")
+    assert _rows(a) == _rows(b) and len(_rows(a)) > 0
+
+    # the stored-index side of the gram join must read bucket-aligned and
+    # NEVER shuffle: at most ONE gram exchange can appear (the incoming
+    # side under a sort-merge plan; zero when the small batch broadcasts,
+    # as at this scale)
+    plan = a._jdf.queryExecution().executedPlan().toString()
+    assert "Bucketed: true" in plan, plan
+    n_gram_exchanges = sum(
+        1 for line in plan.splitlines() if "Exchange hashpartitioning(gram" in line
+    )
+    assert n_gram_exchanges <= 1, plan
+    for t in ("gram_idx_t2", "gram_idx_t3"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
