@@ -154,6 +154,38 @@ class Warehouse:
 
         return ivfpq_search(self.spark, self.path(f"vindex_{name}"), queries, **kw)
 
+    # -- stored gram index (incremental-dedup counterpart of the vector
+    #    index: shingle the corpus once, score every batch against it) ---
+    def write_gram_index(
+        self, corpus: DataFrame, name: str = "documents", text_col: str = "text",
+        id_col: str = "doc_id", **kw,
+    ) -> str:
+        """Persist the corpus inverted gram index under the warehouse root
+        as a gram-bucketed catalog table; returns the table name (pass it
+        to :meth:`dedup_against_gram_index` / ``append_to_gram_index``)."""
+        from pipeline_etl_website_visits_spark.operators.dedup import save_gram_index
+
+        table = f"gramidx_{self._bucketed_table_name(0).split('_')[1]}_{name}"
+        save_gram_index(
+            corpus, table, self.path(f"gramidx_{name}"), text_col, id_col, **kw
+        )
+        return table
+
+    def dedup_against_gram_index(
+        self, incoming: DataFrame, table: str, text_col: str = "text",
+        id_col: str = "doc_id", **kw,
+    ) -> DataFrame:
+        """Incremental containment dedup of a batch vs the STORED index —
+        only the batch's grams shuffle (the index side reads
+        bucket-aligned; see operators/dedup.py)."""
+        from pipeline_etl_website_visits_spark.operators.dedup import (
+            containment_dedup_vs_stored,
+        )
+
+        return containment_dedup_vs_stored(
+            incoming, self.spark.table(table), text_col, id_col, **kw
+        )
+
     def read(self, table: str) -> DataFrame | None:
         """Current contents of an append table: live per-file partitions plus
         the compacted region (if :meth:`compact` has run), LIVE WINS — a

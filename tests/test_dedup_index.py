@@ -58,3 +58,20 @@ def test_append_equals_rebuild_and_index_side_is_exchange_free(spark, tmp_path):
     assert n_gram_exchanges <= 1, plan
     for t in ("gram_idx_t2", "gram_idx_t3"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_warehouse_gram_index_roundtrip(spark, tmp_path):
+    from pipeline_etl_website_visits_spark.etl.load import Warehouse
+    from pipeline_etl_website_visits_spark.operators.dedup import (
+        incremental_containment_dedup,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    wh = Warehouse(spark, str(tmp_path / "whg"))
+    table = wh.write_gram_index(corpus, name="docs", n=3)
+    stored = wh.dedup_against_gram_index(batch, table, n=3, threshold=0.5)
+    inline = incremental_containment_dedup(corpus, batch, "text", "doc_id", n=3, threshold=0.5)
+    assert _rows(stored) == _rows(inline)
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
