@@ -73,6 +73,24 @@ def main() -> int:
         if spec.oracle is None:
             print(f"ok   {name}: rows-only ({len(srows)} rows)")
             continue
+        # the DRIVER canonicalizes via pandas sort_values over all columns,
+        # which dies on unhashable cells (TypeError: unhashable type:
+        # 'list') — the exact trap that cost x106 a round-4 gate row while
+        # this replica's list-aware canon_value masked it. Fail loudly
+        # here instead.
+        nonscalar = [
+            f.name
+            for f in sdf.schema.fields
+            if f.dataType.typeName() in ("array", "map", "struct")
+        ]
+        if nonscalar:
+            failures.append(name)
+            print(
+                f"FAIL {name}: oracle-backed query emits non-scalar columns "
+                f"{nonscalar} — the driver's pandas canonicalizer cannot hash "
+                "them; emit a joined string (the q56/x106 convention)"
+            )
+            continue
         try:
             ores = con.execute(spec.oracle)
             ocols = [d[0].lower() for d in ores.description]
