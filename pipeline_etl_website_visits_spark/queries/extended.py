@@ -2183,10 +2183,17 @@ def x120(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The one classic join shape the suite lacked: nation joins TWICE under
 # different aliases (supplier's nation, customer's nation) with a
 # SYMMETRIC disjunctive pair predicate — the planner must broadcast the
-# 25-row dim into both legs (never self-join nation against itself first)
-# and keep the pair predicate as a cheap post-join filter while the fact
-# date window pushes to the scan. EXTRACT(YEAR ...) is portable; cents
-# discipline as in x118. Identical statement text on both engines.
+# 25-row dim into both legs (never self-join nation against itself
+# first), EXTRACT the common nation IN-list conjuncts from the
+# disjunction down to BOTH nation scans (plan-verified: PushedFilters
+# carries the Or), and keep the full pair predicate as a cheap post-join
+# filter while the fact date window pushes to the scan. The statement
+# lists supplier⋈nation FIRST: without CBO stats Catalyst joins in
+# syntactic order, so the nation-pruned supplier side (~2/19 of
+# suppliers) semi-reduces the fact before the orders/customer legs — the
+# order a stats-driven planner would pick. EXTRACT(YEAR ...) is
+# portable; cents discipline as in x118. Identical statement text on
+# both engines (DuckDB reorders on its own statistics).
 # --------------------------------------------------------------------------
 _X121_SQL = """
     SELECT supp_nation, cust_nation, l_year,
@@ -2197,10 +2204,10 @@ _X121_SQL = """
              CAST(EXTRACT(YEAR FROM CAST(l.l_shipdate AS DATE)) AS INT) AS l_year,
              CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT) AS volume_cents
       FROM supplier s
+      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
       JOIN lineitem l ON s.s_suppkey = l.l_suppkey
       JOIN orders o ON o.o_orderkey = l.l_orderkey
       JOIN customer c ON c.c_custkey = o.o_custkey
-      JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
       JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
       WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
           OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
