@@ -912,9 +912,7 @@ def x117(spark: SparkSession, sf_dir: str) -> DataFrame:
 _X85_THRESHOLD = 0.5
 
 
-@query(
-    "x85_incremental_dedup",
-    oracle=f"""
+_X85_ORACLE = f"""
     WITH g AS (
       SELECT doc_id, unnest(list_distinct(list_transform(
                range(1, len(lst) - 1),
@@ -940,7 +938,12 @@ _X85_THRESHOLD = 0.5
            (CAST(((inter * 2000 + sz) // (2 * sz)) / 1000.0 AS DOUBLE) >= {_X85_THRESHOLD}) AS dropped
     FROM best JOIN isz USING (new_id)
     WHERE rn = 1 ORDER BY doc_id
-    """,
+"""
+
+
+@query(
+    "x85_incremental_dedup",
+    oracle=_X85_ORACLE,
     certifies="X3 incremental near-dup dedup: new batch vs existing corpus, inverted-index containment + best-match decision",
     tags=("llm", "dedup"),
 )
@@ -950,6 +953,53 @@ def x85(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = docs.filter(F.col("doc_id") % 2 == 1)
     return D.incremental_containment_dedup(
         corpus, incoming, "text", "doc_id", n=3, threshold=_X85_THRESHOLD
+    ).orderBy("doc_id")
+
+
+# --------------------------------------------------------------------------
+# x122 — incremental dedup answered from the STORED gram index
+#
+# x85 certifies the scoring math with an inline corpus index; x122
+# certifies the deployed ARTIFACT: save_gram_index persists the corpus
+# inverted index as a gram-bucketed catalog table (built once per corpus
+# dir, reused across calls — the x117 build-once discipline), and
+# containment_dedup_vs_stored answers the same batch-vs-corpus decision
+# from it through the SAME scoring half (shared helper), so the x85
+# oracle replays it bit-for-bit. The bucketed index side reads
+# exchange-free; only the batch's grams ever shuffle (plan-asserted in
+# tests/test_dedup_index.py).
+# --------------------------------------------------------------------------
+@query(
+    "x122_stored_gram_dedup",
+    oracle=_X85_ORACLE,
+    certifies="X3 stored gram index: persisted gram-bucketed corpus index + batch dedup from storage, bit-identical to the inline path",
+    tags=("llm", "dedup", "scale"),
+)
+def x122(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import tempfile
+
+    from pipeline_etl_website_visits_spark.operators.dedup import (
+        containment_dedup_vs_stored,
+        save_gram_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    table = f"gramidx_q_{tag}"
+    if not spark.catalog.tableExists(table):
+        save_gram_index(
+            corpus,
+            table,
+            os.path.join(tempfile.gettempdir(), f"spark_graft_gramidx_{tag}"),
+            "text",
+            "doc_id",
+            n=3,
+        )
+    return containment_dedup_vs_stored(
+        incoming, spark.table(table), "text", "doc_id", n=3, threshold=_X85_THRESHOLD
     ).orderBy("doc_id")
 
 

@@ -51,19 +51,19 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in dict order; with 152 registered queries we rotate so every query's
+# in dict order; with 153 registered queries we rotate so every query's
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-5 pinning rule (VERDICT r4 item 2): HEAD = the 13 never-checked
-# names (x109-x116 from round 4's late registrations, x117-x121 new in
+# Round-5 pinning rule (VERDICT r4 item 2): HEAD = the 14 never-checked
+# names (x109-x116 from round 4's late registrations, x117-x122 new in
 # round 5), then the one red r4 row (x106, output format fixed this
 # round) and every query whose implementation changed in round 5 (x92
 # heavy-hitter eager rework, x107/x108 scd2 insert branch, x98 pagerank
 # cache scope, x79 bounded-inline twin, x84 fused collects, x58/x59
 # single-exchange folds, q00/q10 unified bucketed merge), then the
 # stalest rows: all 15 round-1-latest, then round-2-latest up to slot 50.
-# The 18 remaining round-2-latest names spill past slot 50 to round 6
+# The 19 remaining round-2-latest names spill past slot 50 to round 6
 # (every one has 2 green driver rows and an unchanged implementation
 # since round 2).
 DRIVER_ORDER: tuple[str, ...] = (
@@ -76,12 +76,13 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x114_neardup_triangles",
     "x115_repetition_scrub",
     "x116_cheapest_supplier",
-    # -- (a0b) NEW in round 5 -- never driver-checked (5) --
+    # -- (a0b) NEW in round 5 -- never driver-checked (6) --
     "x117_stored_index_search",
     "x118_promo_revenue",
     "x119_disjunctive_revenue",
     "x120_top_supplier",
     "x121_nation_volume",
+    "x122_stored_gram_dedup",
     # -- (a) red in r4 (x106) or implementation changed in round 5 (12) --
     "x82_embed_pq_codes",
     "x59_bigram_rarity",
@@ -111,7 +112,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q45_cube",
     "q46_window_rank_lag",
     "q47_window_frame_running_sum",
-    # -- (c) latest driver row is round 2, first 10 fill to slot 50 --
+    # -- (c) latest driver row is round 2, first 9 fill to slot 50 --
     "q48_having",
     "q49_conditional_agg",
     "q50_scalar_subquery",
@@ -121,8 +122,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q54_date_funcs",
     "q55_json_extract",
     "q57_inline_lookup_join",
-    "q58_star_join",
     # ---- slot 50 boundary: everything below is round-6 spillover ----
+    "q58_star_join",
     "q59_sql_identical_text",
     "q61_pivot",
     "q62_variance_manual",
