@@ -119,3 +119,25 @@ def test_training_shards_bounded_and_ordered(spark, tmp_path):
     seen_ranges.sort()
     for (lo1, hi1), (lo2, hi2) in zip(seen_ranges, seen_ranges[1:]):
         assert hi1 < lo2 or (lo1, hi1) == (lo2, hi2)
+
+
+def test_training_shards_jsonl_format(spark, tmp_path):
+    """format='json' emits the JSONL interchange form most training
+    data-loaders read — line-parseable, all rows present."""
+    import json
+    import os
+
+    from pipeline_etl_website_visits_spark.sources.generic import write_training_shards
+
+    df = spark.range(100).selectExpr("id", "concat('doc-', id) AS text")
+    out = str(tmp_path / "jsonl_shards")
+    write_training_shards(df, out, shard_rows=40, order_col="id", format="json")
+    files = [os.path.join(out, f) for f in os.listdir(out) if f.endswith(".json")]
+    assert files
+    rows = []
+    for f in files:
+        with open(f) as fh:
+            for line in fh:
+                rows.append(json.loads(line))
+    assert len(rows) == 100
+    assert {r["text"] for r in rows} == {f"doc-{i}" for i in range(100)}
