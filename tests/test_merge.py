@@ -290,6 +290,35 @@ def test_bucketed_merge_is_exchange_free_AND_touched_bucket(spark, tmp_path, tar
     assert wh.visitantes_applied() == {"seed", "one"}
 
 
+def test_bucketed_gc_keeps_partition_referenced_dirs(spark, tmp_path, target, source):
+    """Version dirs still referenced by the current bucketed manifest (via
+    ALTER TABLE partition locations) must survive GC across several
+    incremental merges; the snapshot stays correct throughout."""
+    import os
+
+    root = str(tmp_path / "whbgc")
+    wh = Warehouse(spark, root, n_buckets=4, bucketed=True)
+    wh.write_visitantes(target, applied_key="seed")
+    for i, email in enumerate(
+        ["match-same-month@example.com", "new-visitor@example.com", "match-prev-year@example.com"]
+    ):
+        wh.merge_visitantes(
+            source.filter(F.col("email") == email),
+            process_date=PROCESS_DATE,
+            applied_key=f"k{i}",
+        )
+    cur = wh._current_visitantes_version()
+    _, refs = wh._visitantes_manifest(cur)
+    on_disk = {d for d in os.listdir(root) if d.startswith("visitantes_v")}
+    assert set(refs.values()) <= on_disk
+    out = {r["email"]: r["visitasTotales"] for r in wh.read_visitantes().collect()}
+    assert out["match-same-month@example.com"] == 13
+    assert out["new-visitor@example.com"] == 2
+    assert out["match-prev-year@example.com"] == 33
+    assert out["match-prev-month@example.com"] == 20
+    assert out["match-older-last@example.com"] == 5
+
+
 def test_bucketed_publish_crash_window_retry(spark, tmp_path, target, source):
     """Crash between the new bucketed version's table/dir creation and the
     pointer flip: the old version stays current (readers never see a
