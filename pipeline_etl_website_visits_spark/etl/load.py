@@ -156,6 +156,13 @@ class Warehouse:
 
     # -- stored gram index (incremental-dedup counterpart of the vector
     #    index: shingle the corpus once, score every batch against it) ---
+    def _root_tag(self) -> str:
+        """Short warehouse-root hash for catalog-name namespacing (shared
+        by the bucketed-snapshot tables and the gram-index tables)."""
+        import hashlib
+
+        return hashlib.md5(self.root.encode("utf-8")).hexdigest()[:8]
+
     def write_gram_index(
         self, corpus: DataFrame, name: str = "documents", text_col: str = "text",
         id_col: str = "doc_id", **kw,
@@ -165,7 +172,7 @@ class Warehouse:
         to :meth:`dedup_against_gram_index` / ``append_to_gram_index``)."""
         from pipeline_etl_website_visits_spark.operators.dedup import save_gram_index
 
-        table = f"gramidx_{self._bucketed_table_name(0).split('_')[1]}_{name}"
+        table = f"gramidx_{self._root_tag()}_{name}"
         save_gram_index(
             corpus, table, self.path(f"gramidx_{name}"), text_col, id_col, **kw
         )
@@ -173,17 +180,25 @@ class Warehouse:
 
     def dedup_against_gram_index(
         self, incoming: DataFrame, table: str, text_col: str = "text",
-        id_col: str = "doc_id", **kw,
+        id_col: str = "doc_id", n: int = 3, **kw,
     ) -> DataFrame:
         """Incremental containment dedup of a batch vs the STORED index —
         only the batch's grams shuffle (the index side reads
-        bucket-aligned; see operators/dedup.py)."""
+        bucket-aligned; see operators/dedup.py). Validates ``n`` against
+        the index's stored geometry: a mismatch would not error, it would
+        silently score every duplicate ~0."""
         from pipeline_etl_website_visits_spark.operators.dedup import (
             containment_dedup_vs_stored,
+            gram_index_n,
         )
 
+        stored_n = gram_index_n(self.spark, table)
+        if stored_n is not None and stored_n != n:
+            raise ValueError(
+                f"gram index {table} was built with n={stored_n}, search called with n={n}"
+            )
         return containment_dedup_vs_stored(
-            incoming, self.spark.table(table), text_col, id_col, **kw
+            incoming, self.spark.table(table), text_col, id_col, n=n, **kw
         )
 
     def read(self, table: str) -> DataFrame | None:
@@ -421,10 +436,7 @@ class Warehouse:
     def _bucketed_table_name(self, n: int) -> str:
         """Catalog name for a bucketed snapshot version — the warehouse root
         is folded in so concurrent warehouses in one session never collide."""
-        import hashlib
-
-        h = hashlib.md5(self.root.encode("utf-8")).hexdigest()[:8]
-        return f"visitantes_b{h}_v{n}"
+        return f"visitantes_b{self._root_tag()}_v{n}"
 
     def _bucket_col(self, n_buckets: int):
         # coalesce: hash(NULL) is NULL and a NULL bucket would fall out of

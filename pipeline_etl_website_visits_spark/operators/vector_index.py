@@ -103,20 +103,9 @@ def build_ivfpq_index(
     ).reshape(num_coarse, dim)
 
     out_schema = f"{id_col} long, cell int, codes array<int>"
-
-    def encode(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = pdf[id_col].to_numpy()
-            q = pq_quantize_rows(pdf[vec_col].to_numpy(), quant_scale)
-            # coarse cell: exact int64 L2, first-minimum = lowest cell id
-            cd = q[:, None, :] - coarse[None, :, :]
-            cell = (cd * cd).sum(axis=2).argmin(axis=1).astype(np.int32)
-            codes, _ = pq_code_batch(q, cents, num_subspaces, sublen)
-            yield pd.DataFrame(
-                {id_col: ids, "cell": cell, "codes": list(codes.astype(np.int32))}
-            )
+    encode = _make_encoder(
+        coarse, cents, num_subspaces, sublen, quant_scale, id_col, vec_col
+    )
 
     codes_dir = os.path.join(path, "codes")
     meta_dir = os.path.join(path, "meta")
@@ -137,28 +126,77 @@ def build_ivfpq_index(
     )
     meta_rows = (
         [
-            ("coarse", int(i), [float(x) for x in np.asarray(r["mvec"], dtype=np.float64)])
+            ("coarse", int(i), [float(x) for x in np.asarray(r["mvec"], dtype=np.float64)], None)
             for i, r in enumerate(rows[:num_coarse])
         ]
         + [
-            ("pq", int(i), [float(x) for x in np.asarray(r["mvec"], dtype=np.float64)])
+            ("pq", int(i), [float(x) for x in np.asarray(r["mvec"], dtype=np.float64)], None)
             for i, r in enumerate(rows[:num_centroids])
         ]
         # the geometry the codes were built with — searches MUST replay it
-        + [("param", i, [float(params[n])]) for i, n in enumerate(_PARAM_NAMES)]
+        + [("param", i, [float(params[n])], None) for i, n in enumerate(_PARAM_NAMES)]
     )
     # meta is written LAST: its _SUCCESS is the whole build's commit marker
-    spark.createDataFrame(
-        pd.DataFrame(meta_rows, columns=["kind", "idx", "vec"]),
-        "kind string, idx int, vec array<double>",
-    ).coalesce(1).write.mode("overwrite").parquet(meta_dir)
+    _write_meta(spark, meta_dir, meta_rows)
     return {"codes": codes_dir, "meta": meta_dir}
+
+
+def _write_meta(spark: SparkSession, meta_dir: str, meta_rows: list) -> None:
+    spark.createDataFrame(
+        pd.DataFrame(meta_rows, columns=["kind", "idx", "vec", "applied_key"]),
+        "kind string, idx int, vec array<double>, applied_key string",
+    ).coalesce(1).write.mode("overwrite").parquet(meta_dir)
 
 
 def index_is_complete(path: str) -> bool:
     """True when a prior build COMMITTED (meta's _SUCCESS exists — it is
     written last, so codes are guaranteed present too)."""
     return os.path.exists(os.path.join(path, "meta", "_SUCCESS"))
+
+
+def _load_meta(spark: SparkSession, path: str):
+    """(params dict, coarse [C, dim] int64, cents [K, M, sublen] int64,
+    applied-key set) from the stored meta table — THE single reader of the
+    index geometry, shared by search and append so the distance space can
+    never fork between them (the pq-kernel drift discipline)."""
+    mdf = spark.read.parquet(os.path.join(path, "meta"))
+    has_keys = "applied_key" in mdf.columns  # pre-applied-key indexes
+    meta = mdf.collect()
+    p = {
+        _PARAM_NAMES[r["idx"]]: int(r["vec"][0]) for r in meta if r["kind"] == "param"
+    }
+    sublen = p["dim"] // p["num_subspaces"]
+    coarse_rows = sorted((r for r in meta if r["kind"] == "coarse"), key=lambda r: r["idx"])
+    pq_rows = sorted((r for r in meta if r["kind"] == "pq"), key=lambda r: r["idx"])
+    coarse = pq_quantize_rows([r["vec"] for r in coarse_rows], p["quant_scale"])
+    cents = pq_quantize_rows([r["vec"] for r in pq_rows], p["quant_scale"]).reshape(
+        len(pq_rows), p["num_subspaces"], sublen
+    )
+    applied = (
+        {r["applied_key"] for r in meta if r["kind"] == "applied"} if has_keys else set()
+    )
+    return p, coarse, cents, applied, meta
+
+
+def _make_encoder(coarse, cents, num_subspaces: int, sublen: int, quant_scale: int,
+                  id_col: str, vec_col: str):
+    """The one Arrow encode kernel (cell assignment + PQ codes) shared by
+    build and append — first-minimum argmin everywhere."""
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            q = pq_quantize_rows(pdf[vec_col].to_numpy(), quant_scale)
+            cd = q[:, None, :] - coarse[None, :, :]
+            cell = (cd * cd).sum(axis=2).argmin(axis=1).astype(np.int32)
+            codes, _ = pq_code_batch(q, cents, num_subspaces, sublen)
+            yield pd.DataFrame(
+                {id_col: ids, "cell": cell, "codes": list(codes.astype(np.int32))}
+            )
+
+    return encode
 
 
 def ivfpq_search(
@@ -182,20 +220,9 @@ def ivfpq_search(
     same shared quantize/encode kernel, same int64 ADC tables, same
     (distance, id) tie-break.
     """
-    meta = spark.read.parquet(os.path.join(path, "meta")).collect()
-    p = {
-        _PARAM_NAMES[r["idx"]]: int(r["vec"][0])
-        for r in meta
-        if r["kind"] == "param"
-    }
+    p, coarse, cents, _, _ = _load_meta(spark, path)
     num_subspaces, dim, quant_scale = p["num_subspaces"], p["dim"], p["quant_scale"]
     sublen = dim // num_subspaces
-    coarse_rows = sorted((r for r in meta if r["kind"] == "coarse"), key=lambda r: r["idx"])
-    pq_rows = sorted((r for r in meta if r["kind"] == "pq"), key=lambda r: r["idx"])
-    coarse = pq_quantize_rows([r["vec"] for r in coarse_rows], quant_scale)
-    cents = pq_quantize_rows([r["vec"] for r in pq_rows], quant_scale).reshape(
-        len(pq_rows), num_subspaces, sublen
-    )
 
     q_rows = queries.select(id_col, vec_col).collect()
     _guard_driver_bytes("ivfpq_search query set", len(q_rows), dim)
@@ -267,14 +294,29 @@ def ivfpq_search(
     )
 
 
-def append_to_ivfpq_index(new_vectors: DataFrame, path: str,
-                          id_col: str = "vec_id", vec_col: str = "embedding") -> None:
+def append_to_ivfpq_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    applied_key: str | None = None,
+) -> bool:
     """Append a batch of new vectors to an EXISTING index — the steady-state
     ingestion path ("encode once, append forever"): daily embedding batches
     land as new code files inside their coarse cells' partitions, with the
     geometry and centroids read from the STORED meta (never re-derived from
     the batch — a batch-local codebook would silently fork the index's
-    distance space).
+    distance space). Shares the build's exact encode kernel and meta reader
+    (:func:`_make_encoder` / :func:`_load_meta`).
+
+    Redo-safety: pass ``applied_key`` (batch id / file name — the K4
+    discipline): an already-recorded key makes the call a NO-OP (returns
+    False), so at-least-once orchestration cannot double-append a batch
+    (duplicate codes would consume top-k slots). The key is recorded in
+    meta AFTER the codes append; a crash in that window re-appends on
+    retry — same documented crash-window contract as the warehouse's
+    compact/forget paths, with the same remedy (re-run converges after
+    the marker lands). Without a key the caller owns redo protection.
 
     One map-only Arrow pass over the batch + a partitioned parquet APPEND:
     no shuffle, no rewrite of existing cells, searches pick the new rows up
@@ -285,40 +327,28 @@ def append_to_ivfpq_index(new_vectors: DataFrame, path: str,
     if not index_is_complete(path):
         raise ValueError(f"no committed index at {path}; run build_ivfpq_index first")
     spark = new_vectors.sparkSession
-    meta = spark.read.parquet(os.path.join(path, "meta")).collect()
-    p = {
-        _PARAM_NAMES[r["idx"]]: int(r["vec"][0]) for r in meta if r["kind"] == "param"
-    }
+    p, coarse, cents, applied, meta_rows = _load_meta(spark, path)
+    if applied_key is not None and applied_key in applied:
+        return False
     num_subspaces, dim, quant_scale = p["num_subspaces"], p["dim"], p["quant_scale"]
     sublen = dim // num_subspaces
-    coarse_rows = sorted((r for r in meta if r["kind"] == "coarse"), key=lambda r: r["idx"])
-    pq_rows = sorted((r for r in meta if r["kind"] == "pq"), key=lambda r: r["idx"])
-    coarse = pq_quantize_rows([r["vec"] for r in coarse_rows], quant_scale)
-    cents = pq_quantize_rows([r["vec"] for r in pq_rows], quant_scale).reshape(
-        len(pq_rows), num_subspaces, sublen
+    encode = _make_encoder(
+        coarse, cents, num_subspaces, sublen, quant_scale, id_col, vec_col
     )
-    out_schema = f"{id_col} long, cell int, codes array<int>"
-
-    def encode(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = pdf[id_col].to_numpy()
-            q = pq_quantize_rows(pdf[vec_col].to_numpy(), quant_scale)
-            cd = q[:, None, :] - coarse[None, :, :]
-            cell = (cd * cd).sum(axis=2).argmin(axis=1).astype(np.int32)
-            codes, _ = pq_code_batch(q, cents, num_subspaces, sublen)
-            yield pd.DataFrame(
-                {id_col: ids, "cell": cell, "codes": list(codes.astype(np.int32))}
-            )
-
     (
         new_vectors.select(id_col, vec_col)
-        .mapInPandas(encode, out_schema)
+        .mapInPandas(encode, f"{id_col} long, cell int, codes array<int>")
         .write.mode("append")
         .partitionBy("cell")
         .parquet(os.path.join(path, "codes"))
     )
+    if applied_key is not None:
+        rows = [
+            (r["kind"], r["idx"], r["vec"], r.asDict().get("applied_key"))
+            for r in meta_rows
+        ] + [("applied", len(applied), None, applied_key)]
+        _write_meta(spark, os.path.join(path, "meta"), rows)
+    return True
 
 
 def index_cell_stats(spark: SparkSession, path: str) -> DataFrame:

@@ -981,6 +981,7 @@ def x122(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pipeline_etl_website_visits_spark.operators.dedup import (
         containment_dedup_vs_stored,
+        register_gram_index,
         save_gram_index,
     )
 
@@ -989,15 +990,16 @@ def x122(spark: SparkSession, sf_dir: str) -> DataFrame:
     incoming = docs.filter(F.col("doc_id") % 2 == 1)
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     table = f"gramidx_q_{tag}"
+    path = os.path.join(tempfile.gettempdir(), f"spark_graft_gramidx_{tag}")
     if not spark.catalog.tableExists(table):
-        save_gram_index(
-            corpus,
-            table,
-            os.path.join(tempfile.gettempdir(), f"spark_graft_gramidx_{tag}"),
-            "text",
-            "doc_id",
-            n=3,
-        )
+        # filesystem first (the x117 discipline): a COMMITTED on-disk index
+        # from a previous session is registered, never rewritten — a blind
+        # rebuild would clobber files another session may be scanning. The
+        # _SUCCESS gate also keeps a crashed half-build from being reused.
+        if os.path.exists(os.path.join(path, "_SUCCESS")):
+            register_gram_index(spark, table, path, n_buckets=32, n=3)
+        else:
+            save_gram_index(corpus, table, path, "text", "doc_id", n=3)
     return containment_dedup_vs_stored(
         incoming, spark.table(table), "text", "doc_id", n=3, threshold=_X85_THRESHOLD
     ).orderBy("doc_id")

@@ -75,3 +75,43 @@ def test_warehouse_gram_index_roundtrip(spark, tmp_path):
     inline = incremental_containment_dedup(corpus, batch, "text", "doc_id", n=3, threshold=0.5)
     assert _rows(stored) == _rows(inline)
     spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_gram_index_geometry_validation_and_redo_safety(spark, tmp_path):
+    """An n mismatch must error loudly (it would otherwise score every
+    duplicate ~0 silently); replaying an append with the same applied_key
+    is a no-op."""
+    import pytest
+
+    from pipeline_etl_website_visits_spark.etl.load import Warehouse
+    from pipeline_etl_website_visits_spark.operators.dedup import append_to_gram_index
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 1)
+    wh = Warehouse(spark, str(tmp_path / "whgv"))
+    table = wh.write_gram_index(corpus, name="docs", n=3)
+
+    with pytest.raises(ValueError, match="built with n=3"):
+        wh.dedup_against_gram_index(batch, table, n=4)
+    with pytest.raises(ValueError, match="built with n=3"):
+        append_to_gram_index(batch, table, "text", "doc_id", n=4)
+
+    n0 = spark.table(table).count()
+    assert append_to_gram_index(batch, table, "text", "doc_id", n=3, applied_key="b1") is True
+    n1 = spark.table(table).count()
+    assert n1 > n0
+    assert append_to_gram_index(batch, table, "text", "doc_id", n=3, applied_key="b1") is False
+    assert spark.table(table).count() == n1  # replay appended nothing
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_gram_index_rejects_bad_identifiers(spark, tmp_path):
+    import pytest
+
+    from pipeline_etl_website_visits_spark.etl.load import Warehouse
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(5)
+    wh = Warehouse(spark, str(tmp_path / "whgb"))
+    with pytest.raises(ValueError, match="invalid catalog identifier"):
+        wh.write_gram_index(docs, name="my-docs; DROP TABLE x")

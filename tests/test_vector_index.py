@@ -122,3 +122,26 @@ def test_append_requires_committed_index(spark, emb, tmp_path):
 
     with pytest.raises(ValueError, match="no committed index"):
         append_to_ivfpq_index(emb, str(tmp_path / "nope"))
+
+
+def test_append_applied_key_is_redo_safe(spark, emb, tmp_path):
+    """Re-running an append with the same applied_key is a no-op — the
+    at-least-once ingestion scenario cannot double-insert codes (which
+    would consume top-k slots with duplicates)."""
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        append_to_ivfpq_index,
+        index_cell_stats,
+    )
+
+    base = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    p = str(tmp_path / "redo")
+    build_ivfpq_index(base, p, num_coarse=4)
+    assert append_to_ivfpq_index(batch, p, applied_key="day1") is True
+    n1 = sum(r["n_vectors"] for r in index_cell_stats(spark, p).collect())
+    # replay: skipped, counts unchanged
+    assert append_to_ivfpq_index(batch, p, applied_key="day1") is False
+    n2 = sum(r["n_vectors"] for r in index_cell_stats(spark, p).collect())
+    assert n1 == n2 == emb.count()
+    # a NEW key still appends
+    assert append_to_ivfpq_index(batch.limit(0), p, applied_key="day2") is True
