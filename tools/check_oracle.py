@@ -77,7 +77,10 @@ def main() -> int:
         # which dies on unhashable cells (TypeError: unhashable type:
         # 'list') — the exact trap that cost x106 a round-4 gate row while
         # this replica's list-aware canon_value masked it. Fail loudly
-        # here instead.
+        # here instead. DELIBERATELY oracle-backed-only: the driver's
+        # rows-only path does not value-canonicalize (x37 emits an array
+        # column and has two green rows-only gate rows), so flagging
+        # rows-only queries would be a false positive.
         nonscalar = [
             f.name
             for f in sdf.schema.fields
