@@ -178,6 +178,18 @@ class Warehouse:
         )
         return table
 
+    def append_gram_index(
+        self, new_docs: DataFrame, table: str, text_col: str = "text",
+        id_col: str = "doc_id", **kw,
+    ) -> bool:
+        """Fold an ingested batch into the stored gram index (geometry-
+        validated, applied_key-redo-safe; see operators/dedup.py)."""
+        from pipeline_etl_website_visits_spark.operators.dedup import (
+            append_to_gram_index,
+        )
+
+        return append_to_gram_index(new_docs, table, text_col, id_col, **kw)
+
     def dedup_against_gram_index(
         self, incoming: DataFrame, table: str, text_col: str = "text",
         id_col: str = "doc_id", n: int = 3, **kw,
