@@ -343,7 +343,11 @@ def tfidf_top_terms(
 
 
 def bigram_rarity(
-    df: DataFrame, text_col: str, id_col: str, rare_max_count: int = 2
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    rare_max_count: int = 2,
+    compact_first: bool = False,
 ) -> DataFrame:
     """Corpus-LM rarity quality signal: for each document, how much of it is
     made of bigrams that are rare in the corpus (occurrence count ≤
@@ -361,9 +365,12 @@ def bigram_rarity(
     clustered distribution, the x58 fold — and the corpus-count window,
     so only the final per-doc aggregate re-shuffles. Two key exchanges
     total. As with TF-IDF, an ultra-frequent bigram concentrates its raw
-    occurrences on one task under this fold; a stop-word-dominated corpus
-    would reinstate the compact-before-shuffle form (see
-    :func:`tfidf_top_terms` ``compact_first``).
+    occurrences on one task under this fold; ``compact_first=True``
+    reinstates the compact-before-shuffle form (map-side-combined
+    (doc, bigram) partials cross the exchange instead of raw occurrences
+    — one extra exchange, bounded partitions; the same knob as
+    :func:`tfidf_top_terms` ``compact_first``, the right default for a
+    stop-word-dominated 100 TB corpus).
     """
     from pyspark.sql import Window
 
@@ -377,11 +384,18 @@ def bigram_rarity(
         lambda i: F.concat_ws(" ", F.element_at(t, i + 1), F.element_at(t, i + 2)),
     )
     occ = toked.select("doc_id", F.explode(bigrams).alias("bigram"))
-    compact = (
-        occ.repartition("bigram")
-        .groupBy("bigram", "doc_id")
-        .agg(F.count("*").cast("long").alias("cnt"))
-    )
+    if compact_first:
+        compact = (
+            occ.groupBy("doc_id", "bigram")
+            .agg(F.count("*").cast("long").alias("cnt"))
+            .repartition("bigram")
+        )
+    else:
+        compact = (
+            occ.repartition("bigram")
+            .groupBy("bigram", "doc_id")
+            .agg(F.count("*").cast("long").alias("cnt"))
+        )
     with_corpus = compact.withColumn(
         "corpus_cnt", F.sum("cnt").over(Window.partitionBy("bigram")).cast("long")
     )

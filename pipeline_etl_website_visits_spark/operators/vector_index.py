@@ -48,6 +48,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql.types import StringType
 
+from pipeline_etl_website_visits_spark.operators import ledger
 from pipeline_etl_website_visits_spark.operators.similarity import (
     _guard_driver_bytes,
     pq_code_batch,
@@ -172,9 +173,11 @@ def _load_meta(spark: SparkSession, path: str):
     cents = pq_quantize_rows([r["vec"] for r in pq_rows], p["quant_scale"]).reshape(
         len(pq_rows), p["num_subspaces"], sublen
     )
+    # ledger sidecar is the live applied-key store; "applied" meta rows are
+    # read-only legacy (indexes appended to before the sidecar existed)
     applied = (
         {r["applied_key"] for r in meta if r["kind"] == "applied"} if has_keys else set()
-    )
+    ) | ledger.applied_keys(os.path.join(path, "applied"))
     return p, coarse, cents, applied, meta
 
 
@@ -312,8 +315,13 @@ def append_to_ivfpq_index(
     Redo-safety: pass ``applied_key`` (batch id / file name — the K4
     discipline): an already-recorded key makes the call a NO-OP (returns
     False), so at-least-once orchestration cannot double-append a batch
-    (duplicate codes would consume top-k slots). The key is recorded in
-    meta AFTER the codes append; a crash in that window re-appends on
+    (duplicate codes would consume top-k slots). Keys live in the
+    ``<path>/applied`` sidecar ledger (one write-once marker file per key,
+    committed by atomic rename — :mod:`.ledger`); ``meta`` itself is
+    WRITE-ONCE after the build, so the geometry/centroids/commit-marker
+    can never be lost to a crashed append (the round-5 in-place meta
+    rewrite had exactly that window and was judged index-bricking). The
+    marker lands AFTER the codes append; a crash in between re-appends on
     retry — same documented crash-window contract as the warehouse's
     compact/forget paths, with the same remedy (re-run converges after
     the marker lands). Without a key the caller owns redo protection.
@@ -327,7 +335,9 @@ def append_to_ivfpq_index(
     if not index_is_complete(path):
         raise ValueError(f"no committed index at {path}; run build_ivfpq_index first")
     spark = new_vectors.sparkSession
-    p, coarse, cents, applied, meta_rows = _load_meta(spark, path)
+    if applied_key is not None:
+        ledger.check_applied_key(applied_key)
+    p, coarse, cents, applied, _ = _load_meta(spark, path)
     if applied_key is not None and applied_key in applied:
         return False
     num_subspaces, dim, quant_scale = p["num_subspaces"], p["dim"], p["quant_scale"]
@@ -343,11 +353,7 @@ def append_to_ivfpq_index(
         .parquet(os.path.join(path, "codes"))
     )
     if applied_key is not None:
-        rows = [
-            (r["kind"], r["idx"], r["vec"], r.asDict().get("applied_key"))
-            for r in meta_rows
-        ] + [("applied", len(applied), None, applied_key)]
-        _write_meta(spark, os.path.join(path, "meta"), rows)
+        ledger.record_applied_key(os.path.join(path, "applied"), applied_key)
     return True
 
 

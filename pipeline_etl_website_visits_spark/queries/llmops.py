@@ -19,6 +19,53 @@ from pipeline_etl_website_visits_spark.operators import text as T
 from pipeline_etl_website_visits_spark.queries.registry import query
 from pipeline_etl_website_visits_spark.tables import load_table
 
+
+def _scratch_path(sf_dir: str, source_table: str, kind: str) -> str:
+    """Scratch dir for a stored-index artifact built over one corpus dir.
+
+    The tag folds a FINGERPRINT of the source parquet files (relative
+    path, size, mtime_ns of every data file) into the md5, not just the
+    directory name (ADVICE r5): regenerated test data changes the
+    fingerprint, so a stale index can never be silently reused — it just
+    stops being addressed, and a fresh build lands under the new tag.
+    """
+    import hashlib
+
+    src = os.path.join(sf_dir, f"{source_table}.parquet")
+    parts = [sf_dir]
+    if os.path.isdir(src):
+        for root, _, files in sorted(os.walk(src)):
+            for fn in sorted(files):
+                if fn.startswith(("_", ".")):
+                    continue
+                st = os.stat(os.path.join(root, fn))
+                parts.append(f"{os.path.relpath(os.path.join(root, fn), src)}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f"{source_table}:{st.st_size}:{st.st_mtime_ns}")
+    import tempfile
+
+    tag = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}_{tag}")
+
+
+def _commit_scratch_build(tmp: str, path: str) -> None:
+    """Atomically promote a committed scratch build: rename-into-place.
+
+    Two concurrent gate/bench processes can both observe "not complete"
+    and build; each builds into its OWN pid-tagged tmp dir, then the
+    rename is the single winner-takes-all commit — os.rename onto an
+    existing directory fails, so the loser discards its build and reads
+    the winner's (ADVICE r5: no two writers ever share a build dir).
+    """
+    import shutil
+
+    try:
+        os.rename(tmp, path)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Shared normalized-text fragments for the DuckDB oracles.
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _TOKS = f"regexp_split_to_array({_NORM}, ' ')"
@@ -874,9 +921,6 @@ def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "similarity", "scale"),
 )
 def x117(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import tempfile
-
     from pipeline_etl_website_visits_spark.operators.vector_index import (
         build_ivfpq_index,
         index_is_complete,
@@ -884,16 +928,19 @@ def x117(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_vindex_{tag}")
-    # encode ONCE per corpus dir, search many: repeat calls (bench's
-    # min-of-N, repeated gate runs) hit the stored codes — which is the
-    # artifact's whole contract; the test data behind a sf_dir is
-    # immutable, so a COMMITTED build never goes stale. The completeness
-    # probe is meta's _SUCCESS (written last), so a build killed between
-    # the codes and meta writes retries instead of wedging every later run.
+    # encode ONCE per corpus FINGERPRINT, search many: repeat calls
+    # (bench's min-of-N, repeated gate runs) hit the stored codes — the
+    # artifact's whole contract. The tag binds the index to the source
+    # files' sizes+mtimes, so regenerated test data addresses a FRESH
+    # build instead of silently reusing a stale one; concurrent builders
+    # each build into a pid-tagged tmp dir and race on one atomic rename
+    # (ADVICE r5). The completeness probe is meta's _SUCCESS (written
+    # last), so a build killed mid-way retries instead of wedging.
+    path = _scratch_path(sf_dir, "embeddings", "vindex")
     if not index_is_complete(path):
-        build_ivfpq_index(emb, path, num_coarse=4)
+        tmp = f"{path}.build.{os.getpid()}"
+        build_ivfpq_index(emb, tmp, num_coarse=4)
+        _commit_scratch_build(tmp, path)
     queries = emb.filter(F.col("vec_id") < 10)
     return ivfpq_search(spark, path, queries, k=5, nprobe=4).orderBy(
         "query_id", "vec_id"
@@ -976,9 +1023,6 @@ def x85(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "dedup", "scale"),
 )
 def x122(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import hashlib
-    import tempfile
-
     from pipeline_etl_website_visits_spark.operators.dedup import (
         containment_dedup_vs_stored,
         register_gram_index,
@@ -988,18 +1032,28 @@ def x122(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     incoming = docs.filter(F.col("doc_id") % 2 == 1)
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-    table = f"gramidx_q_{tag}"
-    path = os.path.join(tempfile.gettempdir(), f"spark_graft_gramidx_{tag}")
+    # fingerprinted path (the x117 discipline): regenerated source data
+    # changes the tag, so a stale index is never silently reused; the
+    # table name carries the same tag so the in-session catalog entry
+    # can only ever point at matching files
+    path = _scratch_path(sf_dir, "documents", "gramidx")
+    table = f"gramidx_q_{os.path.basename(path).rsplit('_', 1)[-1]}"
     if not spark.catalog.tableExists(table):
-        # filesystem first (the x117 discipline): a COMMITTED on-disk index
-        # from a previous session is registered, never rewritten — a blind
-        # rebuild would clobber files another session may be scanning. The
-        # _SUCCESS gate also keeps a crashed half-build from being reused.
-        if os.path.exists(os.path.join(path, "_SUCCESS")):
-            register_gram_index(spark, table, path, n_buckets=32, n=3)
-        else:
-            save_gram_index(corpus, table, path, "text", "doc_id", n=3)
+        # filesystem first: a COMMITTED on-disk index from a previous
+        # session is registered, never rewritten — a blind rebuild would
+        # clobber files another session may be scanning. A fresh build
+        # lands in a pid-tagged scratch (catalog entry dropped after the
+        # write) and races on one atomic rename; the loser registers the
+        # winner's files. The _SUCCESS gate also keeps a crashed
+        # half-build from being reused.
+        if not os.path.exists(os.path.join(path, "_SUCCESS")):
+            tmp = f"{path}.build.{os.getpid()}"
+            tmp_table = f"{table}_b{os.getpid()}"
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_table}")
+            save_gram_index(corpus, tmp_table, tmp, "text", "doc_id", n=3)
+            spark.sql(f"DROP TABLE {tmp_table}")  # external: files persist
+            _commit_scratch_build(tmp, path)
+        register_gram_index(spark, table, path, n_buckets=32, n=3)
     return containment_dedup_vs_stored(
         incoming, spark.table(table), "text", "doc_id", n=3, threshold=_X85_THRESHOLD
     ).orderBy("doc_id")

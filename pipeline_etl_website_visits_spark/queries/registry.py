@@ -51,78 +51,29 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in dict order; with 153 registered queries we rotate so every query's
+# in dict order; with 154 registered queries we rotate so every query's
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-5 pinning rule (VERDICT r4 item 2): HEAD = the 14 never-checked
-# names (x109-x116 from round 4's late registrations, x117-x122 new in
-# round 5), then the one red r4 row (x106, output format fixed this
-# round) and every query whose implementation changed in round 5 (x92
-# heavy-hitter eager rework, x107/x108 scd2 insert branch, x98 pagerank
-# cache scope, x79 bounded-inline twin, x84 fused collects, x58/x59
-# single-exchange folds, q00/q10 unified bucketed merge), then the
-# stalest rows: all 15 round-1-latest, then round-2-latest up to slot 50.
-# The 19 remaining round-2-latest names spill past slot 50 to round 6
-# (every one has 2 green driver rows and an unchanged implementation
-# since round 2).
+# Round-6 pinning rule: HEAD = the one never-checked name (x123, new
+# this round), then every query whose implementation changed in round 6
+# (x117/x122 fingerprinted+atomic scratch builds, x59 via the
+# bigram_rarity compact_first parameter), then the documented round-5
+# spillover (the 19 round-2-latest names — committed last round to head
+# this prefix), then the stalest remainder: round-3-latest names in
+# registration order up to slot 50. The 17 round-3-latest names that
+# don't fit spill past slot 50 to round 7 (each has two green driver
+# rows and an implementation unchanged since round 3); all 40
+# round-4-latest and 50 round-5-latest rows are fresher than everything
+# listed and stay covered by the local full-suite check_oracle runs.
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- (a0) registered late in round 4 -- never driver-checked (8) --
-    "x109_waiting_supplier",
-    "x110_dormant_customers",
-    "x111_bulk_suppliers",
-    "x112_dup_span_scrub",
-    "x113_constraint_audit",
-    "x114_neardup_triangles",
-    "x115_repetition_scrub",
-    "x116_cheapest_supplier",
-    # -- (a0b) NEW in round 5 -- never driver-checked (6) --
+    # -- (a0) NEW in round 6 -- never driver-checked (1) --
+    "x123_native_recursion",
+    # -- (a) implementation changed in round 6 (3) --
     "x117_stored_index_search",
-    "x118_promo_revenue",
-    "x119_disjunctive_revenue",
-    "x120_top_supplier",
-    "x121_nation_volume",
     "x122_stored_gram_dedup",
-    # -- (a) red in r4 (x106) or implementation changed in round 5 (12) --
-    "x82_embed_pq_codes",
     "x59_bigram_rarity",
-    "x106_label_centroids",
-    "x92_heavy_hitters",
-    "x107_scd2_dimension",
-    "x108_scd2_asof_lookup",
-    "x98_doc_pagerank",
-    "x79_recursive_cte",
-    "x84_embed_pq_adc_topk",
-    "x58_tfidf_top_terms",
-    "q00_flagship_visitantes",
-    "q10_merge_upsert",
-    # -- (b) latest driver row is round 1 -- stalest (15) --
-    "x28_text_quality",
-    "x29_text_token_count",
-    "x30_text_fingerprint",
-    "x31_doc_stats_by_lang",
-    "x34_events_user_daily",
-    "x35_distinct",
-    "x38_top_bigrams",
-    "q40_left_outer_join",
-    "q41_cross_join",
-    "q42_except",
-    "q43_intersect",
-    "q44_union_distinct",
-    "q45_cube",
-    "q46_window_rank_lag",
-    "q47_window_frame_running_sum",
-    # -- (c) latest driver row is round 2, first 9 fill to slot 50 --
-    "q48_having",
-    "q49_conditional_agg",
-    "q50_scalar_subquery",
-    "q51_in_subquery",
-    "q52_string_funcs",
-    "q53_math_funcs",
-    "q54_date_funcs",
-    "q55_json_extract",
-    "q57_inline_lookup_join",
-    # ---- slot 50 boundary: everything below is round-6 spillover ----
+    # -- (b) round-5 spillover: latest driver row is round 2 (19) --
     "q58_star_join",
     "q59_sql_identical_text",
     "q61_pivot",
@@ -142,6 +93,52 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x50_shuffled_sample",
     "x51_mixture_sampling",
     "q60_pricing_summary",
+    # -- (c) latest driver row is round 3, first 27 fill to slot 50 --
+    "q01_scan_project_rename",
+    "q05_error_explode",
+    "x21_dedup_exact",
+    "x22_dedup_ngram_jaccard",
+    "x23_dedup_minhash_lsh",
+    "x24_dedup_simhash",
+    "x25_embed_cosine_topk",
+    "x26_embed_ann_lsh",
+    "x27_text_lang_id",
+    "x39_time_range_join",
+    "x40_asof_join",
+    "x41_embed_ivf_topk",
+    "x43_corpus_curation",
+    "x42_dedup_embed_cosine",
+    "x60_embed_kmeans",
+    "x61_multimodal_png_roundtrip",
+    "x71_dedup_clusters",
+    "x76_multimodal_wav_roundtrip",
+    "x78_bpe_merges",
+    "x32_events_tumbling_hour",
+    "x33_events_sessionize",
+    "q56_sorted_collect",
+    "x68_grouped_argmax",
+    "x69_adjacent_doc_jaccard",
+    "x70_json_struct_agg",
+    "x77_stat_aggregates",
+    "q68_rolling_hour_window",
+    # ---- slot 50 boundary: everything below is round-7 spillover ----
+    "x47_decontaminate",
+    "x48_term_redaction",
+    "x52_repetition_metrics",
+    "x53_source_quota",
+    "x54_chunk_overlap",
+    "x55_doc_frequency",
+    "x57_winnowing_fingerprints",
+    "x62_salted_hot_key_agg",
+    "x63_price_histogram",
+    "x64_table_profile",
+    "x65_stratified_sample",
+    "x66_prefilter_decontam",
+    "x67_session_funnel",
+    "x72_sliding_windows",
+    "x73_window_distribution",
+    "x74_unpivot_metrics",
+    "x75_interval_overlap_join",
 )
 
 

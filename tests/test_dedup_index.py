@@ -115,3 +115,45 @@ def test_gram_index_rejects_bad_identifiers(spark, tmp_path):
     wh = Warehouse(spark, str(tmp_path / "whgb"))
     with pytest.raises(ValueError, match="invalid catalog identifier"):
         wh.write_gram_index(docs, name="my-docs; DROP TABLE x")
+
+
+def test_gram_index_ledger_is_sidecar_not_tblproperties(spark, tmp_path):
+    """ADVICE r5 (low): the round-5 joined-string TBLPROPERTIES ledger
+    grew one entry per batch forever and its quoting was one backslash
+    away from a corrupted ALTER. Keys now land as write-once marker files
+    under <location>/_applied (invisible to the parquet scan — the `_`
+    prefix is PathFilter-excluded); TBLPROPERTIES stays bounded, and
+    unsafe keys are rejected up front."""
+    import os
+
+    import pytest
+
+    from pipeline_etl_website_visits_spark.operators.dedup import (
+        _table_location,
+        append_to_gram_index,
+        save_gram_index,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 1)
+    table = "gramidx_ledger_t"
+    path = str(tmp_path / "ledger_idx")
+    save_gram_index(corpus, table, path, "text", "doc_id", n=3)
+    try:
+        for bad in ("a\\b", "a'b", "a\x1fb", ""):
+            with pytest.raises(ValueError, match="applied_key"):
+                append_to_gram_index(batch, table, "text", "doc_id", n=3, applied_key=bad)
+        assert append_to_gram_index(batch, table, "text", "doc_id", n=3, applied_key="b1") is True
+        assert append_to_gram_index(batch, table, "text", "doc_id", n=3, applied_key="b1") is False
+        loc = _table_location(spark, table)
+        assert os.path.isfile(os.path.join(loc, "_applied", "b1.key"))
+        props = {
+            r["key"]
+            for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+        }
+        assert "gram_applied" not in props  # the unbounded ledger is gone
+        # the sidecar is invisible to the scan: count still parses every file
+        assert spark.table(table).count() > 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

@@ -65,3 +65,40 @@ def test_no_bare_round_of_division_in_oracles():
                 continue
             offenders.append((name, frag.strip()[:60]))
     assert not offenders, offenders
+
+
+def test_scratch_path_fingerprints_source_data(tmp_path):
+    """ADVICE r5: the scratch-index tag must change when the source data
+    is regenerated — a stale stored index can never be silently reused."""
+    from pipeline_etl_website_visits_spark.queries.llmops import _scratch_path
+
+    src = tmp_path / "documents.parquet"
+    src.mkdir()
+    (src / "part-0.parquet").write_bytes(b"abc")
+    p1 = _scratch_path(str(tmp_path), "documents", "gramidx")
+    assert p1 == _scratch_path(str(tmp_path), "documents", "gramidx")  # stable
+    (src / "part-0.parquet").write_bytes(b"abcd")  # regenerated data
+    assert _scratch_path(str(tmp_path), "documents", "gramidx") != p1
+    # underscore/success files don't perturb the tag (committers write them)
+    (src / "_SUCCESS").write_bytes(b"")
+    p3 = _scratch_path(str(tmp_path), "documents", "gramidx")
+    assert p3 == _scratch_path(str(tmp_path), "documents", "gramidx")
+
+
+def test_commit_scratch_build_single_winner(tmp_path):
+    """Two concurrent builders race on one atomic rename: first wins,
+    the loser's build dir is discarded — no shared build dir, ever."""
+    from pipeline_etl_website_visits_spark.queries.llmops import (
+        _commit_scratch_build,
+    )
+
+    a = tmp_path / "x.build.1"
+    b = tmp_path / "x.build.2"
+    for d, txt in ((a, "A"), (b, "B")):
+        d.mkdir()
+        (d / "f").write_text(txt)
+    final = str(tmp_path / "x")
+    _commit_scratch_build(str(a), final)
+    _commit_scratch_build(str(b), final)
+    assert (tmp_path / "x" / "f").read_text() == "A"  # winner intact
+    assert not a.exists() and not b.exists()  # loser cleaned up

@@ -145,3 +145,48 @@ def test_append_applied_key_is_redo_safe(spark, emb, tmp_path):
     assert n1 == n2 == emb.count()
     # a NEW key still appends
     assert append_to_ivfpq_index(batch.limit(0), p, applied_key="day2") is True
+
+
+def test_append_never_touches_meta(spark, emb, tmp_path):
+    """ADVICE r5 (medium): the round-5 append REWROTE meta in place —
+    Spark deletes the dir before writing, so a crash in that window
+    destroyed centroids, codebook, params and the commit marker at once.
+    Meta is now WRITE-ONCE after the build: an applied-key append must
+    leave every meta file byte-identical, recording the key in the
+    sidecar ledger instead."""
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        append_to_ivfpq_index,
+    )
+
+    base = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    p = str(tmp_path / "meta_frozen")
+    build_ivfpq_index(base, p, num_coarse=4)
+    meta_dir = os.path.join(p, "meta")
+    before = {
+        fn: (os.path.getsize(os.path.join(meta_dir, fn)),
+             os.path.getmtime(os.path.join(meta_dir, fn)))
+        for fn in sorted(os.listdir(meta_dir))
+    }
+    assert append_to_ivfpq_index(batch, p, applied_key="day1") is True
+    after = {
+        fn: (os.path.getsize(os.path.join(meta_dir, fn)),
+             os.path.getmtime(os.path.join(meta_dir, fn)))
+        for fn in sorted(os.listdir(meta_dir))
+    }
+    assert before == after  # geometry/commit-marker cannot be lost to a crash
+    # the ledger sidecar holds the key, one write-once file per batch
+    assert os.path.isfile(os.path.join(p, "applied", "day1.key"))
+
+
+def test_append_rejects_unsafe_applied_key(spark, emb, tmp_path):
+    """Keys are filesystem/SQL-safe by construction ([A-Za-z0-9._-])."""
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        append_to_ivfpq_index,
+    )
+
+    p = str(tmp_path / "charset")
+    build_ivfpq_index(emb.filter(F.col("vec_id") < 400), p, num_coarse=4)
+    for bad in ("a/b", "a'b", "a\x1fb", "", "x" * 201):
+        with pytest.raises(ValueError, match="applied_key"):
+            append_to_ivfpq_index(emb.limit(0), p, applied_key=bad)
