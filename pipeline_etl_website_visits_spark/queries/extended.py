@@ -2271,3 +2271,216 @@ def x121(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("supplier", "lineitem", "orders", "customer", "nation"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_X121_SQL)
+
+
+# --------------------------------------------------------------------------
+# x124 — TPC-H Q4 shape: EXISTS semi-join with a cross-table correlation
+#
+# Q4 counts orders (per priority) having at least one "late" line. The
+# test schema has no l_commitdate/l_receiptdate, so "late" is shipped
+# more than 60 days after the order date — which makes the EXISTS
+# correlate on BOTH the join key and an order-side column
+# (o_orderdate), the part Catalyst must pull into the semi-join
+# condition. Identical statement text; the date window prunes orders
+# before the join.
+# --------------------------------------------------------------------------
+_X124_SQL = """
+    SELECT o.o_orderpriority AS priority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND CAST(l.l_shipdate AS DATE) >
+                        CAST(o.o_orderdate AS DATE) + INTERVAL 60 DAY)
+    GROUP BY priority ORDER BY priority
+"""
+
+
+@query(
+    "x124_priority_late_orders",
+    oracle=_X124_SQL,
+    certifies="TPC-H Q4 shape: EXISTS decorrelated to a semi-join whose condition spans both relations (join key + outer date column) — identical statement text both engines",
+    tags=("sql", "tpch"),
+)
+def x124(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_X124_SQL)
+
+
+# --------------------------------------------------------------------------
+# x125 — TPC-H Q12 shape: two-way conditional counts over a fact join
+#
+# Q12 splits line counts by order priority class per ship mode; the test
+# schema has no l_shipmode, so l_returnflag plays the mode. The shape
+# certified is the CASE-pivoted double count in ONE pass over the joined
+# relation (a per-class UNION would scan the fact twice) with the date
+# window pushed to the lineitem scan.
+# --------------------------------------------------------------------------
+_X125_SQL = """
+    SELECT l.l_returnflag AS returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE CAST(l.l_shipdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(l.l_shipdate AS DATE) < DATE '1998-01-01'
+    GROUP BY returnflag ORDER BY returnflag
+"""
+
+
+@query(
+    "x125_priority_class_lines",
+    oracle=_X125_SQL,
+    certifies="TPC-H Q12 shape: CASE-pivoted dual conditional counts in one fact pass — identical statement text both engines",
+    tags=("sql", "tpch"),
+)
+def x125(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_X125_SQL)
+
+
+# --------------------------------------------------------------------------
+# x126 — TPC-H Q17 shape: correlated scalar AVG against the same fact
+#
+# "Small-quantity" lines: quantity below half the part's average
+# quantity. The correlated scalar aggregate must decorrelate into a
+# per-partkey aggregate joined back to the fact (never a per-row
+# subquery). Quantities are small exact integers stored as doubles, so
+# AVG = exact-int-sum / count is the same IEEE division in both engines
+# — the 0.5× threshold comparison cannot diverge. Q17's scaled yearly
+# average becomes exact integer cents via FLOOR(· / 7.0).
+# --------------------------------------------------------------------------
+_X126_SQL = """
+    SELECT CAST(FLOOR(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) / 7.0) AS BIGINT) AS avg_yearly_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_small_lines
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3' AND p.p_size < 10
+      AND l.l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+@query(
+    "x126_small_quantity_revenue",
+    oracle=_X126_SQL,
+    certifies="TPC-H Q17 shape: correlated scalar AVG subquery decorrelated to a per-key aggregate + join — identical statement text both engines",
+    tags=("sql", "tpch"),
+)
+def x126(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "part"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_X126_SQL)
+
+
+# --------------------------------------------------------------------------
+# x127 — TPC-H Q18 shape: IN over a grouped-HAVING aggregate of the fact
+#
+# Large-volume orders: the IN subquery groups the WHOLE fact table by
+# order key and keeps heavy orders (sum qty > 150), then the outer query
+# re-joins those keys through customer/orders/lineitem and re-aggregates.
+# The certified plan shape: the HAVING aggregate runs ONCE as a
+# semi-join build side (not per outer row), and both engines keep the
+# exact integer quantity sums. Top 20 by totalprice with a unique-key
+# tie-break so the LIMIT set is deterministic.
+# --------------------------------------------------------------------------
+_X127_SQL = """
+    SELECT c.c_name AS c_name,
+           CAST(c.c_custkey AS BIGINT) AS c_custkey,
+           CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_date,
+           CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+           CAST(SUM(l.l_quantity) AS BIGINT) AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+    GROUP BY c_name, c_custkey, o_orderkey, o_date, totalprice_cents
+    ORDER BY totalprice_cents DESC, o_orderkey LIMIT 20
+"""
+
+
+@query(
+    "x127_large_volume_orders",
+    oracle=_X127_SQL,
+    certifies="TPC-H Q18 shape: IN over a grouped-HAVING fact aggregate as a semi-join, then re-join + re-aggregate — identical statement text both engines",
+    tags=("sql", "tpch"),
+)
+def x127(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_X127_SQL)
+
+
+# --------------------------------------------------------------------------
+# x128 — TPC-H Q10 shape: returned-item revenue, top customers
+#
+# The classic 4-table star probe: lineitem filtered to returns streams
+# through orders (date window) into customer/nation dims, grouped by
+# customer, top 20 by lost revenue. Certifies the join ordering under
+# syntactic order (dims broadcast; the fact never builds a hash table)
+# and exact integer cents through the revenue sum.
+# --------------------------------------------------------------------------
+_X128_SQL = """
+    SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+           c.c_name AS c_name,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           n.n_name AS n_name
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE CAST(o.o_orderdate AS DATE) >= DATE '1997-01-01'
+      AND CAST(o.o_orderdate AS DATE) < DATE '1997-07-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue_cents DESC, c_custkey LIMIT 20
+"""
+
+
+@query(
+    "x128_returned_item_customers",
+    oracle=_X128_SQL,
+    certifies="TPC-H Q10 shape: return-filtered fact through date-windowed orders into broadcast dims, top-k by aggregated revenue — identical statement text both engines",
+    tags=("sql", "tpch"),
+)
+def x128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("customer", "nation", "orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_X128_SQL)
+
+
+# --------------------------------------------------------------------------
+# x129 — TPC-H Q6 shape: pure scan-aggregate, every predicate pushed down
+#
+# No join at all — the certificate is the SCAN: all four predicates are
+# plain column comparisons (timestamp literals, NOT date-casts, exactly
+# so they can reach the parquet reader as PushedFilters — a CAST wrapper
+# would disable pushdown), and the aggregate is a single map-side
+# partial + 1-row final. At 100 TB this is the shape whose entire cost
+# is I/O after row-group pruning; test_plans pins the pushed filters.
+# --------------------------------------------------------------------------
+_X129_SQL = """
+    SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 100 + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount >= 0.02 AND l_discount <= 0.04
+      AND l_quantity < 24
+"""
+
+
+@query(
+    "x129_forecast_revenue",
+    oracle=_X129_SQL,
+    certifies="TPC-H Q6 shape: joinless filter-aggregate with every predicate as a parquet PushedFilter (plan-asserted) — identical statement text both engines",
+    tags=("sql", "tpch"),
+)
+def x129(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(_X129_SQL)

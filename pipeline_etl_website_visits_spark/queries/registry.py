@@ -67,8 +67,14 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # round-4-latest and 50 round-5-latest rows are fresher than everything
 # listed and stay covered by the local full-suite check_oracle runs.
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- (a0) NEW in round 6 -- never driver-checked (1) --
+    # -- (a0) NEW in round 6 -- never driver-checked (7) --
     "x123_native_recursion",
+    "x124_priority_late_orders",
+    "x125_priority_class_lines",
+    "x126_small_quantity_revenue",
+    "x127_large_volume_orders",
+    "x128_returned_item_customers",
+    "x129_forecast_revenue",
     # -- (a) implementation changed in round 6 (3) --
     "x117_stored_index_search",
     "x122_stored_gram_dedup",
@@ -93,7 +99,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x50_shuffled_sample",
     "x51_mixture_sampling",
     "q60_pricing_summary",
-    # -- (c) latest driver row is round 3, first 27 fill to slot 50 --
+    # -- (c) latest driver row is round 3, first 21 fill to slot 50 --
     "q01_scan_project_rename",
     "q05_error_explode",
     "x21_dedup_exact",
@@ -115,13 +121,13 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x78_bpe_merges",
     "x32_events_tumbling_hour",
     "x33_events_sessionize",
+    # ---- slot 50 boundary: everything below is round-7 spillover ----
     "q56_sorted_collect",
     "x68_grouped_argmax",
     "x69_adjacent_doc_jaccard",
     "x70_json_struct_agg",
     "x77_stat_aggregates",
     "q68_rolling_hour_window",
-    # ---- slot 50 boundary: everything below is round-7 spillover ----
     "x47_decontaminate",
     "x48_term_redaction",
     "x52_repetition_metrics",

@@ -452,3 +452,47 @@ def test_q2_shape_decorrelates_scalar_min_subquery(spark):
     )
     assert "Aggregate" in plan or "HashAggregate" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q6_shape_pushes_every_predicate(spark):
+    """x129 is the pure-scan certificate: shipdate/discount/quantity
+    predicates must reach the parquet reader as PushedFilters (the SQL
+    deliberately compares raw columns to typed literals — a CAST wrapper
+    would disable pushdown), and the scan must read only the three
+    predicate columns + the two aggregate inputs."""
+    df = REGISTRY["x129_forecast_revenue"].spark(spark, SF_DIR)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert has_pushed_filter(df, col), col
+    cols = set(read_schema_columns(df))
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}
+
+
+def test_q4_shape_decorrelates_exists_to_semi_join(spark):
+    """x124's EXISTS (correlated on join key AND the outer's order date)
+    must become ONE semi-join — no per-row subquery, no nested loop."""
+    plan = simple_plan(REGISTRY["x124_priority_late_orders"].spark(spark, SF_DIR))
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+
+
+def test_q18_shape_having_aggregate_runs_once(spark):
+    """x127's IN-subquery (grouped-HAVING over the whole fact) must plan
+    as semi-joins, never a per-outer-row subquery — and although
+    constraint propagation pastes the subquery onto BOTH join sides
+    (pruning lineitem before the big join, which is the 100 TB win),
+    the duplicated aggregate's shuffle must be computed ONCE and
+    ReusedExchange'd, not evaluated twice."""
+    df = REGISTRY["x127_large_volume_orders"].spark(spark, SF_DIR)
+    df.collect()  # AQE finalizes reuse only on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "ReusedExchange" in plan, plan
+
+
+def test_q10_shape_broadcasts_dims(spark):
+    """x128: nation (25 rows) and the date-windowed orders probe side
+    must not shuffle the lineitem fact for the dim joins."""
+    df = REGISTRY["x128_returned_item_customers"].spark(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+    assert has_pushed_filter(df, "l_returnflag")
