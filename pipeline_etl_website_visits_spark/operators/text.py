@@ -284,7 +284,7 @@ def redact_terms(
 
 
 def tfidf_top_terms(
-    df: DataFrame, text_col: str, id_col: str, k: int = 5, compact_first: bool = False
+    df: DataFrame, text_col: str, id_col: str, k: int = 5, compact_first: bool = True
 ) -> DataFrame:
     """Per-document top-``k`` terms by TF-IDF — the classic relevance /
     keyword-extraction signal over a training corpus.
@@ -295,20 +295,23 @@ def tfidf_top_terms(
     it away from the (measure-zero) floor boundaries; summation-order
     nondeterminism never enters.
 
-    Shape (VERDICT r4 item 7): ONE token-hash exchange serves both the tf
-    aggregate and the document-frequency count — ``repartition(token)``
-    satisfies the ``groupBy(token, doc)`` clustered distribution (subset
-    partitioning) AND the token count-window, so neither inserts its own
-    exchange; only the final per-doc rank window re-shuffles. Two key
-    exchanges total, down from the classic three (tf agg → token window →
-    doc window; measured 1.33 s → 0.26 s at sf0.1).
+    Two forms (VERDICT r4 item 7 / ADVICE r5):
 
-    ``compact_first=True`` restores the three-exchange form whose FIRST
-    exchange map-side-combines (doc, token) partials before anything
-    shuffles: the fused form's token-hash exchange carries raw
-    occurrences, so an ultra-frequent token (un-normalized stop words at
-    corpus scale) lands on one task. For stop-word-dominated 100 TB
-    corpora, pay the extra exchange and keep partials bounded.
+    - ``compact_first=True`` (DEFAULT — the corpus-scale-safe form): the
+      FIRST exchange map-side-combines (doc, token) partials before
+      anything shuffles, so an ultra-frequent token (un-normalized stop
+      words at 100 TB) can never land its raw occurrences on one task.
+      Three key exchanges (tf agg → token window → doc rank window).
+    - ``compact_first=False`` (the fused form): ONE token-hash exchange
+      serves both the tf aggregate and the document-frequency count —
+      ``repartition(token)`` satisfies the ``groupBy(token, doc)``
+      clustered distribution (subset partitioning) AND the token
+      count-window, so neither inserts its own exchange; only the final
+      per-doc rank window re-shuffles. Two exchanges total (measured
+      1.33 s → 0.26 s at sf0.1), but the token exchange carries raw
+      occurrences — opt in when token frequencies are known-bounded
+      (normalized corpora, pre-filtered stop words), as the bench
+      queries do explicitly.
     """
     from pyspark.sql import Window
 
@@ -347,7 +350,7 @@ def bigram_rarity(
     text_col: str,
     id_col: str,
     rare_max_count: int = 2,
-    compact_first: bool = False,
+    compact_first: bool = True,
 ) -> DataFrame:
     """Corpus-LM rarity quality signal: for each document, how much of it is
     made of bigrams that are rare in the corpus (occurrence count ≤
@@ -360,17 +363,17 @@ def bigram_rarity(
     with at least one bigram; rare_pct is half-up integer-rounded to 0.1%.
 
     Shape: positional bigrams from a materialized token array (no
-    re-tokenization per element); ONE bigram-hash exchange serves both
-    the (bigram, doc) compaction — subset partitioning satisfies the
-    clustered distribution, the x58 fold — and the corpus-count window,
-    so only the final per-doc aggregate re-shuffles. Two key exchanges
-    total. As with TF-IDF, an ultra-frequent bigram concentrates its raw
-    occurrences on one task under this fold; ``compact_first=True``
-    reinstates the compact-before-shuffle form (map-side-combined
-    (doc, bigram) partials cross the exchange instead of raw occurrences
-    — one extra exchange, bounded partitions; the same knob as
-    :func:`tfidf_top_terms` ``compact_first``, the right default for a
-    stop-word-dominated 100 TB corpus).
+    re-tokenization per element). ``compact_first=True`` (DEFAULT — the
+    corpus-scale-safe form, ADVICE r5): map-side-combined (doc, bigram)
+    partials cross the first exchange, so an ultra-frequent bigram can
+    never concentrate its raw occurrences on one task.
+    ``compact_first=False`` (the fused form): ONE bigram-hash exchange
+    serves both the (bigram, doc) compaction — subset partitioning
+    satisfies the clustered distribution, the x58 fold — and the
+    corpus-count window, so only the final per-doc aggregate
+    re-shuffles; opt in when bigram frequencies are known-bounded, as
+    the bench query does explicitly. Same knob as
+    :func:`tfidf_top_terms`.
     """
     from pyspark.sql import Window
 

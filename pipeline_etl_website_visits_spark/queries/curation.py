@@ -767,9 +767,15 @@ def x58(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_etl_website_visits_spark.operators import text as T
 
     # no fan_out: the operator's own token-hash repartition is the
-    # parallelism spreader, a prior round-robin exchange would be wasted
+    # parallelism spreader, a prior round-robin exchange would be wasted.
+    # compact_first=False opts into the fused single-exchange form — the
+    # right call for THIS corpus (normalized tokens, no stop-word
+    # monster); the operator's corpus-scale default is the skew-safe
+    # compact-before-shuffle form (ADVICE r5).
     docs = load_table(spark, sf_dir, "documents")
-    return T.tfidf_top_terms(docs, "text", "doc_id", k=5).withColumnRenamed("rank", "term_rank")
+    return T.tfidf_top_terms(
+        docs, "text", "doc_id", k=5, compact_first=False
+    ).withColumnRenamed("rank", "term_rank")
 
 
 @query(
@@ -805,8 +811,9 @@ def x59(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out stays: the bigram-construction HOF dominates and must spread
     # across cores BEFORE the explode (a single-file scan is one task);
     # the operator's bigram-hash repartition then serves the agg + window
+    # compact_first=False: the fused single-exchange form (see x58 note)
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    return T.bigram_rarity(docs, "text", "doc_id", rare_max_count=2)
+    return T.bigram_rarity(docs, "text", "doc_id", rare_max_count=2, compact_first=False)
 
 
 # --------------------------------------------------------------------------
