@@ -1419,3 +1419,151 @@ def x114(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", n=3, threshold=_JACCARD_THRESHOLD
     ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     return triangle_count(edges)
+
+
+# --------------------------------------------------------------------------
+# x130 — Zipf-slope vocabulary fit (corpus health statistic)
+#
+# The log-log slope of the token frequency-rank curve — the standard
+# corpus-health diagnostic (natural language sits near -1; a slope far
+# off flags boilerplate floods or synthetic/garbled text before any
+# model sees it). Engine-exactness discipline: ln(rank)/ln(count) are
+# quantized to integer micro-units PER ROW (one libm call each — both
+# engines agree away from measure-zero floor boundaries), then the OLS
+# slope is computed from exact DECIMAL(38) sums of those integers, so
+# distributed summation order cannot move a digit: slope =
+# (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), one final exact-integer division.
+# Never regr_slope over raw doubles — its float accumulators differ by
+# ulps between engines and partitionings.
+#
+# Scale shape: one token-hash exchange (map-side-combined counts), the
+# rank window over the top slice only (rank ≤ 1000 ⇒ ORDER BY count
+# LIMIT prunes first at 100 TB — here the vocabulary is already tiny),
+# then a single 1-row aggregate.
+# --------------------------------------------------------------------------
+_X130_TOP = 1000
+
+
+@query(
+    "x130_zipf_slope",
+    oracle=f"""
+    WITH cnt AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(string_split({_NORM}, ' ')) AS token FROM documents)
+      GROUP BY token
+    ),
+    ranked AS (
+      SELECT c, CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token) AS BIGINT) AS rnk
+      FROM cnt
+    ),
+    pts AS (
+      SELECT CAST(FLOOR(LN(CAST(rnk AS DOUBLE)) * 1000000) AS BIGINT) AS x,
+             CAST(FLOOR(LN(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y
+      FROM ranked WHERE rnk <= {_X130_TOP}
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(x*y) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(x*x) AS DECIMAL(38,0)) AS sxx
+      FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS zipf_slope
+    FROM s
+    """,
+    certifies="X4 corpus Zipf-slope diagnostic: integer-quantized log-log OLS fit with exact DECIMAL sums (engine-identical slope)",
+    tags=("llm", "text", "stats"),
+)
+def x130(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(F.split(T.normalize_text(F.col("text")), " ")).alias("token")
+    )
+    cnt = toks.groupBy("token").agg(F.count("*").cast("long").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), "token")
+    pts = (
+        cnt.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= _X130_TOP)
+        .select(
+            F.floor(F.log(F.col("rnk").cast("double")) * 1e6).cast("long").alias("x"),
+            F.floor(F.log(F.col("c").cast("double")) * 1e6).cast("long").alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(num / den, 6).alias("zipf_slope"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x131 — cross-source gram-overlap matrix (contamination / mixture audit)
+#
+# For every unordered pair of sources, how many distinct 3-gram shingles
+# they share — the corpus-level audit behind mixture design (two "sources"
+# sharing most of their grams are one source twice; a crawl slice
+# overlapping a benchmark source is contamination). The oracle self-joins
+# the (source, gram) relation on gram; the Spark side is the SCALE twin:
+# aggregate each gram's distinct-source SET (bounded by the source count,
+# which is a mixture-design constant — 20 here, rarely >1000 in practice),
+# expand the sorted set to unordered pairs with an array HOF, and count
+# per pair. One gram-hash exchange with map-side-combined sets + one tiny
+# pair exchange — the quadratic blowup of a gram self-join (hot grams ×
+# hot grams) never happens.
+# --------------------------------------------------------------------------
+@query(
+    "x131_source_overlap_matrix",
+    oracle=f"""
+    WITH sg AS (
+      SELECT DISTINCT source, gram FROM (
+        SELECT source, unnest(list_distinct(list_transform(
+                 range(1, len(lst) - 1),
+                 i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]))) AS gram
+        FROM (SELECT source, {_TOKS} AS lst FROM documents)
+      )
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_grams
+    FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+    GROUP BY source_a, source_b ORDER BY source_a, source_b
+    """,
+    certifies="X3/X4 cross-source gram-overlap matrix: per-gram bounded source-set aggregation + HOF pair expansion (never a gram self-join)",
+    tags=("llm", "dedup", "stats", "scale"),
+)
+def x131(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    grams = D.shingles(docs, "text", "doc_id", n=3)
+    sg = grams.join(
+        docs.select(F.col("doc_id"), F.col("source")), "doc_id"
+    ).select("source", "gram")
+    per_gram = sg.groupBy("gram").agg(
+        F.sort_array(F.collect_set("source")).alias("srcs")
+    )
+    arr = F.col("srcs")
+    pairs = F.flatten(
+        F.transform(
+            arr,
+            lambda a, i: F.transform(
+                F.slice(arr, i + 2, F.size(arr)),
+                lambda b: F.struct(a.alias("source_a"), b.alias("source_b")),
+            ),
+        )
+    )
+    return (
+        per_gram.select(F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b"))
+        .agg(F.count("*").cast("long").alias("shared_grams"))
+        .orderBy("source_a", "source_b")
+    )

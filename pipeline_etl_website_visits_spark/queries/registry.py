@@ -51,23 +51,26 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in dict order; with 154 registered queries we rotate so every query's
+# in dict order; with 162 registered queries we rotate so every query's
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-6 pinning rule: HEAD = the one never-checked name (x123, new
-# this round), then every query whose implementation changed in round 6
-# (x117/x122 fingerprinted+atomic scratch builds, x59 via the
-# bigram_rarity compact_first parameter), then the documented round-5
-# spillover (the 19 round-2-latest names — committed last round to head
-# this prefix), then the stalest remainder: round-3-latest names in
-# registration order up to slot 50. The 17 round-3-latest names that
-# don't fit spill past slot 50 to round 7 (each has two green driver
-# rows and an implementation unchanged since round 3); all 40
-# round-4-latest and 50 round-5-latest rows are fresher than everything
-# listed and stay covered by the local full-suite check_oracle runs.
+# Round-6 pinning rule: HEAD = the nine never-checked names (x123 native
+# recursion, the six TPC-H shapes x124-x129, x130 Zipf slope, x131
+# source-overlap matrix — all new this round), then every query whose
+# implementation changed in round 6 (x117/x122 fingerprinted+atomic
+# scratch builds; x58/x59 via the compact_first default flip — they opt
+# into the fused form explicitly; x70/x102 fan_out on the JSON parse;),
+# then the documented round-5 spillover (the 19 round-2-latest names —
+# committed last round to head this prefix), then the stalest remainder:
+# round-3-latest names in registration order up to slot 50. The
+# twenty-seven round-3-latest names that don't fit spill past slot 50 to
+# round 7 (each has two green driver rows and an implementation
+# unchanged since round 3); all round-4/5-latest rows are fresher than
+# everything listed and stay covered by the local full-suite
+# check_oracle runs.
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- (a0) NEW in round 6 -- never driver-checked (7) --
+    # -- (a0) NEW in round 6 -- never driver-checked (9) --
     "x123_native_recursion",
     "x124_priority_late_orders",
     "x125_priority_class_lines",
@@ -75,10 +78,15 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x127_large_volume_orders",
     "x128_returned_item_customers",
     "x129_forecast_revenue",
-    # -- (a) implementation changed in round 6 (3) --
+    "x130_zipf_slope",
+    "x131_source_overlap_matrix",
+    # -- (a) implementation changed in round 6 (6) --
     "x117_stored_index_search",
     "x122_stored_gram_dedup",
     "x59_bigram_rarity",
+    "x58_tfidf_top_terms",
+    "x70_json_struct_agg",
+    "x102_variant_extract",
     # -- (b) round-5 spillover: latest driver row is round 2 (19) --
     "q58_star_join",
     "q59_sql_identical_text",
@@ -99,7 +107,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x50_shuffled_sample",
     "x51_mixture_sampling",
     "q60_pricing_summary",
-    # -- (c) latest driver row is round 3, first 21 fill to slot 50 --
+    # -- (c) latest driver row is round 3, first 16 fill to slot 50 --
     "q01_scan_project_rename",
     "q05_error_explode",
     "x21_dedup_exact",
@@ -116,16 +124,15 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x42_dedup_embed_cosine",
     "x60_embed_kmeans",
     "x61_multimodal_png_roundtrip",
+    # ---- slot 50 boundary: everything below is round-7 spillover ----
     "x71_dedup_clusters",
     "x76_multimodal_wav_roundtrip",
     "x78_bpe_merges",
     "x32_events_tumbling_hour",
     "x33_events_sessionize",
-    # ---- slot 50 boundary: everything below is round-7 spillover ----
     "q56_sorted_collect",
     "x68_grouped_argmax",
     "x69_adjacent_doc_jaccard",
-    "x70_json_struct_agg",
     "x77_stat_aggregates",
     "q68_rolling_hour_window",
     "x47_decontaminate",
