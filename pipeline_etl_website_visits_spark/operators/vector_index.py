@@ -110,6 +110,14 @@ def build_ivfpq_index(
 
     codes_dir = os.path.join(path, "codes")
     meta_dir = os.path.join(path, "meta")
+    # a REBUILD at an existing path starts a fresh incarnation: the
+    # applied-key ledger must reset with it (round 5 got this for free by
+    # rewriting meta; the sidecar refactor must do it explicitly, or a
+    # post-rebuild append reusing a batch key would silently no-op and
+    # the batch's vectors would be absent from the index)
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "applied"), ignore_errors=True)
     (
         vectors.select(id_col, vec_col)
         .mapInPandas(encode, out_schema)
@@ -335,11 +343,14 @@ def append_to_ivfpq_index(
     if not index_is_complete(path):
         raise ValueError(f"no committed index at {path}; run build_ivfpq_index first")
     spark = new_vectors.sparkSession
-    if applied_key is not None:
-        ledger.check_applied_key(applied_key)
     p, coarse, cents, applied, _ = _load_meta(spark, path)
-    if applied_key is not None and applied_key in applied:
-        return False
+    if applied_key is not None:
+        # membership FIRST: a key legally recorded under the pre-charset
+        # rules (legacy meta rows allowed anything) must still no-op on
+        # retry — validating first would crash the redo path instead
+        if applied_key in applied:
+            return False
+        ledger.check_applied_key(applied_key)
     num_subspaces, dim, quant_scale = p["num_subspaces"], p["dim"], p["quant_scale"]
     sublen = dim // num_subspaces
     encode = _make_encoder(

@@ -1117,7 +1117,13 @@ def x123(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey")
     )
     keys.cache().createOrReplaceTempView("customer")
-    return spark.sql(_X123_SQL)
+    out = spark.sql(_X123_SQL)  # plan resolves against the view NOW
+    # drop the view immediately: leaving a filtered single-column relation
+    # registered under the real table's name would silently corrupt any
+    # later same-session consumer that reads `customer` without
+    # re-registering it (the resolved plan above keeps its own reference)
+    spark.catalog.dropTempView("customer")
+    return out
 
 
 # --------------------------------------------------------------------------

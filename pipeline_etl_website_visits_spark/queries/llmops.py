@@ -23,16 +23,20 @@ from pipeline_etl_website_visits_spark.tables import load_table
 def _scratch_path(sf_dir: str, source_table: str, kind: str) -> str:
     """Scratch dir for a stored-index artifact built over one corpus dir.
 
-    The tag folds a FINGERPRINT of the source parquet files (relative
-    path, size, mtime_ns of every data file) into the md5, not just the
-    directory name (ADVICE r5): regenerated test data changes the
-    fingerprint, so a stale index can never be silently reused — it just
-    stops being addressed, and a fresh build lands under the new tag.
+    The name is ``spark_graft_<kind>_<corpus-tag>_<fingerprint-tag>``:
+    the corpus tag hashes the directory path (stable across
+    regenerations), the fingerprint tag hashes every data file's
+    relative path + size + mtime_ns (ADVICE r5): regenerated test data
+    changes the fingerprint, so a stale index can never be silently
+    reused — it stops being addressed, a fresh build lands under the new
+    fingerprint, and :func:`_commit_scratch_build` prunes the same
+    corpus's stale-fingerprint dirs so /tmp stays one live index per
+    (kind, corpus), not unbounded growth.
     """
     import hashlib
 
     src = os.path.join(sf_dir, f"{source_table}.parquet")
-    parts = [sf_dir]
+    parts = []
     if os.path.isdir(src):
         for root, _, files in sorted(os.walk(src)):
             for fn in sorted(files):
@@ -45,8 +49,11 @@ def _scratch_path(sf_dir: str, source_table: str, kind: str) -> str:
         parts.append(f"{source_table}:{st.st_size}:{st.st_mtime_ns}")
     import tempfile
 
-    tag = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"spark_graft_{kind}_{tag}")
+    sftag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    fptag = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{kind}_{sftag}_{fptag}"
+    )
 
 
 def _commit_scratch_build(tmp: str, path: str) -> None:
@@ -57,6 +64,10 @@ def _commit_scratch_build(tmp: str, path: str) -> None:
     rename is the single winner-takes-all commit — os.rename onto an
     existing directory fails, so the loser discards its build and reads
     the winner's (ADVICE r5: no two writers ever share a build dir).
+    Only the lost-the-race failure is swallowed: a rename that fails
+    while the target does NOT exist (EACCES, EXDEV, ...) re-raises after
+    cleanup — silently discarding a good build there would surface as a
+    baffling missing-index error at search time and rebuild forever.
     """
     import shutil
 
@@ -64,6 +75,35 @@ def _commit_scratch_build(tmp: str, path: str) -> None:
         os.rename(tmp, path)
     except OSError:
         shutil.rmtree(tmp, ignore_errors=True)
+        if not os.path.exists(path):
+            raise
+        return
+    _prune_stale_scratch(path)
+
+
+def _prune_stale_scratch(path: str) -> None:
+    """After a committed build, remove this corpus's STALE artifacts: old-
+    fingerprint dirs (the source data they indexed no longer exists) and
+    crashed builders' hour-old ``.build.<pid>`` leftovers. Same-fingerprint
+    fresh build dirs are left alone — a concurrent builder may still be
+    writing one (it will lose the rename race and clean itself up)."""
+    import shutil
+    import time
+
+    base, cur = os.path.dirname(path), os.path.basename(path)
+    prefix = cur.rsplit("_", 1)[0] + "_"  # spark_graft_<kind>_<sftag>_
+    for fn in os.listdir(base):
+        if not fn.startswith(prefix) or fn == cur:
+            continue
+        full = os.path.join(base, fn)
+        if fn.startswith(cur + ".build."):
+            try:
+                age = time.time() - os.path.getmtime(full)
+            except OSError:
+                continue
+            if age < 3600:
+                continue
+        shutil.rmtree(full, ignore_errors=True)
 
 
 # Shared normalized-text fragments for the DuckDB oracles.

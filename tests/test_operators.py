@@ -289,14 +289,15 @@ def test_bigram_rarity_exact_counts(spark):
     assert out[1]["n_bigrams"] == 4 and out[1]["n_rare_bigrams"] == 2
     assert out[2]["n_bigrams"] == 2 and out[2]["n_rare_bigrams"] == 1
     assert out[2]["rare_pct"] == 50.0
-    # the skew-safe compact-before-shuffle form (ADVICE r5: the 100 TB
-    # stop-word mitigation must be reachable) is value-identical
-    compacted = {
+    # the fused single-exchange form (what x59 opts into) must be
+    # value-identical to the default compact-before-shuffle form —
+    # compact_first=False is the OTHER branch, not the default again
+    fused = {
         r["doc_id"]: r
-        for r in T.bigram_rarity(df, "text", "doc_id", compact_first=True).collect()
+        for r in T.bigram_rarity(df, "text", "doc_id", compact_first=False).collect()
     }
     assert {d: tuple(r) for d, r in out.items()} == {
-        d: tuple(r) for d, r in compacted.items()
+        d: tuple(r) for d, r in fused.items()
     }
 
 

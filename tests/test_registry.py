@@ -102,3 +102,47 @@ def test_commit_scratch_build_single_winner(tmp_path):
     _commit_scratch_build(str(b), final)
     assert (tmp_path / "x" / "f").read_text() == "A"  # winner intact
     assert not a.exists() and not b.exists()  # loser cleaned up
+
+
+def test_commit_prunes_stale_fingerprint_dirs(tmp_path):
+    """A committed build removes the SAME corpus's old-fingerprint dirs
+    and hour-old crashed build leftovers, but never a same-fingerprint
+    concurrent build dir or another corpus's live index."""
+    import os
+
+    from pipeline_etl_website_visits_spark.queries.llmops import (
+        _commit_scratch_build,
+    )
+
+    stale = tmp_path / "spark_graft_k_sf1_oldfp"
+    stale.mkdir()
+    crashed = tmp_path / "spark_graft_k_sf1_newfp.build.999"
+    crashed.mkdir()
+    os.utime(crashed, (0, 0))  # ancient — prunable
+    other_corpus = tmp_path / "spark_graft_k_sf2_anyfp"
+    other_corpus.mkdir()
+    racing = tmp_path / "spark_graft_k_sf1_newfp.build.1000"
+    racing.mkdir()  # fresh mtime — a live concurrent builder
+    tmp = tmp_path / "spark_graft_k_sf1_newfp.build.1"
+    tmp.mkdir()
+    (tmp / "f").write_text("x")
+    _commit_scratch_build(str(tmp), str(tmp_path / "spark_graft_k_sf1_newfp"))
+    assert (tmp_path / "spark_graft_k_sf1_newfp" / "f").read_text() == "x"
+    assert not stale.exists()  # old fingerprint pruned
+    assert not crashed.exists()  # ancient crashed build pruned
+    assert other_corpus.exists()  # different corpus untouched
+    assert racing.exists()  # live same-fingerprint builder untouched
+
+
+def test_commit_scratch_build_reraises_real_failures(tmp_path):
+    """A rename that fails while the target does NOT exist is a real
+    error (EACCES/EXDEV/...) — it must re-raise, not silently discard
+    the build and surface later as a missing-index mystery."""
+    import pytest
+
+    from pipeline_etl_website_visits_spark.queries.llmops import (
+        _commit_scratch_build,
+    )
+
+    with pytest.raises(OSError):
+        _commit_scratch_build(str(tmp_path / "never_built"), str(tmp_path / "x"))

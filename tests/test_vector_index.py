@@ -190,3 +190,24 @@ def test_append_rejects_unsafe_applied_key(spark, emb, tmp_path):
     for bad in ("a/b", "a'b", "a\x1fb", "", "x" * 201):
         with pytest.raises(ValueError, match="applied_key"):
             append_to_ivfpq_index(emb.limit(0), p, applied_key=bad)
+
+
+def test_rebuild_resets_applied_ledger(spark, emb, tmp_path):
+    """A rebuild at the same path is a fresh incarnation: batch keys
+    applied to the PREVIOUS incarnation must append again (round 5 got
+    this for free by rewriting meta; the sidecar must reset explicitly
+    or post-rebuild appends silently no-op and lose the batch)."""
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        append_to_ivfpq_index,
+        index_cell_stats,
+    )
+
+    base = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    p = str(tmp_path / "rebuild")
+    build_ivfpq_index(base, p, num_coarse=4)
+    assert append_to_ivfpq_index(batch, p, applied_key="day1") is True
+    build_ivfpq_index(base, p, num_coarse=4)  # centroid-retrain rebuild
+    assert append_to_ivfpq_index(batch, p, applied_key="day1") is True
+    n = sum(r["n_vectors"] for r in index_cell_stats(spark, p).collect())
+    assert n == emb.count()  # batch present exactly once after rebuild
