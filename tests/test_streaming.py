@@ -437,3 +437,67 @@ def test_transform_with_state_matches_classic_stateful(spark, tmp_path):
     assert final["a@x.com"]["fechaUltimaVisita"] == datetime.date(2026, 3, 2)
     assert final["b@x.com"]["visitasTotales"] == 1
     assert final["c@x.com"]["visitasTotales"] == 1
+
+
+def test_stream_ingest_into_gram_index_exactly_once(spark, tmp_path):
+    """Streaming corpus ingestion into the STORED gram index: two document
+    files drain as two micro-batches into the bucketed index table; the
+    result equals a from-scratch batch build over the full corpus; a
+    replayed batch id (post-crash foreachBatch re-execution) is a no-op
+    via the applied-key ledger; and dedup answered from the updated index
+    sees the streamed docs."""
+    from pipeline_etl_website_visits_spark.operators.dedup import (
+        containment_dedup_vs_stored,
+        save_gram_index,
+    )
+    from pipeline_etl_website_visits_spark.streaming.corpus_stream import (
+        index_ingest_batch,
+        start_index_ingest_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    day1 = docs.filter(F.col("doc_id") % 3 == 1)
+    day2 = docs.filter(F.col("doc_id") % 3 == 2)
+
+    table = "gramidx_stream_t"
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    try:
+        save_gram_index(corpus, table, str(tmp_path / "idx"), "text", "doc_id", n=3)
+        # two shard drops; coalesce(1) => one file each => one batch each
+        day1.coalesce(1).write.parquet(str(in_dir / "shard1"))
+        day2.coalesce(1).write.parquet(str(in_dir / "shard2"))
+        q = start_index_ingest_stream(
+            spark,
+            str(in_dir) + "/*/",
+            table,
+            str(tmp_path / "ckpt"),
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(120)
+
+        # streamed index == from-scratch batch build over the full corpus
+        streamed = spark.table(table)
+        ref_table = "gramidx_stream_ref"
+        save_gram_index(docs, ref_table, str(tmp_path / "ref_idx"), "text", "doc_id", n=3)
+        try:
+            got = {tuple(r) for r in streamed.collect()}
+            want = {tuple(r) for r in spark.table(ref_table).collect()}
+            assert got == want
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {ref_table}")
+
+        # crash-replay of an already-committed batch: ledger makes it a no-op
+        n_before = streamed.count()
+        index_ingest_batch(table)(day1, 0)  # batch 0 = first drained shard
+        assert spark.table(table).count() == n_before
+
+        # dedup from the updated index: an exact copy of a streamed doc is
+        # a full-containment duplicate
+        probe = day1.limit(1).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+        hit = containment_dedup_vs_stored(probe, spark.table(table), "text", "doc_id", n=3)
+        row = hit.collect()[0]
+        assert row["containment"] == 1.0 and bool(row["dropped"])
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
