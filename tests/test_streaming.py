@@ -501,3 +501,58 @@ def test_stream_ingest_into_gram_index_exactly_once(spark, tmp_path):
         assert row["containment"] == 1.0 and bool(row["dropped"])
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_dedup_gated_ingest_rejects_duplicate_shard(spark, tmp_path):
+    """Dedup-then-ingest: shard 1 is novel and enters the index; shard 2
+    re-delivers the SAME documents under new ids — every doc is a full-
+    containment duplicate of the stored corpus, so the index gains
+    nothing from it (beyond the batch's ledger marker)."""
+    from pipeline_etl_website_visits_spark.operators.dedup import save_gram_index
+    from pipeline_etl_website_visits_spark.streaming.corpus_stream import (
+        start_index_ingest_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    day1 = docs.filter(F.col("doc_id") % 3 == 1)
+    dup = day1.withColumn("doc_id", F.col("doc_id") + 5_000_000)  # re-crawl
+
+    table = "gramidx_gated_t"
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    try:
+        save_gram_index(corpus, table, str(tmp_path / "idx"), "text", "doc_id", n=3)
+        # expected decision, computed against the PRE-stream index: day1
+        # docs that are already >=0.99-contained in the corpus get gated
+        from pipeline_etl_website_visits_spark.operators.dedup import (
+            containment_dedup_vs_stored,
+        )
+
+        pre = containment_dedup_vs_stored(
+            day1, spark.table(table), "text", "doc_id", n=3, threshold=0.99
+        )
+        expected_gated = {r["doc_id"] for r in pre.filter("dropped").collect()}
+        day1_all = {r["doc_id"] for r in day1.select("doc_id").collect()}
+
+        day1.coalesce(1).write.parquet(str(in_dir / "shard1"))
+        q = start_index_ingest_stream(
+            spark, str(in_dir) + "/*/", table, str(tmp_path / "ckpt"),
+            dedup_threshold=0.99,
+        )
+        q.awaitTermination(120)
+        n_after_novel = spark.table(table).count()
+        idx_ids = {r["old_id"] for r in spark.table(table).select("old_id").distinct().collect()}
+        # exactly the novel day1 docs entered; the pre-gated ones did not
+        assert day1_all - expected_gated <= idx_ids
+        assert not (expected_gated & idx_ids)
+
+        dup.coalesce(1).write.parquet(str(in_dir / "shard2"))
+        q = start_index_ingest_stream(
+            spark, str(in_dir) + "/*/", table, str(tmp_path / "ckpt"),
+            dedup_threshold=0.99,
+        )
+        q.awaitTermination(120)
+        assert spark.table(table).count() == n_after_novel  # dup shard added 0 grams
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
