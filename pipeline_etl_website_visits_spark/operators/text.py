@@ -827,3 +827,52 @@ def scrub_repeated_spans(
         "doc_id", n_removed.alias("n_removed"), clean.alias("text_clean")
     )
     return out.orderBy("doc_id")
+
+
+def zipf_slope(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
+    """Log-log slope of the token frequency-rank curve — the corpus-health
+    diagnostic (natural language sits near -1; a slope far off flags
+    boilerplate floods or synthetic/garbled text before any model sees it).
+
+    Engine-exactness discipline: ``ln(rank)`` / ``ln(count)`` are quantized
+    to integer micro-units PER ROW (one libm call each — engines agree away
+    from measure-zero floor boundaries), then the OLS slope is computed from
+    exact DECIMAL(38) sums of those integers, so distributed summation order
+    cannot move a digit: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²), one
+    final exact-integer division. Never ``regr_slope`` over raw doubles —
+    its float accumulators differ by ulps between engines and partitionings.
+
+    Scale shape: one token-hash exchange (map-side-combined counts), the
+    rank window over the ``top_n`` head only (ORDER BY count LIMIT prunes
+    first at corpus scale), then a single 1-row aggregate.
+
+    Output: ``(n_points, zipf_slope)`` — one row.
+    """
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token")
+    )
+    cnt = toks.groupBy("token").agg(F.count("*").cast("long").alias("c"))
+    w = Window.orderBy(F.col("c").desc(), "token")
+    pts = (
+        cnt.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= top_n)
+        .select(
+            F.floor(F.log(F.col("rnk").cast("double")) * 1e6).cast("long").alias("x"),
+            F.floor(F.log(F.col("c").cast("double")) * 1e6).cast("long").alias("y"),
+        )
+    )
+    s = pts.agg(
+        F.count("*").cast("decimal(38,0)").alias("n"),
+        F.sum("x").cast("decimal(38,0)").alias("sx"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return s.select(
+        F.col("n").cast("long").alias("n_points"),
+        F.round(num / den, 6).alias("zipf_slope"),
+    )

@@ -1517,35 +1517,8 @@ _X130_TOP = 1000
     tags=("llm", "text", "stats"),
 )
 def x130(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select(
-        F.explode(F.split(T.normalize_text(F.col("text")), " ")).alias("token")
-    )
-    cnt = toks.groupBy("token").agg(F.count("*").cast("long").alias("c"))
-    w = Window.orderBy(F.col("c").desc(), "token")
-    pts = (
-        cnt.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= _X130_TOP)
-        .select(
-            F.floor(F.log(F.col("rnk").cast("double")) * 1e6).cast("long").alias("x"),
-            F.floor(F.log(F.col("c").cast("double")) * 1e6).cast("long").alias("y"),
-        )
-    )
-    s = pts.agg(
-        F.count("*").cast("decimal(38,0)").alias("n"),
-        F.sum("x").cast("decimal(38,0)").alias("sx"),
-        F.sum("y").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
-    )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-    return s.select(
-        F.col("n").cast("long").alias("n_points"),
-        F.round(num / den, 6).alias("zipf_slope"),
-    )
+    return T.zipf_slope(docs, "text", top_n=_X130_TOP)
 
 
 # --------------------------------------------------------------------------
@@ -1584,26 +1557,4 @@ def x130(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x131(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    grams = D.shingles(docs, "text", "doc_id", n=3)
-    sg = grams.join(
-        docs.select(F.col("doc_id"), F.col("source")), "doc_id"
-    ).select("source", "gram")
-    per_gram = sg.groupBy("gram").agg(
-        F.sort_array(F.collect_set("source")).alias("srcs")
-    )
-    arr = F.col("srcs")
-    pairs = F.flatten(
-        F.transform(
-            arr,
-            lambda a, i: F.transform(
-                F.slice(arr, i + 2, F.size(arr)),
-                lambda b: F.struct(a.alias("source_a"), b.alias("source_b")),
-            ),
-        )
-    )
-    return (
-        per_gram.select(F.explode(pairs).alias("p"))
-        .groupBy(F.col("p.source_a").alias("source_a"), F.col("p.source_b").alias("source_b"))
-        .agg(F.count("*").cast("long").alias("shared_grams"))
-        .orderBy("source_a", "source_b")
-    )
+    return D.source_overlap_matrix(docs, "text", "doc_id", "source", n=3)

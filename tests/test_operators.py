@@ -704,3 +704,41 @@ def test_constraint_audit_empty_table_passes_all(spark):
     ).collect()
     assert len(rows) == 4
     assert all(r["n_violations"] == 0 and r["passed"] is True and r["n_rows"] == 0 for r in rows)
+
+
+def test_zipf_slope_exact_hand_computed(spark):
+    """Three tokens with counts 4/2/1 → hand-computable integer-quantized
+    OLS slope; the operator must reproduce it digit-for-digit."""
+    import math
+
+    df = spark.createDataFrame(
+        [(1, "a a a a b b c")], "doc_id long, text string"
+    )
+    out = T.zipf_slope(df, "text").collect()[0]
+    assert out["n_points"] == 3
+    xs = [math.floor(math.log(r) * 1e6) for r in (1, 2, 3)]
+    ys = [math.floor(math.log(c) * 1e6) for c in (4, 2, 1)]
+    n = 3
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    sxx = sum(x * x for x in xs)
+    want = round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+    assert out["zipf_slope"] == want
+
+
+def test_source_overlap_matrix_hand_computed(spark):
+    """Three sources; s1/s2 share one trigram, s3 shares none."""
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps", "s1"),
+            (2, "a quick brown fox sleeps", "s2"),
+            (3, "entirely different words here now", "s3"),
+        ],
+        "doc_id long, text string, source string",
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["shared_grams"]
+        for r in D.source_overlap_matrix(df, "text", "doc_id", "source").collect()
+    }
+    # shared trigram: 'quick brown fox' only
+    assert out == {("s1", "s2"): 1}
