@@ -30,6 +30,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pipeline_etl_website_visits_spark.operators.dedup import append_to_gram_index
 
 DOCS_SCHEMA = "doc_id long, text string"
+EMB_SCHEMA = "vec_id long, embedding array<float>"
 
 
 def read_docs_stream(
@@ -137,6 +138,43 @@ def start_index_ingest_stream(
 
     return (
         docs.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def start_vector_ingest_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int = 1,
+):
+    """The vector-index twin of :func:`start_index_ingest_stream`: new
+    embedding files drain into an EXISTING IVF-PQ index
+    (``vector_index.append_to_ivfpq_index`` — frozen codebook, map-only
+    encode, partitioned parquet append). Same exactly-once composition:
+    checkpoint dedupes re-delivered files, the per-batch applied key
+    (``<index>/applied`` sidecar ledger) dedupes re-executed batches. No
+    relation-cache concern here — the index is path-based parquet, and
+    path reads list files per query."""
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        append_to_ivfpq_index,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        append_to_ivfpq_index(
+            batch_df, index_path, applied_key=f"stream_b{batch_id}"
+        )
+
+    vecs = (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    return (
+        vecs.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

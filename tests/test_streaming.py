@@ -556,3 +556,50 @@ def test_stream_dedup_gated_ingest_rejects_duplicate_shard(spark, tmp_path):
         assert spark.table(table).count() == n_after_novel  # dup shard added 0 grams
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_vector_ingest_equals_full_rebuild(spark, tmp_path):
+    """Streaming embedding shards drained into a stored IVF-PQ index give
+    bit-identical search results to one full rebuild over everything, and
+    a restarted drain with no new files appends nothing."""
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        build_ivfpq_index,
+        index_cell_stats,
+        ivfpq_search,
+    )
+    from pipeline_etl_website_visits_spark.streaming.corpus_stream import (
+        start_vector_ingest_stream,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") < 300)
+    s1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    s2 = emb.filter(F.col("vec_id") >= 400)
+
+    p_inc = str(tmp_path / "idx_inc")
+    p_full = str(tmp_path / "idx_full")
+    in_dir = tmp_path / "emb_in"
+    in_dir.mkdir()
+    build_ivfpq_index(base, p_inc, num_coarse=4)
+    s1.coalesce(1).write.parquet(str(in_dir / "s1"))
+    s2.coalesce(1).write.parquet(str(in_dir / "s2"))
+    q = start_vector_ingest_stream(
+        spark, str(in_dir) + "/*/", p_inc, str(tmp_path / "ck")
+    )
+    q.awaitTermination(120)
+
+    build_ivfpq_index(emb, p_full, num_coarse=4)
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = sorted(map(tuple, ivfpq_search(spark, p_inc, queries, k=5, nprobe=4).collect()))
+    want = sorted(map(tuple, ivfpq_search(spark, p_full, queries, k=5, nprobe=4).collect()))
+    assert got == want
+
+    # re-drain with the same checkpoint: nothing new, nothing appended
+    n = sum(r["n_vectors"] for r in index_cell_stats(spark, p_inc).collect())
+    q2 = start_vector_ingest_stream(
+        spark, str(in_dir) + "/*/", p_inc, str(tmp_path / "ck")
+    )
+    q2.awaitTermination(120)
+    assert sum(r["n_vectors"] for r in index_cell_stats(spark, p_inc).collect()) == n
