@@ -168,3 +168,38 @@ def write_training_shards(
         .format(format)
         .save(path)
     )
+
+
+def read_parquet_evolving(
+    spark: SparkSession,
+    path: str,
+    renames: dict[str, str] | None = None,
+) -> DataFrame:
+    """Parquet-on-read SCHEMA EVOLUTION: union the schemas of every file
+    under ``path`` (``mergeSchema`` — per-file footers are merged, files
+    missing a column yield NULLs for it) and optionally apply a
+    rename map for columns that changed name across eras.
+
+    The real-world shape this serves: a corpus directory written over
+    months by an evolving pipeline — early files (doc_id, text), later
+    ones add (lang, source) — must read as ONE relation without a
+    backfill rewrite. ``mergeSchema`` costs one footer read per file at
+    planning time (no data scan), so it stays cheap even at 100 TB where
+    a rewrite would be the single most expensive operation available.
+
+    ``renames`` maps old → new: a column that appears under its OLD name
+    in old files and its NEW name in new files is coalesced into the new
+    name (new-name value wins where both exist, which cannot happen in a
+    disjoint-era layout). Rename maps are metadata the caller owns — the
+    files are never touched.
+    """
+    df = spark.read.option("mergeSchema", "true").parquet(path)
+    if renames:
+        from pyspark.sql import functions as F
+
+        for old, new in renames.items():
+            if old in df.columns and new in df.columns:
+                df = df.withColumn(new, F.coalesce(F.col(new), F.col(old))).drop(old)
+            elif old in df.columns:
+                df = df.withColumnRenamed(old, new)
+    return df

@@ -141,3 +141,30 @@ def test_training_shards_jsonl_format(spark, tmp_path):
                 rows.append(json.loads(line))
     assert len(rows) == 100
     assert {r["text"] for r in rows} == {f"doc-{i}" for i in range(100)}
+
+
+def test_read_parquet_evolving_merges_eras(spark, tmp_path):
+    """Three file eras — (doc_id, text), +lang, body->text rename — read
+    as one relation: union schema, NULLs for columns a file predates,
+    renamed column coalesced, no rewrite of any file."""
+    from pipeline_etl_website_visits_spark.sources.generic import (
+        read_parquet_evolving,
+    )
+
+    root = tmp_path / "corpus"
+    spark.createDataFrame(
+        [(1, "alpha")], "doc_id long, text string"
+    ).write.parquet(str(root / "era1"))
+    spark.createDataFrame(
+        [(2, "beta", "en")], "doc_id long, text string, lang string"
+    ).write.parquet(str(root / "era2"))
+    spark.createDataFrame(
+        [(3, "gamma", "fr")], "doc_id long, body string, lang string"
+    ).write.parquet(str(root / "era3"))
+
+    out = read_parquet_evolving(
+        spark, str(root / "*"), renames={"body": "text"}
+    )
+    rows = {r["doc_id"]: (r["text"], r["lang"]) for r in out.collect()}
+    assert set(out.columns) == {"doc_id", "text", "lang"}
+    assert rows == {1: ("alpha", None), 2: ("beta", "en"), 3: ("gamma", "fr")}
