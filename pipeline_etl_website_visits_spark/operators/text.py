@@ -872,7 +872,9 @@ def zipf_slope(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    # den == 0 iff fewer than two distinct ranks (a 0/1-token vocabulary):
+    # the fit is undefined — NULL, not an ANSI division error
     return s.select(
         F.col("n").cast("long").alias("n_points"),
-        F.round(num / den, 6).alias("zipf_slope"),
+        F.when(den != 0, F.round(num / den, 6)).alias("zipf_slope"),
     )

@@ -203,3 +203,92 @@ def test_heavy_hitters_exact_for_any_corpus(spark, docs, denom):
     n = sum(cnt.values())
     want = sorted(((t, c) for t, c in cnt.items() if c * denom >= n), key=lambda tc: (-tc[1], tc[0]))
     assert got == want
+
+
+@given(
+    corpus=st.lists(
+        st.lists(
+            st.sampled_from(["alpha", "beta", "gamma", "delta", "eps"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_zipf_slope_matches_reference_ols(spark, corpus):
+    """Any corpus: the operator's integer-quantized OLS slope equals the
+    same formula computed in plain Python over the same quantized points
+    (rank by count desc then token asc — the operator's tie rule)."""
+    import math
+    from collections import Counter
+
+    from pipeline_etl_website_visits_spark.operators.text import zipf_slope
+
+    df = spark.createDataFrame(
+        [(i, " ".join(doc)) for i, doc in enumerate(corpus)],
+        "doc_id long, text string",
+    )
+    cnt = Counter(t for doc in corpus for t in doc)
+    ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    pts = [
+        (math.floor(math.log(r + 1) * 1e6), math.floor(math.log(c) * 1e6))
+        for r, (_, c) in enumerate(ranked)
+    ]
+    out = zipf_slope(df, "text").collect()[0]
+    assert out["n_points"] == len(pts)
+    if len(pts) < 2 or len({x for x, _ in pts}) < 2:
+        return  # degenerate fit: slope undefined (den=0) — NULL/NaN fine
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    den = n * sxx - sx * sx
+    want = round((n * sxy - sx * sy) / den, 6)
+    assert out["zipf_slope"] == want
+
+
+@given(
+    docs=st.lists(
+        st.tuples(
+            st.sampled_from(["s1", "s2", "s3"]),
+            st.lists(
+                st.sampled_from(["a", "b", "c", "d", "e", "f"]),
+                min_size=3,
+                max_size=8,
+            ),
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_source_overlap_matches_brute_force(spark, docs):
+    """Any corpus: the HOF pair-expansion result equals the brute-force
+    (source, gram) pair intersection computed in Python."""
+    from collections import defaultdict
+
+    from pipeline_etl_website_visits_spark.operators.dedup import (
+        source_overlap_matrix,
+    )
+
+    df = spark.createDataFrame(
+        [(i, " ".join(toks), src) for i, (src, toks) in enumerate(docs)],
+        "doc_id long, text string, source string",
+    )
+    by_src = defaultdict(set)
+    for src, toks in docs:
+        for i in range(len(toks) - 2):
+            by_src[src].add(" ".join(toks[i : i + 3]))
+    want = {}
+    srcs = sorted(by_src)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            shared = len(by_src[a] & by_src[b])
+            if shared:
+                want[(a, b)] = shared
+    got = {
+        (r["source_a"], r["source_b"]): r["shared_grams"]
+        for r in source_overlap_matrix(df, "text", "doc_id", "source").collect()
+    }
+    assert got == want
