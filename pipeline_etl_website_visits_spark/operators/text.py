@@ -863,12 +863,18 @@ def zipf_slope(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
             F.floor(F.log(F.col("c").cast("double")) * 1e6).cast("long").alias("y"),
         )
     )
+    # cast to DECIMAL BEFORE the product/sum: x·x ≈ 2e14 per point, so a
+    # long accumulator wraps silently past ~46k points (non-ANSI sum) —
+    # top_n is caller-controlled and the exactness contract must hold at
+    # any plausible value, not just the x130 certificate's 1000
+    xd = F.col("x").cast("decimal(38,0)")
+    yd = F.col("y").cast("decimal(38,0)")
     s = pts.agg(
         F.count("*").cast("decimal(38,0)").alias("n"),
-        F.sum("x").cast("decimal(38,0)").alias("sx"),
-        F.sum("y").cast("decimal(38,0)").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("decimal(38,0)").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("sxx"),
+        F.sum(xd).cast("decimal(38,0)").alias("sx"),
+        F.sum(yd).cast("decimal(38,0)").alias("sy"),
+        F.sum(xd * yd).cast("decimal(38,0)").alias("sxy"),
+        F.sum(xd * xd).cast("decimal(38,0)").alias("sxx"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")

@@ -7,15 +7,22 @@ micro-batch's grams are appended to the bucketed index table, and later
 ``containment_dedup_vs_stored`` calls see them immediately (same catalog
 table, bucket-aligned files).
 
-Exactly-once discipline (the K4 / visits_stream contract): the file
-source's checkpoint gives at-least-once ``foreachBatch`` invocations
-with a STABLE ``batch_id``; the append's ``applied_key`` ledger
-(one write-once marker per batch, ``operators/ledger.py``) turns the
-replay into a no-op, so a crash between the insert and the checkpoint
-commit cannot double-append a batch (double-counted gram intersections
-would push containment past 1.0 and flip best-match ties). The two
-guards compose: checkpoint dedupes re-delivered FILES, the ledger
-dedupes re-executed BATCHES.
+Redo discipline (the K4 / visits_stream contract): the file source's
+checkpoint gives at-least-once ``foreachBatch`` invocations with a
+STABLE ``batch_id``; the append's ``applied_key`` ledger (one write-once
+marker per batch, ``operators/ledger.py``) makes a replay whose marker
+landed a no-op. Keys are scoped ``<stream>_b<batch_id>`` where
+``<stream>`` derives from the checkpoint location — batch ids are only
+unique WITHIN one checkpoint lineage, so a rebuilt checkpoint (ids
+restart at 0) or a second stream into the same table gets its own key
+space instead of silently colliding with recorded markers and dropping
+real batches. The honest crash-window statement (same as the batch
+append's own contract): a crash BETWEEN the insert and the marker
+re-appends that batch's grams on replay. The ungated path therefore
+composes to effectively-once with that one documented window; the
+``dedup_threshold`` gate closes it — see :func:`index_ingest_batch` —
+because a replayed already-inserted doc is a perfect duplicate of
+itself and gets gated out.
 
 Scale: each micro-batch does one shingle pass + a bucket-aligned
 ``insertInto`` — the index side never rewrites, the batch's grams
@@ -25,7 +32,10 @@ big side and it is never touched beyond the appended files.
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, SparkSession
+import pyspark.sql.functions as F
 
 from pipeline_etl_website_visits_spark.operators.dedup import append_to_gram_index
 
@@ -33,76 +43,119 @@ DOCS_SCHEMA = "doc_id long, text string"
 EMB_SCHEMA = "vec_id long, embedding array<float>"
 
 
+def stream_key_prefix(checkpoint_dir: str) -> str:
+    """Ledger key namespace for one stream lineage: derived from the
+    checkpoint location, because ``batch_id`` is only unique within one
+    checkpoint. New checkpoint → new namespace → a replayed batch id 0
+    from a DIFFERENT lineage can never match an old marker."""
+    return "s" + hashlib.md5(checkpoint_dir.encode()).hexdigest()[:10]
+
+
 def read_docs_stream(
-    spark: SparkSession, input_dir: str, max_files_per_trigger: int = 1
+    spark: SparkSession,
+    input_dir: str,
+    max_files_per_trigger: int = 1,
+    schema: str = DOCS_SCHEMA,
 ) -> DataFrame:
-    """File-source stream of document parquet drops (one file ≈ one
-    crawl shard); explicit schema — a streaming source cannot infer."""
+    """File-source stream of parquet drops (one file ≈ one crawl/embed
+    shard); explicit schema — a streaming source cannot infer. Shared by
+    the gram-index and vector-index sinks (``schema=EMB_SCHEMA``)."""
     return (
-        spark.readStream.schema(DOCS_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .parquet(input_dir)
     )
 
 
-def index_ingest_batch(table: str, n: int = 3, dedup_threshold: float | None = None):
-    """The ``foreachBatch`` sink: append the micro-batch's grams under a
-    batch-derived applied key. Exposed separately so tests can replay a
-    batch id directly (simulating post-crash re-execution).
+def index_ingest_batch(
+    table: str,
+    n: int = 3,
+    dedup_threshold: float | None = None,
+    key_prefix: str = "stream",
+):
+    """The ``foreachBatch`` sink: append the micro-batch's grams under
+    the ``<key_prefix>_b<batch_id>`` applied key. Exposed separately so
+    tests can replay a batch id directly (simulating post-crash
+    re-execution) — pass the SAME ``key_prefix`` the stream used
+    (:func:`stream_key_prefix` of its checkpoint dir).
 
     ``dedup_threshold`` turns on the real production semantic —
-    dedup-then-ingest: the batch is scored against the CURRENT index
-    (``containment_dedup_vs_stored``) and only documents below the
+    dedup-then-ingest: exact intra-batch duplicates collapse first
+    (``dedup_exact`` keep-set — a shard containing a doc twice
+    contributes it once), then the batch is scored against the CURRENT
+    index (``containment_dedup_vs_stored``) and only documents below the
     containment threshold enter it, so re-crawled duplicates never bloat
-    the index or vote in later decisions. The decision and the append
-    read the same index table, and the decision is computed BEFORE the
-    insert (anti-join on the dropped set), so in a first execution a
-    document is never compared against its own grams. Replay safety
-    composes without a transaction: a replay whose first run already
-    recorded the marker no-ops outright; a replay into the crash window
-    (insert committed, marker not yet) re-runs the decision against the
-    post-insert index, where every already-inserted doc is a perfect
-    duplicate OF ITSELF — dropped, so the re-append inserts nothing and
-    the marker lands. Either way the state converges to the batch
-    present exactly once.
+    the index or vote in later decisions. Scope note: NEAR-duplicates
+    that first meet inside one micro-batch are not cross-scored against
+    each other — that is the batch pipeline's corpus-level dedup job
+    (x86); the gate's contract is batch-vs-index plus exact-within-batch.
+
+    The batch is persisted across the gate's two consumers (decision +
+    append) so the normalize/shingle pass — the dominant per-batch cost —
+    runs once, and the decision is materialized (``localCheckpoint``)
+    before the insert so the append's plan never carries a live scan of
+    the table it writes (a fused read+write of one table races the
+    decision against the files the write is landing — observed dropping
+    novel docs as self-duplicates mid-batch).
+
+    Replay convergence with the gate on: a replay whose first run
+    already recorded the marker no-ops outright; a replay into the
+    crash window (insert committed, marker not yet) re-runs the decision
+    against the post-insert index, where every already-inserted doc is a
+    perfect duplicate OF ITSELF — dropped, so the re-append inserts
+    nothing and the marker lands. Either way the state converges to the
+    batch present exactly once. WITHOUT the gate, that crash window
+    re-appends (the batch append's own documented contract).
     """
     from pipeline_etl_website_visits_spark.operators.dedup import (
         containment_dedup_vs_stored,
+        dedup_exact,
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        to_ingest = batch_df
-        if dedup_threshold is not None:
-            spark = batch_df.sparkSession
+        applied_key = f"{key_prefix}_b{batch_id}"
+        if dedup_threshold is None:
+            append_to_gram_index(
+                batch_df, table, "text", "doc_id", n=n, applied_key=applied_key
+            )
+            return
+        spark = batch_df.sparkSession
+        # intra-batch exact dedup, both flavors: dropDuplicates collapses
+        # re-delivered IDENTICAL rows (same id — a semi-join alone would
+        # keep every copy), dedup_exact's keep-set collapses same-content
+        # rows under DIFFERENT ids (the re-crawl case)
+        batch_df = batch_df.dropDuplicates(["doc_id"]).persist()
+        uniq = None
+        try:
+            keepers = dedup_exact(batch_df, "text", "doc_id").select(
+                F.col("keeper_doc_id").alias("doc_id")
+            )
+            uniq = batch_df.join(keepers, "doc_id", "left_semi").persist()
             decisions = containment_dedup_vs_stored(
-                batch_df,
+                uniq,
                 spark.table(table),
                 "text",
                 "doc_id",
                 n=n,
                 threshold=dedup_threshold,
             )
-            # MATERIALIZE the decision before the insert:
-            # localCheckpoint cuts the lineage, so the append's plan
-            # cannot carry a live scan of the very table it is inserting
-            # into (a fused read+write of one table races the decision
-            # against the files the write is landing — observed dropping
-            # novel docs as self-duplicates mid-batch). The dropped set
-            # is bounded by the batch's doc count.
             dropped = (
                 decisions.filter("dropped")
                 .select("doc_id")
                 .localCheckpoint(eager=True)
             )
-            to_ingest = batch_df.join(dropped, "doc_id", "left_anti")
-        append_to_gram_index(
-            to_ingest,
-            table,
-            "text",
-            "doc_id",
-            n=n,
-            applied_key=f"stream_b{batch_id}",
-        )
+            append_to_gram_index(
+                uniq.join(dropped, "doc_id", "left_anti"),
+                table,
+                "text",
+                "doc_id",
+                n=n,
+                applied_key=applied_key,
+            )
+        finally:
+            batch_df.unpersist()
+            if uniq is not None:
+                uniq.unpersist()
 
     return sink
 
@@ -130,7 +183,12 @@ def start_index_ingest_stream(
     on the driver, so touching the captured session is safe.
     """
     docs = read_docs_stream(spark, input_dir, max_files_per_trigger)
-    inner = index_ingest_batch(table, n=n, dedup_threshold=dedup_threshold)
+    inner = index_ingest_batch(
+        table,
+        n=n,
+        dedup_threshold=dedup_threshold,
+        key_prefix=stream_key_prefix(checkpoint_dir),
+    )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         inner(batch_df, batch_id)
@@ -154,24 +212,26 @@ def start_vector_ingest_stream(
     """The vector-index twin of :func:`start_index_ingest_stream`: new
     embedding files drain into an EXISTING IVF-PQ index
     (``vector_index.append_to_ivfpq_index`` — frozen codebook, map-only
-    encode, partitioned parquet append). Same exactly-once composition:
-    checkpoint dedupes re-delivered files, the per-batch applied key
-    (``<index>/applied`` sidecar ledger) dedupes re-executed batches. No
+    encode, partitioned parquet append). Same redo composition:
+    checkpoint dedupes re-delivered files, the checkpoint-scoped
+    per-batch applied key (``<index>/applied`` sidecar ledger) dedupes
+    re-executed batches whose marker landed; the insert→marker crash
+    window re-appends, per the batch append's documented contract. No
     relation-cache concern here — the index is path-based parquet, and
     path reads list files per query."""
     from pipeline_etl_website_visits_spark.operators.vector_index import (
         append_to_ivfpq_index,
     )
 
+    prefix = stream_key_prefix(checkpoint_dir)
+
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         append_to_ivfpq_index(
-            batch_df, index_path, applied_key=f"stream_b{batch_id}"
+            batch_df, index_path, applied_key=f"{prefix}_b{batch_id}"
         )
 
-    vecs = (
-        spark.readStream.schema(EMB_SCHEMA)
-        .option("maxFilesPerTrigger", max_files_per_trigger)
-        .parquet(input_dir)
+    vecs = read_docs_stream(
+        spark, input_dir, max_files_per_trigger, schema=EMB_SCHEMA
     )
     return (
         vecs.writeStream.foreachBatch(sink)

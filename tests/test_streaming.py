@@ -453,6 +453,7 @@ def test_stream_ingest_into_gram_index_exactly_once(spark, tmp_path):
     from pipeline_etl_website_visits_spark.streaming.corpus_stream import (
         index_ingest_batch,
         start_index_ingest_stream,
+        stream_key_prefix,
     )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
@@ -489,8 +490,13 @@ def test_stream_ingest_into_gram_index_exactly_once(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {ref_table}")
 
         # crash-replay of an already-committed batch: ledger makes it a no-op
+        # (same key namespace as the stream = its checkpoint-derived prefix;
+        # batch ids are only unique within one checkpoint lineage)
         n_before = streamed.count()
-        index_ingest_batch(table)(day1, 0)  # batch 0 = first drained shard
+        replay = index_ingest_batch(
+            table, key_prefix=stream_key_prefix(str(tmp_path / "ckpt"))
+        )
+        replay(day1, 0)  # batch 0 = first drained shard
         assert spark.table(table).count() == n_before
 
         # dedup from the updated index: an exact copy of a streamed doc is
@@ -603,3 +609,58 @@ def test_stream_vector_ingest_equals_full_rebuild(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert sum(r["n_vectors"] for r in index_cell_stats(spark, p_inc).collect()) == n
+
+
+def test_stream_key_namespace_scopes_to_checkpoint(spark, tmp_path):
+    """Batch ids are only unique within one checkpoint lineage: a SECOND
+    stream (fresh checkpoint) delivering new files must append even
+    though its batch ids restart at 0 — its ledger namespace differs —
+    while intra-batch exact duplicates collapse under the gate."""
+    from pipeline_etl_website_visits_spark.operators.dedup import save_gram_index
+    from pipeline_etl_website_visits_spark.streaming.corpus_stream import (
+        start_index_ingest_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    day1 = docs.filter(F.col("doc_id") % 3 == 1).limit(20)
+    day2 = docs.filter(F.col("doc_id") % 3 == 2).limit(20)
+
+    table = "gramidx_ns_t"
+    try:
+        save_gram_index(corpus, table, str(tmp_path / "idx"), "text", "doc_id", n=3)
+        in1 = tmp_path / "in1"
+        in1.mkdir()
+        day1.coalesce(1).write.parquet(str(in1 / "shard"))
+        q = start_index_ingest_stream(
+            spark, str(in1) + "/*/", table, str(tmp_path / "ck1")
+        )
+        q.awaitTermination(120)
+        n1 = spark.table(table).count()
+        assert n1 > corpus.count() * 0  # day1 grams landed
+
+        # a DIFFERENT lineage (fresh checkpoint dir) also starts at batch 0;
+        # with a lineage-scoped namespace its batch must still append
+        in2 = tmp_path / "in2"
+        in2.mkdir()
+        # the shard contains each doc TWICE: the gate's exact intra-batch
+        # dedup must collapse the copies to one contribution
+        day2.union(day2).coalesce(1).write.parquet(str(in2 / "shard"))
+        q2 = start_index_ingest_stream(
+            spark, str(in2) + "/*/", table, str(tmp_path / "ck2"),
+            dedup_threshold=0.99,
+        )
+        q2.awaitTermination(120)
+        n2 = spark.table(table).count()
+        assert n2 > n1  # the second lineage's batch 0 was NOT mistaken for ck1's
+        # each day2 doc contributed at most once (no doubled grams):
+        per_doc = (
+            spark.table(table)
+            .groupBy("old_id", "gram")
+            .count()
+            .filter("count > 1")
+            .count()
+        )
+        assert per_doc == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
