@@ -1484,3 +1484,68 @@ def x115(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return T.scrub_repeated_spans(docs, "text", "doc_id", n=3)
+
+
+# --------------------------------------------------------------------------
+# x132 — schema evolution on read (mergeSchema + rename map), oracle-backed
+#
+# The sources.read_parquet_evolving contract as a value-level certificate:
+# a corpus directory written in two eras — era1 (doc_id, text), era2
+# (doc_id, body, lang) where "body" is the renamed text column — reads as
+# ONE relation with NULL backfill and old→new coalescing, and an
+# aggregate over it hash-matches an oracle that derives the same
+# era-dependent values straight from the documents table (era membership
+# is doc_id-deterministic: odd ids are era2). The scratch eras are built
+# once per corpus fingerprint with the stored-index build discipline
+# (pid-tagged tmp + atomic rename commit), so repeat gate/bench runs
+# never rebuild or race.
+# --------------------------------------------------------------------------
+@query(
+    "x132_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN doc_id % 2 = 1 THEN lang END AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS n_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc
+    FROM documents
+    GROUP BY 1 ORDER BY 1 NULLS FIRST
+    """,
+    certifies="schema evolution on read: mergeSchema unions per-file footers (NULL backfill for pre-evolution files) + rename-map coalescing, zero rewrites — value-certified against the flat source",
+    tags=("sources", "scale"),
+)
+def x132(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pipeline_etl_website_visits_spark.queries.llmops import (
+        _commit_scratch_build,
+        _scratch_path,
+    )
+    from pipeline_etl_website_visits_spark.sources.generic import (
+        read_parquet_evolving,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch_path(sf_dir, "documents", "evolve")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.build.{os.getpid()}"
+        era1 = docs.filter(F.col("doc_id") % 2 == 0).select("doc_id", "text")
+        era2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", F.col("text").alias("body"), "lang"
+        )
+        era1.write.parquet(os.path.join(tmp, "era1"))
+        era2.write.parquet(os.path.join(tmp, "era2"))
+        # top-level commit marker: the per-era _SUCCESS files sit inside
+        # the era dirs; the rename is atomic but a reader probes this one
+        with open(os.path.join(tmp, "_SUCCESS"), "w"):
+            pass
+        _commit_scratch_build(tmp, path)
+    merged = read_parquet_evolving(spark, path + "/era*", renames={"body": "text"})
+    return (
+        merged.groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            F.min("doc_id").cast("long").alias("min_doc"),
+        )
+        .orderBy(F.col("lang").asc_nulls_first())
+    )

@@ -51,13 +51,14 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in dict order; with 162 registered queries we rotate so every query's
+# in dict order; with 163 registered queries we rotate so every query's
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-6 pinning rule: HEAD = the nine never-checked names (x123 native
+# Round-6 pinning rule: HEAD = the ten never-checked names (x123 native
 # recursion, the six TPC-H shapes x124-x129, x130 Zipf slope, x131
-# source-overlap matrix — all new this round), then every query whose
+# source-overlap matrix, x132 schema evolution — all new this round),
+# then every query whose
 # implementation changed in round 6 (x117/x122 fingerprinted+atomic
 # scratch builds; x58/x59 via the compact_first default flip — they opt
 # into the fused form explicitly; x70/x102 fan_out on the JSON parse;),
@@ -70,7 +71,7 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # everything listed and stay covered by the local full-suite
 # check_oracle runs.
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- (a0) NEW in round 6 -- never driver-checked (9) --
+    # -- (a0) NEW in round 6 -- never driver-checked (10) --
     "x123_native_recursion",
     "x124_priority_late_orders",
     "x125_priority_class_lines",
@@ -80,6 +81,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x129_forecast_revenue",
     "x130_zipf_slope",
     "x131_source_overlap_matrix",
+    "x132_schema_evolution",
     # -- (a) implementation changed in round 6 (6) --
     "x117_stored_index_search",
     "x122_stored_gram_dedup",
@@ -107,7 +109,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x50_shuffled_sample",
     "x51_mixture_sampling",
     "q60_pricing_summary",
-    # -- (c) latest driver row is round 3, first 16 fill to slot 50 --
+    # -- (c) latest driver row is round 3, first 15 fill to slot 50 --
     "q01_scan_project_rename",
     "q05_error_explode",
     "x21_dedup_exact",
@@ -123,8 +125,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x43_corpus_curation",
     "x42_dedup_embed_cosine",
     "x60_embed_kmeans",
-    "x61_multimodal_png_roundtrip",
     # ---- slot 50 boundary: everything below is round-7 spillover ----
+    "x61_multimodal_png_roundtrip",
     "x71_dedup_clusters",
     "x76_multimodal_wav_roundtrip",
     "x78_bpe_merges",
