@@ -190,6 +190,17 @@ class Warehouse:
 
         return append_to_gram_index(new_docs, table, text_col, id_col, **kw)
 
+    def compact_gram_index(self, table: str, **kw) -> str:
+        """Rewrite an append-heavy gram index to one file per bucket
+        (versioned-dir swap, ledger carried over — see
+        operators/dedup.py:compact_gram_index); returns the new location.
+        The small-file counterpart of :meth:`compact` for the index."""
+        from pipeline_etl_website_visits_spark.operators.dedup import (
+            compact_gram_index,
+        )
+
+        return compact_gram_index(self.spark, table, **kw)
+
     def dedup_against_gram_index(
         self, incoming: DataFrame, table: str, text_col: str = "text",
         id_col: str = "doc_id", n: int = 3, **kw,

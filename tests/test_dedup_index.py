@@ -157,3 +157,53 @@ def test_gram_index_ledger_is_sidecar_not_tblproperties(spark, tmp_path):
         assert spark.table(table).count() > 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compact_gram_index_restores_file_counts_and_preserves_everything(spark, tmp_path):
+    """Three appends multiply bucket files; compaction rewrites to one
+    file per bucket, keeps dedup results bit-identical, preserves the
+    stored gram geometry AND the applied-key ledger (a replayed
+    pre-compaction batch still no-ops)."""
+    import os
+
+    from pipeline_etl_website_visits_spark.operators.dedup import (
+        append_to_gram_index,
+        compact_gram_index,
+        containment_dedup_vs_stored,
+        gram_index_n,
+        save_gram_index,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 4 == 0)
+    probe = docs.filter(F.col("doc_id") % 4 == 1)
+    table = "gramidx_compact_t"
+    path = str(tmp_path / "cidx")
+    try:
+        save_gram_index(corpus, table, path, "text", "doc_id", n=3, n_buckets=8)
+        for i, m in enumerate((2, 3)):
+            batch = docs.filter(F.col("doc_id") % 4 == m)
+            assert append_to_gram_index(batch, table, "text", "doc_id", n=3, applied_key=f"b{i}")
+
+        def data_files(loc):
+            return [f for f in os.listdir(loc) if not f.startswith(("_", "."))]
+
+        assert len(data_files(path)) > 8  # appends piled files up
+        before = sorted(
+            map(tuple, containment_dedup_vs_stored(probe, spark.table(table), "text", "doc_id", n=3).collect())
+        )
+        n_rows = spark.table(table).count()
+
+        new_loc = compact_gram_index(spark, table, n_buckets=8)
+        assert len(data_files(new_loc)) == 8  # one file per bucket
+        assert spark.table(table).count() == n_rows
+        assert gram_index_n(spark, table) == 3
+        after = sorted(
+            map(tuple, containment_dedup_vs_stored(probe, spark.table(table), "text", "doc_id", n=3).collect())
+        )
+        assert before == after
+        # ledger survived: replaying a pre-compaction batch is still a no-op
+        batch = docs.filter(F.col("doc_id") % 4 == 2)
+        assert append_to_gram_index(batch, table, "text", "doc_id", n=3, applied_key="b0") is False
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
