@@ -118,6 +118,12 @@ def build_ivfpq_index(
     import shutil
 
     shutil.rmtree(os.path.join(path, "applied"), ignore_errors=True)
+    # ...and any compaction pointer: the rebuild writes generation zero
+    # ("codes"), so a stale pointer would resurrect a dead generation
+    try:
+        os.remove(os.path.join(path, "codes_current"))
+    except FileNotFoundError:
+        pass
     (
         vectors.select(id_col, vec_col)
         .mapInPandas(encode, out_schema)
@@ -161,6 +167,67 @@ def index_is_complete(path: str) -> bool:
     """True when a prior build COMMITTED (meta's _SUCCESS exists — it is
     written last, so codes are guaranteed present too)."""
     return os.path.exists(os.path.join(path, "meta", "_SUCCESS"))
+
+
+def _codes_dir(path: str) -> str:
+    """Resolve the LIVE codes directory: the ``codes_current`` pointer
+    file names a compacted generation (``codes_v<k>``) when compaction
+    has run; otherwise the build's original ``codes``. The pointer is
+    written atomically (tmp + rename — the warehouse pointer protocol),
+    so readers always resolve to a fully-committed generation."""
+    ptr = os.path.join(path, "codes_current")
+    if os.path.exists(ptr):
+        with open(ptr) as f:
+            return os.path.join(path, f.read().strip())
+    return os.path.join(path, "codes")
+
+
+def compact_ivfpq_codes(
+    spark: SparkSession,
+    path: str,
+    writer_tasks: int = 1,
+    remove_old: bool = False,
+) -> str:
+    """Compact the stored codes after append pileup: every
+    :func:`append_to_ivfpq_index` batch adds one file per touched cell
+    partition, and months of daily appends leave each cell a pile of
+    small files that the pruned search pays per-file open cost for.
+
+    The rewrite lands in a FRESH generation dir (``codes_v<k>`` —
+    partitionBy(cell) preserved, one file per (task, cell):
+    ``writer_tasks=1`` is the full one-file-per-cell compaction), then
+    the ``codes_current`` pointer swaps atomically — a crash before the
+    pointer write leaves the old generation live and complete; readers
+    never observe a partial swap (the warehouse versioned-dir + pointer
+    discipline). Geometry (meta) and the applied-key ledger are
+    untouched, so searches stay bit-identical and replayed batches still
+    no-op. Old generations are left for deferred GC unless
+    ``remove_old`` (an in-flight search may still be scanning one).
+    Returns the new codes dir.
+    """
+    import shutil
+
+    cur = _codes_dir(path)
+    gen = 0
+    while os.path.exists(os.path.join(path, f"codes_v{gen + 1}")):
+        gen += 1
+    new_name = f"codes_v{gen + 1}"
+    new_dir = os.path.join(path, new_name)
+    (
+        spark.read.parquet(cur)
+        .coalesce(writer_tasks)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(new_dir)
+    )
+    ptr = os.path.join(path, "codes_current")
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(new_name)
+    os.replace(tmp, ptr)
+    if remove_old and os.path.realpath(cur) != os.path.realpath(new_dir):
+        shutil.rmtree(cur, ignore_errors=True)
+    return new_dir
 
 
 def _load_meta(spark: SparkSession, path: str):
@@ -263,7 +330,7 @@ def ivfpq_search(
     # CatalogFileIndex stops pruning (partition-type inference makes it
     # int on default sessions, string when inference is disabled — this
     # project's session config)
-    raw = spark.read.parquet(os.path.join(path, "codes"))
+    raw = spark.read.parquet(_codes_dir(path))
     if isinstance(raw.schema["cell"].dataType, StringType):
         cell_filter = F.col("cell").isin([str(c) for c in probed_union])
     else:
@@ -361,7 +428,7 @@ def append_to_ivfpq_index(
         .mapInPandas(encode, f"{id_col} long, cell int, codes array<int>")
         .write.mode("append")
         .partitionBy("cell")
-        .parquet(os.path.join(path, "codes"))
+        .parquet(_codes_dir(path))
     )
     if applied_key is not None:
         ledger.record_applied_key(os.path.join(path, "applied"), applied_key)
@@ -378,7 +445,7 @@ def index_cell_stats(spark: SparkSession, path: str) -> DataFrame:
     centroid re-train / cell split.
     """
     return (
-        spark.read.parquet(os.path.join(path, "codes"))
+        spark.read.parquet(_codes_dir(path))
         .groupBy(F.col("cell").cast("int").alias("cell"))
         .agg(F.count("*").cast("long").alias("n_vectors"))
         .orderBy("cell")

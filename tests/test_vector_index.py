@@ -211,3 +211,45 @@ def test_rebuild_resets_applied_ledger(spark, emb, tmp_path):
     assert append_to_ivfpq_index(batch, p, applied_key="day1") is True
     n = sum(r["n_vectors"] for r in index_cell_stats(spark, p).collect())
     assert n == emb.count()  # batch present exactly once after rebuild
+
+
+def test_compact_codes_preserves_search_append_and_ledger(spark, emb, tmp_path):
+    """Append pileup -> compaction: one file per cell, searches stay
+    bit-identical, later appends land in the new generation, and the
+    redo ledger survives (replayed batch still no-ops)."""
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        _codes_dir,
+        append_to_ivfpq_index,
+        compact_ivfpq_codes,
+        index_cell_stats,
+        ivfpq_search,
+    )
+
+    base = emb.filter(F.col("vec_id") < 300)
+    b1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    b2 = emb.filter(F.col("vec_id") >= 400)
+    p = str(tmp_path / "cidx")
+    build_ivfpq_index(base, p, num_coarse=4)
+    assert append_to_ivfpq_index(b1, p, applied_key="d1")
+    assert append_to_ivfpq_index(b2, p, applied_key="d2")
+    queries = emb.filter(F.col("vec_id") < 5)
+    before = sorted(map(tuple, ivfpq_search(spark, p, queries, k=5, nprobe=4).collect()))
+
+    new_dir = compact_ivfpq_codes(spark, p)
+    # one data file per cell dir in the new generation
+    for cell in os.listdir(new_dir):
+        if not cell.startswith("cell="):
+            continue
+        files = [f for f in os.listdir(os.path.join(new_dir, cell)) if not f.startswith(("_", "."))]
+        assert len(files) == 1, (cell, files)
+    assert _codes_dir(p) == new_dir
+    after = sorted(map(tuple, ivfpq_search(spark, p, queries, k=5, nprobe=4).collect()))
+    assert before == after
+
+    # ledger survived compaction: replay no-ops
+    assert append_to_ivfpq_index(b1, p, applied_key="d1") is False
+    n = sum(r["n_vectors"] for r in index_cell_stats(spark, p).collect())
+    assert n == emb.count()
+    # a NEW batch appends into the live (new) generation
+    assert append_to_ivfpq_index(b1.limit(3).withColumn("vec_id", F.col("vec_id") + 10_000), p, applied_key="d3")
+    assert sum(r["n_vectors"] for r in index_cell_stats(spark, p).collect()) == n + 3
