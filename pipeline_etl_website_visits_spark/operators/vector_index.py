@@ -450,3 +450,25 @@ def index_cell_stats(spark: SparkSession, path: str) -> DataFrame:
         .agg(F.count("*").cast("long").alias("n_vectors"))
         .orderBy("cell")
     )
+
+
+def gc_ivfpq_generations(path: str) -> list[str]:
+    """Remove codes generations the ``codes_current`` pointer no longer
+    references; returns the removed dirs. Run AFTER a retention delay
+    (the warehouse GC rule): an in-flight search that resolved the old
+    pointer may still be scanning the old generation — the pointer swap
+    is atomic for NEW readers, not a lease over running ones. Never
+    touches meta, the ledger, or the live generation."""
+    import shutil
+
+    live = os.path.realpath(_codes_dir(path))
+    removed = []
+    for name in sorted(os.listdir(path)):
+        if name != "codes" and not (name.startswith("codes_v") and name != "codes_current"):
+            continue
+        full = os.path.join(path, name)
+        if not os.path.isdir(full) or os.path.realpath(full) == live:
+            continue
+        shutil.rmtree(full, ignore_errors=True)
+        removed.append(full)
+    return removed

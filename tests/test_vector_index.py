@@ -253,3 +253,24 @@ def test_compact_codes_preserves_search_append_and_ledger(spark, emb, tmp_path):
     # a NEW batch appends into the live (new) generation
     assert append_to_ivfpq_index(b1.limit(3).withColumn("vec_id", F.col("vec_id") + 10_000), p, applied_key="d3")
     assert sum(r["n_vectors"] for r in index_cell_stats(spark, p).collect()) == n + 3
+
+
+def test_gc_removes_only_dead_generations(spark, emb, tmp_path):
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        _codes_dir,
+        compact_ivfpq_codes,
+        gc_ivfpq_generations,
+        ivfpq_search,
+    )
+
+    p = str(tmp_path / "gidx")
+    build_ivfpq_index(emb.filter(F.col("vec_id") < 300), p, num_coarse=4)
+    compact_ivfpq_codes(spark, p)   # codes_v1 live, codes dead
+    compact_ivfpq_codes(spark, p)   # codes_v2 live, codes+v1 dead
+    removed = gc_ivfpq_generations(p)
+    assert {os.path.basename(r) for r in removed} == {"codes", "codes_v1"}
+    assert os.path.basename(_codes_dir(p)) == "codes_v2"
+    # index still searches after GC
+    q = emb.filter(F.col("vec_id") < 3)
+    assert len(ivfpq_search(spark, p, q, k=5, nprobe=4).collect()) > 0
+    assert gc_ivfpq_generations(p) == []  # idempotent
