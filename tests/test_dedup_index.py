@@ -207,3 +207,31 @@ def test_compact_gram_index_restores_file_counts_and_preserves_everything(spark,
         assert append_to_gram_index(batch, table, "text", "doc_id", n=3, applied_key="b0") is False
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compact_migrates_legacy_property_keys(spark, tmp_path):
+    """A pre-sidecar index recorded applied keys in TBLPROPERTIES; the
+    new registration after compaction only carries gram_n, so those keys
+    must migrate into the sidecar ledger or their batches would
+    double-append on replay."""
+    from pipeline_etl_website_visits_spark.operators.dedup import (
+        append_to_gram_index,
+        compact_gram_index,
+        save_gram_index,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 4 == 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 1)
+    table = "gramidx_legacy_t"
+    try:
+        save_gram_index(corpus, table, str(tmp_path / "lidx"), "text", "doc_id", n=3, n_buckets=8)
+        # simulate a round-5-era ledger: key recorded in TBLPROPERTIES only
+        assert append_to_gram_index(batch, table, "text", "doc_id", n=3, applied_key="legacy1")
+        spark.sql(f"ALTER TABLE {table} SET TBLPROPERTIES ('gram_applied'='legacy0')")
+        compact_gram_index(spark, table, n_buckets=8)
+        # both the sidecar key and the migrated legacy property key no-op
+        assert append_to_gram_index(batch, table, "text", "doc_id", n=3, applied_key="legacy1") is False
+        assert append_to_gram_index(batch, table, "text", "doc_id", n=3, applied_key="legacy0") is False
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
