@@ -2504,3 +2504,37 @@ _X129_SQL = """
 def x129(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(_X129_SQL)
+
+
+# --------------------------------------------------------------------------
+# x133 — bag-semantics set operations (EXCEPT ALL / INTERSECT ALL)
+#
+# q42/q43 certify the DISTINCT set ops; the ALL variants are different
+# operators (multiset difference/intersection — duplicates carry
+# multiplicity: per key, max(n_a - n_b, 0) and min(n_a, n_b)). Spark
+# plans them as aggregate+generate replication rather than hash
+# de-duplication, which is exactly what this certifies. Identical
+# statement text both engines; counts keep the result 2 cells.
+# --------------------------------------------------------------------------
+_X133_SQL = """
+    WITH ex AS (SELECT l_orderkey AS k FROM lineitem
+                EXCEPT ALL
+                SELECT o_orderkey AS k FROM orders),
+         ia AS (SELECT l_orderkey AS k FROM lineitem
+                INTERSECT ALL
+                SELECT o_orderkey AS k FROM orders)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_except_all,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM ia) AS n_intersect_all
+"""
+
+
+@query(
+    "x133_bag_set_ops",
+    oracle=_X133_SQL,
+    certifies="EXCEPT ALL / INTERSECT ALL bag semantics: multiset difference and intersection with multiplicities — identical statement text both engines",
+    tags=("sql", "setops"),
+)
+def x133(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "orders"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_X133_SQL)

@@ -51,13 +51,14 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in dict order; with 163 registered queries we rotate so every query's
+# in dict order; with 164 registered queries we rotate so every query's
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-6 pinning rule: HEAD = the ten never-checked names (x123 native
+# Round-6 pinning rule: HEAD = the eleven never-checked names (x123 native
 # recursion, the six TPC-H shapes x124-x129, x130 Zipf slope, x131
-# source-overlap matrix, x132 schema evolution — all new this round),
+# source-overlap matrix, x132 schema evolution, x133 bag set-ops — all
+# new this round),
 # then every query whose
 # implementation changed in round 6 (x117/x122 fingerprinted+atomic
 # scratch builds; x58/x59 via the compact_first default flip — they opt
@@ -65,13 +66,13 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # then the documented round-5 spillover (the 19 round-2-latest names —
 # committed last round to head this prefix), then the stalest remainder:
 # round-3-latest names in registration order up to slot 50. The
-# twenty-seven round-3-latest names that don't fit spill past slot 50 to
+# twenty-nine round-3-latest names that do not fit spill past slot 50 to
 # round 7 (each has two green driver rows and an implementation
 # unchanged since round 3); all round-4/5-latest rows are fresher than
 # everything listed and stay covered by the local full-suite
 # check_oracle runs.
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- (a0) NEW in round 6 -- never driver-checked (10) --
+    # -- (a0) NEW in round 6 -- never driver-checked (11) --
     "x123_native_recursion",
     "x124_priority_late_orders",
     "x125_priority_class_lines",
@@ -82,6 +83,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x130_zipf_slope",
     "x131_source_overlap_matrix",
     "x132_schema_evolution",
+    "x133_bag_set_ops",
     # -- (a) implementation changed in round 6 (6) --
     "x117_stored_index_search",
     "x122_stored_gram_dedup",
@@ -109,7 +111,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x50_shuffled_sample",
     "x51_mixture_sampling",
     "q60_pricing_summary",
-    # -- (c) latest driver row is round 3, first 15 fill to slot 50 --
+    # -- (c) latest driver row is round 3, first 14 fill to slot 50 --
     "q01_scan_project_rename",
     "q05_error_explode",
     "x21_dedup_exact",
@@ -124,8 +126,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x41_embed_ivf_topk",
     "x43_corpus_curation",
     "x42_dedup_embed_cosine",
-    "x60_embed_kmeans",
     # ---- slot 50 boundary: everything below is round-7 spillover ----
+    "x60_embed_kmeans",
     "x61_multimodal_png_roundtrip",
     "x71_dedup_clusters",
     "x76_multimodal_wav_roundtrip",
