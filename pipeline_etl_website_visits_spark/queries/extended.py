@@ -2538,3 +2538,92 @@ def x133(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "orders"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_X133_SQL)
+
+
+# --------------------------------------------------------------------------
+# x134 — TPC-H Q11 shape: group aggregate vs a scalar total of the SAME
+# relation ("important stock").
+#
+# The testdata has no partsupp table, so lineitem restricted to two
+# supplier nations plays the part-supplier value fact (the join/agg
+# topology is Q11's: fact → supplier → nation dim filter, group by part,
+# HAVING against a scalar aggregate of the whole filtered relation).
+# TPC-H's literal `> SUM(...) * FRACTION` threshold is scale-DEPENDENT
+# (the spec scales FRACTION by 1/SF; a fixed 0.0001 returns the whole
+# table at sf0.001 and nothing at sf0.1), so the certificate uses the
+# scale-free form "value > 2x the mean part value", cross-multiplied
+# into pure integer/DECIMAL(38) math so the threshold comparison is
+# exact on both engines — no double division, no tie ambiguity.
+# At 100 TB: the CTE is scanned twice (group-by + scalar total); both
+# passes reduce map-side, and the dim legs broadcast. Identical
+# statement text both engines.
+# --------------------------------------------------------------------------
+_X134_SQL = """
+    WITH supplied AS (
+      SELECT l.l_partkey AS partkey,
+             CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) AS value_cents
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name IN ('NATION_7', 'NATION_13')
+    )
+    SELECT CAST(partkey AS BIGINT) AS p_partkey,
+           CAST(SUM(value_cents) AS BIGINT) AS value_cents
+    FROM supplied
+    GROUP BY partkey
+    HAVING CAST(SUM(value_cents) AS DECIMAL(38,0))
+             * (SELECT CAST(COUNT(DISTINCT partkey) AS DECIMAL(38,0)) FROM supplied)
+           > (SELECT CAST(SUM(value_cents) AS DECIMAL(38,0)) * 2 FROM supplied)
+    ORDER BY value_cents DESC, p_partkey
+"""
+
+
+@query(
+    "x134_important_parts",
+    oracle=_X134_SQL,
+    certifies="TPC-H Q11 shape: per-group aggregate HAVING-compared to a scalar aggregate of the same filtered relation, exact cross-multiplied threshold — identical statement text both engines",
+    tags=("sql", "tpch"),
+)
+def x134(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "supplier", "nation"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_X134_SQL)
+
+
+# --------------------------------------------------------------------------
+# x135 — TPC-H Q16 shape: COUNT(DISTINCT supplier) per part attribute
+# with a NOT IN exclusion subquery ("parts/supplier relationship").
+#
+# Adapted to the schema at hand (no partsupp; lineitem is the
+# part-supplier fact and s_acctbal < 0 stands in for the complaints
+# predicate — 6 of 100 suppliers at sf0.01). The certificate is the
+# NOT IN: Spark must plan a null-aware anti join (s_suppkey could in
+# principle be NULL, so NOT IN is not a plain anti join — the planner
+# proves the single-column build side and emits
+# BroadcastHashJoin ... LeftAnti, buildSide with NAAJ) feeding a
+# two-level distinct aggregate. At 100 TB the exclusion set is a tiny
+# broadcast and the distinct is the only shuffle. Identical statement
+# text both engines.
+# --------------------------------------------------------------------------
+_X135_SQL = """
+    SELECT p.p_brand AS p_brand, p.p_type AS p_type, CAST(p.p_size AS INT) AS p_size,
+           CAST(COUNT(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+@query(
+    "x135_supplier_part_counts",
+    oracle=_X135_SQL,
+    certifies="TPC-H Q16 shape: NOT IN exclusion (null-aware anti join) + per-attribute COUNT DISTINCT — identical statement text both engines",
+    tags=("sql", "tpch"),
+)
+def x135(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "part", "supplier"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_X135_SQL)

@@ -496,3 +496,28 @@ def test_q10_shape_broadcasts_dims(spark):
     df = REGISTRY["x128_returned_item_customers"].spark(spark, SF_DIR)
     assert uses_broadcast_join(df)
     assert has_pushed_filter(df, "l_returnflag")
+
+
+def test_q11_shape_group_vs_scalar_total(spark):
+    """x134: both passes over the filtered CTE (per-part group-by and the
+    scalar total in the HAVING) must stream lineitem through broadcast
+    dim joins — the fact never builds a hash table and never feeds a
+    nested loop. The threshold is exact DECIMAL math, so no float
+    appears in the HAVING comparison."""
+    df = REGISTRY["x134_important_parts"].spark(spark, SF_DIR)
+    assert uses_broadcast_join(df)
+    plan = simple_plan(df)
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_q16_shape_not_in_is_null_aware_anti_join(spark):
+    """x135: the NOT IN exclusion must plan as ONE broadcast LeftAnti
+    (null-aware build — never a per-row subquery), and the part
+    attribute predicates must reach the parquet scan."""
+    df = REGISTRY["x135_supplier_part_counts"].spark(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert "LeftAnti" in plan, plan
+    assert "BroadcastNestedLoop" not in plan, plan
+    assert has_pushed_filter(df, "p_size"), "p_size IN-list should push down"
+    assert has_pushed_filter(df, "p_brand"), "p_brand <> should push down"
