@@ -182,11 +182,22 @@ def _codes_dir(path: str) -> str:
     return os.path.join(path, "codes")
 
 
+def _list_code_files(codes_dir: str) -> set[str]:
+    """All parquet data files under a (possibly partitioned) codes dir."""
+    found: set[str] = set()
+    for root, _dirs, files in os.walk(codes_dir):
+        for f in files:
+            if f.endswith(".parquet"):
+                found.add(os.path.join(root, f))
+    return found
+
+
 def compact_ivfpq_codes(
     spark: SparkSession,
     path: str,
     writer_tasks: int = 1,
     remove_old: bool = False,
+    _before_swap=None,
 ) -> str:
     """Compact the stored codes after append pileup: every
     :func:`append_to_ivfpq_index` batch adds one file per touched cell
@@ -204,6 +215,20 @@ def compact_ivfpq_codes(
     no-op. Old generations are left for deferred GC unless
     ``remove_old`` (an in-flight search may still be scanning one).
     Returns the new codes dir.
+
+    Concurrent appends: :func:`append_to_ivfpq_index` writes into the
+    generation the pointer named when IT resolved — an append landing
+    while this rewrite runs would go to the OLD generation, its ledger
+    marker would claim it applied, and GC would then destroy the only
+    copy. So the rewrite reads an explicit FILE-LIST snapshot, and after
+    writing the new generation it re-lists and folds any delta files in
+    (repeatedly, until a quiet pass) BEFORE swapping the pointer. The
+    residual window is the instant between the last quiet re-list and the
+    ``os.replace`` — microseconds against an append's seconds-long write,
+    and closable entirely by pausing appends across the swap (compaction
+    and appends are operator-scheduled maintenance, not query traffic).
+    ``_before_swap`` is a test seam invoked between the first rewrite and
+    the delta check.
     """
     import shutil
 
@@ -213,13 +238,31 @@ def compact_ivfpq_codes(
         gen += 1
     new_name = f"codes_v{gen + 1}"
     new_dir = os.path.join(path, new_name)
+    seen = _list_code_files(cur)
+    # basePath keeps the cell= partition column when reading explicit files
     (
-        spark.read.parquet(cur)
+        spark.read.option("basePath", cur)
+        .parquet(*sorted(seen))
         .coalesce(writer_tasks)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(new_dir)
     )
+    if _before_swap is not None:
+        _before_swap()
+    while True:
+        delta = _list_code_files(cur) - seen
+        if not delta:
+            break
+        seen |= delta
+        (
+            spark.read.option("basePath", cur)
+            .parquet(*sorted(delta))
+            .coalesce(1)
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(new_dir)
+        )
     ptr = os.path.join(path, "codes_current")
     tmp = ptr + ".tmp"
     with open(tmp, "w") as f:

@@ -274,3 +274,32 @@ def test_gc_removes_only_dead_generations(spark, emb, tmp_path):
     q = emb.filter(F.col("vec_id") < 3)
     assert len(ivfpq_search(spark, p, q, k=5, nprobe=4).collect()) > 0
     assert gc_ivfpq_generations(p) == []  # idempotent
+
+
+def test_compact_folds_in_appends_that_race_the_rewrite(spark, emb, tmp_path):
+    """An append that lands while compaction is rewriting resolves the OLD
+    generation (the pointer hasn't swapped yet) — without the delta fold
+    its rows would be ledger-marked applied yet destroyed by GC. The
+    rewrite must re-list and fold such files in before the swap."""
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        append_to_ivfpq_index,
+        compact_ivfpq_codes,
+        gc_ivfpq_generations,
+        index_cell_stats,
+    )
+
+    base = emb.filter(F.col("vec_id") < 300)
+    racer = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 350))
+    p = str(tmp_path / "ridx")
+    build_ivfpq_index(base, p, num_coarse=4)
+    n_base = base.count()
+
+    def racing_append():
+        assert append_to_ivfpq_index(racer, p, applied_key="racer") is True
+
+    compact_ivfpq_codes(spark, p, _before_swap=racing_append)
+    gc_ivfpq_generations(p)  # destroy the old generation: fold must have copied
+    n = sum(r["n_vectors"] for r in index_cell_stats(spark, p).collect())
+    assert n == n_base + racer.count()
+    # and the ledger still no-ops the replay
+    assert append_to_ivfpq_index(racer, p, applied_key="racer") is False
