@@ -2627,3 +2627,80 @@ def x135(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("lineitem", "part", "supplier"):
         _t(spark, sf_dir, t).createOrReplaceTempView(t)
     return spark.sql(_X135_SQL)
+
+
+# --------------------------------------------------------------------------
+# x136 — distribution window family: NTILE / PERCENT_RANK / CUME_DIST
+#
+# q46 certifies rank/dense_rank/lag; these three are the remaining
+# analytic-window primitives (bucketing and distribution statistics —
+# the quantile-binning building blocks for per-group curation cutoffs).
+# PERCENT_RANK and CUME_DIST are double-valued ((rank-1)/(n-1), n_le/n)
+# but both engines derive them from the SAME exact integers, so the
+# doubles are bit-identical; the output still quantizes to micro-units
+# (FLOOR(x*1e6+0.5) — the repo's no-raw-float output rule). The window
+# ORDER BY carries the unique-key tie-break so every rank is
+# deterministic. One shuffle (partition by nation), identical statement
+# text both engines.
+# --------------------------------------------------------------------------
+_X136_SQL = """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+           CAST(c_nationkey AS INT) AS c_nationkey,
+           CAST(NTILE(4) OVER w AS INT) AS balance_quartile,
+           CAST(FLOOR(PERCENT_RANK() OVER w * 1000000 + 0.5) AS BIGINT) AS pct_rank_micro,
+           CAST(FLOOR(CUME_DIST() OVER w * 1000000 + 0.5) AS BIGINT) AS cume_dist_micro
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_nationkey, c_custkey
+"""
+
+
+@query(
+    "x136_window_distribution_family",
+    oracle=_X136_SQL,
+    certifies="NTILE / PERCENT_RANK / CUME_DIST analytic windows (the distribution-function family q46 leaves out) — identical statement text both engines",
+    tags=("sql", "window"),
+)
+def x136(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_X136_SQL)
+
+
+# --------------------------------------------------------------------------
+# x137 — explicit NULLS FIRST / NULLS LAST ordering
+#
+# The engines DISAGREE on default null placement (Spark ASC sorts nulls
+# first, DuckDB ASC sorts them last) — a portable query must spell the
+# placement out, and this certificate pins both spellings against both
+# engines. The ordering is materialized into row_number() VALUES
+# (the driver's canonicalizer sorts rows before hashing, so a bare
+# ORDER BY would be invisible to the gate). NULLIF synthesizes the
+# nullable column; the unique-key tie-break keeps every row number
+# deterministic. The UNPARTITIONED window is deliberate and confined to
+# a dim table (supplier — the certificate needs a global order; at
+# 100 TB a global row_number over a fact would be the anti-pattern this
+# repo's per-group windows avoid).
+# --------------------------------------------------------------------------
+_X137_SQL = """
+    WITH t AS (
+      SELECT s_suppkey,
+             CASE WHEN s_acctbal < 0 THEN NULL ELSE s_acctbal END AS bal
+      FROM supplier
+    )
+    SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY bal ASC NULLS LAST, s_suppkey) AS BIGINT) AS rn_nulls_last,
+           CAST(ROW_NUMBER() OVER (ORDER BY bal DESC NULLS FIRST, s_suppkey) AS BIGINT) AS rn_nulls_first
+    FROM t
+    ORDER BY s_suppkey
+"""
+
+
+@query(
+    "x137_null_ordering",
+    oracle=_X137_SQL,
+    certifies="explicit NULLS FIRST/LAST sort placement (engine defaults disagree: Spark ASC=nulls first, DuckDB ASC=nulls last) materialized into row numbers — identical statement text both engines",
+    tags=("sql", "window"),
+)
+def x137(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
+    return spark.sql(_X137_SQL)

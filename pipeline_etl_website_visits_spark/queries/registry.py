@@ -86,6 +86,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x133_bag_set_ops",
     "x134_important_parts",
     "x135_supplier_part_counts",
+    "x136_window_distribution_family",
+    "x137_null_ordering",
     # -- (a) implementation changed in round 6 (6) --
     "x117_stored_index_search",
     "x122_stored_gram_dedup",
@@ -113,7 +115,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x50_shuffled_sample",
     "x51_mixture_sampling",
     "q60_pricing_summary",
-    # -- (c) latest driver row is round 3, first 12 fill to slot 50 --
+    # -- (c) latest driver row is round 3, first 10 fill to slot 50 --
     "q01_scan_project_rename",
     "q05_error_explode",
     "x21_dedup_exact",
@@ -124,9 +126,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x26_embed_ann_lsh",
     "x27_text_lang_id",
     "x39_time_range_join",
+    # ---- slot 50 boundary: everything below is round-7 spillover ----
     "x40_asof_join",
     "x41_embed_ivf_topk",
-    # ---- slot 50 boundary: everything below is round-7 spillover ----
     "x43_corpus_curation",
     "x42_dedup_embed_cosine",
     "x60_embed_kmeans",
