@@ -239,3 +239,67 @@ def start_vector_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def start_vector_search_stream(
+    spark: SparkSession,
+    input_dir: str,
+    index_path: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    k: int = 5,
+    nprobe: int = 2,
+    max_files_per_trigger: int = 1,
+):
+    """The SERVING half of the stored-index story: query-vector files
+    drain through ``ivfpq_search`` against the stored codes (pruned
+    cells, no re-encode — the same plan the batch search certifies) and
+    each micro-batch's ``(query_id, id, adc_dist)`` top-k lands in
+    ``output_dir`` under its own ``batch_id=`` partition.
+
+    Exactly-once WITHOUT a ledger: search is a deterministic pure read,
+    so a replayed batch recomputes bit-identical rows, and the sink
+    writes with dynamic partition OVERWRITE — the replay replaces its own
+    partition instead of appending a duplicate (the estadisticas/K1
+    idempotence protocol; no insert→marker crash window exists because
+    nothing here is stateful). Downstream consumers read
+    ``output_dir`` as a plain partitioned table.
+
+    Scale: per micro-batch one tiny meta read + a pruned codes scan; the
+    query set is driver-collected under ``ivfpq_search``'s documented
+    64 MiB guard, which for a micro-batch of queries is the natural
+    serving envelope (thousands of queries per trigger, never a corpus).
+    """
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        ivfpq_search,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        if not batch_df.take(1):
+            return
+        res = ivfpq_search(
+            batch_df.sparkSession,
+            index_path,
+            batch_df,
+            id_col="vec_id",
+            vec_col="embedding",
+            k=k,
+            nprobe=nprobe,
+        )
+        (
+            res.withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_dir)
+        )
+
+    queries = read_docs_stream(
+        spark, input_dir, max_files_per_trigger, schema=EMB_SCHEMA
+    )
+    return (
+        queries.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

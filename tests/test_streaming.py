@@ -664,3 +664,62 @@ def test_stream_key_namespace_scopes_to_checkpoint(spark, tmp_path):
         assert per_doc == 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_search_serving_is_idempotent(spark, tmp_path):
+    """Streamed query shards searched against the stored IVF-PQ index:
+    results equal the batch search, and a re-drain from a FRESH
+    checkpoint (batch ids restart, same files) overwrites its own
+    batch partitions instead of duplicating rows — exactly-once output
+    with no ledger, because search is a deterministic pure read."""
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        build_ivfpq_index,
+        ivfpq_search,
+    )
+    from pipeline_etl_website_visits_spark.streaming.corpus_stream import (
+        start_vector_search_stream,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") < 300)
+    qa = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 305))
+    qb = emb.filter((F.col("vec_id") >= 305) & (F.col("vec_id") < 310))
+
+    p = str(tmp_path / "sidx")
+    build_ivfpq_index(corpus, p, num_coarse=4)
+    in_dir = tmp_path / "q_in"
+    in_dir.mkdir()
+    qa.coalesce(1).write.parquet(str(in_dir / "qa"))
+    qb.coalesce(1).write.parquet(str(in_dir / "qb"))
+    out = str(tmp_path / "hits")
+
+    q = start_vector_search_stream(
+        spark, str(in_dir) + "/*/", p, out, str(tmp_path / "ck1"), k=5, nprobe=4
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r["query_id"], r["vec_id"], r["adc_dist"])
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r["query_id"], r["vec_id"], r["adc_dist"])
+        for r in ivfpq_search(
+            spark, p, qa.union(qb), k=5, nprobe=4
+        ).collect()
+    )
+    assert got == want and len(got) == 10 * 5
+
+    # fresh checkpoint, same files: batch ids restart at 0 — the replay
+    # must overwrite its own partitions, not append duplicates
+    q2 = start_vector_search_stream(
+        spark, str(in_dir) + "/*/", p, out, str(tmp_path / "ck2"), k=5, nprobe=4
+    )
+    q2.awaitTermination(120)
+    again = sorted(
+        (r["query_id"], r["vec_id"], r["adc_dist"])
+        for r in spark.read.parquet(out).collect()
+    )
+    assert again == got
