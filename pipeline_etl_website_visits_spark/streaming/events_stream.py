@@ -295,3 +295,73 @@ def start_sessions_to_memory(
         .trigger(availableNow=True)
         .start()
     )
+
+
+# ---------------------------------------------------------------------------
+# Idle-timeout sessionization with state EVICTION (EventTimeTimeout).
+#
+# x33/x104 certify sessionization as window logic / session_window; this is
+# the custom-stateful formulation whose point is the TIMEOUT surface: a
+# user's open session lives in the state store only until the WATERMARK
+# passes its idle horizon, then the finalized session is emitted and the
+# state REMOVED. Without eviction, per-key state grows with the key
+# cardinality forever — at 100 TB of events the timeout is what keeps the
+# state store bounded to the working set of currently-active users.
+# ---------------------------------------------------------------------------
+SESSION_OUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, n_events long"
+)
+_SESSION_STATE_SCHEMA = "start timestamp, end timestamp, n long"
+
+
+def _session_fold(key, pdfs, state):
+    import pandas as pd  # local: runs inside the Arrow worker
+
+    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: F401
+
+    (user_id,) = key
+    if state.hasTimedOut:
+        start, end, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            [{"user_id": user_id, "session_start": start, "session_end": end, "n_events": n}]
+        )
+        return
+    if state.exists:
+        start, end, n = state.get
+    else:
+        start, end, n = None, None, 0
+    for pdf in pdfs:
+        ts = pd.to_datetime(pdf["ts"])
+        lo, hi = ts.min(), ts.max()
+        n += len(pdf)
+        start = lo if start is None else min(start, lo)
+        end = hi if end is None else max(end, hi)
+    state.update((start, end, n))
+    # the idle horizon: the session finalizes when the WATERMARK passes
+    # last-event + gap (event-time timeout — wall clock plays no part,
+    # so replays are deterministic)
+    state.setTimeoutTimestamp(int(end.timestamp() * 1000) + 30 * 60 * 1000)
+    yield pd.DataFrame(
+        columns=["user_id", "session_start", "session_end", "n_events"]
+    )
+
+
+def timeout_sessions(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """events: streaming (user_id, ts, ...). Emits ONLY finalized sessions
+    (closed by a 30-minute idle gap crossing the watermark); open sessions
+    stay in the state store until their timeout fires. Append-mode
+    output — each session appears exactly once."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fold,
+            outputStructType=SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

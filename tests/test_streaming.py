@@ -723,3 +723,56 @@ def test_stream_search_serving_is_idempotent(spark, tmp_path):
         for r in spark.read.parquet(out).collect()
     )
     assert again == got
+
+
+def test_timeout_sessions_finalize_and_evict(spark, tmp_path):
+    """Event-time-timeout sessionization: sessions close ONLY when the
+    watermark passes last-event + 30min idle gap; closed sessions emit
+    exactly once (append mode) and their state is evicted; a
+    still-active user emits nothing."""
+    import datetime as dt
+
+    from pipeline_etl_website_visits_spark.streaming.events_stream import (
+        timeout_sessions,
+    )
+
+    def rows(*specs):
+        return [
+            (uid, dt.datetime(2024, 1, 1, h, m)) for uid, h, m in specs
+        ]
+
+    in_dir = tmp_path / "ev_in"
+    in_dir.mkdir()
+    schema = "user_id long, ts timestamp"
+    # batch 1: users 1 and 2 have early sessions
+    spark.createDataFrame(
+        rows((1, 10, 0), (1, 10, 5), (2, 10, 2)), schema
+    ).coalesce(1).write.parquet(str(in_dir / "f1"))
+    # batch 2: user 3 at 12:00 pushes the watermark (10min) to 11:50 —
+    # past 10:35/10:32 + 30min idle, so users 1/2 finalize; user 3 stays open
+    spark.createDataFrame(rows((3, 12, 0)), schema).coalesce(1).write.parquet(
+        str(in_dir / "f2")
+    )
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*/")
+    )
+    q = (
+        timeout_sessions(stream)
+        .writeStream.format("memory")
+        .queryName("toutsess")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["user_id"]: (r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM toutsess").collect()
+    }
+    assert set(got) == {1, 2}, got
+    assert got[1] == (dt.datetime(2024, 1, 1, 10, 0), dt.datetime(2024, 1, 1, 10, 5), 2)
+    assert got[2] == (dt.datetime(2024, 1, 1, 10, 2), dt.datetime(2024, 1, 1, 10, 2), 1)
