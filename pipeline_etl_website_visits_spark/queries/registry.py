@@ -88,6 +88,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x135_supplier_part_counts",
     "x136_window_distribution_family",
     "x137_null_ordering",
+    "x138_substring_decontam",
     # -- (a) implementation changed in round 6 (6) --
     "x117_stored_index_search",
     "x122_stored_gram_dedup",
@@ -115,7 +116,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x50_shuffled_sample",
     "x51_mixture_sampling",
     "q60_pricing_summary",
-    # -- (c) latest driver row is round 3, first 10 fill to slot 50 --
+    # -- (c) latest driver row is round 3, first 9 fill to slot 50 --
     "q01_scan_project_rename",
     "q05_error_explode",
     "x21_dedup_exact",
@@ -125,8 +126,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x25_embed_cosine_topk",
     "x26_embed_ann_lsh",
     "x27_text_lang_id",
-    "x39_time_range_join",
     # ---- slot 50 boundary: everything below is round-7 spillover ----
+    "x39_time_range_join",
     "x40_asof_join",
     "x41_embed_ivf_topk",
     "x43_corpus_curation",

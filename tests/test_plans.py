@@ -381,13 +381,19 @@ def test_heavy_hitter_recount_joins_broadcast(spark):
     must never shuffle on token before the filter. Asserted on the lazy
     recount plan (the public operator materializes eagerly so it can
     unpersist its summary cache before returning)."""
-    from pipeline_etl_website_visits_spark.operators.text import _heavy_hitters_recount
+    from pipeline_etl_website_visits_spark.operators.text import (
+        _heavy_hitters_recount,
+        normalize_text,
+    )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    toks = docs.select(
+        F.explode(F.split(normalize_text(F.col("text")), " ")).alias("token")
+    )
     summary = spark.createDataFrame(
         [("the", None), (None, 1000)], "token string, part_n long"
     )
-    plan = simple_plan(_heavy_hitters_recount(docs, "text", summary, denom=50))
+    plan = simple_plan(_heavy_hitters_recount(toks, summary, denom=50))
     assert "BroadcastHashJoin" in plan, plan
 
 

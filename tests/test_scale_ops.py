@@ -265,3 +265,83 @@ def test_new_ops_plan_shape_flat_at_10x(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_bc)
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+
+
+def test_dynamic_partition_pruning_skips_partitions(spark, tmp_path):
+    """Dynamic Partition Pruning: a date-partitioned fact joined to a
+    FILTERED dim must scan only the partitions the dim's filter selects —
+    the pruning subquery appears in the scan (`dynamicpruning`), and the
+    result equals the statically-filtered join. At 100 TB this is the
+    difference between scanning one month and scanning the decade when
+    the filter arrives through a dimension instead of on the fact."""
+    fact = spark.range(0, 20_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 8).cast("int").alias("part_key"),
+        (F.col("id") * 3).alias("v"),
+    )
+    fact_dir = str(tmp_path / "fact_parted")
+    fact.write.partitionBy("part_key").parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [(p, f"grp{p % 2}") for p in range(8)], "part_key int, grp string"
+    ).filter(F.col("grp") == "grp0")
+
+    prev = spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "true")
+    try:
+        joined = (
+            spark.read.parquet(fact_dir)
+            .join(dim, "part_key")
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "dynamicpruning" in plan.lower(), plan
+        got = joined.collect()[0]
+        want = (
+            fact.filter((F.col("part_key") % 2) == 0)
+            .agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+            .collect()[0]
+        )
+        assert (got["s"], got["n"]) == (want["s"], want["n"])
+    finally:
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
+
+
+def test_runtime_bloom_filter_join_injection(spark, tmp_path):
+    """Runtime row-level filtering: with the runtime bloom-filter rule on,
+    a selective dim join injects `bloom_filter_agg` / `might_contain`
+    into the fact scan side — rows that cannot join are dropped BEFORE
+    the shuffle (at 100 TB, the shuffle volume is the bill). Results
+    must equal the un-filtered join exactly (the bloom filter only
+    prunes non-joining rows)."""
+    fact_dir = str(tmp_path / "fact_flat")
+    dim_dir = str(tmp_path / "dim_flat")
+    spark.range(0, 200_000).select(
+        F.col("id").alias("k"), (F.col("id") * 7).alias("v")
+    ).write.parquet(fact_dir)
+    spark.range(0, 200_000, 1000).select(
+        F.col("id").alias("k"), F.lit("x").alias("lbl")
+    ).write.parquet(dim_dir)
+
+    conf = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force a shuffle join so the filter matters
+    }
+    prev = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.read.parquet(fact_dir)
+        dim = spark.read.parquet(dim_dir).filter(F.col("lbl") == "x")
+        joined = fact.join(dim, "k").agg(F.sum("v").alias("s"), F.count("*").alias("n"))
+        plan = joined._jdf.queryExecution().toString()
+        assert "might_contain" in plan or "bloom_filter" in plan.lower(), plan[:4000]
+        got = joined.collect()[0]
+        assert got["n"] == 200 and got["s"] == sum(i * 7 for i in range(0, 200_000, 1000))
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
