@@ -938,3 +938,39 @@ def substring_decontam_hits(
         .filter(F.col("n_hits") > 0)
         .orderBy(id_col)
     )
+
+
+def token_entropy(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataFrame:
+    """Per-document Shannon entropy of the token distribution, in integer
+    micro-nats — the repetition/diversity quality signal (near-zero =
+    one token stuttered; high = diverse vocabulary; boilerplate and
+    keyword-stuffed spam sit far from natural-language bands).
+
+    Engine-exactness discipline (the zipf_slope pattern): ``ln`` is
+    evaluated only on INTEGER counts and quantized per value —
+    ``L(k) = FLOOR(ln(k)·1e6)`` — then
+    ``H_micro = L(n) − (Σ c·L(c)) DIV n`` is pure integer arithmetic
+    (algebra: H = ln n − (1/n)·Σ c·ln c), so distributed summation order
+    cannot move a digit and both engines agree exactly.
+
+    Scale shape: ``repartition(id)`` then both groupBys
+    (id, token) → (id) reuse the one exchange (subset-partitioning
+    satisfies the clustered distribution — the x58/x59 fold); Σ c·L(c)
+    stays < 2⁶³ for any single document (c·L(c) ≲ len·ln(len)·1e6).
+    """
+    toks = df.repartition(F.col(id_col)).select(
+        F.col(id_col),
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"),
+    )
+    tc = toks.groupBy(id_col, "token").agg(F.count("*").cast("long").alias("c"))
+    lc = F.floor(F.log(F.col("c").cast("double")) * 1e6).cast("long")
+    agg = tc.groupBy(id_col).agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * lc).cast("long").alias("s"),
+    )
+    ln_n = F.floor(F.log(F.col("n").cast("double")) * 1e6).cast("long")
+    return agg.select(
+        F.col(id_col).cast("long").alias(id_col),
+        F.col("n").alias("n_tokens"),
+        (ln_n - F.expr("s DIV n")).cast("long").alias("entropy_micro"),
+    ).orderBy(id_col)

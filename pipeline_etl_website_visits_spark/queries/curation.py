@@ -1549,3 +1549,39 @@ def x132(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("lang").asc_nulls_first())
     )
+
+
+# --------------------------------------------------------------------------
+# x139 — per-document token entropy (micro-nats, engine-exact)
+#
+# The repetition/diversity quality signal: H = ln n − (1/n)·Σ c·ln c over
+# the doc's token counts. ln is evaluated only on INTEGER counts and
+# quantized per value (FLOOR(ln(k)·1e6) — the x130 zipf discipline), so
+# everything after the per-value quantization is exact integer math and
+# both engines agree digit-for-digit. One exchange: repartition(doc)
+# then both groupBys reuse the partitioning (plan-asserted).
+# --------------------------------------------------------------------------
+@query(
+    "x139_token_entropy",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM_C}, ' ')) AS token FROM documents
+    ), tc AS (
+      SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY doc_id, token
+    ), agg AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+             CAST(SUM(c * CAST(FLOOR(LN(c) * 1000000) AS BIGINT)) AS BIGINT) AS s
+      FROM tc GROUP BY doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, n AS n_tokens,
+           CAST(CAST(FLOOR(LN(n) * 1000000) AS BIGINT) - (s // n) AS BIGINT) AS entropy_micro
+    FROM agg ORDER BY doc_id
+    """,
+    certifies="X4 per-doc token entropy in integer micro-nats (quantized-ln + exact integer algebra — the zipf_slope exactness discipline)",
+    tags=("llm", "text", "scale"),
+)
+def x139(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return T.token_entropy(docs, "text")

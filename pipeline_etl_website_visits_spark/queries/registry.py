@@ -89,6 +89,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x136_window_distribution_family",
     "x137_null_ordering",
     "x138_substring_decontam",
+    "x139_token_entropy",
     # -- (a) implementation changed in round 6 (7) --
     "x92_heavy_hitters",
     "x117_stored_index_search",
@@ -117,7 +118,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x50_shuffled_sample",
     "x51_mixture_sampling",
     "q60_pricing_summary",
-    # -- (c) latest driver row is round 3, first 8 fill to slot 50 --
+    # -- (c) latest driver row is round 3, first 7 fill to slot 50 --
     "q01_scan_project_rename",
     "q05_error_explode",
     "x21_dedup_exact",
@@ -125,8 +126,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x23_dedup_minhash_lsh",
     "x24_dedup_simhash",
     "x25_embed_cosine_topk",
-    "x26_embed_ann_lsh",
     # ---- slot 50 boundary: everything below is round-7 spillover ----
+    "x26_embed_ann_lsh",
     "x27_text_lang_id",
     "x39_time_range_join",
     "x40_asof_join",

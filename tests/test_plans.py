@@ -527,3 +527,12 @@ def test_q16_shape_not_in_is_null_aware_anti_join(spark):
     assert "BroadcastNestedLoop" not in plan, plan
     assert has_pushed_filter(df, "p_size"), "p_size IN-list should push down"
     assert has_pushed_filter(df, "p_brand"), "p_brand <> should push down"
+
+
+def test_token_entropy_single_exchange(spark):
+    """x139: repartition(doc_id) then (doc,token)- and (doc)-groupBys must
+    reuse the one hash exchange (subset partitioning satisfies the
+    clustered distribution — the x58/x59 fold); only the final orderBy
+    adds a range exchange."""
+    plan = simple_plan(REGISTRY["x139_token_entropy"].spark(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1, plan
