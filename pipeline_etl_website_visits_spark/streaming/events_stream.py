@@ -317,8 +317,6 @@ _SESSION_STATE_SCHEMA = "start timestamp, end timestamp, n long"
 def _session_fold(key, pdfs, state):
     import pandas as pd  # local: runs inside the Arrow worker
 
-    from pyspark.sql.streaming.state import GroupStateTimeout  # noqa: F401
-
     (user_id,) = key
     if state.hasTimedOut:
         start, end, n = state.get
@@ -340,7 +338,10 @@ def _session_fold(key, pdfs, state):
     state.update((start, end, n))
     # the idle horizon: the session finalizes when the WATERMARK passes
     # last-event + gap (event-time timeout — wall clock plays no part,
-    # so replays are deterministic)
+    # so replays are deterministic). pandas treats the naive `end` as
+    # UTC in .timestamp(); correct because the session timezone is
+    # pinned to UTC (session.get_spark) — a non-UTC session would shift
+    # this epoch against the watermark's.
     state.setTimeoutTimestamp(int(end.timestamp() * 1000) + 30 * 60 * 1000)
     yield pd.DataFrame(
         columns=["user_id", "session_start", "session_end", "n_events"]
