@@ -1,0 +1,190 @@
+"""Event-sequence and time-series operators.
+
+The reference's ETL is batch row-at-a-time with no notion of ordering
+(SURVEY §2.10 — no window functions at all); these operators cover the
+sequence-analytics family a production visits pipeline grows into:
+Markov transition matrices over event streams, dense-grid gap filling
+with forward carry (the sensor/gauge downsample), and robust
+median/MAD outlier flagging.
+
+Scale notes (100 TB):
+- ``event_transitions``: one shuffle on ``user_id`` for the lag window,
+  then a map-side-combined count on the (from, to) pairs — the pair
+  domain is |event_type|², tiny, so the second exchange moves almost
+  nothing. No driver state.
+- ``gap_fill_forward``: the hourly downsample is one shuffle on
+  (series, hour); the dense grid is |series| × n_hours rows built from
+  a 1-row global span aggregate (a benign scalar collect, same
+  discipline as the q65/x110 scalar joins) — at 100 TB the grid is
+  still millions of rows, dwarfed by the raw events it summarizes. The
+  forward fill is one window per series, and series count bounds the
+  parallelism exactly as it would on a real cluster.
+- ``mad_outliers``: two exact-median passes + one flag pass, all
+  shuffled on the same group key; each pass is a window/aggregate over
+  the grouped rows. Exact medians at this shape are sort-based by
+  nature; at 100 TB one switches the median to approx_percentile with
+  a documented tolerance — the flag pass is unchanged.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+
+def event_transitions(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("ts", "event_id"),
+) -> DataFrame:
+    """First-order Markov transition counts + probabilities (integer ppm).
+
+    For each user's event sequence (ordered by ``order_cols`` — the tie
+    key must be total for determinism), count consecutive
+    ``from_type → to_type`` pairs, then derive the per-``from_type``
+    transition probability in exact integer parts-per-million
+    (``n·1e6 DIV row_total`` — integer algebra so both engines agree
+    digit-for-digit; the x139 quantization discipline).
+    """
+    w = Window.partitionBy(user_col).orderBy(*[F.col(c) for c in order_cols])
+    prev = F.lag(type_col).over(w)
+    pairs = (
+        events.select(prev.alias("from_type"), F.col(type_col).alias("to_type"))
+        .where(F.col("from_type").isNotNull())
+    )
+    counts = pairs.groupBy("from_type", "to_type").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    wt = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("n * 1000000L DIV sum(n) OVER (PARTITION BY from_type)")
+        .cast("long")
+        .alias("prob_ppm"),
+    ).orderBy("from_type", "to_type")
+
+
+def gap_fill_forward(
+    events: DataFrame,
+    *,
+    series_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tie_col: str = "event_id",
+) -> DataFrame:
+    """Downsample to an hourly gauge per series and forward-fill gaps.
+
+    The classic sensor shape: per (series, hour) keep the LAST reading
+    (by ``ts, tie_col`` — total order), build the dense hour grid
+    spanning [min, max] of the whole table, and carry the last known
+    reading across silent hours. Hours before a series' first reading
+    stay NULL (no back-fill — fabricating pre-first readings is wrong).
+
+    Returns ``(series, hour_ts string, reading double)`` with the
+    reading untouched (no arithmetic) so cross-engine bits agree.
+    """
+    hour = F.date_trunc("hour", F.col(ts_col))
+    wlast = Window.partitionBy("series", "hour_ts").orderBy(
+        F.col(ts_col).desc(), F.col(tie_col).desc()
+    )
+    hourly = (
+        events.select(
+            F.col(series_col).alias("series"),
+            hour.alias("hour_ts"),
+            F.col(ts_col),
+            F.col(tie_col),
+            F.col(value_col).alias("reading"),
+        )
+        .withColumn("rn", F.row_number().over(wlast))
+        .where(F.col("rn") == 1)
+        .select("series", "hour_ts", "reading")
+    )
+    span = events.select(
+        F.date_trunc("hour", F.min(ts_col)).alias("lo"),
+        F.date_trunc("hour", F.max(ts_col)).alias("hi"),
+    )
+    grid = (
+        events.select(F.col(series_col).alias("series"))
+        .distinct()
+        .crossJoin(span)  # 1-row span: benign broadcast-nested-loop (docs/PLANS.md preamble)
+        .select(
+            "series",
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour_ts"),
+        )
+    )
+    wf = (
+        Window.partitionBy("series")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(hourly, ["series", "hour_ts"], "left")
+        .select(
+            "series",
+            F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
+            F.last("reading", ignorenulls=True).over(wf).alias("reading"),
+        )
+        .orderBy("series", "hour_ts")
+    )
+
+
+def _exact_median(df: DataFrame, group_col: str, value_col: str, out_col: str) -> DataFrame:
+    """Exact per-group median: mean of the two middle order statistics.
+
+    Sort-based by construction (row_number over the group) — the
+    portable exact form both engines agree on bit-for-bit when the
+    inputs are identical doubles (q65 precedent).
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(value_col).asc())
+    ranked = df.select(
+        F.col(group_col),
+        F.col(value_col),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy(group_col)).alias("n"),
+    )
+    mid = ranked.where(
+        (F.col("rn") == F.expr("(n + 1) DIV 2")) | (F.col("rn") == F.expr("(n + 2) DIV 2"))
+    )
+    return mid.groupBy(group_col).agg(F.avg(value_col).alias(out_col))
+
+
+def mad_outliers(
+    df: DataFrame,
+    *,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    k: float = 3.0,
+) -> DataFrame:
+    """Robust outlier audit per group: median / MAD / |dev| > k·MAD count.
+
+    Median absolute deviation is the robust scale estimate — unlike
+    stddev it doesn't let the outliers it is hunting inflate the
+    threshold. Both medians are exact order statistics; the deviation
+    and comparison are single IEEE ops on identical inputs, so the
+    whole audit is engine-exact.
+    """
+    med = _exact_median(df, group_col, value_col, "med")
+    dev = df.join(med, group_col).select(
+        F.col(group_col),
+        F.col(value_col),
+        F.col("med"),
+        F.abs(F.col(value_col) - F.col("med")).alias("adev"),
+    )
+    mad = _exact_median(dev, group_col, "adev", "mad")
+    flagged = dev.join(mad, group_col).groupBy(group_col, "med", "mad").agg(
+        F.sum(F.when(F.col("adev") > F.lit(k) * F.col("mad"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_outliers"),
+        F.count("*").cast("long").alias("n_rows"),
+    )
+    return flagged.select(
+        F.col(group_col),
+        F.round("med", 6).alias("med"),
+        F.round("mad", 6).alias("mad"),
+        "n_outliers",
+        "n_rows",
+    ).orderBy(group_col)

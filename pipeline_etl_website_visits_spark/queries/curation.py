@@ -1585,3 +1585,109 @@ def x139(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return T.token_entropy(docs, "text")
+
+
+# --------------------------------------------------------------------------
+# x144 — ORC as a source/sink format (columnar-format portability)
+#
+# The fact projection is snapshotted ONCE per corpus fingerprint as an
+# ORC dataset partitioned by l_returnflag (the x132/x117 scratch-build
+# discipline: pid-tagged tmp + atomic rename, _SUCCESS probed), then
+# the pricing aggregate runs ON THE ORC SNAPSHOT — certifying the ORC
+# scan path (schema, partition discovery, predicate pushdown) carries
+# the same values as the parquet original the oracle reads. Spark's
+# ORC reader is vectorized + pushdown-capable like parquet; at 100 TB
+# the format choice is a storage decision, not a semantics one, and
+# this pins that.
+# --------------------------------------------------------------------------
+@query(
+    "x144_orc_roundtrip",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE), 2) AS sum_price,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1995-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+    certifies="ORC source/sink round trip: write-once ORC snapshot (partitioned by returnflag) read back through Spark's vectorized ORC scan with filter pushdown; exact DECIMAL sums match the parquet-derived oracle",
+    tags=("sources", "formats"),
+)
+def x144(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    from pipeline_etl_website_visits_spark.queries.llmops import (
+        _commit_scratch_build,
+        _scratch_path,
+    )
+
+    path = _scratch_path(sf_dir, "lineitem", "orcrt")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.build.{os.getpid()}"
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_shipdate")
+            .write.partitionBy("l_returnflag")
+            .orc(tmp)
+        )
+        _commit_scratch_build(tmp, path)
+    orc = spark.read.orc(path)
+    return (
+        orc.where(F.col("l_shipdate") <= F.lit("1995-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum(F.col("l_quantity").cast("decimal(12,2)")).cast("double"), 2).alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")).cast("double"), 2).alias("sum_price"),
+            F.count("*").cast("long").alias("n_lines"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# x145 — k-anonymity audit + keyed-hash pseudonymization (privacy ops)
+#
+# The governance twin of the GDPR forget path: quasi-identifier groups
+# (segment, nation, coarse balance bucket) with k < 5 members are
+# re-identification risks that a release pipeline must suppress or
+# generalize. The direct identifier is pseudonymized with a keyed hash
+# (md5 over a peppered name — deterministic, so joins still work
+# post-masking) and only the group-level min pseudonym leaves the
+# query. One scan + one partial-aggregated shuffle on the tiny QI
+# domain; at 100 TB the violating-group list is the sparse tail.
+# --------------------------------------------------------------------------
+@query(
+    "x145_k_anonymity",
+    oracle="""
+    WITH q AS (
+      SELECT c_mktsegment AS segment, CAST(c_nationkey AS INT) AS nationkey,
+             CAST(FLOOR(c_acctbal / 2000) AS INT) AS bal_bucket,
+             md5('pepper:' || c_name) AS pseud
+      FROM customer
+    )
+    SELECT segment, nationkey, bal_bucket,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           MIN(pseud) AS group_tag
+    FROM q GROUP BY segment, nationkey, bal_bucket
+    HAVING COUNT(*) < 5
+    ORDER BY segment, nationkey, bal_bucket
+    """,
+    certifies="privacy governance: k-anonymity audit over quasi-identifier groups (k<5 violations) + deterministic keyed-hash pseudonymization of the direct identifier — cross-engine identical md5 masking",
+    tags=("governance", "privacy"),
+)
+def x145(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    q = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").cast("int").alias("nationkey"),
+        F.floor(F.col("c_acctbal") / 2000).cast("int").alias("bal_bucket"),
+        F.md5(F.concat(F.lit("pepper:"), F.col("c_name")).cast("binary")).alias("pseud"),
+    )
+    return (
+        q.groupBy("segment", "nationkey", "bal_bucket")
+        .agg(F.count("*").cast("long").alias("k"), F.min("pseud").alias("group_tag"))
+        .where(F.col("k") < 5)
+        .orderBy("segment", "nationkey", "bal_bucket")
+    )

@@ -2705,3 +2705,142 @@ _X137_SQL = """
 def x137(spark: SparkSession, sf_dir: str) -> DataFrame:
     _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier")
     return spark.sql(_X137_SQL)
+
+
+# --------------------------------------------------------------------------
+# x140 — market-basket co-occurrence mining (frequent item PAIRS)
+#
+# The naive relational form is the fact-vs-fact self-join on the basket
+# key; the engine form collects each basket's bounded item set once and
+# expands canonical a<b pairs with array HOFs, so pair generation is
+# map-side on the grouped row and only (a, b) keys shuffle into the
+# count (operators/itemsets.py scale note). The oracle IS the naive
+# self-join — same result, deliberately different plan.
+# --------------------------------------------------------------------------
+@query(
+    "x140_market_basket_pairs",
+    oracle="""
+    WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pr AS (
+      SELECT a.l_partkey AS item_a, b.l_partkey AS item_b
+      FROM lp a JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+    SELECT CAST(item_a AS BIGINT) AS item_a, CAST(item_b AS BIGINT) AS item_b,
+           CAST(COUNT(*) AS BIGINT) AS n_baskets
+    FROM pr GROUP BY item_a, item_b
+    ORDER BY n_baskets DESC, item_a, item_b
+    LIMIT 100
+    """,
+    certifies="frequent-itemset pair mining: bounded-basket HOF pair expansion (map-side C(n,2)) vs the oracle's quadratic self-join — no fact-vs-fact shuffle in the engine plan",
+    tags=("llm", "itemsets", "scale"),
+)
+def x140(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators.itemsets import co_occurrence_pairs
+
+    return co_occurrence_pairs(
+        _t(spark, sf_dir, "lineitem"), basket_col="l_orderkey", item_col="l_partkey", top_k=100
+    )
+
+
+# --------------------------------------------------------------------------
+# x141 — first-order Markov transition matrix over event sequences
+# --------------------------------------------------------------------------
+@query(
+    "x141_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type
+      FROM events
+    ), c AS (
+      SELECT from_type, event_type AS to_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE from_type IS NOT NULL GROUP BY from_type, event_type
+    )
+    SELECT from_type, to_type, n,
+           CAST(n * 1000000 // SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS prob_ppm
+    FROM c ORDER BY from_type, to_type
+    """,
+    certifies="sequence mining: per-user lag pairs -> Markov transition counts + exact integer ppm probabilities (one user_id shuffle, then a tiny |types|^2 count relation)",
+    tags=("events", "window"),
+)
+def x141(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators.timeseries import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# x142 — dense-grid gap fill with forward carry (sensor downsample+ffill)
+# --------------------------------------------------------------------------
+@query(
+    "x142_gap_fill_forward",
+    oracle="""
+    WITH span AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo, date_trunc('hour', MAX(ts)) AS hi FROM events
+    ), grid AS (
+      SELECT s.series, unnest(generate_series(sp.lo, sp.hi, INTERVAL 1 HOUR)) AS hour_ts
+      FROM (SELECT DISTINCT event_type AS series FROM events) s CROSS JOIN span sp
+    ), hourly AS (
+      SELECT series, hour_ts, reading FROM (
+        SELECT event_type AS series, date_trunc('hour', ts) AS hour_ts, value AS reading,
+               ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    )
+    SELECT g.series AS series, strftime(g.hour_ts, '%Y-%m-%d %H:%M:%S') AS hour_ts,
+           last_value(h.reading IGNORE NULLS) OVER (PARTITION BY g.series ORDER BY g.hour_ts) AS reading
+    FROM grid g LEFT JOIN hourly h ON g.series = h.series AND g.hour_ts = h.hour_ts
+    ORDER BY g.series, g.hour_ts
+    """,
+    certifies="time-series gap fill: hourly last-reading downsample + dense sequence() grid + forward carry via last(ignore nulls) window; pre-first-reading hours stay NULL (no back-fill)",
+    tags=("events", "timeseries", "window"),
+)
+def x142(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators.timeseries import gap_fill_forward
+
+    return gap_fill_forward(_t(spark, sf_dir, "events"))
+
+
+# --------------------------------------------------------------------------
+# x143 — robust outlier audit: exact median / MAD / k·MAD flags
+# --------------------------------------------------------------------------
+@query(
+    "x143_mad_outliers",
+    oracle="""
+    WITH ranked AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), med AS (
+      SELECT event_type, AVG(value) AS med FROM ranked
+      WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_type, e.value, m.med, ABS(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ), rdev AS (
+      SELECT event_type, adev,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY adev) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM dev
+    ), mad AS (
+      SELECT event_type, AVG(adev) AS mad FROM rdev
+      WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2 GROUP BY event_type
+    )
+    SELECT d.event_type,
+           ROUND(CAST(MAX(d.med) AS DOUBLE), 6) AS med,
+           ROUND(CAST(MAX(m.mad) AS DOUBLE), 6) AS mad,
+           CAST(SUM(CASE WHEN d.adev > 3 * m.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type
+    ORDER BY d.event_type
+    """,
+    certifies="robust anomaly audit: exact order-statistic median + MAD (outlier-immune scale estimate), |dev| > 3*MAD flag counts — order-invariant middle-value math so both engines agree on doubles",
+    tags=("events", "stats"),
+)
+def x143(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators.timeseries import mad_outliers
+
+    return mad_outliers(_t(spark, sf_dir, "events"), group_col="event_type", value_col="value", k=3.0)

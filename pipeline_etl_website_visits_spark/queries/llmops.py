@@ -1592,3 +1592,52 @@ def x138(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return T.substring_decontam_hits(docs, needles)
+
+
+# --------------------------------------------------------------------------
+# x146 — Python UDTF chunking (the user-defined TABLE function surface)
+#
+# Closes SURVEY §2.10's "UDF/UDAF/UDTF: none" row with a REAL Spark 4
+# UDTF: a registered Python table function lateral-joined in SQL, one
+# doc row fanning out to N fixed-width word chunks (the RAG/packing
+# shape). The chunk math is deliberately SQL-expressible so the DuckDB
+# oracle re-derives it exactly (generate_series + list_slice); the
+# built-in HOF chunker (x54) remains the hot-path form — this query
+# certifies the extension surface, per-partition with no extra shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "x146_chunk_udtf",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+      FROM documents
+    ), c AS (
+      SELECT doc_id, unnest(generate_series(0, CAST(CEIL(len(toks) / 64.0) AS INT) - 1)) AS chunk_ix, toks
+      FROM d
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(chunk_ix AS INT) AS chunk_ix,
+           CAST(LEAST(64, len(toks) - chunk_ix * 64) AS INT) AS n_words,
+           array_to_string(list_slice(toks, chunk_ix * 64 + 1, LEAST((chunk_ix + 1) * 64, len(toks))), ' ') AS chunk
+    FROM c
+    ORDER BY doc_id, chunk_ix
+    """,
+    certifies="UDTF extension surface (SURVEY §2.10): registered Python table function + LATERAL join, doc -> fixed-width word chunks; value-matched against the pure-SQL slice derivation",
+    tags=("llm", "udtf", "text"),
+)
+def x146(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators.dedup import normalize_text
+    from pipeline_etl_website_visits_spark.operators.text import register_chunk_udtf
+
+    register_chunk_udtf(spark, "split_chunks")
+    docs = load_table(spark, sf_dir, "documents")
+    docs.select(
+        F.col("doc_id"), normalize_text(F.col("text")).alias("nt")
+    ).createOrReplaceTempView("x146_docs_norm")
+    return spark.sql(
+        """
+        SELECT CAST(doc_id AS BIGINT) AS doc_id, c.chunk_ix, c.n_words, c.chunk
+        FROM x146_docs_norm, LATERAL split_chunks(nt, 64) c
+        ORDER BY doc_id, chunk_ix
+        """
+    )

@@ -51,26 +51,27 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in dict order; with 164 registered queries we rotate so every query's
+# in dict order; with 177 registered queries we rotate so every query's
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-6 pinning rule: HEAD = the eleven never-checked names (x123 native
-# recursion, the six TPC-H shapes x124-x129, x130 Zipf slope, x131
-# source-overlap matrix, x132 schema evolution, x133 bag set-ops — all
-# new this round),
+# Round-6 pinning rule: HEAD = the twenty-four never-checked names (x123
+# native recursion, the six TPC-H shapes x124-x129, x130 Zipf slope,
+# x131 source-overlap matrix, x132 schema evolution, x133 bag set-ops,
+# x134/x135 TPC-H Q11/Q16, x136 distribution windows, x137 null
+# ordering, x138 substring decontam, x139 token entropy, x140 market
+# basket, x141 transitions, x142 gap fill, x143 MAD outliers, x144 ORC,
+# x145 k-anonymity, x146 UDTF chunks — all new this round),
 # then every query whose
 # implementation changed in round 6 (x117/x122 fingerprinted+atomic
 # scratch builds; x58/x59 via the compact_first default flip — they opt
 # into the fused form explicitly; x70/x102 fan_out on the JSON parse;),
 # then the documented round-5 spillover (the 19 round-2-latest names —
-# committed last round to head this prefix), then the stalest remainder:
-# round-3-latest names in registration order up to slot 50. The
-# twenty-nine round-3-latest names that do not fit spill past slot 50 to
-# round 7 (each has two green driver rows and an implementation
-# unchanged since round 3); all round-4/5-latest rows are fresher than
-# everything listed and stay covered by the local full-suite
-# check_oracle runs.
+# committed last round to head this prefix): 24 + 7 + 19 = exactly 50.
+# The thirty-six round-3-latest names all spill past slot 50 to round 7
+# (each has two green driver rows and an implementation unchanged since
+# round 3); all round-4/5-latest rows are fresher than everything
+# listed and stay covered by the local full-suite check_oracle runs.
 DRIVER_ORDER: tuple[str, ...] = (
     # -- (a0) NEW in round 6 -- never driver-checked (11) --
     "x123_native_recursion",
@@ -90,6 +91,13 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x137_null_ordering",
     "x138_substring_decontam",
     "x139_token_entropy",
+    "x140_market_basket_pairs",
+    "x141_event_transitions",
+    "x142_gap_fill_forward",
+    "x143_mad_outliers",
+    "x144_orc_roundtrip",
+    "x145_k_anonymity",
+    "x146_chunk_udtf",
     # -- (a) implementation changed in round 6 (7) --
     "x92_heavy_hitters",
     "x117_stored_index_search",
@@ -118,7 +126,9 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x50_shuffled_sample",
     "x51_mixture_sampling",
     "q60_pricing_summary",
-    # -- (c) latest driver row is round 3, first 7 fill to slot 50 --
+    # ---- slot 50 boundary: everything below is round-7 spillover ----
+    # -- (c) latest driver row is round 3 (displaced late round 6 by the
+    #    seven newest never-checked queries x140-x146) --
     "q01_scan_project_rename",
     "q05_error_explode",
     "x21_dedup_exact",
@@ -126,7 +136,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x23_dedup_minhash_lsh",
     "x24_dedup_simhash",
     "x25_embed_cosine_topk",
-    # ---- slot 50 boundary: everything below is round-7 spillover ----
     "x26_embed_ann_lsh",
     "x27_text_lang_id",
     "x39_time_range_join",

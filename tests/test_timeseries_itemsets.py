@@ -1,0 +1,123 @@
+"""Unit tests for the sequence/time-series/itemset operators (round 6).
+
+Each operator gets a hand-computable golden case (the oracle checks at
+sf0.001/0.01/0.1 cover the at-scale values); the plan tests pin the
+scale-relevant shapes: pair mining must not self-join the fact, and the
+UDTF fan-out must not introduce a shuffle.
+"""
+
+import datetime
+
+import pyspark.sql.functions as F
+
+from pipeline_etl_website_visits_spark.operators.itemsets import co_occurrence_pairs
+from pipeline_etl_website_visits_spark.operators.timeseries import (
+    event_transitions,
+    gap_fill_forward,
+    mad_outliers,
+)
+from pipeline_etl_website_visits_spark.operators.text import register_chunk_udtf
+
+
+def _ts(h, m=0):
+    return datetime.datetime(2024, 1, 1, h, m)
+
+
+def test_co_occurrence_pairs_counts_each_basket_once(spark):
+    lines = spark.createDataFrame(
+        # basket 1: items 3,1,2 (+ dup line for 1) -> pairs (1,2),(1,3),(2,3)
+        # basket 2: items 1,2            -> pair (1,2)
+        # basket 3: single item          -> no pairs
+        [(1, 3), (1, 1), (1, 2), (1, 1), (2, 2), (2, 1), (3, 9)],
+        "l_orderkey long, l_partkey long",
+    )
+    got = {
+        (r.item_a, r.item_b): r.n_baskets
+        for r in co_occurrence_pairs(lines).collect()
+    }
+    assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+
+
+def test_co_occurrence_pairs_plan_has_no_join_and_two_exchanges(spark):
+    lines = spark.createDataFrame([(1, 1), (1, 2)], "l_orderkey long, l_partkey long")
+    plan = co_occurrence_pairs(lines)._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # the whole point vs the oracle's self-join
+    # minimal-exchange shape: basket hash (reused by the basket agg via
+    # subset partitioning) + pair-count hash — nothing else may shuffle
+    # (Spark's self-join twin of the oracle measures ~1.5x slower here)
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_event_transitions_counts_and_ppm(spark):
+    rows = [
+        (1, _ts(0), 10, "a", 0.0, None),
+        (2, _ts(1), 10, "b", 0.0, None),
+        (3, _ts(2), 10, "a", 0.0, None),
+        (4, _ts(3), 10, "b", 0.0, None),
+        (5, _ts(0), 20, "a", 0.0, None),
+        (6, _ts(1), 20, "c", 0.0, None),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    got = {(r.from_type, r.to_type): (r.n, r.prob_ppm) for r in event_transitions(events).collect()}
+    # from 'a': 2x ->b, 1x ->c ; integer ppm floors
+    assert got[("a", "b")] == (2, 666666)
+    assert got[("a", "c")] == (1, 333333)
+    assert got[("b", "a")] == (1, 1000000)
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "a")}
+
+
+def test_gap_fill_forward_carries_and_leaves_prefix_null(spark):
+    rows = [
+        # series 'x': readings in hours 0 and 3; hours 1,2 carry 1.5; hour 4 carries 4.0
+        (1, _ts(0, 30), 1, "x", 1.5, None),
+        (2, _ts(3, 10), 1, "x", 4.0, None),
+        # series 'y': first reading at hour 2 -> hours 0,1 stay NULL
+        # hour 2 has two readings; later (ts, id) wins -> 9.0
+        (3, _ts(2, 5), 1, "y", 7.0, None),
+        (4, _ts(2, 50), 1, "y", 9.0, None),
+        # global span extends to hour 4
+        (5, _ts(4, 0), 1, "x", 4.0, None),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    out = {(r.series, r.hour_ts): r.reading for r in gap_fill_forward(events).collect()}
+    assert len(out) == 10  # 2 series x 5 hours
+    assert out[("x", "2024-01-01 01:00:00")] == 1.5
+    assert out[("x", "2024-01-01 02:00:00")] == 1.5
+    assert out[("x", "2024-01-01 03:00:00")] == 4.0
+    assert out[("y", "2024-01-01 00:00:00")] is None
+    assert out[("y", "2024-01-01 01:00:00")] is None
+    assert out[("y", "2024-01-01 02:00:00")] == 9.0
+    assert out[("y", "2024-01-01 04:00:00")] == 9.0
+
+
+def test_mad_outliers_flags_planted_outlier(spark):
+    # group 'g': values 1..9 plus a wild 1000 -> med 5.5, MAD 2.5, one flag
+    rows = [(i, _ts(0), 1, "g", float(v), None) for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000])]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    (r,) = mad_outliers(events, group_col="event_type", value_col="value", k=3.0).collect()
+    assert (r.event_type, r.med, r.mad, r.n_outliers, r.n_rows) == ("g", 5.5, 2.5, 1, 10)
+
+
+def test_chunk_udtf_ragged_and_empty(spark):
+    register_chunk_udtf(spark, "split_chunks_t")
+    spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x"), (3, "")], "doc_id long, nt string"
+    ).createOrReplaceTempView("chunk_udtf_t")
+    rows = spark.sql(
+        "SELECT doc_id, c.chunk_ix, c.n_words, c.chunk"
+        " FROM chunk_udtf_t, LATERAL split_chunks_t(nt, 2) c ORDER BY doc_id, chunk_ix"
+    ).collect()
+    got = [(r.doc_id, r.chunk_ix, r.n_words, r.chunk) for r in rows]
+    assert got == [
+        (1, 0, 2, "a b"),
+        (1, 1, 2, "c d"),
+        (1, 2, 1, "e"),
+        (2, 0, 1, "x"),
+        # doc 3: empty text -> zero chunk rows (lateral drops it)
+    ]
