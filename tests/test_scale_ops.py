@@ -345,3 +345,89 @@ def test_runtime_bloom_filter_join_injection(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark, tmp_path):
+    """AQE skew-join: one hot key dominating a sort-merge join must be
+    SPLIT at runtime (OptimizeSkewedJoin marks the join `skew=true` and
+    fans the hot partition out to multiple tasks) — the no-manual-salt
+    complement to operators/skew.py. At 100 TB a single unsplit hot
+    partition is the straggler that holds the whole stage; this pins
+    Spark's runtime re-plan doing the split, with results identical to
+    the logical join."""
+    left_dir = str(tmp_path / "skew_left")
+    right_dir = str(tmp_path / "skew_right")
+    # hot key 0: 200k rows; tail keys 1..999 with 100 rows each
+    spark.range(0, 200_000).select(
+        F.lit(0).alias("k"), F.col("id").alias("v")
+    ).union(
+        spark.range(0, 99_900).select(
+            (F.col("id") % 999 + 1).alias("k"), F.col("id").alias("v")
+        )
+    ).write.parquet(left_dir)
+    spark.range(0, 1000).select(F.col("id").alias("k"), F.lit(3).alias("w")).write.parquet(right_dir)
+
+    conf = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ: skew split applies to shuffle joins
+    }
+    prev = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        left = spark.read.parquet(left_dir)
+        right = spark.read.parquet(right_dir)
+        joined = left.join(right, "k").agg(
+            F.count("*").alias("n"), F.sum(F.col("v") * F.col("w")).alias("s")
+        )
+        got = joined.collect()[0]
+        # every left row matches exactly one right row
+        assert got["n"] == 200_000 + 99_900
+        exp = 3 * (sum(range(200_000)) + sum(range(99_900)))
+        assert got["s"] == exp
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:4000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_aqe_coalesces_tiny_shuffle_partitions(spark):
+    """AQE partition coalescing: a 32-way (test session: 4-way) shuffle
+    over a few KB of data must collapse to far fewer read partitions at
+    runtime (AQEShuffleRead `coalesced`) — the mechanism that keeps
+    shuffle_partitions sized for the LARGE stages from drowning small
+    stages in empty-task overhead at 100 TB."""
+    conf = {
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64MB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in conf}
+    for k, v in conf.items():
+        spark.conf.set(k, v)
+    try:
+        df = (
+            spark.range(0, 10_000)
+            .groupBy((F.col("id") % 100).alias("g"))
+            .agg(F.count("*").alias("n"))
+        )
+        # execute THIS df (count() would execute a different plan and
+        # leave this one's adaptive plan un-finalized)
+        assert len(df.collect()) == 100
+        final_plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final_plan, final_plan[:1000]
+        assert "AQEShuffleRead coalesced" in final_plan, final_plan[:4000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
