@@ -292,3 +292,108 @@ def test_source_overlap_matches_brute_force(spark, docs):
         for r in source_overlap_matrix(df, "text", "doc_id", "source").collect()
     }
     assert got == want
+
+
+@given(
+    baskets=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=6),  # basket id
+            st.integers(min_value=1, max_value=9),  # item
+        ),
+        min_size=1,
+        max_size=24,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_co_occurrence_matches_brute_force(spark, baskets):
+    """Any basket multiset: HOF pair expansion == brute-force per-basket
+    distinct-pair counting (each pair once per basket, a < b canonical)."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from pipeline_etl_website_visits_spark.operators.itemsets import co_occurrence_pairs
+
+    df = spark.createDataFrame(baskets, "l_orderkey long, l_partkey long")
+    by_basket = defaultdict(set)
+    for b, i in baskets:
+        by_basket[b].add(i)
+    want = defaultdict(int)
+    for items in by_basket.values():
+        for a, b in combinations(sorted(items), 2):
+            want[(a, b)] += 1
+    got = {
+        (r.item_a, r.item_b): r.n_baskets
+        for r in co_occurrence_pairs(df, basket_col="l_orderkey", item_col="l_partkey").collect()
+    }
+    assert got == dict(want)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=3),  # user
+            st.sampled_from(["a", "b", "c"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_event_transitions_match_brute_force(spark, events):
+    """Any event log: transition counts == per-user consecutive pairs in
+    (ts, event_id) order, and ppm = floor(n*1e6 / from-total)."""
+    import datetime
+    from collections import defaultdict
+
+    from pipeline_etl_website_visits_spark.operators.timeseries import event_transitions
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i), u, t, 0.0, None)
+        for i, (u, t) in enumerate(events)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    seqs = defaultdict(list)
+    for i, (u, t) in enumerate(events):
+        seqs[u].append(t)  # event_id order == ts order by construction
+    want = defaultdict(int)
+    for seq in seqs.values():
+        for frm, to in zip(seq, seq[1:]):
+            want[(frm, to)] += 1
+    from_tot = defaultdict(int)
+    for (frm, _), n in want.items():
+        from_tot[frm] += n
+    got = {(r.from_type, r.to_type): (r.n, r.prob_ppm) for r in event_transitions(df).collect()}
+    assert got == {
+        (f, t): (n, n * 1_000_000 // from_tot[f]) for (f, t), n in want.items()
+    }
+
+
+@given(
+    vals=st.lists(
+        st.integers(min_value=-50, max_value=50).map(float), min_size=1, max_size=25
+    )
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_mad_outliers_match_numpy(spark, vals):
+    """Any value list: med/MAD equal numpy's exact medians and the flag
+    count equals the brute-force |v-med| > 3*MAD count."""
+    import datetime
+
+    import numpy as np
+
+    from pipeline_etl_website_visits_spark.operators.timeseries import mad_outliers
+
+    rows = [
+        (i, datetime.datetime(2024, 1, 1), 1, "g", v, None) for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    med = float(np.median(vals))
+    adev = np.abs(np.array(vals) - med)
+    mad = float(np.median(adev))
+    n_out = int((adev > 3 * mad).sum())
+    (r,) = mad_outliers(df, group_col="event_type", value_col="value", k=3.0).collect()
+    assert (r.med, r.mad, r.n_outliers, r.n_rows) == (round(med, 6), round(mad, 6), n_out, len(vals))
