@@ -999,7 +999,14 @@ def register_chunk_udtf(spark, name: str = "split_chunks"):
     @udtf(returnType="chunk_ix int, n_words int, chunk string")
     class _SplitChunks:
         def eval(self, text: str, chunk_words: int):
-            toks = [t for t in (text or "").split(" ") if t]
+            # Tokenize exactly like the SQL oracle's string_split: NULL
+            # text -> no rows; empty text -> one [''] token -> one
+            # (0, 1, '') chunk. Normalized input has no internal empty
+            # tokens, so no emptiness filter — filtering would drop the
+            # empty-doc row the oracle keeps.
+            if text is None:
+                return
+            toks = text.split(" ")
             k = max(int(chunk_words), 1)
             for i in range(0, len(toks), k):
                 piece = toks[i : i + k]

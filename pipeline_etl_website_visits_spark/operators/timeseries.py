@@ -152,29 +152,48 @@ def _exact_median(df: DataFrame, group_col: str, value_col: str, out_col: str) -
     return mid.groupBy(group_col).agg(F.avg(value_col).alias(out_col))
 
 
+def _approx_median(df: DataFrame, group_col: str, value_col: str, out_col: str) -> DataFrame:
+    """Sketch-based per-group median: ``approx_percentile`` (KLL-style),
+    one map-side-combinable aggregation — no per-group global sort. The
+    100 TB form of :func:`_exact_median`: at real scale the exact
+    order-statistic median is a full shuffle + window sort per pass,
+    while the sketch folds in a single exchange with bounded state."""
+    return df.groupBy(group_col).agg(
+        F.expr(f"approx_percentile({value_col}, 0.5, 10000)").alias(out_col)
+    )
+
+
 def mad_outliers(
     df: DataFrame,
     *,
     group_col: str = "event_type",
     value_col: str = "value",
     k: float = 3.0,
+    exact: bool = True,
 ) -> DataFrame:
     """Robust outlier audit per group: median / MAD / |dev| > k·MAD count.
 
     Median absolute deviation is the robust scale estimate — unlike
     stddev it doesn't let the outliers it is hunting inflate the
-    threshold. Both medians are exact order statistics; the deviation
-    and comparison are single IEEE ops on identical inputs, so the
-    whole audit is engine-exact.
+    threshold. With ``exact=True`` (default, the certificate form) both
+    medians are exact order statistics; the deviation and comparison are
+    single IEEE ops on identical inputs, so the whole audit is
+    engine-exact. ``exact=False`` swaps both medians for
+    ``approx_percentile`` sketches — the documented 100 TB escape hatch
+    (the exact path costs two sort-based passes over the fact table;
+    the sketch path is two map-side-combinable aggregations), at the
+    price of a small, accuracy-bounded deviation in med/mad and
+    therefore in the borderline outlier counts.
     """
-    med = _exact_median(df, group_col, value_col, "med")
+    _median = _exact_median if exact else _approx_median
+    med = _median(df, group_col, value_col, "med")
     dev = df.join(med, group_col).select(
         F.col(group_col),
         F.col(value_col),
         F.col("med"),
         F.abs(F.col(value_col) - F.col("med")).alias("adev"),
     )
-    mad = _exact_median(dev, group_col, "adev", "mad")
+    mad = _median(dev, group_col, "adev", "mad")
     flagged = dev.join(mad, group_col).groupBy(group_col, "med", "mad").agg(
         F.sum(F.when(F.col("adev") > F.lit(k) * F.col("mad"), 1).otherwise(0))
         .cast("long")

@@ -1112,19 +1112,45 @@ def x123(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unchanged, the x79-round-4 prescription) makes each level an
     # in-memory probe instead of a parquet scan: measured 1.88 s → 1.24 s
     # at sf0.1. The residual is the per-level job floor, by design.
+    import pandas as pd
+
     keys = (
         _t(spark, sf_dir, "customer")
         .filter((F.col("c_custkey") > 1) & (F.col("c_custkey") < 32))
         .select("c_custkey")
+        .cache()
     )
-    keys.cache().createOrReplaceTempView("customer")
-    out = spark.sql(_X123_SQL)  # plan resolves against the view NOW
-    # drop the view immediately: leaving a filtered single-column relation
-    # registered under the real table's name would silently corrupt any
-    # later same-session consumer that reads `customer` without
-    # re-registering it (the resolved plan above keeps its own reference)
-    spark.catalog.dropTempView("customer")
-    return out
+    keys.createOrReplaceTempView("customer")
+    try:
+        # materialize EAGERLY inside the cache scope (triangle_count
+        # discipline): the recursion's per-level probes hit the cache,
+        # then the cache is released — repeated gate/bench invocations
+        # must not accumulate pinned storage for the session lifetime.
+        # The result is bounded (one row per depth level) so collecting
+        # and re-wrapping as an Arrow LocalRelation is free.
+        rows = spark.sql(_X123_SQL).toPandas()
+    finally:
+        # drop the view too: leaving a filtered single-column relation
+        # registered under the real table's name would silently corrupt
+        # any later same-session consumer that reads `customer` without
+        # re-registering it
+        spark.catalog.dropTempView("customer")
+        keys.unpersist()
+    return spark.createDataFrame(
+        rows.astype(
+            {"depth": "int32", "n_nodes": "int64", "min_key": "int64", "max_key": "int64"}
+        )
+        if len(rows)
+        else pd.DataFrame(
+            {
+                "depth": pd.Series(dtype="int32"),
+                "n_nodes": pd.Series(dtype="int64"),
+                "min_key": pd.Series(dtype="int64"),
+                "max_key": pd.Series(dtype="int64"),
+            }
+        ),
+        "depth int, n_nodes long, min_key long, max_key long",
+    )
 
 
 # --------------------------------------------------------------------------

@@ -314,6 +314,9 @@ SESSION_OUT_SCHEMA = (
 _SESSION_STATE_SCHEMA = "start timestamp, end timestamp, n long"
 
 
+_SESSION_GAP_MIN = 30
+
+
 def _session_fold(key, pdfs, state):
     import pandas as pd  # local: runs inside the Arrow worker
 
@@ -325,35 +328,87 @@ def _session_fold(key, pdfs, state):
             [{"user_id": user_id, "session_start": start, "session_end": end, "n_events": n}]
         )
         return
+    gap = pd.Timedelta(minutes=_SESSION_GAP_MIN)
+    # Split arriving events into gap-delimited sessions BEFORE folding into
+    # state: events can outrun the timeout (Spark calls us with data and
+    # hasTimedOut=False even when the stored session's idle horizon has
+    # passed), so a user's next session must not be merged into the stored
+    # one just because it arrived first. Vectorized: sort event times, a
+    # diff > gap starts a new session id, groupby id gives (start, end, n)
+    # per session — the Python loop below runs over SESSIONS, not events.
+    intervals = []
     if state.exists:
-        start, end, n = state.get
-    else:
-        start, end, n = None, None, 0
-    for pdf in pdfs:
-        ts = pd.to_datetime(pdf["ts"])
-        lo, hi = ts.min(), ts.max()
-        n += len(pdf)
-        start = lo if start is None else min(start, lo)
-        end = hi if end is None else max(end, hi)
+        s, e, n0 = state.get
+        intervals.append([pd.Timestamp(s), pd.Timestamp(e), int(n0)])
+    ts_parts = [pd.to_datetime(pdf["ts"]) for pdf in pdfs if len(pdf)]
+    if ts_parts:
+        ts = pd.concat(ts_parts).sort_values().reset_index(drop=True)
+        sess_id = (ts.diff() > gap).cumsum()
+        per = ts.groupby(sess_id).agg(["min", "max", "count"])
+        intervals.extend(
+            [row["min"], row["max"], int(row["count"])] for _, row in per.iterrows()
+        )
+    # merge interval list (stored session may interleave with late-but-
+    # within-watermark events, so sort then coalesce on the same gap)
+    intervals.sort(key=lambda iv: (iv[0], iv[1]))
+    merged = [intervals[0]]
+    for s, e, n in intervals[1:]:
+        if s - merged[-1][1] <= gap:
+            merged[-1][1] = max(merged[-1][1], e)
+            merged[-1][2] += n
+        else:
+            merged.append([s, e, n])
+    # every session but the latest is already proven closed by event time;
+    # emit those now and keep only the open tail in state
+    *closed, (start, end, n) = merged
     state.update((start, end, n))
-    # the idle horizon: the session finalizes when the WATERMARK passes
-    # last-event + gap (event-time timeout — wall clock plays no part,
-    # so replays are deterministic). pandas treats the naive `end` as
-    # UTC in .timestamp(); correct because the session timezone is
-    # pinned to UTC (session.get_spark) — a non-UTC session would shift
-    # this epoch against the watermark's.
-    state.setTimeoutTimestamp(int(end.timestamp() * 1000) + 30 * 60 * 1000)
-    yield pd.DataFrame(
-        columns=["user_id", "session_start", "session_end", "n_events"]
+    # the idle horizon: the open session finalizes when the WATERMARK
+    # passes last-event + gap (event-time timeout — wall clock plays no
+    # part, so replays are deterministic). pandas treats the naive `end`
+    # as UTC in .timestamp(); correct because timeout_sessions asserts the
+    # session timezone is UTC — a non-UTC session would shift this epoch
+    # against the watermark's.
+    state.setTimeoutTimestamp(
+        int(end.timestamp() * 1000) + _SESSION_GAP_MIN * 60 * 1000
     )
+    if closed:
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "session_start": s,
+                    "session_end": e,
+                    "n_events": cnt,
+                }
+                for s, e, cnt in closed
+            ]
+        )
+    else:
+        yield pd.DataFrame(
+            columns=["user_id", "session_start", "session_end", "n_events"]
+        )
 
 
 def timeout_sessions(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
-    """events: streaming (user_id, ts, ...). Emits ONLY finalized sessions
-    (closed by a 30-minute idle gap crossing the watermark); open sessions
-    stay in the state store until their timeout fires. Append-mode
-    output — each session appears exactly once."""
+    """events: streaming (user_id, ts, ...). Emits ONLY finalized sessions —
+    closed either by a later event proving a >30-minute idle gap in event
+    time, or by the watermark passing the open session's idle horizon; open
+    sessions stay in the state store until their timeout fires. Append-mode
+    output — each session appears exactly once.
+
+    Requires a UTC session timezone: the state-fold converts the naive
+    session-end timestamp to an epoch for setTimeoutTimestamp assuming UTC,
+    and a non-UTC session would silently shift eviction against the
+    watermark. Fail fast rather than drift."""
     from pyspark.sql.streaming.state import GroupStateTimeout
+
+    tz = events.sparkSession.conf.get("spark.sql.session.timeZone")
+    if tz not in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        raise ValueError(
+            f"timeout_sessions requires spark.sql.session.timeZone=UTC "
+            f"(got {tz!r}): the event-time timeout epoch is computed from a "
+            f"naive timestamp assuming UTC and would shift otherwise"
+        )
 
     return (
         events.withWatermark("ts", watermark)

@@ -776,3 +776,79 @@ def test_timeout_sessions_finalize_and_evict(spark, tmp_path):
     assert set(got) == {1, 2}, got
     assert got[1] == (dt.datetime(2024, 1, 1, 10, 0), dt.datetime(2024, 1, 1, 10, 5), 2)
     assert got[2] == (dt.datetime(2024, 1, 1, 10, 2), dt.datetime(2024, 1, 1, 10, 2), 1)
+
+
+def test_timeout_sessions_gap_split_before_timeout(spark, tmp_path):
+    """A user's NEXT session can arrive before the previous one's timeout
+    fires (hasTimedOut=False with data). The fold must split on the >30min
+    event-time gap — not merge everything a key ever sends into one
+    session. Covers: gap inside one batch, gap across batches, and the
+    final open session staying in state (no emission)."""
+    import datetime as dt
+
+    from pipeline_etl_website_visits_spark.streaming.events_stream import (
+        timeout_sessions,
+    )
+
+    def rows(*specs):
+        return [(uid, dt.datetime(2024, 1, 1, h, m)) for uid, h, m in specs]
+
+    in_dir = tmp_path / "ev_in"
+    in_dir.mkdir()
+    schema = "user_id long, ts timestamp"
+    # batch 1: user 1 session A (10:00-10:05), PLUS a same-batch second
+    # session at 11:00 (55min gap) — intra-batch split
+    spark.createDataFrame(
+        rows((1, 10, 0), (1, 10, 5), (1, 11, 0)), schema
+    ).coalesce(1).write.parquet(str(in_dir / "f1"))
+    # batch 2: user 1 returns at 13:00 (2h gap from 11:00) — cross-batch
+    # split; watermark (10min) reaches 12:50, past 11:00+30min, but the
+    # split must hold even when data and timeout race
+    spark.createDataFrame(rows((1, 13, 0), (1, 13, 2)), schema).coalesce(
+        1
+    ).write.parquet(str(in_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*/")
+    )
+    q = (
+        timeout_sessions(stream)
+        .writeStream.format("memory")
+        .queryName("toutsess_gap")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM toutsess_gap").collect()
+    )
+    # sessions A and B finalized; C (13:00-13:02) still open -> not emitted
+    assert got == [
+        (dt.datetime(2024, 1, 1, 10, 0), dt.datetime(2024, 1, 1, 10, 5), 2),
+        (dt.datetime(2024, 1, 1, 11, 0), dt.datetime(2024, 1, 1, 11, 0), 1),
+    ], got
+
+
+def test_timeout_sessions_rejects_non_utc_session(spark, tmp_path):
+    """The event-time timeout epoch assumes a UTC session timezone; a
+    non-UTC session must fail fast instead of silently shifting eviction."""
+    import pytest
+
+    from pipeline_etl_website_visits_spark.streaming.events_stream import (
+        timeout_sessions,
+    )
+
+    schema = "user_id long, ts timestamp"
+    stream = spark.readStream.schema(schema).parquet(str(tmp_path))
+    old = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="timeZone"):
+            timeout_sessions(stream)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)

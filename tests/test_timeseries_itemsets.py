@@ -104,10 +104,42 @@ def test_mad_outliers_flags_planted_outlier(spark):
     assert (r.event_type, r.med, r.mad, r.n_outliers, r.n_rows) == ("g", 5.5, 2.5, 1, 10)
 
 
+def test_mad_outliers_approx_knob_within_tolerance(spark):
+    """exact=False (the 100 TB approx_percentile path) must agree with the
+    exact path within sketch accuracy — identical here, where n is far
+    below the sketch's 1/accuracy resolution."""
+    rows = [
+        (i, _ts(0), 1, "g" if i % 2 else "h", float(v), None)
+        for i, v in enumerate([1, 2, 3, 4, 5, 6, 7, 8, 9, 1000] * 4)
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    exact = {
+        r.event_type: r
+        for r in mad_outliers(events, group_col="event_type", value_col="value", k=3.0).collect()
+    }
+    approx = {
+        r.event_type: r
+        for r in mad_outliers(
+            events, group_col="event_type", value_col="value", k=3.0, exact=False
+        ).collect()
+    }
+    assert set(exact) == set(approx) == {"g", "h"}
+    for g in exact:
+        # approx_percentile returns a true order statistic (not the
+        # two-middle mean), so allow half an inter-value step of drift
+        assert abs(exact[g].med - approx[g].med) <= 1.0, (g, exact[g], approx[g])
+        assert abs(exact[g].mad - approx[g].mad) <= 1.0, (g, exact[g], approx[g])
+        # the planted 1000s are far beyond any borderline: flags identical
+        assert exact[g].n_outliers == approx[g].n_outliers
+        assert exact[g].n_rows == approx[g].n_rows
+
+
 def test_chunk_udtf_ragged_and_empty(spark):
     register_chunk_udtf(spark, "split_chunks_t")
     spark.createDataFrame(
-        [(1, "a b c d e"), (2, "x"), (3, "")], "doc_id long, nt string"
+        [(1, "a b c d e"), (2, "x"), (3, ""), (4, None)], "doc_id long, nt string"
     ).createOrReplaceTempView("chunk_udtf_t")
     rows = spark.sql(
         "SELECT doc_id, c.chunk_ix, c.n_words, c.chunk"
@@ -119,5 +151,9 @@ def test_chunk_udtf_ragged_and_empty(spark):
         (1, 1, 2, "c d"),
         (1, 2, 1, "e"),
         (2, 0, 1, "x"),
-        # doc 3: empty text -> zero chunk rows (lateral drops it)
+        # doc 3: empty text -> string_split semantics, one [''] token ->
+        # one (0, 1, '') chunk (matches the x146 DuckDB oracle exactly)
+        (3, 0, 1, ""),
+        # doc 4: NULL text -> zero rows (lateral drops it, as does the
+        # oracle's generate_series over a NULL length)
     ]
