@@ -27,11 +27,74 @@ or any SQL literal that might carry it.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import re
+import time
 
 _KEY_RE = re.compile(r"[A-Za-z0-9._-]{1,200}")
 _SUFFIX = ".key"
+
+
+@contextlib.contextmanager
+def writer_lease(
+    artifact_dir: str,
+    name: str = "writer",
+    timeout: float = 120.0,
+    poll: float = 0.05,
+    stale_after: float = 3600.0,
+):
+    """Advisory single-writer lease over a stored artifact (the missing
+    primitive behind every "appends must be paused across the swap"
+    docstring: VERDICT r6 item 1/8). Acquire = atomic ``O_CREAT|O_EXCL``
+    create of ``<artifact_dir>/.<name>.lease``; a second writer blocks
+    (bounded by ``timeout``) until the holder releases — so an append
+    cannot resolve a generation pointer mid-swap, and two merges cannot
+    interleave versioned-dir publishes (the loser simply runs after the
+    winner, reading the winner's pointer).
+
+    Crash-safety: the lease file records pid + acquire time; a holder
+    that died without releasing is broken after ``stale_after`` seconds
+    (maintenance operations here run seconds-to-minutes; an hours-old
+    lease is a corpse). Breaking is itself best-effort-atomic: remove +
+    re-race on the create.
+
+    Scope: a LOCAL (or POSIX-rename) filesystem — exactly where these
+    artifacts live in this deployment. On an object store the same
+    protocol needs a conditional-put (S3 If-None-Match) or an external
+    lock service; the call sites are the contract, the primitive swaps.
+    """
+    os.makedirs(artifact_dir, exist_ok=True)
+    lock = os.path.join(artifact_dir, f".{name}.lease")
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            try:
+                os.write(fd, f"{os.getpid()} {time.time():.3f}".encode())
+            finally:
+                os.close(fd)
+            break
+        except FileExistsError:
+            try:
+                age = time.time() - os.stat(lock).st_mtime
+            except FileNotFoundError:
+                continue  # holder released between create and stat: re-race
+            if age > stale_after:
+                # corpse: best-effort break, then re-race the create
+                with contextlib.suppress(FileNotFoundError):
+                    os.remove(lock)
+                continue
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"writer lease {lock} held for {age:.1f}s; gave up after {timeout}s"
+                )
+            time.sleep(poll)
+    try:
+        yield lock
+    finally:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(lock)
 
 
 def check_applied_key(key: str) -> str:

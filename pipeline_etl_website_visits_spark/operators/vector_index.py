@@ -223,12 +223,14 @@ def compact_ivfpq_codes(
     copy. So the rewrite reads an explicit FILE-LIST snapshot, and after
     writing the new generation it re-lists and folds any delta files in
     (repeatedly, until a quiet pass) BEFORE swapping the pointer. The
-    residual window is the instant between the last quiet re-list and the
-    ``os.replace`` — microseconds against an append's seconds-long write,
-    and closable entirely by pausing appends across the swap (compaction
-    and appends are operator-scheduled maintenance, not query traffic).
+    final fold + swap hold the artifact's WRITER LEASE
+    (:func:`ledger.writer_lease` — the same lease appends resolve the
+    pointer under), so no append can commit between the last quiet
+    re-list and the ``os.replace``: the race the round-6 docstring could
+    only document is now structurally closed. The big rewrite itself runs
+    lease-free — appends keep flowing during it and are folded as delta.
     ``_before_swap`` is a test seam invoked between the first rewrite and
-    the delta check.
+    the lease acquisition.
     """
     import shutil
 
@@ -250,26 +252,32 @@ def compact_ivfpq_codes(
     )
     if _before_swap is not None:
         _before_swap()
-    while True:
-        delta = _list_code_files(cur) - seen
-        if not delta:
-            break
-        seen |= delta
-        (
-            spark.read.option("basePath", cur)
-            .parquet(*sorted(delta))
-            .coalesce(1)
-            .write.mode("append")
-            .partitionBy("cell")
-            .parquet(new_dir)
-        )
-    ptr = os.path.join(path, "codes_current")
-    tmp = ptr + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(new_name)
-    os.replace(tmp, ptr)
-    if remove_old and os.path.realpath(cur) != os.path.realpath(new_dir):
-        shutil.rmtree(cur, ignore_errors=True)
+    # final fold + swap run UNDER the writer lease: appends resolve the
+    # pointer inside the same lease, so once the last delta pass comes
+    # back quiet nothing new can land in the old generation before the
+    # ``os.replace`` — the round-6 microsecond window is closed, and
+    # ``remove_old=True`` can no longer destroy a racing batch's only copy
+    with ledger.writer_lease(path, name="codes-writer"):
+        while True:
+            delta = _list_code_files(cur) - seen
+            if not delta:
+                break
+            seen |= delta
+            (
+                spark.read.option("basePath", cur)
+                .parquet(*sorted(delta))
+                .coalesce(1)
+                .write.mode("append")
+                .partitionBy("cell")
+                .parquet(new_dir)
+            )
+        ptr = os.path.join(path, "codes_current")
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(new_name)
+        os.replace(tmp, ptr)
+        if remove_old and os.path.realpath(cur) != os.path.realpath(new_dir):
+            shutil.rmtree(cur, ignore_errors=True)
     return new_dir
 
 
@@ -453,28 +461,34 @@ def append_to_ivfpq_index(
     if not index_is_complete(path):
         raise ValueError(f"no committed index at {path}; run build_ivfpq_index first")
     spark = new_vectors.sparkSession
-    p, coarse, cents, applied, _ = _load_meta(spark, path)
-    if applied_key is not None:
-        # membership FIRST: a key legally recorded under the pre-charset
-        # rules (legacy meta rows allowed anything) must still no-op on
-        # retry — validating first would crash the redo path instead
-        if applied_key in applied:
-            return False
-        ledger.check_applied_key(applied_key)
-    num_subspaces, dim, quant_scale = p["num_subspaces"], p["dim"], p["quant_scale"]
-    sublen = dim // num_subspaces
-    encode = _make_encoder(
-        coarse, cents, num_subspaces, sublen, quant_scale, id_col, vec_col
-    )
-    (
-        new_vectors.select(id_col, vec_col)
-        .mapInPandas(encode, f"{id_col} long, cell int, codes array<int>")
-        .write.mode("append")
-        .partitionBy("cell")
-        .parquet(_codes_dir(path))
-    )
-    if applied_key is not None:
-        ledger.record_applied_key(os.path.join(path, "applied"), applied_key)
+    # the writer lease serializes this append against a concurrent
+    # compaction's final re-list + pointer swap (and against a same-key
+    # twin append): the generation pointer is resolved INSIDE the lease,
+    # so the batch can never land in a generation the swap is about to
+    # orphan — the round-6 "residual window" is closed, not documented
+    with ledger.writer_lease(path, name="codes-writer"):
+        p, coarse, cents, applied, _ = _load_meta(spark, path)
+        if applied_key is not None:
+            # membership FIRST: a key legally recorded under the pre-charset
+            # rules (legacy meta rows allowed anything) must still no-op on
+            # retry — validating first would crash the redo path instead
+            if applied_key in applied:
+                return False
+            ledger.check_applied_key(applied_key)
+        num_subspaces, dim, quant_scale = p["num_subspaces"], p["dim"], p["quant_scale"]
+        sublen = dim // num_subspaces
+        encode = _make_encoder(
+            coarse, cents, num_subspaces, sublen, quant_scale, id_col, vec_col
+        )
+        (
+            new_vectors.select(id_col, vec_col)
+            .mapInPandas(encode, f"{id_col} long, cell int, codes array<int>")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(_codes_dir(path))
+        )
+        if applied_key is not None:
+            ledger.record_applied_key(os.path.join(path, "applied"), applied_key)
     return True
 
 

@@ -235,3 +235,81 @@ def test_compact_migrates_legacy_property_keys(spark, tmp_path):
         assert append_to_gram_index(batch, table, "text", "doc_id", n=3, applied_key="legacy0") is False
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compact_folds_racing_gram_append_and_carries_its_marker(spark, tmp_path):
+    """The round-6 ADVICE race: an append committing between compaction's
+    snapshot and its swap must have BOTH its rows and its ledger marker in
+    the new location — with remove_old=True (the permanent-loss path) the
+    delta fold under the writer lease is what saves the batch."""
+    import os
+
+    from pipeline_etl_website_visits_spark.operators.dedup import (
+        append_to_gram_index,
+        compact_gram_index,
+        save_gram_index,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 4 == 0)
+    racer = docs.filter(F.col("doc_id") % 4 == 3)
+    table = "gramidx_race_t"
+    path = str(tmp_path / "ridx")
+    try:
+        save_gram_index(corpus, table, path, "text", "doc_id", n=3, n_buckets=8)
+        n_before = spark.table(table).count()
+        n_racer = None
+
+        def racing_append():
+            nonlocal n_racer
+            assert append_to_gram_index(
+                racer, table, "text", "doc_id", n=3, applied_key="racer"
+            )
+            n_racer = spark.table(table).count() - n_before
+
+        new_loc = compact_gram_index(
+            spark, table, remove_old=True, _before_swap=racing_append
+        )
+        assert not os.path.exists(path)  # old location destroyed
+        assert n_racer and n_racer > 0
+        # the racing batch's rows survived into the new location...
+        assert spark.table(table).count() == n_before + n_racer
+        assert os.path.dirname(new_loc + "/") != path
+        # ...and its marker did too: the replay no-ops instead of doubling
+        assert (
+            append_to_gram_index(racer, table, "text", "doc_id", n=3, applied_key="racer")
+            is False
+        )
+        assert spark.table(table).count() == n_before + n_racer
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_compact_reads_stored_bucket_count(spark, tmp_path):
+    """gram_buckets persists in TBLPROPERTIES: compacting WITHOUT passing
+    n_buckets must preserve the build's bucket spec (a silent re-bucket to
+    a default would mismatch other sessions' registrations against the
+    file layout), and the property must survive the re-registration."""
+    import os
+
+    from pipeline_etl_website_visits_spark.operators.dedup import (
+        _gram_index_props,
+        compact_gram_index,
+        save_gram_index,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 4 == 0)
+    table = "gramidx_buckets_t"
+    try:
+        save_gram_index(corpus, table, str(tmp_path / "bidx"), "text", "doc_id", n=3, n_buckets=8)
+        assert _gram_index_props(spark, table).get("gram_buckets") == "8"
+        new_loc = compact_gram_index(spark, table)  # no n_buckets passed
+        assert _gram_index_props(spark, table).get("gram_buckets") == "8"
+        files = [f for f in os.listdir(new_loc) if not f.startswith(("_", "."))]
+        assert len(files) == 8  # one file per ORIGINAL bucket, not per-32
+        # the catalog bucket spec matches too
+        ddl = spark.sql(f"SHOW CREATE TABLE {table}").collect()[0][0]
+        assert "INTO 8 BUCKETS" in ddl
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

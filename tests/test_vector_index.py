@@ -303,3 +303,117 @@ def test_compact_folds_in_appends_that_race_the_rewrite(spark, emb, tmp_path):
     assert n == n_base + racer.count()
     # and the ledger still no-ops the replay
     assert append_to_ivfpq_index(racer, p, applied_key="racer") is False
+
+
+def test_writer_lease_mutual_exclusion_timeout_and_stale_break(tmp_path):
+    """The lease primitive itself: exclusive while held, times out rather
+    than deadlocks, and breaks a corpse lease left by a dead holder."""
+    import threading
+    import time
+
+    from pipeline_etl_website_visits_spark.operators import ledger
+
+    d = str(tmp_path / "art")
+    acquired = []
+    with ledger.writer_lease(d, name="w") as lock:
+        assert os.path.exists(lock)
+        # a second acquirer times out while we hold it
+        with pytest.raises(TimeoutError):
+            with ledger.writer_lease(d, name="w", timeout=0.3, poll=0.02):
+                pass
+        # ...and a blocked acquirer proceeds once we release
+        t = threading.Thread(
+            target=lambda: (
+                ledger.writer_lease(d, name="w", timeout=10).__enter__(),
+                acquired.append(time.monotonic()),
+            )
+        )
+        t.start()
+        time.sleep(0.3)
+        assert not acquired, "acquired while held"
+    t.join(timeout=10)
+    assert acquired, "never acquired after release"
+    # stale corpse: fake an hours-old lease file; a new acquirer breaks it
+    os.makedirs(d, exist_ok=True)
+    corpse = os.path.join(d, ".w.lease")
+    if not os.path.exists(corpse):  # thread's __enter__ left one: adopt it
+        with open(corpse, "w") as f:
+            f.write("0 0")
+    os.utime(corpse, (time.time() - 7200, time.time() - 7200))
+    with ledger.writer_lease(d, name="w", timeout=1, stale_after=3600):
+        pass
+
+
+def test_append_blocks_while_compaction_holds_the_lease(spark, emb, tmp_path):
+    """An append that starts mid-swap (the compactor holds the writer
+    lease across the final re-list + pointer flip) must BLOCK until the
+    swap completes, then land in the live generation — never in the one
+    about to be orphaned."""
+    import threading
+    import time
+
+    from pipeline_etl_website_visits_spark.operators import ledger
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        append_to_ivfpq_index,
+        index_cell_stats,
+    )
+
+    p = str(tmp_path / "lidx")
+    base = emb.filter(F.col("vec_id") < 300)
+    build_ivfpq_index(base, p, num_coarse=4)
+    racer = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 350))
+    done = []
+    t = threading.Thread(
+        target=lambda: done.append(
+            append_to_ivfpq_index(racer, p, applied_key="late")
+        )
+    )
+    with ledger.writer_lease(p, name="codes-writer"):
+        t.start()
+        time.sleep(1.0)
+        assert t.is_alive() and not done, "append proceeded under a held lease"
+    t.join(timeout=120)
+    assert done == [True]
+    n = sum(r["n_vectors"] for r in index_cell_stats(spark, p).collect())
+    assert n == base.count() + racer.count()
+
+
+def test_concurrent_appends_and_destructive_compaction_lose_nothing(spark, emb, tmp_path):
+    """The end-to-end race golden, with remove_old=True (the data-loss
+    path): appends fired WHILE a destructive compaction runs must all
+    survive into the live generation — whichever side wins the lease —
+    and their ledger markers must still no-op replays."""
+    import threading
+
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        append_to_ivfpq_index,
+        compact_ivfpq_codes,
+        index_cell_stats,
+    )
+
+    p = str(tmp_path / "cidx")
+    base = emb.filter(F.col("vec_id") < 250)
+    build_ivfpq_index(base, p, num_coarse=4)
+    batches = [
+        emb.filter((F.col("vec_id") >= 250 + 50 * i) & (F.col("vec_id") < 300 + 50 * i))
+        for i in range(3)
+    ]
+    counts = [b.count() for b in batches]
+    threads = [
+        threading.Thread(
+            target=append_to_ivfpq_index,
+            args=(b, p),
+            kwargs={"applied_key": f"race-{i}"},
+        )
+        for i, b in enumerate(batches)
+    ]
+    for t in threads:
+        t.start()
+    compact_ivfpq_codes(spark, p, remove_old=True)
+    for t in threads:
+        t.join(timeout=180)
+    # every batch exactly once, regardless of interleave
+    n = sum(r["n_vectors"] for r in index_cell_stats(spark, p).collect())
+    assert n == base.count() + sum(counts)
+    for i, b in enumerate(batches):
+        assert append_to_ivfpq_index(b, p, applied_key=f"race-{i}") is False
