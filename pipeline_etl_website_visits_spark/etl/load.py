@@ -112,6 +112,19 @@ class Warehouse:
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
+    def _lease(self, name: str):
+        """Writer lease scoped to this warehouse root: serializes the
+        versioned-pointer writers (merge / snapshot publish / compact /
+        forget) so two concurrent drivers cannot interleave a
+        read-pointer→publish→flip sequence and silently drop the first
+        writer's batch (lost update). Same primitive as the stored
+        indexes (:func:`operators.ledger.writer_lease`); the loser simply
+        blocks and then runs against the winner's pointer."""
+        from pipeline_etl_website_visits_spark.operators import ledger
+
+        root = self.root[len("file:"):] if self.root.startswith("file:") else self.root
+        return ledger.writer_lease(root, name=name)
+
     def _fs(self, p: str):
         jvm = self.spark._jvm
         conf = self.spark._jsc.hadoopConfiguration()
@@ -318,7 +331,28 @@ class Warehouse:
         nothing new to absorb is a no-op.
 
         Returns {"version", "absorbed", "files"}.
+
+        Holds the table's writer lease for the whole
+        read-pointer→rewrite→flip→GC sequence: two concurrent compactions
+        (or a compaction racing a ``forget`` erasure of the same table)
+        would otherwise both compute version ``n+1``, interleave the
+        pointer flip, and the loser's rewrite — possibly the erasure —
+        would be silently dropped.
         """
+        import math
+
+        with self._lease(f"compact-{table}"):
+            return self._compact_locked(
+                table, target_mb=target_mb, cluster_by=cluster_by, drop_where=drop_where
+            )
+
+    def _compact_locked(
+        self,
+        table: str,
+        target_mb: int = 128,
+        cluster_by: list[str] | None = None,
+        drop_where: "Column | None" = None,
+    ) -> dict:
         import math
 
         live = sorted(self._live_partitions(table))
@@ -513,6 +547,16 @@ class Warehouse:
         Returns {table: action} for the audit trail.
         """
         out: dict[str, str] = {}
+        with self._lease("visitantes-writer"):
+            out.update(self._forget_visitantes_locked(email))
+        for t in ("estadisticas", "errores"):
+            if self._exists(t) or self._current_compact_version(t) is not None:
+                r = self.compact(t, drop_where=F.col("email") == email)
+                out[t] = str(r["version"])
+        return out
+
+    def _forget_visitantes_locked(self, email: str) -> dict:
+        out: dict[str, str] = {}
         version = self._current_visitantes_version()
         if version is not None:
             manifest = self._visitantes_manifest(version)
@@ -521,7 +565,7 @@ class Warehouse:
                 # null-safe inequality: NULL-email rows are untouched, not
                 # silently erased (email <> 'x' is NULL on a NULL email).
                 snap = self.read_visitantes().filter(~F.col("email").eqNullSafe(email))
-                self.write_visitantes(snap, applied_key=f"forget:{email}")
+                self._write_visitantes_locked(snap, applied_key=f"forget:{email}")
                 out["visitantes"] = "full-rewrite"
             else:
                 n_buckets, refs = manifest
@@ -546,10 +590,6 @@ class Warehouse:
                         subset, touched_refs=carried, applied_key=f"forget:{email}"
                     )
                 out["visitantes"] = f"bucket={b}"
-        for t in ("estadisticas", "errores"):
-            if self._exists(t) or self._current_compact_version(t) is not None:
-                r = self.compact(t, drop_where=F.col("email") == email)
-                out[t] = str(r["version"])
         return out
 
     def visitantes_versions(self) -> list[str]:
@@ -686,6 +726,19 @@ class Warehouse:
         """
         from pipeline_etl_website_visits_spark.operators.merge import visitantes_merge
 
+        with self._lease("visitantes-writer"):
+            self._merge_visitantes_locked(
+                source, process_date=process_date, applied_key=applied_key
+            )
+
+    def _merge_visitantes_locked(
+        self,
+        source: DataFrame,
+        process_date: str | None = None,
+        applied_key: str | None = None,
+    ) -> None:
+        from pipeline_etl_website_visits_spark.operators.merge import visitantes_merge
+
         version = self._current_visitantes_version()
         manifest = self._visitantes_manifest(version) if version else None
         # a mode switch needs a one-time FULL rewrite, incremental carry
@@ -706,7 +759,7 @@ class Warehouse:
                 # spec the join could otherwise use
                 null_safe=not version.startswith("tbl:"),
             )
-            self.write_visitantes(merged, applied_key=applied_key)
+            self._write_visitantes_locked(merged, applied_key=applied_key)
             return
         n_buckets, refs = manifest if manifest else (self.n_buckets, {})
         bucket = self._bucket_col(n_buckets)
@@ -741,6 +794,10 @@ class Warehouse:
     def write_visitantes(self, df: DataFrame, applied_key: str | None = None) -> None:
         """Full snapshot (re)write — initial load / explicit rebucket. The
         per-batch path is ``merge_visitantes`` (touched buckets only)."""
+        with self._lease("visitantes-writer"):
+            self._write_visitantes_locked(df, applied_key=applied_key)
+
+    def _write_visitantes_locked(self, df: DataFrame, applied_key: str | None = None) -> None:
         if self.bucketed:
             self._publish_visitantes_bucketed(df, applied_key=applied_key)
         else:

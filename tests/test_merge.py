@@ -566,3 +566,56 @@ def test_scd2_apply_rejects_duplicate_update_keys(spark):
     dup_new = spark.createDataFrame([(9, "X"), (9, "Y")], "k long, seg string")
     with pytest.raises(Exception, match="duplicate update-batch key"):
         scd2_apply(dim, dup_new, "k", ["seg"], "2000-06-01").collect()
+
+
+def test_concurrent_merges_serialize_under_the_writer_lease(spark, tmp_path, target):
+    """Two drivers merging at once (VERDICT r6 item 8): without the lease
+    both read the same pointer, both publish version n+1, and the loser's
+    batch silently vanishes in the pointer flip. With it, the loser blocks
+    until the winner's flip and merges on top — BOTH batches land."""
+    import threading
+    import time
+
+    wh = Warehouse(spark, str(tmp_path / "whc"), n_buckets=8)
+    wh.write_visitantes(target)
+
+    def batch(email, n):
+        return spark.createDataFrame(
+            [(email, D(2026, 8, 10), D(2026, 8, 15), n, n, n)], VISITANTES_SCHEMA
+        )
+
+    # deterministic half: a merge attempted while the lease is held blocks
+    done = []
+    t = threading.Thread(
+        target=lambda: (
+            wh.merge_visitantes(batch("a@x.com", 1), process_date=PROCESS_DATE, applied_key="a"),
+            done.append(1),
+        )
+    )
+    with wh._lease("visitantes-writer"):
+        t.start()
+        time.sleep(1.0)
+        assert t.is_alive() and not done, "merge proceeded under a held lease"
+    t.join(timeout=120)
+    assert done == [1]
+
+    # concurrency half: N merges fired together — every batch must survive
+    emails = [f"race{i}@x.com" for i in range(3)]
+    threads = [
+        threading.Thread(
+            target=wh.merge_visitantes,
+            args=(batch(e, i + 1),),
+            kwargs={"process_date": PROCESS_DATE, "applied_key": f"r{i}"},
+        )
+        for i, e in enumerate(emails)
+    ]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join(timeout=180)
+    snap = {r["email"]: r["visitasTotales"] for r in wh.read_visitantes().collect()}
+    assert snap["a@x.com"] == 1
+    for i, e in enumerate(emails):
+        assert snap[e] == i + 1, (e, snap.get(e))
+    # and the applied-key manifest carried every batch
+    assert {"a", "r0", "r1", "r2"} <= wh.visitantes_applied()
