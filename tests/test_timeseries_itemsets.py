@@ -36,16 +36,28 @@ def test_co_occurrence_pairs_counts_each_basket_once(spark):
         for r in co_occurrence_pairs(lines).collect()
     }
     assert got == {(1, 2): 2, (1, 3): 1, (2, 3): 1}
+    # the packed-key fast path (one BIGINT shuffle key) is value-identical
+    packed = {
+        (r.item_a, r.item_b): r.n_baskets
+        for r in co_occurrence_pairs(lines, pack_pairs=True).collect()
+    }
+    assert packed == got
 
 
 def test_co_occurrence_pairs_plan_has_no_join_and_two_exchanges(spark):
     lines = spark.createDataFrame([(1, 1), (1, 2)], "l_orderkey long, l_partkey long")
-    plan = co_occurrence_pairs(lines)._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan  # the whole point vs the oracle's self-join
-    # minimal-exchange shape: basket hash (reused by the basket agg via
-    # subset partitioning) + pair-count hash — nothing else may shuffle
-    # (Spark's self-join twin of the oracle measures ~1.5x slower here)
-    assert plan.count("Exchange hashpartitioning") == 2
+    for pack in (False, True):
+        plan = (
+            co_occurrence_pairs(lines, pack_pairs=pack)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Join" not in plan  # the whole point vs the oracle's self-join
+        # minimal-exchange shape: basket hash (reused by the basket agg via
+        # subset partitioning) + pair-count hash — nothing else may shuffle
+        # (Spark's self-join twin of the oracle measures ~1.5x slower here)
+        assert plan.count("Exchange hashpartitioning") == 2
 
 
 def test_event_transitions_counts_and_ppm(spark):
