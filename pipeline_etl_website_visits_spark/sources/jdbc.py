@@ -6,9 +6,12 @@ who keep MySQL as the serving store. Reads are partitioned on a numeric
 column so the scan parallelizes (``numPartitions`` × bound split — the
 JDBC equivalent of file splits); writes batch inserts.
 
-This container has no JDBC driver or database, so these wrappers are
-exercised only for argument plumbing in tests; the call surface is the
-standard ``spark.read/write.jdbc`` one.
+No MySQL exists in this container, but Spark bundles the Derby embedded
+driver, so tests exercise this surface against a REAL database
+(tests/test_sources.py: batched append + partitioned read, stride
+predicates covering every row exactly once). The call surface is the
+standard ``spark.read/write.jdbc`` one — against MySQL only the URL and
+driver class change.
 """
 
 from __future__ import annotations
