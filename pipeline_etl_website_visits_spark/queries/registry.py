@@ -55,82 +55,33 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-6 pinning rule: HEAD = the twenty-four never-checked names (x123
-# native recursion, the six TPC-H shapes x124-x129, x130 Zipf slope,
-# x131 source-overlap matrix, x132 schema evolution, x133 bag set-ops,
-# x134/x135 TPC-H Q11/Q16, x136 distribution windows, x137 null
-# ordering, x138 substring decontam, x139 token entropy, x140 market
-# basket, x141 transitions, x142 gap fill, x143 MAD outliers, x144 ORC,
-# x145 k-anonymity, x146 UDTF chunks — all new this round),
-# then every query whose
-# implementation changed in round 6 (x117/x122 fingerprinted+atomic
-# scratch builds; x58/x59 via the compact_first default flip — they opt
-# into the fused form explicitly; x70/x102 fan_out on the JSON parse;),
-# then the documented round-5 spillover (the 19 round-2-latest names —
-# committed last round to head this prefix): 24 + 7 + 19 = exactly 50.
-# The thirty-six round-3-latest names all spill past slot 50 to round 7
-# (each has two green driver rows and an implementation unchanged since
-# round 3); all round-4/5-latest rows are fresher than everything
-# listed and stay covered by the local full-suite check_oracle runs.
+# Round-7 pinning rule: HEAD = the eight queries whose implementation
+# changed in round 7 (x123 eager cache-scoped materialization; x146 UDTF
+# empty-text oracle parity; x140 packed pair keys + conditional
+# repartition; x84/x82 via the pq_code_batch qerr take-along; x143 via
+# the mad_outliers approx knob; x117/x122 via the stored-index writer
+# lease + snapshot/delta compaction), then the stalest rows — 42 of the
+# 43 round-3-latest names (each green twice, implementation unchanged
+# since round 3, displaced across rounds 5-6 by never-checked heads):
+# 8 + 42 = exactly 50. The alphabetical tail (x78) plus every
+# round-4/5/6-latest row spills to round 8; all stay covered by the
+# local full-suite check_oracle runs.
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- (a0) NEW in round 6 -- never driver-checked (11) --
+    # -- (a) implementation changed in round 7 (8) --
     "x123_native_recursion",
-    "x124_priority_late_orders",
-    "x125_priority_class_lines",
-    "x126_small_quantity_revenue",
-    "x127_large_volume_orders",
-    "x128_returned_item_customers",
-    "x129_forecast_revenue",
-    "x130_zipf_slope",
-    "x131_source_overlap_matrix",
-    "x132_schema_evolution",
-    "x133_bag_set_ops",
-    "x134_important_parts",
-    "x135_supplier_part_counts",
-    "x136_window_distribution_family",
-    "x137_null_ordering",
-    "x138_substring_decontam",
-    "x139_token_entropy",
-    "x140_market_basket_pairs",
-    "x141_event_transitions",
-    "x142_gap_fill_forward",
-    "x143_mad_outliers",
-    "x144_orc_roundtrip",
-    "x145_k_anonymity",
     "x146_chunk_udtf",
-    # -- (a) implementation changed in round 6 (7) --
-    "x92_heavy_hitters",
+    "x140_market_basket_pairs",
+    "x84_embed_pq_adc_topk",
+    "x82_embed_pq_codes",
+    "x143_mad_outliers",
     "x117_stored_index_search",
     "x122_stored_gram_dedup",
-    "x59_bigram_rarity",
-    "x58_tfidf_top_terms",
-    "x70_json_struct_agg",
-    "x102_variant_extract",
-    # -- (b) round-5 spillover: latest driver row is round 2 (19) --
-    "q58_star_join",
-    "q59_sql_identical_text",
-    "q61_pivot",
-    "q62_variance_manual",
-    "x36_approx_count_distinct",
-    "x37_approx_percentile",
-    "q63_shipping_priority",
-    "q64_regional_volume",
-    "q65_median_manual",
-    "q66_regexp_extract",
-    "x44_hash_split",
-    "x45_snapshot_cdc",
-    "x46_len_quantiles_by_lang",
-    "q69_grouping_sets",
-    "q67_event_funnel",
-    "x49_sequence_packing",
-    "x50_shuffled_sample",
-    "x51_mixture_sampling",
-    "q60_pricing_summary",
-    # ---- slot 50 boundary: everything below is round-7 spillover ----
-    # -- (c) latest driver row is round 3 (displaced late round 6 by the
-    #    seven newest never-checked queries x140-x146) --
+    # -- (b) stalest rows: latest driver row is round 3 (42 of 43;
+    #    the alphabetical tail spills to round 8) --
     "q01_scan_project_rename",
     "q05_error_explode",
+    "q56_sorted_collect",
+    "q68_rolling_hour_window",
     "x21_dedup_exact",
     "x22_dedup_ngram_jaccard",
     "x23_dedup_minhash_lsh",
@@ -138,23 +89,13 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x25_embed_cosine_topk",
     "x26_embed_ann_lsh",
     "x27_text_lang_id",
+    "x32_events_tumbling_hour",
+    "x33_events_sessionize",
     "x39_time_range_join",
     "x40_asof_join",
     "x41_embed_ivf_topk",
-    "x43_corpus_curation",
     "x42_dedup_embed_cosine",
-    "x60_embed_kmeans",
-    "x61_multimodal_png_roundtrip",
-    "x71_dedup_clusters",
-    "x76_multimodal_wav_roundtrip",
-    "x78_bpe_merges",
-    "x32_events_tumbling_hour",
-    "x33_events_sessionize",
-    "q56_sorted_collect",
-    "x68_grouped_argmax",
-    "x69_adjacent_doc_jaccard",
-    "x77_stat_aggregates",
-    "q68_rolling_hour_window",
+    "x43_corpus_curation",
     "x47_decontaminate",
     "x48_term_redaction",
     "x52_repetition_metrics",
@@ -162,16 +103,25 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x54_chunk_overlap",
     "x55_doc_frequency",
     "x57_winnowing_fingerprints",
+    "x60_embed_kmeans",
+    "x61_multimodal_png_roundtrip",
     "x62_salted_hot_key_agg",
     "x63_price_histogram",
     "x64_table_profile",
     "x65_stratified_sample",
     "x66_prefilter_decontam",
     "x67_session_funnel",
+    "x68_grouped_argmax",
+    "x69_adjacent_doc_jaccard",
+    "x71_dedup_clusters",
     "x72_sliding_windows",
     "x73_window_distribution",
     "x74_unpivot_metrics",
     "x75_interval_overlap_join",
+    "x76_multimodal_wav_roundtrip",
+    "x77_stat_aggregates",
+    # ---- slot 50 boundary: round-8 spillover ----
+    "x78_bpe_merges",
 )
 
 
