@@ -852,3 +852,52 @@ def test_timeout_sessions_rejects_non_utc_session(spark, tmp_path):
             timeout_sessions(stream)
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_timeout_sessions_late_event_merges_backward(spark, tmp_path):
+    """An out-of-order event (late but within the watermark) that belongs
+    BEFORE the stored session must extend it backward via the interval
+    merge — while a far-future event in the same batch still splits off
+    a new session."""
+    import datetime as dt
+
+    from pipeline_etl_website_visits_spark.streaming.events_stream import (
+        timeout_sessions,
+    )
+
+    in_dir = tmp_path / "ev_in"
+    in_dir.mkdir()
+    schema = "user_id long, ts timestamp"
+    # batch 1: user 1 at 10:00
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0))], schema
+    ).coalesce(1).write.parquet(str(in_dir / "f1"))
+    # batch 2: a late 09:50 event (watermark after batch 1 is 09:50, so it
+    # is admissible) plus a 13:00 event proving the session closed
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 9, 50)), (1, dt.datetime(2024, 1, 1, 13, 0))],
+        schema,
+    ).coalesce(1).write.parquet(str(in_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*/")
+    )
+    q = (
+        timeout_sessions(stream)
+        .writeStream.format("memory")
+        .queryName("toutsess_late")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM toutsess_late").collect()
+    ]
+    assert got == [
+        (dt.datetime(2024, 1, 1, 9, 50), dt.datetime(2024, 1, 1, 10, 0), 2)
+    ], got
