@@ -81,9 +81,14 @@ def writer_lease(
             except FileNotFoundError:
                 continue  # holder released between create and stat: re-race
             if age > stale_after:
-                # corpse: best-effort break, then re-race the create
+                # corpse: re-confirm staleness immediately before the break
+                # (narrows the window where a fresh holder's lease — created
+                # between our stat and our remove — could be destroyed from
+                # poll-scale to microseconds; a true fix needs compare-and-
+                # delete, which POSIX lacks), then re-race the create
                 with contextlib.suppress(FileNotFoundError):
-                    os.remove(lock)
+                    if time.time() - os.stat(lock).st_mtime > stale_after:
+                        os.remove(lock)
                 continue
             if time.monotonic() > deadline:
                 raise TimeoutError(

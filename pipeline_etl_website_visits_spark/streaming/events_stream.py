@@ -348,6 +348,14 @@ def _session_fold(key, pdfs, state):
         intervals.extend(
             [row["min"], row["max"], int(row["count"])] for _, row in per.iterrows()
         )
+    if not intervals:
+        # defensive: no stored state and only empty Arrow batches — nothing
+        # to fold, nothing to time out (Spark shouldn't call us like this,
+        # but an IndexError inside the state fold would kill the query)
+        yield pd.DataFrame(
+            columns=["user_id", "session_start", "session_end", "n_events"]
+        )
+        return
     # merge interval list (stored session may interleave with late-but-
     # within-watermark events, so sort then coalesce on the same gap)
     intervals.sort(key=lambda iv: (iv[0], iv[1]))
