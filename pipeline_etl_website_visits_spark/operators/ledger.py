@@ -75,6 +75,14 @@ def writer_lease(
             finally:
                 os.close(fd)
             break
+        except FileNotFoundError:
+            # the artifact dir itself vanished while we were waiting — a
+            # destructive compaction (remove_old) deleted the location we
+            # were queued on. Recreate and acquire: the caller's contract
+            # is to RE-CHECK its pointer/location after acquiring, so it
+            # will see the swap and retry against the live location.
+            os.makedirs(artifact_dir, exist_ok=True)
+            continue
         except FileExistsError:
             try:
                 age = time.time() - os.stat(lock).st_mtime

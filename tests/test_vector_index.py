@@ -417,3 +417,33 @@ def test_concurrent_appends_and_destructive_compaction_lose_nothing(spark, emb, 
     assert n == base.count() + sum(counts)
     for i, b in enumerate(batches):
         assert append_to_ivfpq_index(b, p, applied_key=f"race-{i}") is False
+
+
+def test_writer_lease_survives_directory_removal_while_queued(tmp_path):
+    """A destructive compaction (remove_old=True) deletes the location a
+    queued appender is polling: the waiter must recover — recreate, acquire,
+    and let the caller's re-check-after-acquire see the swap — not crash
+    with FileNotFoundError on the vanished directory."""
+    import shutil
+    import threading
+    import time
+
+    from pipeline_etl_website_visits_spark.operators import ledger
+
+    d = str(tmp_path / "doomed")
+    outcome = []
+
+    def waiter():
+        try:
+            with ledger.writer_lease(d, name="w", timeout=30):
+                outcome.append("acquired")
+        except Exception as e:  # noqa: BLE001 - the failure mode under test
+            outcome.append(repr(e))
+
+    with ledger.writer_lease(d, name="w"):
+        t = threading.Thread(target=waiter)
+        t.start()
+        time.sleep(0.3)  # waiter is polling the held lease
+        shutil.rmtree(d)  # the remove_old path: directory AND lock vanish
+    t.join(timeout=30)
+    assert outcome == ["acquired"], outcome
