@@ -901,3 +901,70 @@ def test_timeout_sessions_late_event_merges_backward(spark, tmp_path):
     assert got == [
         (dt.datetime(2024, 1, 1, 9, 50), dt.datetime(2024, 1, 1, 10, 0), 2)
     ], got
+
+
+def test_timeout_sessions_agree_with_native_session_window(spark, tmp_path):
+    """Cross-engine parity for the round-7 gap-split fix: the custom
+    stateful sessionizer's finalized sessions must equal Spark's native
+    session_window aggregation (batch mode) over the same events —
+    same starts, last-event ends (native end = last event + gap), same
+    counts — for every session that a later event proves closed."""
+    import datetime as dt
+
+    from pipeline_etl_website_visits_spark.streaming.events_stream import (
+        session_window_user_stats,
+        timeout_sessions,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in (1, 2, 3):
+        for s in range(3):
+            t0 = base + dt.timedelta(minutes=17 * u) + dt.timedelta(hours=2 * s)
+            for off in (0, 5, 9):
+                rows.append((u, t0 + dt.timedelta(minutes=off)))
+    flush = [(u, base + dt.timedelta(days=1)) for u in (1, 2, 3)]
+    ordered = sorted(rows, key=lambda r: r[1]) + flush
+
+    in_dir = tmp_path / "ev_in"
+    in_dir.mkdir()
+    schema = "user_id long, ts timestamp"
+    chunk = 5
+    for i in range(0, len(ordered), chunk):
+        spark.createDataFrame(ordered[i : i + chunk], schema).coalesce(
+            1
+        ).write.parquet(str(in_dir / f"f{i:03d}"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*/")
+    )
+    q = (
+        timeout_sessions(stream)
+        .writeStream.format("memory")
+        .queryName("toutsess_parity")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM toutsess_parity").collect()
+    )
+
+    # native session_window over the same (non-flush) events, batch mode;
+    # its window end is last-event + gap — subtract the gap for parity
+    batch = spark.createDataFrame(rows, schema).withColumn("value", F.lit(0.0))
+    want = sorted(
+        (
+            r["user_id"],
+            r["session_start"],
+            r["session_end"] - dt.timedelta(minutes=30),
+            r["n_events"],
+        )
+        for r in session_window_user_stats(batch).collect()
+    )
+    assert got == want and len(got) == 9, (got, want)
