@@ -313,3 +313,63 @@ def test_compact_reads_stored_bucket_count(spark, tmp_path):
         assert "INTO 8 BUCKETS" in ddl
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_concurrent_gram_appends_race_destructive_compaction(spark, tmp_path):
+    """Threaded appends fired WHILE a destructive compaction runs: whoever
+    loses the lease must either be folded in as delta (committed before the
+    swap) or retry against the swapped location (blocked past it) — never
+    crash on the removed directory, never lose rows, never double-apply."""
+    import threading
+
+    from pipeline_etl_website_visits_spark.operators.dedup import (
+        append_to_gram_index,
+        compact_gram_index,
+        save_gram_index,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 8 == 0)
+    table = "gramidx_stress_t"
+    path = str(tmp_path / "sidx")
+    try:
+        save_gram_index(corpus, table, path, "text", "doc_id", n=3, n_buckets=8)
+        batches = [docs.filter(F.col("doc_id") % 8 == m) for m in (1, 2, 3)]
+        batch_grams = []
+        for b in batches:
+            from pipeline_etl_website_visits_spark.operators.dedup import shingles
+
+            batch_grams.append(shingles(b, "text", "doc_id", 3).count())
+        n0 = spark.table(table).count()
+
+        errs = []
+
+        def appender(i, b):
+            try:
+                assert append_to_gram_index(
+                    b, table, "text", "doc_id", n=3, applied_key=f"stress-{i}"
+                )
+            except Exception as e:  # noqa: BLE001 - the failure mode under test
+                errs.append(repr(e))
+
+        threads = [
+            threading.Thread(target=appender, args=(i, b))
+            for i, b in enumerate(batches)
+        ]
+        for t in threads:
+            t.start()
+        compact_gram_index(spark, table, remove_old=True)
+        for t in threads:
+            t.join(timeout=180)
+        assert not errs, errs
+        spark.catalog.refreshTable(table)
+        assert spark.table(table).count() == n0 + sum(batch_grams)
+        # every marker survived wherever its rows landed: replays no-op
+        for i, b in enumerate(batches):
+            assert (
+                append_to_gram_index(b, table, "text", "doc_id", n=3, applied_key=f"stress-{i}")
+                is False
+            )
+        assert spark.table(table).count() == n0 + sum(batch_grams)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
