@@ -83,11 +83,14 @@ def main() -> None:
     for name in sorted(REGISTRY):
         run(name)
 
-    # Two timed passes, min per query: JVM JIT recompilation and GC pauses
-    # produce multi-second run-to-run swings on local[N]; the min is the
-    # steady-state number a warm service would see.
+    # Three timed passes, min per query: JVM JIT recompilation, GC pauses
+    # and hypervisor steal produce multi-second run-to-run swings on
+    # local[N] (round-7 measured the SAME query varying 0.45-0.62s across
+    # back-to-back runs); the min is the steady-state number a warm
+    # service would see, and a third pass materially tightens it against
+    # steal spikes for ~60s of extra wall.
     timings: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in sorted(REGISTRY):
             t0 = time.perf_counter()
             run(name)
