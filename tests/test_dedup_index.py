@@ -373,3 +373,44 @@ def test_concurrent_gram_appends_race_destructive_compaction(spark, tmp_path):
         assert spark.table(table).count() == n0 + sum(batch_grams)
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_gc_gram_generations_removes_only_dead_family_dirs(spark, tmp_path):
+    """Two compactions leave two dead generations; GC removes exactly the
+    dead family members — never the live location, never an unrelated
+    sibling directory — and the index still answers afterwards."""
+    import os
+
+    from pipeline_etl_website_visits_spark.operators.dedup import (
+        compact_gram_index,
+        containment_dedup_vs_stored,
+        gc_gram_generations,
+        save_gram_index,
+        _table_location,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 4 == 0)
+    probe = docs.filter(F.col("doc_id") % 4 == 1)
+    table = "gramidx_gc_t"
+    path = str(tmp_path / "gidx")
+    unrelated = tmp_path / "gidx_other"  # shares the prefix's parent, not the family
+    unrelated.mkdir()
+    try:
+        save_gram_index(corpus, table, path, "text", "doc_id", n=3, n_buckets=8)
+        before = sorted(
+            map(tuple, containment_dedup_vs_stored(probe, spark.table(table), "text", "doc_id", n=3).collect())
+        )
+        compact_gram_index(spark, table)
+        compact_gram_index(spark, table)
+        live = _table_location(spark, table)
+        removed = gc_gram_generations(spark, table)
+        assert len(removed) == 2 and path in removed  # original + first generation
+        assert os.path.isdir(live) and os.path.isdir(unrelated)
+        after = sorted(
+            map(tuple, containment_dedup_vs_stored(probe, spark.table(table), "text", "doc_id", n=3).collect())
+        )
+        assert after == before
+        assert gc_gram_generations(spark, table) == []  # idempotent
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
