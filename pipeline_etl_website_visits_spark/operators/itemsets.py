@@ -44,7 +44,10 @@ def co_occurrence_pairs(
     key, decomposing only the surviving groups — the pair shuffle rows
     shrink and the aggregate hashes one long instead of a two-field
     struct (measured ~12% off the whole query at sf0.1). Caller
-    contract: item ids are integers in ``[0, 2³²)`` — right for every
+    contract: item ids are integers in ``[0, 2³¹)`` — ``a·2³² + b``
+    needs the product to stay inside a SIGNED 64-bit long, so the high
+    half gets 31 usable bits, not 32 (an ``a ≥ 2³¹`` would silently
+    wrap negative and collide distinct pairs). Right for every
     fact-table surrogate key; leave it off for arbitrary item types.
     """
     narrow = lines.select(

@@ -40,7 +40,7 @@ _SUFFIX = ".key"
 def writer_lease(
     artifact_dir: str,
     name: str = "writer",
-    timeout: float = 120.0,
+    timeout: float = 900.0,
     poll: float = 0.05,
     stale_after: float = 3600.0,
 ):
@@ -57,7 +57,11 @@ def writer_lease(
     that died without releasing is broken after ``stale_after`` seconds
     (maintenance operations here run seconds-to-minutes; an hours-old
     lease is a corpse). Breaking is itself best-effort-atomic: remove +
-    re-race on the create.
+    re-race on the create. The waiter ``timeout`` (15 min default) is
+    sized ABOVE a legitimate long hold — an append encoding a large batch
+    or a compaction folding deltas holds the lease across real Spark
+    jobs — and below ``stale_after``, so a waiter outlives any live
+    holder and only a crashed one forces the stale break.
 
     Scope: a LOCAL (or POSIX-rename) filesystem — exactly where these
     artifacts live in this deployment. On an object store the same

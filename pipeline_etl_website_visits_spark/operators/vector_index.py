@@ -183,11 +183,17 @@ def _codes_dir(path: str) -> str:
 
 
 def _list_code_files(codes_dir: str) -> set[str]:
-    """All parquet data files under a (possibly partitioned) codes dir."""
+    """All parquet data files under a (possibly partitioned) codes dir.
+    Hidden path components are pruned at every level (Spark's PathFilter
+    semantics): a racing append's uncommitted files live under
+    ``_temporary/`` with non-hidden basenames, and listing them would let
+    the compaction read paths that vanish at commit — or double-fold a
+    batch whose renamed finals then appear again as delta."""
     found: set[str] = set()
-    for root, _dirs, files in os.walk(codes_dir):
+    for root, dirs, files in os.walk(codes_dir):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
         for f in files:
-            if f.endswith(".parquet"):
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
                 found.add(os.path.join(root, f))
     return found
 
@@ -232,52 +238,64 @@ def compact_ivfpq_codes(
     ``_before_swap`` is a test seam invoked between the first rewrite and
     the lease acquisition.
     """
+    import contextlib
     import shutil
 
-    cur = _codes_dir(path)
-    gen = 0
-    while os.path.exists(os.path.join(path, f"codes_v{gen + 1}")):
-        gen += 1
-    new_name = f"codes_v{gen + 1}"
-    new_dir = os.path.join(path, new_name)
-    seen = _list_code_files(cur)
-    # basePath keeps the cell= partition column when reading explicit files
-    (
-        spark.read.option("basePath", cur)
-        .parquet(*sorted(seen))
-        .coalesce(writer_tasks)
-        .write.mode("overwrite")
-        .partitionBy("cell")
-        .parquet(new_dir)
-    )
-    if _before_swap is not None:
-        _before_swap()
-    # final fold + swap run UNDER the writer lease: appends resolve the
-    # pointer inside the same lease, so once the last delta pass comes
-    # back quiet nothing new can land in the old generation before the
-    # ``os.replace`` — the round-6 microsecond window is closed, and
-    # ``remove_old=True`` can no longer destroy a racing batch's only copy
-    with ledger.writer_lease(path, name="codes-writer"):
-        while True:
-            delta = _list_code_files(cur) - seen
-            if not delta:
-                break
-            seen |= delta
-            (
-                spark.read.option("basePath", cur)
-                .parquet(*sorted(delta))
-                .coalesce(1)
-                .write.mode("append")
-                .partitionBy("cell")
-                .parquet(new_dir)
-            )
-        ptr = os.path.join(path, "codes_current")
-        tmp = ptr + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(new_name)
-        os.replace(tmp, ptr)
-        if remove_old and os.path.realpath(cur) != os.path.realpath(new_dir):
-            shutil.rmtree(cur, ignore_errors=True)
+    with contextlib.ExitStack() as stack:
+        # COMPACTOR lease for the whole run: two concurrent compactions
+        # would otherwise resolve the same `cur`, pick the same
+        # `codes_v<k+1>` name, and the second's pointer swap would discard
+        # appends folded into the first's generation (round-7 review).
+        # Appends are NOT blocked by this — they contend only on the
+        # codes-writer lease below; GC takes this same lease so it can
+        # never sweep a scratch generation mid-build.
+        stack.enter_context(ledger.writer_lease(path, name="codes-compactor"))
+        cur = _codes_dir(path)
+        gen = 0
+        while os.path.exists(os.path.join(path, f"codes_v{gen + 1}")):
+            gen += 1
+        new_name = f"codes_v{gen + 1}"
+        new_dir = os.path.join(path, new_name)
+        seen = _list_code_files(cur)
+        # basePath keeps the cell= partition column when reading explicit
+        # files
+        (
+            spark.read.option("basePath", cur)
+            .parquet(*sorted(seen))
+            .coalesce(writer_tasks)
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(new_dir)
+        )
+        if _before_swap is not None:
+            _before_swap()
+        # final fold + swap run UNDER the writer lease: appends resolve the
+        # pointer inside the same lease, so once the last delta pass comes
+        # back quiet nothing new can land in the old generation before the
+        # ``os.replace`` — the round-6 microsecond window is closed, and
+        # ``remove_old=True`` can no longer destroy a racing batch's only
+        # copy
+        with ledger.writer_lease(path, name="codes-writer"):
+            while True:
+                delta = _list_code_files(cur) - seen
+                if not delta:
+                    break
+                seen |= delta
+                (
+                    spark.read.option("basePath", cur)
+                    .parquet(*sorted(delta))
+                    .coalesce(1)
+                    .write.mode("append")
+                    .partitionBy("cell")
+                    .parquet(new_dir)
+                )
+            ptr = os.path.join(path, "codes_current")
+            tmp = ptr + ".tmp"
+            with open(tmp, "w") as f:
+                f.write(new_name)
+            os.replace(tmp, ptr)
+            if remove_old and os.path.realpath(cur) != os.path.realpath(new_dir):
+                shutil.rmtree(cur, ignore_errors=True)
     return new_dir
 
 
@@ -515,17 +533,23 @@ def gc_ivfpq_generations(path: str) -> list[str]:
     (the warehouse GC rule): an in-flight search that resolved the old
     pointer may still be scanning the old generation — the pointer swap
     is atomic for NEW readers, not a lease over running ones. Never
-    touches meta, the ledger, or the live generation."""
+    touches meta, the ledger, or the live generation.
+
+    Holds the COMPACTOR lease: a running compaction's scratch generation
+    is newer than the live pointer and would otherwise look exactly like
+    a dead generation to this sweep (round-7 review) — under the shared
+    lease, GC and compaction are mutually exclusive."""
     import shutil
 
-    live = os.path.realpath(_codes_dir(path))
     removed = []
-    for name in sorted(os.listdir(path)):
-        if name != "codes" and not (name.startswith("codes_v") and name != "codes_current"):
-            continue
-        full = os.path.join(path, name)
-        if not os.path.isdir(full) or os.path.realpath(full) == live:
-            continue
-        shutil.rmtree(full, ignore_errors=True)
-        removed.append(full)
+    with ledger.writer_lease(path, name="codes-compactor"):
+        live = os.path.realpath(_codes_dir(path))
+        for name in sorted(os.listdir(path)):
+            if name != "codes" and not (name.startswith("codes_v") and name != "codes_current"):
+                continue
+            full = os.path.join(path, name)
+            if not os.path.isdir(full) or os.path.realpath(full) == live:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
+            removed.append(full)
     return removed

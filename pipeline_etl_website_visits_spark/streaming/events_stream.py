@@ -311,7 +311,13 @@ def start_sessions_to_memory(
 SESSION_OUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp, n_events long"
 )
-_SESSION_STATE_SCHEMA = "start timestamp, end timestamp, n long"
+# ALL of a user's not-yet-sealed sessions live in state (parallel arrays):
+# a gap between two sessions is proven by event time, but the EARLIER one
+# is only safe to emit once the watermark passes its idle horizon — until
+# then a late-but-admissible event could still bridge the gap (the round-7
+# review's 10:00/10:31-then-late-10:25 counterexample), and append-mode
+# output can never be retracted.
+_SESSION_STATE_SCHEMA = "starts array<timestamp>, ends array<timestamp>, ns array<long>"
 
 
 _SESSION_GAP_MIN = 30
@@ -321,27 +327,29 @@ def _session_fold(key, pdfs, state):
     import pandas as pd  # local: runs inside the Arrow worker
 
     (user_id,) = key
-    if state.hasTimedOut:
-        start, end, n = state.get
-        state.remove()
-        yield pd.DataFrame(
-            [{"user_id": user_id, "session_start": start, "session_end": end, "n_events": n}]
-        )
-        return
     gap = pd.Timedelta(minutes=_SESSION_GAP_MIN)
-    # Split arriving events into gap-delimited sessions BEFORE folding into
-    # state: events can outrun the timeout (Spark calls us with data and
-    # hasTimedOut=False even when the stored session's idle horizon has
-    # passed), so a user's next session must not be merged into the stored
-    # one just because it arrived first. Vectorized: sort event times, a
-    # diff > gap starts a new session id, groupby id gives (start, end, n)
-    # per session — the Python loop below runs over SESSIONS, not events.
+    gap_ms = _SESSION_GAP_MIN * 60 * 1000
+    # One unified path for data batches AND event-time timeouts: fold any
+    # arriving events into the stored session set, then emit exactly the
+    # sessions the WATERMARK has sealed (end + gap <= watermark — no
+    # admissible event can extend them: anything later is a new session,
+    # anything earlier is watermark-dropped before reaching us).
     intervals = []
     if state.exists:
-        s, e, n0 = state.get
-        intervals.append([pd.Timestamp(s), pd.Timestamp(e), int(n0)])
-    ts_parts = [pd.to_datetime(pdf["ts"]) for pdf in pdfs if len(pdf)]
+        starts, ends, ns = state.get
+        intervals.extend(
+            [pd.Timestamp(s), pd.Timestamp(e), int(c)]
+            for s, e, c in zip(starts, ends, ns)
+        )
+    ts_parts = [] if state.hasTimedOut else [
+        pd.to_datetime(pdf["ts"]) for pdf in pdfs if len(pdf)
+    ]
+    ts_parts = [t for t in ts_parts if len(t)]
     if ts_parts:
+        # Vectorized intra-batch sessionization: sort event times, a diff
+        # > gap starts a new session id, groupby id gives (start, end, n)
+        # per session — the Python loops below run over SESSIONS, not
+        # events.
         ts = pd.concat(ts_parts).sort_values().reset_index(drop=True)
         sess_id = (ts.diff() > gap).cumsum()
         per = ts.groupby(sess_id).agg(["min", "max", "count"])
@@ -356,8 +364,8 @@ def _session_fold(key, pdfs, state):
             columns=["user_id", "session_start", "session_end", "n_events"]
         )
         return
-    # merge interval list (stored session may interleave with late-but-
-    # within-watermark events, so sort then coalesce on the same gap)
+    # merge (stored sessions may interleave with late-but-within-watermark
+    # events, so sort then coalesce on the same gap)
     intervals.sort(key=lambda iv: (iv[0], iv[1]))
     merged = [intervals[0]]
     for s, e, n in intervals[1:]:
@@ -366,20 +374,31 @@ def _session_fold(key, pdfs, state):
             merged[-1][2] += n
         else:
             merged.append([s, e, n])
-    # every session but the latest is already proven closed by event time;
-    # emit those now and keep only the open tail in state
-    *closed, (start, end, n) = merged
-    state.update((start, end, n))
-    # the idle horizon: the open session finalizes when the WATERMARK
-    # passes last-event + gap (event-time timeout — wall clock plays no
-    # part, so replays are deterministic). pandas treats the naive `end`
-    # as UTC in .timestamp(); correct because timeout_sessions asserts the
-    # session timezone is UTC — a non-UTC session would shift this epoch
-    # against the watermark's.
-    state.setTimeoutTimestamp(
-        int(end.timestamp() * 1000) + _SESSION_GAP_MIN * 60 * 1000
-    )
-    if closed:
+    # seal against the CURRENT watermark. pandas treats the naive
+    # timestamps as UTC in .timestamp(); correct because timeout_sessions
+    # asserts the session timezone is UTC — a non-UTC session would shift
+    # this epoch against the watermark's.
+    wm_ms = state.getCurrentWatermarkMs()
+    sealed = [iv for iv in merged if int(iv[1].timestamp() * 1000) + gap_ms <= wm_ms]
+    kept = [iv for iv in merged if int(iv[1].timestamp() * 1000) + gap_ms > wm_ms]
+    if kept:
+        state.update(
+            (
+                [iv[0] for iv in kept],
+                [iv[1] for iv in kept],
+                [iv[2] for iv in kept],
+            )
+        )
+        # wake at the EARLIEST unsealed idle horizon (strictly above the
+        # watermark by the seal filter, as setTimeoutTimestamp requires);
+        # event-time timeout — wall clock plays no part, so replays are
+        # deterministic
+        state.setTimeoutTimestamp(
+            min(int(iv[1].timestamp() * 1000) for iv in kept) + gap_ms
+        )
+    else:
+        state.remove()
+    if sealed:
         yield pd.DataFrame(
             [
                 {
@@ -388,7 +407,7 @@ def _session_fold(key, pdfs, state):
                     "session_end": e,
                     "n_events": cnt,
                 }
-                for s, e, cnt in closed
+                for s, e, cnt in sealed
             ]
         )
     else:
@@ -398,11 +417,13 @@ def _session_fold(key, pdfs, state):
 
 
 def timeout_sessions(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
-    """events: streaming (user_id, ts, ...). Emits ONLY finalized sessions —
-    closed either by a later event proving a >30-minute idle gap in event
-    time, or by the watermark passing the open session's idle horizon; open
-    sessions stay in the state store until their timeout fires. Append-mode
-    output — each session appears exactly once.
+    """events: streaming (user_id, ts, ...). Emits ONLY finalized sessions:
+    a session is emitted once the WATERMARK passes its idle horizon
+    (last event + 30 minutes) — the point after which no admissible event
+    can extend or bridge it. A later event proves a gap, but the earlier
+    session is held in state until the watermark seals it (append-mode
+    output can never retract a session a late event would have merged).
+    Each session appears exactly once.
 
     Requires a UTC session timezone: the state-fold converts the naive
     session-end timestamp to an epoch for setTimeoutTimestamp assuming UTC,

@@ -968,3 +968,52 @@ def test_timeout_sessions_agree_with_native_session_window(spark, tmp_path):
         for r in session_window_user_stats(batch).collect()
     )
     assert got == want and len(got) == 9, (got, want)
+
+
+def test_timeout_sessions_late_event_bridges_unsealed_gap(spark, tmp_path):
+    """The round-7 review counterexample: events at 10:00 and 10:31 look
+    gap-separated, but the watermark (10:21 after batch 1) still admits a
+    10:25 event that BRIDGES them. Emitting [10:00] on gap-proof alone
+    would irrevocably split one true session into two; the sealed-by-
+    watermark rule must hold it back and emit the single merged session."""
+    import datetime as dt
+
+    from pipeline_etl_website_visits_spark.streaming.events_stream import (
+        timeout_sessions,
+    )
+
+    in_dir = tmp_path / "ev_in"
+    in_dir.mkdir()
+    schema = "user_id long, ts timestamp"
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 0)), (1, dt.datetime(2024, 1, 1, 10, 31))],
+        schema,
+    ).coalesce(1).write.parquet(str(in_dir / "f1"))
+    # 10:25 is above the 10:21 watermark -> admissible; 13:00 seals it all
+    spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10, 25)), (1, dt.datetime(2024, 1, 1, 13, 0))],
+        schema,
+    ).coalesce(1).write.parquet(str(in_dir / "f2"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*/")
+    )
+    q = (
+        timeout_sessions(stream)
+        .writeStream.format("memory")
+        .queryName("toutsess_bridge")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = [
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM toutsess_bridge").collect()
+    ]
+    assert got == [
+        (dt.datetime(2024, 1, 1, 10, 0), dt.datetime(2024, 1, 1, 10, 31), 3)
+    ], got

@@ -447,3 +447,41 @@ def test_writer_lease_survives_directory_removal_while_queued(tmp_path):
         shutil.rmtree(d)  # the remove_old path: directory AND lock vanish
     t.join(timeout=30)
     assert outcome == ["acquired"], outcome
+
+
+def test_concurrent_compactions_serialize_on_the_compactor_lease(spark, emb, tmp_path):
+    """Two compactions at once (round-7 review): without the compactor
+    lease both resolve the same current generation, pick the same
+    codes_v<k+1> name, and the loser's pointer swap discards whatever the
+    winner folded. Serialized, both complete, generations chain, and an
+    append folded by whichever ran first survives GC."""
+    import threading
+
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        append_to_ivfpq_index,
+        compact_ivfpq_codes,
+        gc_ivfpq_generations,
+        index_cell_stats,
+    )
+
+    p = str(tmp_path / "ccidx")
+    base = emb.filter(F.col("vec_id") < 250)
+    build_ivfpq_index(base, p, num_coarse=4)
+    racer = emb.filter((F.col("vec_id") >= 250) & (F.col("vec_id") < 300))
+    done = []
+    t_append = threading.Thread(
+        target=lambda: done.append(append_to_ivfpq_index(racer, p, applied_key="cc"))
+    )
+    t_append.start()
+    threads = [
+        threading.Thread(target=compact_ivfpq_codes, args=(spark, p)) for _ in range(2)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads + [t_append]:
+        t.join(timeout=300)
+    assert done == [True]
+    gc_ivfpq_generations(p)  # destroys every non-live generation
+    n = sum(r["n_vectors"] for r in index_cell_stats(spark, p).collect())
+    assert n == base.count() + racer.count()
+    assert append_to_ivfpq_index(racer, p, applied_key="cc") is False
