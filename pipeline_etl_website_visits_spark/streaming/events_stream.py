@@ -379,8 +379,15 @@ def _session_fold(key, pdfs, state):
     # asserts the session timezone is UTC — a non-UTC session would shift
     # this epoch against the watermark's.
     wm_ms = state.getCurrentWatermarkMs()
-    sealed = [iv for iv in merged if int(iv[1].timestamp() * 1000) + gap_ms <= wm_ms]
-    kept = [iv for iv in merged if int(iv[1].timestamp() * 1000) + gap_ms > wm_ms]
+    # STRICT seal (horizon < watermark, not <=): at exact equality an
+    # admissible event with ts == watermark == end + gap would still
+    # satisfy the merge condition (ts - end <= gap) against a session the
+    # <= rule had already emitted — the boundary case of the same
+    # bridge-after-emit bug. Strictness makes "sealed" and "mergeable-by-
+    # an-admissible-event" provably disjoint under either watermark
+    # boundary convention.
+    sealed = [iv for iv in merged if int(iv[1].timestamp() * 1000) + gap_ms < wm_ms]
+    kept = [iv for iv in merged if int(iv[1].timestamp() * 1000) + gap_ms >= wm_ms]
     if kept:
         state.update(
             (
@@ -389,12 +396,16 @@ def _session_fold(key, pdfs, state):
                 [iv[2] for iv in kept],
             )
         )
-        # wake at the EARLIEST unsealed idle horizon (strictly above the
-        # watermark by the seal filter, as setTimeoutTimestamp requires);
-        # event-time timeout — wall clock plays no part, so replays are
-        # deterministic
+        # wake at the EARLIEST unsealed idle horizon; a kept horizon may
+        # now EQUAL the watermark (strict seal), and setTimeoutTimestamp
+        # requires a value strictly above it — bump by 1ms, sealing that
+        # session on the next firing. Event-time timeout — wall clock
+        # plays no part, so replays are deterministic.
         state.setTimeoutTimestamp(
-            min(int(iv[1].timestamp() * 1000) for iv in kept) + gap_ms
+            max(
+                min(int(iv[1].timestamp() * 1000) for iv in kept) + gap_ms,
+                wm_ms + 1,
+            )
         )
     else:
         state.remove()
