@@ -1017,3 +1017,73 @@ def test_timeout_sessions_late_event_bridges_unsealed_gap(spark, tmp_path):
     assert got == [
         (dt.datetime(2024, 1, 1, 10, 0), dt.datetime(2024, 1, 1, 10, 31), 3)
     ], got
+
+
+def test_timeout_sessions_randomized_parity_soak(spark, tmp_path):
+    """Seeded randomized soak of the sealed sessionizer against native
+    session_window: random users, random inter-event gaps (exact-gap
+    boundaries excluded — session_window's half-open [ts, ts+gap) splits
+    at exactly `gap` while an idle-gap sessionizer merges; every other
+    diff must agree), chronological arrival across many micro-batches."""
+    import datetime as dt
+    import random
+
+    from pipeline_etl_website_visits_spark.streaming.events_stream import (
+        session_window_user_stats,
+        timeout_sessions,
+    )
+
+    rng = random.Random(20260815)
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for u in (1, 2, 3, 4):
+        t = base + dt.timedelta(minutes=rng.randrange(0, 60))
+        for _ in range(rng.randrange(8, 15)):
+            rows.append((u, t))
+            # next diff: inside the gap (merge) or well past it (split),
+            # never exactly 30min
+            t += dt.timedelta(
+                minutes=rng.choice(list(range(1, 30)) + list(range(31, 180)))
+            )
+    flush = [(u, base + dt.timedelta(days=2)) for u in (1, 2, 3, 4)]
+    ordered = sorted(rows, key=lambda r: r[1]) + flush
+
+    in_dir = tmp_path / "ev_in"
+    in_dir.mkdir()
+    schema = "user_id long, ts timestamp"
+    chunk = 7
+    for i in range(0, len(ordered), chunk):
+        spark.createDataFrame(ordered[i : i + chunk], schema).coalesce(
+            1
+        ).write.parquet(str(in_dir / f"f{i:03d}"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(in_dir) + "/*/")
+    )
+    q = (
+        timeout_sessions(stream)
+        .writeStream.format("memory")
+        .queryName("toutsess_soak")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in spark.sql("SELECT * FROM toutsess_soak").collect()
+    )
+    batch = spark.createDataFrame(rows, schema).withColumn("value", F.lit(0.0))
+    want = sorted(
+        (
+            r["user_id"],
+            r["session_start"],
+            r["session_end"] - dt.timedelta(minutes=30),
+            r["n_events"],
+        )
+        for r in session_window_user_stats(batch).collect()
+    )
+    assert got == want and len(got) >= 8, (len(got), len(want))
