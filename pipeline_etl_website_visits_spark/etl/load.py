@@ -214,6 +214,25 @@ class Warehouse:
 
         return compact_gram_index(self.spark, table, **kw)
 
+    def gc_gram_index(self, table: str) -> list[str]:
+        """Sweep gram-index generations the catalog no longer references
+        (see operators/dedup.py:gc_gram_generations — compactor-lease
+        serialized, retention-delayed). Returns the removed dirs."""
+        from pipeline_etl_website_visits_spark.operators.dedup import (
+            gc_gram_generations,
+        )
+
+        return gc_gram_generations(self.spark, table)
+
+    def gc_vector_index(self, name: str = "embeddings") -> list[str]:
+        """Sweep vector-index code generations the pointer no longer
+        references (operators/vector_index.py:gc_ivfpq_generations)."""
+        from pipeline_etl_website_visits_spark.operators.vector_index import (
+            gc_ivfpq_generations,
+        )
+
+        return gc_ivfpq_generations(self.path(f"vindex_{name}"))
+
     def dedup_against_gram_index(
         self, incoming: DataFrame, table: str, text_col: str = "text",
         id_col: str = "doc_id", n: int = 3, **kw,
