@@ -656,14 +656,15 @@ def heavy_hitters(
     repeated calls in a long session must not accumulate pinned storage
     (the triangle_count discipline).
 
-    Both passes share ONE materialized tokenization
-    (``localCheckpoint(eager=False)``, the cms_token_estimates
-    discipline): normalize+split is the dominant per-row compute, and
-    without the checkpoint it runs twice — once under the MG pass, once
-    under the recount. The trade is explicit: token arrays land on
-    executor-local storage once, instead of the corpus being re-scanned
-    AND re-normalized; the recount's explode reads the checkpointed
-    partitions.
+    Both passes share ONE materialized tokenization (``cache()``):
+    normalize+split is the dominant per-row compute, and without the
+    shared materialization it runs twice — once under the MG pass, once
+    under the recount. A cache (not ``localCheckpoint``) because the
+    result is computed eagerly below, so the cache can be RELEASED in the
+    same ``finally`` as the summary's — a local checkpoint's executor
+    blocks have no unpersist and linger until the context cleaner gets to
+    them, accumulating across repeated calls (and it measured ~8% slower
+    here).
     """
     import pandas as pd
 
@@ -676,7 +677,7 @@ def heavy_hitters(
     toks = (
         df.filter(F.col(text_col).isNotNull())
         .select(F.split(normalize_text(F.col(text_col)), " ").alias("toks"))
-        .localCheckpoint(eager=False)
+        .cache()
     )
 
     def mg_partition(batches):
@@ -720,6 +721,7 @@ def heavy_hitters(
         schema = result.schema
     finally:
         summary.unpersist()
+        toks.unpersist()
     return df.sparkSession.createDataFrame(rows, schema)
 
 
