@@ -216,8 +216,10 @@ class Warehouse:
 
     def gc_gram_index(self, table: str) -> list[str]:
         """Sweep gram-index generations the catalog no longer references
-        (see operators/dedup.py:gc_gram_generations — compactor-lease
-        serialized, retention-delayed). Returns the removed dirs."""
+        (operators/dedup.py:gc_gram_generations — compactor-lease
+        serialized). The RETENTION DELAY is the caller's: run only after
+        no session registered against an old generation can still be
+        scanning it. Returns the removed dirs."""
         from pipeline_etl_website_visits_spark.operators.dedup import (
             gc_gram_generations,
         )

@@ -732,7 +732,7 @@ def _heavy_hitters_recount(
     + exact recount + threshold), split out so plan tests can assert its
     shape before the eager materialization. ``token_stream`` is the
     exploded (token) relation — in the public operator it reads the same
-    checkpointed tokenization the candidate pass consumed."""
+    CACHED tokenization the candidate pass consumed."""
     candidates = summary.filter(F.col("token").isNotNull()).select("token").distinct()
     total = summary.agg(F.sum("part_n").alias("__n"))
     exact = (

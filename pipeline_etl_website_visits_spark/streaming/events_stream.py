@@ -374,10 +374,10 @@ def _session_fold(key, pdfs, state):
             merged[-1][2] += n
         else:
             merged.append([s, e, n])
-    # seal against the CURRENT watermark. pandas treats the naive
-    # timestamps as UTC in .timestamp(); correct because timeout_sessions
-    # asserts the session timezone is UTC — a non-UTC session would shift
-    # this epoch against the watermark's.
+    # seal against the CURRENT watermark. `Timestamp.value` treats the
+    # naive timestamps as UTC; correct because timeout_sessions asserts
+    # the session timezone is UTC — a non-UTC session would shift this
+    # epoch against the watermark's.
     wm_ms = state.getCurrentWatermarkMs()
     # STRICT seal (horizon < watermark, not <=): at exact equality an
     # admissible event with ts == watermark == end + gap would still
@@ -386,8 +386,13 @@ def _session_fold(key, pdfs, state):
     # bridge-after-emit bug. Strictness makes "sealed" and "mergeable-by-
     # an-admissible-event" provably disjoint under either watermark
     # boundary convention.
-    sealed = [iv for iv in merged if int(iv[1].timestamp() * 1000) + gap_ms < wm_ms]
-    kept = [iv for iv in merged if int(iv[1].timestamp() * 1000) + gap_ms >= wm_ms]
+    # epochs via EXACT integer ns->ms (`Timestamp.value`), never
+    # `.timestamp()*1000`: the float64 round-trip truncates some whole-ms
+    # epochs 1 ms low (verified: 1077395016271 -> ...270), which would
+    # re-admit at the boundary precisely the bridge-after-emit bug the
+    # strict seal exists to exclude
+    sealed = [iv for iv in merged if iv[1].value // 1_000_000 + gap_ms < wm_ms]
+    kept = [iv for iv in merged if iv[1].value // 1_000_000 + gap_ms >= wm_ms]
     if kept:
         state.update(
             (
@@ -403,7 +408,7 @@ def _session_fold(key, pdfs, state):
         # plays no part, so replays are deterministic.
         state.setTimeoutTimestamp(
             max(
-                min(int(iv[1].timestamp() * 1000) for iv in kept) + gap_ms,
+                min(iv[1].value // 1_000_000 for iv in kept) + gap_ms,
                 wm_ms + 1,
             )
         )
