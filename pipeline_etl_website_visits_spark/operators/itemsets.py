@@ -47,7 +47,10 @@ def co_occurrence_pairs(
     contract: item ids are integers in ``[0, 2³¹)`` — ``a·2³² + b``
     needs the product to stay inside a SIGNED 64-bit long, so the high
     half gets 31 usable bits, not 32 (an ``a ≥ 2³¹`` would silently
-    wrap negative and collide distinct pairs). Right for every
+    wrap negative and collide distinct pairs). The contract is enforced:
+    non-integral item columns raise ``TypeError`` at plan time, and an
+    out-of-domain id raises at runtime (O(1) per basket — the sorted
+    array's endpoints bound the whole basket). Right for every
     fact-table surrogate key; leave it off for arbitrary item types.
     """
     narrow = lines.select(
@@ -70,11 +73,37 @@ def co_occurrence_pairs(
         .where(F.size("items") >= 2)
     )
     if pack_pairs:
+        # the packing contract is ENFORCED, not docstring-only (ADVICE
+        # r7: a negative or >= 2^31 id wraps the BIGINT and collides
+        # distinct pairs with no error). Statically: the item column
+        # must be integral. At runtime: ``items`` is sorted ascending,
+        # so the whole basket's domain is checked by its two endpoints —
+        # O(1) per basket, map-side, no extra pass.
+        item_type = dict(narrow.dtypes)["item"]
+        if item_type not in ("tinyint", "smallint", "int", "bigint"):
+            raise TypeError(
+                f"pack_pairs=True needs an integral item column; "
+                f"{item_col} is {item_type}"
+            )
+        packed = F.expr(
+            "flatten(transform(items, (a, i) ->"
+            f" transform(slice(items, i + 2, size(items)), b -> a * {_PACK} + b)))"
+        )
+        in_domain = (F.element_at("items", 1) >= F.lit(0)) & (
+            F.element_at("items", -1) < F.lit(2**31)
+        )
         pairs = baskets.select(
             F.explode(
-                F.expr(
-                    "flatten(transform(items, (a, i) ->"
-                    f" transform(slice(items, i + 2, size(items)), b -> a * {_PACK} + b)))"
+                F.when(in_domain, packed).otherwise(
+                    F.raise_error(
+                        F.concat(
+                            F.lit(
+                                "pack_pairs=True requires item ids in [0, 2^31); basket "
+                            ),
+                            F.col("basket").cast("string"),
+                            F.lit(" violates it"),
+                        )
+                    )
                 )
             ).alias("pk")
         )

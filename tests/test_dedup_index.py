@@ -414,3 +414,67 @@ def test_gc_gram_generations_removes_only_dead_family_dirs(spark, tmp_path):
         assert gc_gram_generations(spark, table) == []  # idempotent
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stale_registration_append_redirects_to_live_generation(spark, tmp_path):
+    """The ADVICE-r7 multi-driver race, simulated with two catalog
+    entries over one index family (each entry is an independent
+    per-session-style pointer): driver B registers, driver A compacts
+    destructively (B's registration now names a DEAD generation), then
+    B appends. Without the family pointer B would commit rows + marker
+    into the dead dir and GC would silently lose the batch; with it, B
+    re-registers at the live generation under the writer lease and the
+    batch lands there."""
+    import os
+
+    from pipeline_etl_website_visits_spark.operators import ledger
+    from pipeline_etl_website_visits_spark.operators.dedup import (
+        compact_gram_index,
+        containment_dedup_vs_stored,
+        gc_gram_generations,
+        register_gram_index,
+        save_gram_index,
+        _table_location,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 == 1)
+    probe = docs.filter(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "gidx")
+    try:
+        save_gram_index(corpus, "gram_stale_a", path, "text", "doc_id", n=3, n_buckets=8)
+        register_gram_index(spark, "gram_stale_b", path, n_buckets=8, n=3)
+        live = compact_gram_index(spark, "gram_stale_a", remove_old=True)
+        assert _table_location(spark, "gram_stale_b") == path  # B is stale
+        assert append_to_gram_index(
+            batch, "gram_stale_b", "text", "doc_id", n=3, applied_key="k1"
+        ) is True
+        # B re-registered itself at the live generation and committed there
+        assert _table_location(spark, "gram_stale_b") == live
+        assert "k1" in ledger.applied_keys(os.path.join(live, "_applied"))
+        # the batch's grams answer queries (and the replay still no-ops)
+        got = containment_dedup_vs_stored(
+            probe, spark.table("gram_stale_b"), "text", "doc_id", n=3
+        )
+        save_gram_index(
+            docs.filter(F.col("doc_id") % 3 != 2), "gram_stale_ref",
+            str(tmp_path / "gref"), "text", "doc_id", n=3, n_buckets=8,
+        )
+        want = containment_dedup_vs_stored(
+            probe, spark.table("gram_stale_ref"), "text", "doc_id", n=3
+        )
+        assert _rows(got) == _rows(want) and len(_rows(got)) > 0
+        assert append_to_gram_index(
+            batch, "gram_stale_b", "text", "doc_id", n=3, applied_key="k1"
+        ) is False
+        # GC resolves live from the family pointer — the dead generation
+        # dir a blocked waiter may have recreated is swept, live survives
+        gc_gram_generations(spark, "gram_stale_b")
+        assert os.path.isdir(live)
+        assert _rows(containment_dedup_vs_stored(
+            probe, spark.table("gram_stale_b"), "text", "doc_id", n=3
+        )) == _rows(want)
+    finally:
+        for t in ("gram_stale_a", "gram_stale_b", "gram_stale_ref"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -169,3 +169,38 @@ def test_chunk_udtf_ragged_and_empty(spark):
         # doc 4: NULL text -> zero rows (lateral drops it, as does the
         # oracle's generate_series over a NULL length)
     ]
+
+
+def test_pack_pairs_domain_contract_is_enforced(spark):
+    """pack_pairs=True packs (a, b) as a*2^32+b in one signed BIGINT —
+    sound only for ids in [0, 2^31). The contract is enforced (ADVICE
+    r7), not docstring-only: non-integral item columns fail at plan
+    time; an out-of-domain id fails the job instead of silently
+    wrapping the key and colliding distinct pairs."""
+    import pytest
+
+    with pytest.raises(TypeError, match="integral"):
+        co_occurrence_pairs(
+            spark.createDataFrame(
+                [(1, "a"), (1, "b")], "l_orderkey int, l_partkey string"
+            ),
+            pack_pairs=True,
+        )
+    for bad_id in (-5, 2**31):
+        with pytest.raises(Exception, match="pack_pairs"):
+            co_occurrence_pairs(
+                spark.createDataFrame(
+                    [(1, bad_id), (1, 3)], "l_orderkey int, l_partkey long"
+                ),
+                pack_pairs=True,
+            ).collect()
+    # the guard costs O(1) per basket (sorted-array endpoints) and does
+    # not disturb valid input: packed == struct counts
+    ok = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (2, 20), (2, 30)],
+        "l_orderkey int, l_partkey int",
+    )
+    assert (
+        co_occurrence_pairs(ok, pack_pairs=True).collect()
+        == co_occurrence_pairs(ok, pack_pairs=False).collect()
+    )
