@@ -100,22 +100,43 @@ def main() -> None:
     oracle_subset = round(
         sum(t for n, t in timings.items() if REGISTRY[n].oracle is not None), 3
     )
+    summary = {
+        "metric": "declared_query_suite_wall_sec",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "sf": sf,
+        "cpus": int(cpus),
+        # the subset DuckDB also runs — the apples-to-apples number
+        # for the <=2x-of-DuckDB target (rows-only hash/sketch ops
+        # have no DuckDB twin to compare against)
+        "oracle_subset_sec": oracle_subset,
+        "n_queries": len(timings),
+        "n_oracle": sum(1 for n in timings if REGISTRY[n].oracle is not None),
+    }
+    # Full-fidelity per-query artifact (full names, seconds, 3 decimals):
+    # the driver's stdout capture keeps only the LAST 2000 characters, which
+    # a 177-entry full-name dict overflows (round 7 lost the head 100
+    # queries of every BENCH_r0N) — the file is the durable record and the
+    # end-of-round snapshot commits it.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_FULL.json"), "w") as f:
+        json.dump({**summary, "queries": timings}, f, indent=1)
+    # The stdout line is sized to survive that 2000-char tail whole and
+    # parse end-to-end: unique name prefixes as keys, integer CENTISECONDS
+    # as values (0.01 s resolution — cross-round comparison fidelity; the
+    # exact numbers live in BENCH_FULL.json), compact separators, and the
+    # queries dict FIRST so any future overflow truncates query entries,
+    # never the summary numbers at the end.
+    compact = {n.split("_")[0]: int(round(t * 100)) for n, t in timings.items()}
+    assert len(compact) == len(timings), "query name prefixes must stay unique"
     print(
         json.dumps(
             {
-                "metric": "declared_query_suite_wall_sec",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "cpus": int(cpus),
-                # the subset DuckDB also runs — the apples-to-apples number
-                # for the <=2x-of-DuckDB target (rows-only hash/sketch ops
-                # have no DuckDB twin to compare against)
-                "oracle_subset_sec": oracle_subset,
-                "n_queries": len(timings),
-                "n_oracle": sum(1 for n in timings if REGISTRY[n].oracle is not None),
-            }
+                "queries": compact,
+                "queries_unit": "centisec; full: BENCH_FULL.json",
+                **summary,
+            },
+            separators=(",", ":"),
         )
     )
 

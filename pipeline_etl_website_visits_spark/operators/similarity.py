@@ -628,6 +628,7 @@ def pq_encode(
     num_centroids: int = 16,
     quant_scale: int = 1_000_000,
     codebook: DataFrame | None = None,
+    codebook_rows: "list[tuple[int, list[float]]] | None" = None,
 ) -> DataFrame:
     """Product-quantization encoder: per-subspace nearest-centroid codes.
 
@@ -650,7 +651,13 @@ def pq_encode(
     The default codebook is the first ``num_centroids`` vectors by id —
     deterministic and oracle-expressible. Pass a learned ``codebook``
     DataFrame with columns (``centroid_id``, ``cvec`` array<float/double>)
-    for real use (e.g. centroids from :func:`kmeans_summary`).
+    for real use (e.g. centroids from :func:`kmeans_summary`) — or
+    ``codebook_rows``, the already-collected ``(centroid_id, cvec)``
+    pairs: the codebook is a TRAINED ARTIFACT that lives on the driver in
+    any steady-state deployment, and re-running a Spark collect job per
+    encode call just to re-fetch it is a fixed per-call tax the serving
+    path shouldn't pay (the stored vector index keeps its codebook in the
+    meta table for the same reason).
 
     Scale shape: MAP-ONLY. The codebook is tiny by contract (K x d ints —
     enforced by the same driver-state guard as the kmeans/cosine paths), so
@@ -666,21 +673,27 @@ def pq_encode(
         raise ValueError(f"dim {dim} not divisible into {num_subspaces} subspaces")
     _guard_driver_bytes("pq_encode codebook", num_centroids, dim)
 
-    if codebook is None:
-        cb_rows = (
-            vectors.filter(F.col(id_col) < num_centroids)
+    if codebook_rows is not None:
+        cb_rows = [(int(c), v) for c, v in codebook_rows]
+    elif codebook is None:
+        cb_rows = [
+            (r["centroid_id"], r["cvec"])
+            for r in vectors.filter(F.col(id_col) < num_centroids)
             .select(F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("cvec"))
             .collect()
-        )
+        ]
     else:
-        cb_rows = codebook.select("centroid_id", "cvec").collect()
+        cb_rows = [
+            (r["centroid_id"], r["cvec"])
+            for r in codebook.select("centroid_id", "cvec").collect()
+        ]
     if not cb_rows:
         raise ValueError("pq_encode: empty codebook")
-    cb_rows.sort(key=lambda r: r["centroid_id"])
-    cids = np.array([r["centroid_id"] for r in cb_rows], dtype=np.int64)
+    cb_rows.sort(key=lambda r: r[0])
+    cids = np.array([c for c, _ in cb_rows], dtype=np.int64)
     # [K, M, sublen] — row order == ascending centroid id, so argmin's
     # first-minimum rule IS the lowest-centroid-id tie-break.
-    cents = pq_quantize_rows([r["cvec"] for r in cb_rows], quant_scale).reshape(len(cb_rows), num_subspaces, sublen)
+    cents = pq_quantize_rows([v for _, v in cb_rows], quant_scale).reshape(len(cb_rows), num_subspaces, sublen)
 
     out_schema = f"{id_col} long, sub int, code long, qerr long"
     subs_idx = np.arange(num_subspaces, dtype=np.int32)

@@ -67,61 +67,64 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # round-4/5/6-latest row spills to round 8; all stay covered by the
 # local full-suite check_oracle runs.
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- (a) implementation changed in round 7 (8) --
-    "x123_native_recursion",
-    "x146_chunk_udtf",
+    # -- (a) round-8 rotation head: the one remaining round-3-latest
+    #    name (x78 — the r7 alphabetical spill), then the queries whose
+    #    implementation changed this round (pack_pairs guard; ledger
+    #    seam + family pointer under the stored indexes; x82 encode) --
+    "x78_bpe_merges",
     "x140_market_basket_pairs",
-    "x84_embed_pq_adc_topk",
     "x82_embed_pq_codes",
-    "x143_mad_outliers",
     "x117_stored_index_search",
     "x122_stored_gram_dedup",
-    # -- (b) stalest rows: latest driver row is round 3 (42 of 43;
-    #    the alphabetical tail spills to round 8) --
-    "q01_scan_project_rename",
-    "q05_error_explode",
-    "q56_sorted_collect",
-    "q68_rolling_hour_window",
-    "x21_dedup_exact",
-    "x22_dedup_ngram_jaccard",
-    "x23_dedup_minhash_lsh",
-    "x24_dedup_simhash",
-    "x25_embed_cosine_topk",
-    "x26_embed_ann_lsh",
-    "x27_text_lang_id",
-    "x32_events_tumbling_hour",
-    "x33_events_sessionize",
-    "x39_time_range_join",
-    "x40_asof_join",
-    "x41_embed_ivf_topk",
-    "x42_dedup_embed_cosine",
-    "x43_corpus_curation",
-    "x47_decontaminate",
-    "x48_term_redaction",
-    "x52_repetition_metrics",
-    "x53_source_quota",
-    "x54_chunk_overlap",
-    "x55_doc_frequency",
-    "x57_winnowing_fingerprints",
-    "x60_embed_kmeans",
-    "x61_multimodal_png_roundtrip",
-    "x62_salted_hot_key_agg",
-    "x63_price_histogram",
-    "x64_table_profile",
-    "x65_stratified_sample",
-    "x66_prefilter_decontam",
-    "x67_session_funnel",
-    "x68_grouped_argmax",
-    "x69_adjacent_doc_jaccard",
-    "x71_dedup_clusters",
-    "x72_sliding_windows",
-    "x73_window_distribution",
-    "x74_unpivot_metrics",
-    "x75_interval_overlap_join",
-    "x76_multimodal_wav_roundtrip",
-    "x77_stat_aggregates",
-    # ---- slot 50 boundary: round-8 spillover ----
-    "x78_bpe_merges",
+    # -- (b) ALL 39 round-4-latest names: after this round no query's
+    #    latest driver row predates round 5 (VERDICT r7 item 3) --
+    "q02_regex_filter",
+    "q03_null_or_pattern",
+    "q04_bool_split",
+    "q06_nullif_trim",
+    "q07_casts",
+    "q08_visits_agg",
+    "q09_scalar_counts",
+    "q11_anti_join",
+    "q12_inner_join",
+    "q13_semi_join",
+    "q14_window_dedup",
+    "q15_topk",
+    "q16_union",
+    "q17_count_distinct",
+    "q18_rollup",
+    "q19_extract_ym",
+    "q20_text_ops",
+    "x100_weighted_sample",
+    "x101_semantic_decontam",
+    "x103_cohort_retention",
+    "x104_session_window_native",
+    "x105_token_budget_mixture",
+    "x56_dedup_containment",
+    "x80_product_profit",
+    "x81_market_share",
+    "x83_ngram_novelty",
+    "x85_incremental_dedup",
+    "x86_dedup_pipeline",
+    "x87_correlated_exists",
+    "x88_lateral_topk",
+    "x89_fuzzy_adjacent_names",
+    "x90_bpe_token_counts",
+    "x91_hll_union_rollup",
+    "x93_zorder_zone_map",
+    "x94_incremental_mv",
+    "x95_skyline_pareto",
+    "x96_semantic_dedup",
+    "x97_cms_token_counts",
+    "x99_custdist",
+    # -- (c) oldest round-5-latest names fill the remaining slots
+    #    (q10 also exercises the lease changes under merge) --
+    "q00_flagship_visitantes",
+    "q10_merge_upsert",
+    "q40_left_outer_join",
+    "q41_cross_join",
+    "q42_except",
+    "q43_intersect",
 )
 
 

@@ -478,3 +478,112 @@ def test_stale_registration_append_redirects_to_live_generation(spark, tmp_path)
     finally:
         for t in ("gram_stale_a", "gram_stale_b", "gram_stale_ref"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_two_process_append_and_compaction_share_one_index(spark, tmp_path):
+    """VERDICT r7 item 2: the lease/pointer protocol across TWO DRIVER
+    PROCESSES (separate JVMs, separate catalogs, same index family on
+    disk) — in-process thread goldens prove the protocol's logic, this
+    proves nothing secretly rides on in-session state.
+
+    Driver B (a real subprocess) registers the index and appends a batch
+    while driver A (this session) is mid-compaction (snapshot written,
+    swap not yet taken — the _before_swap seam parks A until B commits).
+    A's final fold must then carry B's rows + marker into the new
+    generation, destructively sweep the old one, and publish the family
+    pointer. A SECOND run of B — whose fresh catalog registration is
+    stale at birth (it names the swept base path) — must follow the
+    pointer to the live generation and no-op on the replayed key."""
+    import os
+    import subprocess
+    import sys
+    import threading
+    import time
+
+    from pipeline_etl_website_visits_spark.operators import ledger
+    from pipeline_etl_website_visits_spark.operators.dedup import (
+        compact_gram_index,
+        containment_dedup_vs_stored,
+        save_gram_index,
+        _table_location,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    probe = docs.filter(F.col("doc_id") % 3 == 2)
+    path = str(tmp_path / "gidx")
+    sentinel = str(tmp_path / "b_done")
+    script = tmp_path / "driver_b.py"
+    script.write_text(
+        f"""
+import sys
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+import pyspark.sql.functions as F
+from pipeline_etl_website_visits_spark.session import get_spark
+from pipeline_etl_website_visits_spark.operators.dedup import (
+    append_to_gram_index, register_gram_index,
+)
+
+spark = get_spark(
+    "driver-b", master="local[2]", shuffle_partitions=2,
+    extra_conf={{"spark.ui.enabled": "false",
+                 "spark.sql.warehouse.dir": {repr(str(tmp_path / "wh_b"))}}},
+)
+spark.sparkContext.setLogLevel("ERROR")
+register_gram_index(spark, "gram_b", {repr(path)}, n_buckets=8, n=3)
+docs = spark.read.parquet({repr(f"{SF_DIR}/documents.parquet")})
+batch = docs.filter(F.col("doc_id") % 3 == 1)
+ok = append_to_gram_index(batch, "gram_b", "text", "doc_id", n=3, applied_key="xp1")
+print("APPENDED", ok, flush=True)
+open({repr(sentinel)}, "w").write("done")
+spark.stop()
+"""
+    )
+
+    def run_b():
+        return subprocess.run(
+            [sys.executable, str(script)], capture_output=True, text=True, timeout=300
+        )
+
+    try:
+        save_gram_index(corpus, "gram_xproc", path, "text", "doc_id", n=3, n_buckets=8)
+        results = {}
+
+        def compact():
+            b = run_b()
+            results["b1"] = b
+            deadline = time.monotonic() + 300
+            while not os.path.exists(sentinel) and time.monotonic() < deadline:
+                time.sleep(0.2)
+
+        live = compact_gram_index(
+            spark, "gram_xproc", remove_old=True, _before_swap=compact
+        )
+        assert "APPENDED True" in results["b1"].stdout, results["b1"].stderr[-2000:]
+        # one consistent generation: pointer == catalog == the only dir
+        assert _table_location(spark, "gram_xproc") == live
+        assert not os.path.exists(path), "dead generation survived remove_old"
+        assert "xp1" in ledger.applied_keys(os.path.join(live, "_applied"))
+        # B's rows answer through A's session — index == corpus + B's batch
+        got = containment_dedup_vs_stored(
+            probe, spark.table("gram_xproc"), "text", "doc_id", n=3
+        )
+        save_gram_index(
+            docs.filter(F.col("doc_id") % 3 != 2), "gram_xproc_ref",
+            str(tmp_path / "gref"), "text", "doc_id", n=3, n_buckets=8,
+        )
+        want = containment_dedup_vs_stored(
+            probe, spark.table("gram_xproc_ref"), "text", "doc_id", n=3
+        )
+        assert _rows(got) == _rows(want) and len(_rows(got)) > 0
+        # driver B round 2: stale-at-birth registration follows the family
+        # pointer to the live generation and the replayed key no-ops
+        os.remove(sentinel)
+        b2 = run_b()
+        assert "APPENDED False" in b2.stdout, b2.stderr[-2000:]
+        assert _rows(containment_dedup_vs_stored(
+            probe, spark.table("gram_xproc"), "text", "doc_id", n=3
+        )) == _rows(want)
+    finally:
+        for t in ("gram_xproc", "gram_xproc_ref"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -1087,3 +1087,94 @@ def test_timeout_sessions_randomized_parity_soak(spark, tmp_path):
         for r in session_window_user_stats(batch).collect()
     )
     assert got == want and len(got) >= 8, (len(got), len(want))
+
+
+def test_timeout_sessions_state_bounded_by_watermark_horizon():
+    """VERDICT r7 item 6 — the sessionizer's state-bound CONTRACT as a
+    test: per-key state holds exactly the unsealed sessions inside one
+    watermark width, so a pathological user emitting forever keeps a
+    BOUNDED array (<= ceil(watermark/gap) + 1), never one that grows
+    with the stream. Driven as a unit fold over a fake GroupState (the
+    state store is opaque through the query API), with the watermark
+    advanced exactly as Spark does: batch N's watermark = max event time
+    through batch N-1 minus the delay."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from pipeline_etl_website_visits_spark.streaming.events_stream import (
+        _session_fold,
+    )
+
+    GAP_MIN = 30
+    WM_DELAY_MIN = 120  # 2h watermark
+    # unsealed sessions fit one watermark-plus-gap window (a session
+    # seals only when wm passes end + gap), and Spark's watermark lags
+    # one batch (batch N uses max-through-N-1), which admits one more:
+    # ceil(watermark/gap) + 2 with the adversarial gap+epsilon spacing
+    BOUND = WM_DELAY_MIN // GAP_MIN + 2  # = 6
+
+    class FakeGroupState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+            self.wm_ms = 0
+            self.timeout_ms = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def getCurrentWatermarkMs(self):
+            return self.wm_ms
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v = None
+
+        def setTimeoutTimestamp(self, ms):
+            assert ms > self.wm_ms, "timeout must be strictly above watermark"
+            self.timeout_ms = ms
+
+    def drive(spacing_min, n_events, max_state_sessions):
+        st = FakeGroupState()
+        t0 = dt.datetime(2024, 1, 1)
+        emitted = []
+        seen_max_ms = 0
+        peak = 0
+        for i in range(n_events):
+            ts = t0 + dt.timedelta(minutes=i * spacing_min)
+            st.wm_ms = max(seen_max_ms - WM_DELAY_MIN * 60_000, 0)
+            pdf = pd.DataFrame({"ts": [pd.Timestamp(ts)]})
+            for out in _session_fold((7,), [pdf], st):
+                emitted.extend(out.to_dict("records"))
+            seen_max_ms = max(seen_max_ms, int(pd.Timestamp(ts).value // 1_000_000))
+            if st.exists:
+                peak = max(peak, len(st.get[0]))
+                assert len(st.get[0]) <= max_state_sessions, (
+                    f"state grew to {len(st.get[0])} sessions at event {i}"
+                )
+        # drain: timeout firing with the watermark pushed past everything
+        st.hasTimedOut = True
+        st.wm_ms = seen_max_ms + 10 * WM_DELAY_MIN * 60_000
+        for out in _session_fold((7,), [], st):
+            emitted.extend(out.to_dict("records"))
+        assert not st.exists, "state must be fully evicted after the drain"
+        return emitted, peak
+
+    # pathological splitter: every event gap+1min apart = every event its
+    # own session; 200 events span ~4 days but state stays <= 5 sessions
+    emitted, peak = drive(GAP_MIN + 1, 200, BOUND)
+    assert len(emitted) == 200 and all(r["n_events"] == 1 for r in emitted)
+    assert peak >= BOUND - 1, "test never reached the bound it claims to pin"
+    # pathological merger: every event gap-1min apart = ONE ever-growing
+    # session; state stays a single interval regardless of stream length
+    emitted, peak = drive(GAP_MIN - 1, 200, 1)
+    assert peak == 1
+    assert len(emitted) == 1 and emitted[0]["n_events"] == 200
