@@ -125,6 +125,25 @@ class Warehouse:
         root = self.root[len("file:"):] if self.root.startswith("file:") else self.root
         return ledger.writer_lease(root, name=name)
 
+    def _local(self, p: str) -> str:
+        return p[len("file:"):] if p.startswith("file:") else p
+
+    def _publish_pointer(self, pointer: str, content: str) -> None:
+        """Atomic pointer flip through the commit backend
+        (:func:`operators.ledger.publish_pointer`). Replaces the old
+        Hadoop-FS ``create tmp → delete pointer → rename`` dance, whose
+        delete-to-rename crash window left NO pointer at all — and a
+        missing pointer reads as "no snapshot yet", so the next merge
+        would silently restart the table from scratch with every
+        committed version still on disk but unreferenced. ``os.replace``
+        (POSIX backend) overwrites atomically: readers see the old
+        pointer or the new one, never nothing. Same POSIX-visible-root
+        requirement the warehouse leases already impose; an object-store
+        deployment swaps the backend, not this call site."""
+        from pipeline_etl_website_visits_spark.operators import ledger
+
+        ledger.publish_pointer(self._local(pointer), content)
+
     def _fs(self, p: str):
         jvm = self.spark._jvm
         conf = self.spark._jsc.hadoopConfiguration()
@@ -325,7 +344,7 @@ class Warehouse:
         return out
 
     def _current_compact_version(self, table: str) -> str | None:
-        lines = self._read_small_text(self.path(f"{table}_compact_CURRENT"))
+        lines = self._read_pointer_text(self.path(f"{table}_compact_CURRENT"))
         return lines[0] if lines else None
 
     def compact(
@@ -433,17 +452,7 @@ class Warehouse:
             df.repartition(n_files).write.mode("overwrite").parquet(self.path(version))
 
         # atomic pointer flip (same protocol as the visitantes snapshot)
-        pointer = self.path(f"{table}_compact_CURRENT")
-        fsp, pointer_path, jvmp = self._fs(pointer)
-        tmp_path = jvmp.org.apache.hadoop.fs.Path(pointer + ".tmp")
-        outstream = fsp.create(tmp_path, True)
-        try:
-            outstream.write(bytearray(version.encode("utf-8")))
-        finally:
-            outstream.close()
-        if fsp.exists(pointer_path):
-            fsp.delete(pointer_path, False)
-        fsp.rename(tmp_path, pointer_path)
+        self._publish_pointer(self.path(f"{table}_compact_CURRENT"), version)
 
         # GC: absorbed live partitions and the pre-previous compact version
         for fname in live:
@@ -459,6 +468,23 @@ class Warehouse:
         return {"version": version, "absorbed": live, "files": n_files}
 
     # -- small-file helpers (pointer / manifests via Hadoop FS) --------------
+    def _read_pointer_text(self, p: str) -> list[str] | None:
+        """Read a pointer file published by :meth:`_publish_pointer` —
+        plain POSIX read, matching the plain POSIX publish. The pointer
+        must NOT round-trip through the Hadoop LocalFileSystem: its
+        checksummed writer leaves a ``.crc`` sidecar that an
+        ``os.replace`` publish doesn't update, and the next Hadoop read
+        would fail the checksum. Manifests (``_buckets``/``_applied``)
+        stay Hadoop-side end to end; only the pointer lives in the
+        commit backend's world."""
+        txt = None
+        try:
+            with open(self._local(p)) as f:
+                txt = f.read()
+        except FileNotFoundError:
+            return None
+        return [ln.strip() for ln in txt.splitlines() if ln.strip()]
+
     def _read_small_text(self, p: str) -> list[str] | None:
         fs, hpath, jvm = self._fs(p)
         if not fs.exists(hpath):
@@ -502,7 +528,7 @@ class Warehouse:
     _POINTER = "visitantes_CURRENT"
 
     def _current_visitantes_version(self) -> str | None:
-        lines = self._read_small_text(self.path(self._POINTER))
+        lines = self._read_pointer_text(self.path(self._POINTER))
         return lines[0] if lines else None
 
     @staticmethod
@@ -621,7 +647,7 @@ class Warehouse:
         version = self._current_visitantes_version()
         if version is None:
             return []
-        lines = self._read_small_text(self.path(self._POINTER)) or []
+        lines = self._read_pointer_text(self.path(self._POINTER)) or []
         # pointer file: current on line 1, previous (if retained) on line 2
         return list(reversed([v for v in lines[:2] if v]))
 
@@ -900,19 +926,12 @@ class Warehouse:
             ("\n".join(sorted(applied)) + "\n") if applied else "",
         )
         version = f"tbl:{table}:{dirname}"
-        fsp, pointer_path, jvmp = self._fs(self.path(self._POINTER))
-        tmp_path = jvmp.org.apache.hadoop.fs.Path(self.path(self._POINTER + ".tmp"))
-        tout = fsp.create(tmp_path, True)
-        try:
-            # line 1: current; line 2: previous (retained by the GC) — the
-            # bounded time-travel window read_visitantes(version=...) serves
-            pointer = version + (("\n" + version_now) if version_now else "")
-            tout.write(bytearray(pointer.encode("utf-8")))
-        finally:
-            tout.close()
-        if fsp.exists(pointer_path):
-            fsp.delete(pointer_path, False)
-        fsp.rename(tmp_path, pointer_path)
+        # line 1: current; line 2: previous (retained by the GC) — the
+        # bounded time-travel window read_visitantes(version=...) serves
+        self._publish_pointer(
+            self.path(self._POINTER),
+            version + (("\n" + version_now) if version_now else ""),
+        )
         self._gc_visitantes(keep_current=version, keep_prev=version_now)
         # drop superseded catalog entries (data dirs are GC'd above; external
         # tables keep catalog metadata until dropped)
@@ -964,21 +983,13 @@ class Warehouse:
             os.path.join(self.path(version), "_applied"),
             ("\n".join(sorted(applied)) + "\n") if applied else "",
         )
-        # repoint: write pointer to a temp file, then rename over (rename is
-        # atomic on HDFS/local; on S3 a conditional-put would stand in)
-        fsp, pointer_path, jvmp = self._fs(self.path(self._POINTER))
-        tmp_path = jvmp.org.apache.hadoop.fs.Path(self.path(self._POINTER + ".tmp"))
-        tout = fsp.create(tmp_path, True)
-        try:
-            # line 1: current; line 2: previous (retained by the GC) — the
-            # bounded time-travel window read_visitantes(version=...) serves
-            pointer = version + (("\n" + version_now) if version_now else "")
-            tout.write(bytearray(pointer.encode("utf-8")))
-        finally:
-            tout.close()
-        if fsp.exists(pointer_path):
-            fsp.delete(pointer_path, False)
-        fsp.rename(tmp_path, pointer_path)
+        # repoint through the commit backend (atomic overwrite — no
+        # delete-to-rename gap; line 1: current, line 2: previous for the
+        # bounded time-travel window read_visitantes(version=...) serves)
+        self._publish_pointer(
+            self.path(self._POINTER),
+            version + (("\n" + version_now) if version_now else ""),
+        )
         self._gc_visitantes(keep_current=version, keep_prev=version_now)
 
     def _gc_visitantes(self, keep_current: str, keep_prev: str | None) -> None:
