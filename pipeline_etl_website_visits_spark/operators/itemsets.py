@@ -95,14 +95,12 @@ def co_occurrence_pairs(
         pairs = baskets.select(
             F.explode(
                 F.when(in_domain, packed).otherwise(
+                    # constant message: a per-row concat in this (never-
+                    # taken) branch still bloats the generated stage code
+                    # measurably; locating the offending basket is a
+                    # debugging step, not this guard's job
                     F.raise_error(
-                        F.concat(
-                            F.lit(
-                                "pack_pairs=True requires item ids in [0, 2^31); basket "
-                            ),
-                            F.col("basket").cast("string"),
-                            F.lit(" violates it"),
-                        )
+                        F.lit("pack_pairs=True requires item ids in [0, 2^31)")
                     )
                 )
             ).alias("pk")
