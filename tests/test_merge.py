@@ -619,3 +619,95 @@ def test_concurrent_merges_serialize_under_the_writer_lease(spark, tmp_path, tar
         assert snap[e] == i + 1, (e, snap.get(e))
     # and the applied-key manifest carried every batch
     assert {"a", "r0", "r1", "r2"} <= wh.visitantes_applied()
+
+
+def test_two_process_merges_share_one_snapshot(spark, tmp_path, target):
+    """The warehouse lease/pointer protocol across TWO DRIVER PROCESSES
+    (the test_dedup_index two-process golden's merge twin — VERDICT r7
+    item 2): driver B (a real subprocess, separate JVM and catalog)
+    merges into the same warehouse root while driver A holds the
+    visitantes-writer lease. B must BLOCK on the cross-process lease,
+    then both batches must land — additive counters on a shared email,
+    both applied keys in the manifest, one consistent pointer."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    root = str(tmp_path / "whx")
+    wh = Warehouse(spark, root, n_buckets=8)
+    wh.write_visitantes(target)
+    ready = str(tmp_path / "b_ready")
+    merged = str(tmp_path / "b_merged")
+    script = tmp_path / "driver_b_merge.py"
+    script.write_text(
+        f"""
+import datetime
+import sys
+sys.path.insert(0, {repr(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))})
+from pipeline_etl_website_visits_spark.session import get_spark
+from pipeline_etl_website_visits_spark.etl.load import Warehouse, VISITANTES_SCHEMA
+
+spark = get_spark(
+    "driver-b-merge", master="local[2]", shuffle_partitions=2,
+    extra_conf={{"spark.ui.enabled": "false",
+                 "spark.sql.warehouse.dir": {repr(str(tmp_path / "wh_b"))}}},
+)
+spark.sparkContext.setLogLevel("ERROR")
+wh = Warehouse(spark, {repr(root)}, n_buckets=8)
+batch = spark.createDataFrame(
+    [("shared@x.com", datetime.date(2026, 8, 10), datetime.date(2026, 8, 15), 7, 7, 7)],
+    VISITANTES_SCHEMA,
+)
+open({repr(ready)}, "w").write("ready")
+wh.merge_visitantes(batch, process_date={repr(PROCESS_DATE)}, applied_key="xpB")
+open({repr(merged)}, "w").write("done")
+spark.stop()
+"""
+    )
+    proc = subprocess.Popen(
+        [sys.executable, str(script)],
+        stdout=subprocess.PIPE,
+        stderr=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        with wh._lease("visitantes-writer"):
+            deadline = time.monotonic() + 240
+            while not os.path.exists(ready) and time.monotonic() < deadline:
+                time.sleep(0.2)
+            assert os.path.exists(ready), proc.stderr and "driver B never started"
+            # B is now inside merge_visitantes, blocked on OUR lease file
+            time.sleep(2.0)
+            assert not os.path.exists(merged), "B merged under a held lease"
+        # lease released: A and B contend for real; both must land
+        batch_a = spark.createDataFrame(
+            [("shared@x.com", D(2026, 8, 11), D(2026, 8, 15), 5, 5, 5)],
+            VISITANTES_SCHEMA,
+        )
+        wh.merge_visitantes(batch_a, process_date=PROCESS_DATE, applied_key="xpA")
+        out, err = proc.communicate(timeout=300)
+        assert os.path.exists(merged), err[-2000:]
+        snap = {r["email"]: r["visitasTotales"] for r in wh.read_visitantes().collect()}
+        assert snap["shared@x.com"] == 12, snap  # 5 (A) + 7 (B), additive
+        assert snap["match-same-month@example.com"] == 10  # untouched carry
+        # the applied manifest is PROCESS-independent: B's key, committed
+        # from the other driver, is visible to A's redo check — so the K4
+        # caller discipline (pipeline.py: merge only if the key is absent;
+        # the merge itself is additive BY DESIGN, reapply_merge exists)
+        # no-ops a cross-process replay of B's batch
+        assert {"xpA", "xpB"} <= wh.visitantes_applied()
+        if "xpB" not in wh.visitantes_applied():  # the caller-side guard
+            wh.merge_visitantes(
+                spark.createDataFrame(
+                    [("shared@x.com", D(2026, 8, 10), D(2026, 8, 15), 7, 7, 7)],
+                    VISITANTES_SCHEMA,
+                ),
+                process_date=PROCESS_DATE,
+                applied_key="xpB",
+            )
+        snap2 = {r["email"]: r["visitasTotales"] for r in wh.read_visitantes().collect()}
+        assert snap2["shared@x.com"] == 12, snap2
+    finally:
+        if proc.poll() is None:
+            proc.kill()
