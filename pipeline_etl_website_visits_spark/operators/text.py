@@ -1016,3 +1016,104 @@ def register_chunk_udtf(spark, name: str = "split_chunks"):
 
     spark.udtf.register(name, _SplitChunks)
     return _SplitChunks
+
+
+def sequence_pack_chunks(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    budget: int,
+    n_stripes: int = 64,
+) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing: concatenate every
+    document's tokens in ``id_col`` order into one virtual stream and cut
+    it into fixed ``budget``-token training chunks; report, per document,
+    the chunk span it lands in.
+
+    This is the standard pretraining packing (documents concatenated,
+    context windows cut at fixed boundaries regardless of document
+    edges — the T5/GPT data-prep shape), and the whole computation is one
+    GLOBAL PREFIX SUM over per-document token counts. The naive Spark
+    spelling — ``sum().over(Window.orderBy(id))`` with no partitionBy —
+    collapses the corpus into ONE task (``Exchange SinglePartition``):
+    the classic scale trap, unusable at 100 TB. The distributed shape
+    used here:
+
+    1. stripe each doc by its id into ``n_stripes`` contiguous ranges
+       (pure arithmetic on the id — deterministic, no sampling, so the
+       assignment is stable across retries, unlike repartitionByRange);
+    2. one tiny aggregation (``n_stripes`` rows) gives per-stripe token
+       totals; the exclusive prefix offsets are computed driver-side
+       over that BOUNDED list (the "bounded scalar collect" discipline)
+       and broadcast back as a literal map-side join;
+    3. the within-stripe running sum is a window PARTITIONED BY stripe —
+       every stripe scans in parallel; global position = stripe offset +
+       within-stripe cumsum.
+
+    Zero-token documents (empty/blank text) occupy no stream position
+    and are excluded, matching the oracle's ``n_tokens > 0`` filter.
+    Output (one row per packed doc): ``n_tokens``, ``chunk_first``,
+    ``chunk_last``, ``n_chunks`` (how many training windows the doc
+    spans), ``offset_in_chunk`` (token offset where it starts). Contrast
+    with first-fit bin packing: chunk cuts here are position-arithmetic,
+    so the operator is exactly SQL-replayable and needs no sequential
+    fold. Uniform id striping assumes a roughly dense id domain (true
+    for surrogate keys); for pathological sparsity pass more stripes or
+    pre-map ids — correctness never depends on balance, only stripe
+    parallelism does.
+    """
+    from pyspark.sql import Window
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    spark = df.sparkSession
+    counts = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+    lo, hi = counts.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        return spark.createDataFrame(
+            [],
+            "doc_id long, n_tokens long, chunk_first long, chunk_last long, "
+            "n_chunks long, offset_in_chunk long",
+        )
+    width = max(1, (int(hi) - int(lo)) // int(n_stripes) + 1)
+    striped = counts.withColumn(
+        "stripe", ((F.col("doc_id") - F.lit(int(lo))) / F.lit(width)).cast("long")
+    )
+    # bounded: <= n_stripes rows reach the driver
+    stripe_rows = sorted(
+        (r["stripe"], r["tot"])
+        for r in striped.groupBy("stripe").agg(F.sum("n_tokens").alias("tot")).collect()
+    )
+    offsets, acc = [], 0
+    for sid, tot in stripe_rows:
+        offsets.append((int(sid), acc))
+        acc += int(tot)
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "stripe long, stripe_offset long")
+    )
+    win = (
+        Window.partitionBy("stripe")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (F.col("stripe_offset") + F.sum("n_tokens").over(win)).alias("cum")
+    staged = striped.join(off_df, "stripe").select("doc_id", "n_tokens", cum)
+    b = int(budget)
+    # integer DIV end to end: stream positions are longs and a float
+    # round-trip is lossy past 2^53 (the packed-key discipline)
+    chunk_first = F.expr(f"(cum - n_tokens) DIV {b}")
+    chunk_last = F.expr(f"(cum - 1) DIV {b}")
+    return staged.select(
+        "doc_id",
+        "n_tokens",
+        chunk_first.alias("chunk_first"),
+        chunk_last.alias("chunk_last"),
+        (chunk_last - chunk_first + F.lit(1)).cast("long").alias("n_chunks"),
+        F.expr(f"(cum - n_tokens) % {b}").alias("offset_in_chunk"),
+    )

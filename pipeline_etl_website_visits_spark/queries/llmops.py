@@ -1674,3 +1674,48 @@ def x146(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY doc_id, chunk_ix
         """
     )
+
+
+# --------------------------------------------------------------------------
+# x147 — sequence packing: concat-and-chunk the corpus into training windows
+#
+# The GPT/T5 pretraining data-prep step the suite lacked: documents
+# concatenated in id order into one token stream, fixed budget-token
+# context windows cut at position boundaries, per-doc chunk spans
+# reported. One global PREFIX SUM — implemented distributed (stripe
+# offsets + partitioned window; see operators/text.py:
+# sequence_pack_chunks for why the naive global window is a
+# single-partition scale trap, and test_plans for the plan assertion
+# that no Exchange SinglePartition appears). The whole derivation is
+# integer position arithmetic, so the DuckDB oracle replays it exactly
+# with a plain running sum.
+# --------------------------------------------------------------------------
+@query(
+    "x147_sequence_packing",
+    oracle="""
+    WITH c AS (
+      SELECT doc_id,
+             CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ), s AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+             SUM(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM c WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens,
+           CAST((cum - n_tokens) // 256 AS BIGINT) AS chunk_first,
+           CAST((cum - 1) // 256 AS BIGINT) AS chunk_last,
+           CAST((cum - 1) // 256 - (cum - n_tokens) // 256 + 1 AS BIGINT) AS n_chunks,
+           CAST((cum - n_tokens) % 256 AS BIGINT) AS offset_in_chunk
+    FROM s ORDER BY doc_id
+    """,
+    certifies="X4 sequence packing: concat-and-chunk training windows via a DISTRIBUTED prefix sum (stripe offsets + partitioned window, no single-partition exchange)",
+    tags=("llm", "text", "scale"),
+)
+def x147(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.sequence_pack_chunks(docs, "text", "doc_id", budget=256).orderBy(
+        "doc_id"
+    )

@@ -67,10 +67,12 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # round-4/5/6-latest row spills to round 8; all stay covered by the
 # local full-suite check_oracle runs.
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- (a) round-8 rotation head: the one remaining round-3-latest
+    # -- (a) round-8 rotation head: the NEW query first (never driver-
+    #    checked), then the one remaining round-3-latest
     #    name (x78 — the r7 alphabetical spill), then the queries whose
     #    implementation changed this round (pack_pairs guard; ledger
     #    seam + family pointer under the stored indexes; x82 encode) --
+    "x147_sequence_packing",
     "x78_bpe_merges",
     "x140_market_basket_pairs",
     "x82_embed_pq_codes",
@@ -124,7 +126,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q40_left_outer_join",
     "q41_cross_join",
     "q42_except",
-    "q43_intersect",
 )
 
 

@@ -370,3 +370,92 @@ def test_scrub_repeated_spans_semantics_and_map_only(spark):
     plan = result._jdf.queryExecution().executedPlan().toString()
     exchanges = re.findall(r"Exchange (\w+)", plan)
     assert all(e.startswith("rangepartitioning") for e in exchanges), exchanges
+
+
+def test_sequence_pack_chunks_matches_naive_global_window(spark):
+    """The distributed prefix sum (stripe offsets + partitioned window)
+    must be bit-identical to the naive single-partition global window it
+    replaces — on an id domain that is SPARSE and irregular, so stripe
+    boundaries land mid-stream and several stripes are empty."""
+    import random
+
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from pipeline_etl_website_visits_spark.operators.text import (
+        sequence_pack_chunks,
+        token_count,
+    )
+
+    rng = random.Random(42)
+    rows = []
+    ids = rng.sample(range(0, 100_000), 400)  # sparse, shuffled domain
+    for i in ids:
+        n = rng.randint(0, 30)  # include zero-token docs
+        rows.append((i, " ".join(f"w{j}" for j in range(n)) if n else ""))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = sequence_pack_chunks(df, "text", "doc_id", budget=37, n_stripes=16)
+
+    counts = (
+        df.select("doc_id", token_count(F.col("text")).cast("long").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    naive = counts.withColumn("cum", F.sum("n_tokens").over(w)).select(
+        "doc_id",
+        "n_tokens",
+        F.expr("(cum - n_tokens) DIV 37").alias("chunk_first"),
+        F.expr("(cum - 1) DIV 37").alias("chunk_last"),
+        (F.expr("(cum - 1) DIV 37") - F.expr("(cum - n_tokens) DIV 37") + F.lit(1))
+        .cast("long")
+        .alias("n_chunks"),
+        F.expr("(cum - n_tokens) % 37").alias("offset_in_chunk"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, naive.collect()))
+    # chunk spans tile the stream: consecutive docs meet at chunk borders
+    recs = sorted(map(tuple, got.collect()))
+    total = sum(r[1] for r in recs)
+    assert recs[-1][3] == (total - 1) // 37  # last doc ends in the last chunk
+
+
+def test_sequence_pack_chunks_edges(spark):
+    from pipeline_etl_website_visits_spark.operators.text import sequence_pack_chunks
+
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        sequence_pack_chunks(
+            spark.createDataFrame([(1, "a")], "doc_id long, text string"),
+            "text", "doc_id", budget=0,
+        )
+    # all-empty corpus -> empty result with the full schema
+    empty = sequence_pack_chunks(
+        spark.createDataFrame([(1, ""), (2, None)], "doc_id long, text string"),
+        "text", "doc_id", budget=8,
+    )
+    assert empty.count() == 0 and len(empty.columns) == 6
+    # one doc longer than the budget spans ceil(n/B) chunks from offset 0
+    one = sequence_pack_chunks(
+        spark.createDataFrame([(5, " ".join(["t"] * 20))], "doc_id long, text string"),
+        "text", "doc_id", budget=8,
+    ).collect()[0]
+    assert (one["chunk_first"], one["chunk_last"], one["n_chunks"],
+            one["offset_in_chunk"]) == (0, 2, 3, 0)
+
+
+def test_sequence_pack_plan_has_no_single_partition_exchange(spark):
+    """The whole point of the striped prefix sum: the naive global-window
+    spelling serializes the corpus through ONE task. Pin the distributed
+    plan — zero Exchange SinglePartition, the within-stripe window hash-
+    partitioned, the stripe offsets broadcast."""
+    from pipeline_etl_website_visits_spark.operators.text import sequence_pack_chunks
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        sequence_pack_chunks(docs, "text", "doc_id", budget=256)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange hashpartitioning(stripe" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
