@@ -1073,6 +1073,14 @@ def sequence_pack_chunks(
             token_count(F.col(text_col)).cast("long").alias("n_tokens"),
         )
         .filter(F.col("n_tokens") > 0)
+        # three consumers read this tiny (doc_id, n_tokens) relation — the
+        # id-domain agg, the stripe totals, and the final windowed pass —
+        # and without materialization each re-runs the tokenization, the
+        # dominant per-row cost. localCheckpoint (not cache) because the
+        # returned plan is LAZY: there is no post-action hook to unpersist
+        # a cache from, and the checkpoint also cuts the lineage (the
+        # cms_token_estimates / dup_span_scrub discipline).
+        .localCheckpoint()
     )
     lo, hi = counts.agg(F.min("doc_id"), F.max("doc_id")).first()
     if lo is None:
