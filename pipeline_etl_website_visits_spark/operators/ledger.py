@@ -204,11 +204,10 @@ def writer_lease(
     if timeout is None:
         timeout = stale_after + 60.0
     deadline = time.monotonic() + timeout
+    token = f"{os.getpid()} {time.time():.6f} {id(object())}".encode()
     while True:
         try:
-            backend.create_exclusive(
-                lock, f"{os.getpid()} {time.time():.3f}".encode()
-            )
+            backend.create_exclusive(lock, token)
             break
         except FileNotFoundError:
             # the artifact dir itself vanished while we were waiting — a
@@ -252,8 +251,18 @@ def writer_lease(
     finally:
         stop.set()
         beat.join(timeout=5)
-        with contextlib.suppress(FileNotFoundError):
-            backend.remove(lock)
+        # ownership-checked release: a holder that was SUSPENDED past
+        # stale_after (SIGSTOP, VM pause) can be legitimately broken and
+        # superseded; on resume its release must not destroy the
+        # successor's lease. Read-then-remove leaves a microsecond race
+        # the POSIX backend cannot close (no compare-and-delete — the
+        # object-store backends with conditional DELETE close it exactly),
+        # but it shrinks "always deletes the successor" to that window.
+        with contextlib.suppress(FileNotFoundError, OSError):
+            with open(lock, "rb") as f:
+                owned = f.read() == token
+            if owned:
+                backend.remove(lock)
 
 
 def check_applied_key(key: str) -> str:

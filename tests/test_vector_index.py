@@ -546,3 +546,21 @@ def test_commit_backend_seam_routes_all_primitives(tmp_path):
     assert kinds.count("remove") == 1
     # and no stray direct-os commit happened after the swap back
     assert all(str(tmp_path) in p for _, p in calls)
+
+
+def test_writer_lease_release_is_ownership_checked(tmp_path):
+    """A holder suspended past stale_after can be legitimately broken and
+    superseded; its (late) release must not delete the successor's lease.
+    Simulated by swapping the lease file's content mid-hold."""
+    from pipeline_etl_website_visits_spark.operators import ledger
+
+    d = str(tmp_path / "art")
+    with ledger.writer_lease(d, name="w") as lock:
+        with open(lock, "wb") as f:  # a successor took over after a break
+            f.write(b"someone else")
+    assert os.path.exists(lock), "release deleted a lease it no longer owned"
+    os.remove(lock)
+    # normal path still releases
+    with ledger.writer_lease(d, name="w") as lock:
+        pass
+    assert not os.path.exists(lock)
