@@ -119,7 +119,10 @@ class LocalCommitBackend(CommitBackend):
             os.close(fd)
 
     def publish(self, path: str, payload: bytes) -> None:
-        tmp = f"{path}.tmp.{os.getpid()}"
+        # pid + thread id: concurrent publishers of one path are lease-
+        # serialized everywhere in this engine, but the scratch name must
+        # not be the thing that enforces it
+        tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
         with open(tmp, "wb") as f:
             f.write(payload)
         os.replace(tmp, path)

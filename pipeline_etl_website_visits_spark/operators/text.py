@@ -1067,6 +1067,10 @@ def sequence_pack_chunks(
     if budget <= 0:
         raise ValueError(f"budget must be positive, got {budget}")
     spark = df.sparkSession
+    # no fan-out of the single-file toy scan: whitespace token counting is
+    # too cheap per row to pay a text-column exchange (A/B at sf0.1:
+    # 0.73s fanned vs 0.64s single-task — the bigram-HOF rule's negative
+    # case); real-scale inputs parallelize at the scan
     counts = (
         df.select(
             F.col(id_col).cast("long").alias("doc_id"),

@@ -1716,6 +1716,6 @@ def x146(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x147(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return T.sequence_pack_chunks(docs, "text", "doc_id", budget=256).orderBy(
-        "doc_id"
-    )
+    # no final orderBy: the compare is row-order-insensitive (the x84
+    # rule) and the global sort was a sampling job + range exchange
+    return T.sequence_pack_chunks(docs, "text", "doc_id", budget=256)
