@@ -1129,3 +1129,64 @@ def sequence_pack_chunks(
         (chunk_last - chunk_first + F.lit(1)).cast("long").alias("n_chunks"),
         F.expr(f"(cum - n_tokens) % {b}").alias("offset_in_chunk"),
     )
+
+
+def greedy_pack_bins(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    budget: int,
+) -> DataFrame:
+    """Whole-document greedy bin packing: within each group, walk the
+    documents in ``id_col`` order and place each into the current bin
+    unless it would overflow ``budget`` tokens — then start a new bin.
+    Documents are never split (the SFT/finetuning packing discipline,
+    where an example must stay contiguous — contrast
+    :func:`sequence_pack_chunks`, the pretraining concat-and-chunk form
+    that cuts straight through document boundaries). A document longer
+    than the budget gets a bin of its own.
+
+    Greedy-with-reset is a SEQUENTIAL fold — no closed form, no window
+    trick (the reset makes prefix sums non-associative) — so the
+    parallelism unit is the GROUP: ``applyInPandas`` packs every group
+    independently, and at real scale the caller passes a fine grouping
+    key ((source, date, shard) — packing quality is local to a group by
+    definition, and millions of groups saturate any cluster). Inside a
+    group the fold is a plain loop over that group's rows in one Arrow
+    batch — bounded by the group, not the corpus. Zero-token documents
+    occupy no bin and are excluded (the sequence_pack_chunks rule).
+
+    Output: (group, doc_id, n_tokens, bin_ix, offset_in_bin); bin ids
+    restart at 0 per group. Exactly replayable in SQL via a recursive
+    CTE stepping one rank at a time per group (the x71 oracle shape).
+    """
+    import pandas as pd
+
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    counts = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(id_col).cast("long").alias("doc_id"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).filter(F.col("n_tokens") > 0)
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, offs = [], []
+        fill, bin_ix = 0, 0
+        for n in pdf["n_tokens"].to_numpy():
+            if fill > 0 and fill + n > budget:
+                bin_ix += 1
+                fill = 0
+            bins.append(bin_ix)
+            offs.append(fill)
+            fill += int(n)
+        pdf["bin_ix"] = pd.Series(bins, dtype="int64")
+        pdf["offset_in_bin"] = pd.Series(offs, dtype="int64")
+        return pdf
+
+    return counts.groupBy("grp").applyInPandas(
+        pack,
+        "grp string, doc_id long, n_tokens long, bin_ix long, offset_in_bin long",
+    )

@@ -1719,3 +1719,51 @@ def x147(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no final orderBy: the compare is row-order-insensitive (the x84
     # rule) and the global sort was a sampling job + range exchange
     return T.sequence_pack_chunks(docs, "text", "doc_id", budget=256)
+
+
+# --------------------------------------------------------------------------
+# x148 — whole-document greedy bin packing (the no-split SFT packing)
+#
+# x147 packs by cutting straight through documents (pretraining); x148 is
+# the other production packing: examples stay contiguous, a doc moves to a
+# new bin when it would overflow the budget. Greedy-with-reset has no
+# closed form (the reset breaks prefix-sum associativity), so the operator
+# parallelizes over GROUPS (applyInPandas per source; at 100 TB the caller
+# passes a fine (source, date, shard) key and millions of groups saturate
+# the cluster — see operators/text.py:greedy_pack_bins). The oracle
+# replays the sequential fold exactly with a recursive CTE stepping one
+# rank per group per level (the x71 recursion-oracle shape).
+# --------------------------------------------------------------------------
+@query(
+    "x148_greedy_doc_packing",
+    oracle="""
+    WITH RECURSIVE c AS (
+      SELECT source, doc_id,
+             CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS BIGINT) AS n_tokens
+      FROM documents
+    ), d AS (
+      SELECT source, doc_id, n_tokens,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+      FROM c WHERE n_tokens > 0
+    ), pack AS (
+      SELECT source, doc_id, n_tokens, rn,
+             CAST(0 AS BIGINT) AS bin_ix, CAST(0 AS BIGINT) AS offset_in_bin,
+             n_tokens AS fill
+      FROM d WHERE rn = 1
+      UNION ALL
+      SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+             CASE WHEN p.fill + d.n_tokens > 512 THEN p.bin_ix + 1 ELSE p.bin_ix END,
+             CASE WHEN p.fill + d.n_tokens > 512 THEN CAST(0 AS BIGINT) ELSE p.fill END,
+             CASE WHEN p.fill + d.n_tokens > 512 THEN d.n_tokens ELSE p.fill + d.n_tokens END
+      FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1
+    )
+    SELECT source AS grp, doc_id, n_tokens, bin_ix, offset_in_bin
+    FROM pack ORDER BY grp, doc_id
+    """,
+    certifies="X4 whole-document greedy bin packing (SFT packing): per-group sequential fold over applyInPandas, group = the parallelism unit; recursive-CTE oracle",
+    tags=("llm", "text", "scale"),
+)
+def x148(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.greedy_pack_bins(docs, "text", "doc_id", "source", budget=512)

@@ -73,6 +73,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     #    implementation changed this round (pack_pairs guard; ledger
     #    seam + family pointer under the stored indexes; x82 encode) --
     "x147_sequence_packing",
+    "x148_greedy_doc_packing",
     "x78_bpe_merges",
     "x140_market_basket_pairs",
     "x82_embed_pq_codes",
@@ -125,7 +126,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q10_merge_upsert",
     "q40_left_outer_join",
     "q41_cross_join",
-    "q42_except",
 )
 
 

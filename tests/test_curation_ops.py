@@ -459,3 +459,49 @@ def test_sequence_pack_plan_has_no_single_partition_exchange(spark):
     assert "Exchange SinglePartition" not in plan, plan
     assert "Exchange hashpartitioning(stripe" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_greedy_pack_bins_matches_reference_fold(spark):
+    """Whole-doc greedy packing vs a plain Python reference fold on random
+    multi-group data — exercising exact-fit boundaries (fill + n == budget
+    stays in the bin; strictly greater opens a new one), oversize docs
+    (own bin), zero-token exclusion, and group independence."""
+    import random
+
+    from pipeline_etl_website_visits_spark.operators.text import greedy_pack_bins
+
+    rng = random.Random(7)
+    rows, budget = [], 50
+    for i in range(300):
+        grp = f"s{rng.randint(0, 4)}"
+        n = rng.choice([0, 1, 5, 10, 25, 49, 50, 51, 80])  # includes > budget
+        rows.append((grp, i, " ".join(f"w{j}" for j in range(n)) if n else ""))
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    got = sorted(
+        map(tuple, greedy_pack_bins(df, "text", "doc_id", "source", budget=budget).collect())
+    )
+
+    want = []
+    for grp in sorted({r[0] for r in rows}):
+        fill, bin_ix = 0, 0
+        for _, did, txt in sorted(r for r in rows if r[0] == grp):
+            n = len(txt.split()) if txt.strip() else 0
+            if n == 0:
+                continue
+            if fill > 0 and fill + n > budget:
+                bin_ix += 1
+                fill = 0
+            want.append((grp, did, n, bin_ix, fill))
+            fill += n
+    assert got == sorted(want) and len(got) > 0
+    # every bin respects the budget unless it holds a single oversize doc
+    by_bin = {}
+    for grp, did, n, b, off in got:
+        by_bin.setdefault((grp, b), []).append(n)
+    for (grp, b), ns in by_bin.items():
+        assert sum(ns) <= budget or len(ns) == 1, ((grp, b), ns)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="budget"):
+        greedy_pack_bins(df, "text", "doc_id", "source", budget=0)
