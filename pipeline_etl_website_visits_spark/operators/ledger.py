@@ -105,6 +105,12 @@ class CommitBackend:
         stores without directories)."""
         raise NotImplementedError
 
+    def list_names(self, path: str) -> "list[str]":
+        """Names directly under ``path`` (empty list if absent) — the
+        read half of the marker ledger. Object-store: LIST with the
+        prefix; S3/GCS listings are strongly consistent."""
+        raise NotImplementedError
+
 
 class LocalCommitBackend(CommitBackend):
     """POSIX strategy: O_EXCL create + write-tmp-then-``os.replace``.
@@ -138,6 +144,11 @@ class LocalCommitBackend(CommitBackend):
 
     def ensure_dir(self, path: str) -> None:
         os.makedirs(path, exist_ok=True)
+
+    def list_names(self, path: str) -> "list[str]":
+        if not os.path.isdir(path):
+            return []
+        return os.listdir(path)
 
 
 _BACKEND: CommitBackend = LocalCommitBackend()
@@ -279,11 +290,9 @@ def check_applied_key(key: str) -> str:
 
 def applied_keys(ledger_dir: str) -> set[str]:
     """The set of committed batch keys (empty for a fresh artifact)."""
-    if not os.path.isdir(ledger_dir):
-        return set()
     return {
         fn[: -len(_SUFFIX)]
-        for fn in os.listdir(ledger_dir)
+        for fn in commit_backend().list_names(ledger_dir)
         if fn.endswith(_SUFFIX)
     }
 

@@ -564,3 +564,39 @@ def test_writer_lease_release_is_ownership_checked(tmp_path):
     with ledger.writer_lease(d, name="w") as lock:
         pass
     assert not os.path.exists(lock)
+
+
+def test_publish_crash_before_replace_preserves_old_pointer(tmp_path):
+    """Crash-inject the publish primitive: dying AFTER the scratch write
+    but BEFORE the atomic swap must leave the previously committed value
+    intact and readable, and the retry must complete normally — the
+    contract every generation pointer and applied-key marker rides on."""
+    from pipeline_etl_website_visits_spark.operators import ledger
+
+    class CrashOnce(ledger.LocalCommitBackend):
+        def __init__(self):
+            self.armed = True
+
+        def publish(self, path, payload):
+            if self.armed:
+                self.armed = False
+                with open(f"{path}.tmp.crashed", "wb") as f:
+                    f.write(payload)  # scratch landed, swap never did
+                raise OSError("injected crash between write and replace")
+            super().publish(path, payload)
+
+    ptr = str(tmp_path / "ptr")
+    prev = ledger.set_commit_backend(CrashOnce())
+    try:
+        ledger.set_commit_backend(prev)
+        ledger.publish_pointer(ptr, "gen_v1")  # committed under the real backend
+        ledger.set_commit_backend(CrashOnce())
+        import pytest
+
+        with pytest.raises(OSError, match="injected"):
+            ledger.publish_pointer(ptr, "gen_v2")
+        assert ledger.read_pointer(ptr) == "gen_v1", "torn publish"
+        ledger.publish_pointer(ptr, "gen_v2")  # retry succeeds
+        assert ledger.read_pointer(ptr) == "gen_v2"
+    finally:
+        ledger.set_commit_backend(prev)
