@@ -34,6 +34,7 @@ manifest reference.
 from __future__ import annotations
 
 import os
+import re
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -122,11 +123,26 @@ class Warehouse:
         blocks and then runs against the winner's pointer."""
         from pipeline_etl_website_visits_spark.operators import ledger
 
-        root = self.root[len("file:"):] if self.root.startswith("file:") else self.root
-        return ledger.writer_lease(root, name=name)
+        return ledger.writer_lease(self._local(self.root), name=name)
 
     def _local(self, p: str) -> str:
-        return p[len("file:"):] if p.startswith("file:") else p
+        """Strip the ``file:`` scheme for the commit backend's path
+        world. Any OTHER scheme (hdfs://, s3a://, ...) fails LOUDLY:
+        letting it through would make the pointer read degrade to
+        'no snapshot yet' and a merge silently rebuild the table from
+        scratch (ADVICE r8). A non-POSIX deployment swaps the commit
+        backend (operators.ledger.set_commit_backend), which owns path
+        interpretation end to end."""
+        if p.startswith("file:"):
+            return p[len("file:"):]
+        if re.match(r"^[a-zA-Z][a-zA-Z0-9+.-]*://", p):
+            raise NotImplementedError(
+                f"warehouse pointer protocol needs a POSIX-visible root or a "
+                f"matching commit backend; got {p!r} — swap the backend via "
+                f"operators.ledger.set_commit_backend instead of pointing the "
+                f"default LocalCommitBackend at a remote filesystem"
+            )
+        return p
 
     def _publish_pointer(self, pointer: str, content: str) -> None:
         """Atomic pointer flip through the commit backend
@@ -470,18 +486,19 @@ class Warehouse:
     # -- small-file helpers (pointer / manifests via Hadoop FS) --------------
     def _read_pointer_text(self, p: str) -> list[str] | None:
         """Read a pointer file published by :meth:`_publish_pointer` —
-        plain POSIX read, matching the plain POSIX publish. The pointer
-        must NOT round-trip through the Hadoop LocalFileSystem: its
-        checksummed writer leaves a ``.crc`` sidecar that an
-        ``os.replace`` publish doesn't update, and the next Hadoop read
-        would fail the checksum. Manifests (``_buckets``/``_applied``)
-        stay Hadoop-side end to end; only the pointer lives in the
-        commit backend's world."""
-        txt = None
-        try:
-            with open(self._local(p)) as f:
-                txt = f.read()
-        except FileNotFoundError:
+        through the commit backend's ``read`` primitive, matching the
+        backend publish (ADVICE r8: a raw open() here would read 'no
+        snapshot' on any non-local backend). The pointer must NOT
+        round-trip through the Hadoop LocalFileSystem: its checksummed
+        writer leaves a ``.crc`` sidecar that an ``os.replace`` publish
+        doesn't update, and the next Hadoop read would fail the
+        checksum. Manifests (``_buckets``/``_applied``) stay Hadoop-side
+        end to end; only the pointer lives in the commit backend's
+        world."""
+        from pipeline_etl_website_visits_spark.operators import ledger
+
+        txt = ledger.read_pointer(self._local(p))
+        if txt is None:
             return None
         return [ln.strip() for ln in txt.splitlines() if ln.strip()]
 

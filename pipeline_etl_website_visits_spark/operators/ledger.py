@@ -84,6 +84,15 @@ class CommitBackend:
         (per-key atomic), issued LAST in the commit sequence."""
         raise NotImplementedError
 
+    def read(self, path: str) -> bytes:
+        """Read ``path``'s full content; raise ``FileNotFoundError`` if
+        absent — the read half of :meth:`publish`/:meth:`create_exclusive`
+        (ADVICE r8: pointer reads and the lease-release ownership check
+        must come through the SAME backend as the writes, or a non-local
+        deployment silently reads 'no snapshot' / never releases).
+        Object-store: GET."""
+        raise NotImplementedError
+
     def remove(self, path: str) -> None:
         """Delete ``path``; raise ``FileNotFoundError`` if absent."""
         raise NotImplementedError
@@ -131,7 +140,27 @@ class LocalCommitBackend(CommitBackend):
         tmp = f"{path}.tmp.{os.getpid()}.{threading.get_ident()}"
         with open(tmp, "wb") as f:
             f.write(payload)
+            # fsync BEFORE the rename: os.replace is atomic against
+            # process crash, but on power loss the rename can hit the
+            # journal before the data blocks — leaving a durable
+            # ZERO-LENGTH pointer, which readers interpret as "no
+            # snapshot yet" (silent table restart: the exact window this
+            # primitive exists to close; ADVICE r8). fsync orders the
+            # data ahead of the rename.
+            f.flush()
+            os.fsync(f.fileno())
         os.replace(tmp, path)
+        # ...and the parent directory, so the rename itself is durable
+        # (a crash after publish must not roll the pointer back)
+        dfd = os.open(os.path.dirname(path) or ".", os.O_RDONLY)
+        try:
+            os.fsync(dfd)
+        finally:
+            os.close(dfd)
+
+    def read(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
 
     def remove(self, path: str) -> None:
         os.remove(path)
@@ -149,6 +178,90 @@ class LocalCommitBackend(CommitBackend):
         if not os.path.isdir(path):
             return []
         return os.listdir(path)
+
+
+class InMemoryObjectStoreBackend(CommitBackend):
+    """Object-store-SEMANTICS strategy: a flat, strongly-consistent
+    key→(payload, last-modified) namespace with conditional PUT — and
+    deliberately NO atomic rename, NO directories, NO O_EXCL. Each
+    primitive is implemented exactly the way the :class:`CommitBackend`
+    docstrings say a real object store meets the contract, so running
+    the lease/pointer/compaction goldens over this backend proves the
+    engine's commit protocol never leans on a POSIX-ism the documented
+    S3/GCS/Azure mapping lacks (VERDICT r8 item 2):
+
+    * ``create_exclusive`` = conditional PUT (``If-None-Match: *``):
+      an atomic exists-check-and-write under the store's linearizable
+      metadata op — NOT create-then-rename.
+    * ``publish`` = a plain PUT: per-key all-or-nothing, no tmp file,
+      no rename, readers see old or new bytes only.
+    * ``touch`` = metadata-refresh PUT (S3 copy-in-place): bumps the
+      last-modified time iff the key still exists.
+    * ``list_names`` = LIST with prefix (strongly consistent on S3
+      since 2020); ``ensure_dir`` is a no-op (no directories).
+
+    Process-local by nature — cross-PROCESS goldens stay on
+    :class:`LocalCommitBackend`, whose primitives the kernel arbitrates;
+    this class's job is the semantic profile, not multi-process reach.
+    A real deployment subclasses :class:`CommitBackend` with the HTTP
+    calls; every call site is already routed through
+    :func:`commit_backend`, so no operator code changes.
+    """
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._objects: dict[str, tuple[bytes, float]] = {}
+
+    def create_exclusive(self, path: str, payload: bytes) -> None:
+        with self._lock:  # the store's linearizability, not a client lock
+            if path in self._objects:
+                raise FileExistsError(path)
+            self._objects[path] = (payload, time.time())
+
+    def publish(self, path: str, payload: bytes) -> None:
+        with self._lock:
+            self._objects[path] = (payload, time.time())
+
+    def read(self, path: str) -> bytes:
+        with self._lock:
+            try:
+                return self._objects[path][0]
+            except KeyError:
+                raise FileNotFoundError(path) from None
+
+    def remove(self, path: str) -> None:
+        with self._lock:
+            try:
+                del self._objects[path]
+            except KeyError:
+                raise FileNotFoundError(path) from None
+
+    def mtime(self, path: str) -> float:
+        with self._lock:
+            try:
+                return self._objects[path][1]
+            except KeyError:
+                raise FileNotFoundError(path) from None
+
+    def touch(self, path: str) -> None:
+        with self._lock:
+            try:
+                payload, _ = self._objects[path]
+            except KeyError:
+                raise FileNotFoundError(path) from None
+            self._objects[path] = (payload, time.time())
+
+    def ensure_dir(self, path: str) -> None:
+        pass  # no directories in a flat namespace
+
+    def list_names(self, path: str) -> "list[str]":
+        prefix = path.rstrip("/") + "/"
+        with self._lock:
+            return [
+                k[len(prefix):]
+                for k in self._objects
+                if k.startswith(prefix) and "/" not in k[len(prefix):]
+            ]
 
 
 _BACKEND: CommitBackend = LocalCommitBackend()
@@ -273,9 +386,7 @@ def writer_lease(
         # object-store backends with conditional DELETE close it exactly),
         # but it shrinks "always deletes the successor" to that window.
         with contextlib.suppress(FileNotFoundError, OSError):
-            with open(lock, "rb") as f:
-                owned = f.read() == token
-            if owned:
+            if backend.read(lock) == token:
                 backend.remove(lock)
 
 
@@ -305,12 +416,26 @@ def record_applied_key(ledger_dir: str, key: str) -> None:
     backend.publish(os.path.join(ledger_dir, key + _SUFFIX), key.encode())
 
 
+def reset_applied_keys(ledger_dir: str) -> None:
+    """Clear an artifact's applied-key ledger (a REBUILD starts a fresh
+    incarnation whose redo history must not leak in) — through the
+    backend, because on a non-local backend the markers don't live where
+    a ``shutil.rmtree`` of the artifact path can see them."""
+    backend = commit_backend()
+    for fn in backend.list_names(ledger_dir):
+        with contextlib.suppress(FileNotFoundError, OSError):
+            backend.remove(os.path.join(ledger_dir, fn))
+
+
 def read_pointer(path: str) -> str | None:
     """Read a published pointer file (None if absent) — the reader half
-    of :meth:`CommitBackend.publish`-committed generation pointers."""
+    of :meth:`CommitBackend.publish`-committed generation pointers.
+    Routed through the backend's ``read`` primitive so a non-POSIX
+    deployment reads pointers from the same store it publishes them to
+    (ADVICE r8: a raw ``open()`` here would return None — 'no snapshot'
+    — for every pointer on an object-store backend)."""
     try:
-        with open(path, "rb") as f:
-            return f.read().decode()
+        return commit_backend().read(path).decode()
     except FileNotFoundError:
         return None
 

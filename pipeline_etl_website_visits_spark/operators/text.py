@@ -1186,7 +1186,13 @@ def greedy_pack_bins(
         pdf["offset_in_bin"] = pd.Series(offs, dtype="int64")
         return pdf
 
+    # the grp field keeps the CALLER's group type — the recommended fine
+    # grouping keys ((source, date, shard)) are often ints, and a
+    # hardcoded string here would fail the Arrow schema check at runtime
+    # (ADVICE r8)
+    grp_type = df.schema[group_col].dataType.simpleString()
     return counts.groupBy("grp").applyInPandas(
         pack,
-        "grp string, doc_id long, n_tokens long, bin_ix long, offset_in_bin long",
+        f"grp {grp_type}, doc_id long, n_tokens long, "
+        f"bin_ix long, offset_in_bin long",
     )

@@ -115,13 +115,11 @@ def build_ivfpq_index(
     # rewriting meta; the sidecar refactor must do it explicitly, or a
     # post-rebuild append reusing a batch key would silently no-op and
     # the batch's vectors would be absent from the index)
-    import shutil
-
-    shutil.rmtree(os.path.join(path, "applied"), ignore_errors=True)
+    ledger.reset_applied_keys(os.path.join(path, "applied"))
     # ...and any compaction pointer: the rebuild writes generation zero
     # ("codes"), so a stale pointer would resurrect a dead generation
     try:
-        os.remove(os.path.join(path, "codes_current"))
+        ledger.commit_backend().remove(os.path.join(path, "codes_current"))
     except FileNotFoundError:
         pass
     (

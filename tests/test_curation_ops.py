@@ -505,3 +505,20 @@ def test_greedy_pack_bins_matches_reference_fold(spark):
 
     with pytest.raises(ValueError, match="budget"):
         greedy_pack_bins(df, "text", "doc_id", "source", budget=0)
+
+
+def test_greedy_pack_bins_int_group_key(spark):
+    """The grp output field carries the CALLER's group type (ADVICE r8):
+    the docstring recommends fine grouping keys like an int shard id,
+    which the old hardcoded 'grp string' schema rejected with an Arrow
+    mismatch at runtime."""
+    from pipeline_etl_website_visits_spark.operators.text import greedy_pack_bins
+
+    df = spark.createDataFrame(
+        [(7, 1, "a b c"), (7, 2, "d e"), (9, 3, "f g h i")],
+        "shard int, doc_id long, text string",
+    )
+    out = greedy_pack_bins(df, "text", "doc_id", "shard", budget=4)
+    assert out.schema["grp"].dataType.simpleString() == "int"
+    got = sorted(map(tuple, out.collect()))
+    assert got == [(7, 1, 3, 0, 0), (7, 2, 2, 1, 0), (9, 3, 4, 0, 0)]
