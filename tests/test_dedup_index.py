@@ -237,11 +237,15 @@ def test_compact_migrates_legacy_property_keys(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
-def test_compact_folds_racing_gram_append_and_carries_its_marker(spark, tmp_path):
+def test_compact_folds_racing_gram_append_and_carries_its_marker(
+    spark, tmp_path, any_commit_backend
+):
     """The round-6 ADVICE race: an append committing between compaction's
     snapshot and its swap must have BOTH its rows and its ledger marker in
     the new location — with remove_old=True (the permanent-loss path) the
-    delta fold under the writer lease is what saves the batch."""
+    delta fold under the writer lease is what saves the batch. Runs under
+    BOTH commit backends (VERDICT r8 item 2): the marker carry and the
+    lease hand-off must not lean on POSIX rename/O_EXCL."""
     import os
 
     from pipeline_etl_website_visits_spark.operators.dedup import (
@@ -416,7 +420,9 @@ def test_gc_gram_generations_removes_only_dead_family_dirs(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
-def test_stale_registration_append_redirects_to_live_generation(spark, tmp_path):
+def test_stale_registration_append_redirects_to_live_generation(
+    spark, tmp_path, any_commit_backend
+):
     """The ADVICE-r7 multi-driver race, simulated with two catalog
     entries over one index family (each entry is an independent
     per-session-style pointer): driver B registers, driver A compacts

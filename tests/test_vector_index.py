@@ -213,10 +213,14 @@ def test_rebuild_resets_applied_ledger(spark, emb, tmp_path):
     assert n == emb.count()  # batch present exactly once after rebuild
 
 
-def test_compact_codes_preserves_search_append_and_ledger(spark, emb, tmp_path):
+def test_compact_codes_preserves_search_append_and_ledger(
+    spark, emb, tmp_path, any_commit_backend
+):
     """Append pileup -> compaction: one file per cell, searches stay
     bit-identical, later appends land in the new generation, and the
-    redo ledger survives (replayed batch still no-ops)."""
+    redo ledger survives (replayed batch still no-ops). Runs under BOTH
+    commit backends (VERDICT r8 item 2): generation pointer + ledger
+    must work with plain-PUT semantics, no rename."""
     from pipeline_etl_website_visits_spark.operators.vector_index import (
         _codes_dir,
         append_to_ivfpq_index,
@@ -276,7 +280,9 @@ def test_gc_removes_only_dead_generations(spark, emb, tmp_path):
     assert gc_ivfpq_generations(p) == []  # idempotent
 
 
-def test_compact_folds_in_appends_that_race_the_rewrite(spark, emb, tmp_path):
+def test_compact_folds_in_appends_that_race_the_rewrite(
+    spark, emb, tmp_path, any_commit_backend
+):
     """An append that lands while compaction is rewriting resolves the OLD
     generation (the pointer hasn't swapped yet) — without the delta fold
     its rows would be ledger-marked applied yet destroyed by GC. The
