@@ -606,3 +606,96 @@ def test_publish_crash_before_replace_preserves_old_pointer(tmp_path):
         assert ledger.read_pointer(ptr) == "gen_v2"
     finally:
         ledger.set_commit_backend(prev)
+
+
+def test_two_process_append_races_destructive_compaction(spark, emb, tmp_path):
+    """VERDICT r9 item 3: the vector index's lease/pointer protocol across
+    TWO DRIVER PROCESSES (separate JVMs, same index path on disk) — the
+    warehouse merge and gram append already have real-subprocess goldens;
+    this closes the triplet.
+
+    Driver B (a real subprocess) appends a batch while driver A (this
+    session) is mid-compaction (new generation written, pointer swap not
+    yet taken — the _before_swap seam parks A until B commits). B's batch
+    resolves the OLD generation's pointer, so without the final delta fold
+    under the codes-writer lease, remove_old=True would destroy its only
+    copy. At the end: ONE consistent generation pointer, base + batch all
+    present, and a second run of B no-ops on the replayed key."""
+    import os
+    import subprocess
+    import sys
+    import time
+
+    from pipeline_etl_website_visits_spark.operators import ledger
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        _codes_dir,
+        compact_ivfpq_codes,
+        index_cell_stats,
+    )
+
+    base = emb.filter(F.col("vec_id") < 300)
+    p = str(tmp_path / "xpidx")
+    sentinel = str(tmp_path / "b_done")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "driver_b.py"
+    script.write_text(
+        f"""
+import sys
+sys.path.insert(0, {repr(repo_root)})
+import pyspark.sql.functions as F
+from pipeline_etl_website_visits_spark.session import get_spark
+from pipeline_etl_website_visits_spark.operators.vector_index import (
+    append_to_ivfpq_index,
+)
+
+spark = get_spark(
+    "driver-b", master="local[2]", shuffle_partitions=2,
+    extra_conf={{"spark.ui.enabled": "false",
+                 "spark.sql.warehouse.dir": {repr(str(tmp_path / "wh_b"))}}},
+)
+spark.sparkContext.setLogLevel("ERROR")
+emb = spark.read.parquet({repr(f"{SF_DIR}/embeddings.parquet")})
+batch = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+ok = append_to_ivfpq_index(batch, {repr(p)}, applied_key="xpb1")
+print("APPENDED", ok, flush=True)
+open({repr(sentinel)}, "w").write("done")
+spark.stop()
+"""
+    )
+
+    def run_b():
+        return subprocess.run(
+            [sys.executable, str(script)], capture_output=True, text=True, timeout=300
+        )
+
+    build_ivfpq_index(base, p, num_coarse=4)
+    n_base = base.count()
+    results = {}
+
+    def park_until_b_commits():
+        results["b1"] = run_b()
+        deadline = time.monotonic() + 300
+        while not os.path.exists(sentinel) and time.monotonic() < deadline:
+            time.sleep(0.2)
+
+    new_dir = compact_ivfpq_codes(
+        spark, p, remove_old=True, _before_swap=park_until_b_commits
+    )
+    assert "APPENDED True" in results["b1"].stdout, results["b1"].stderr[-2000:]
+    # one consistent generation: pointer names the new dir, old one is gone
+    assert _codes_dir(p) == new_dir
+    assert not os.path.exists(os.path.join(p, "codes")), (
+        "dead generation survived remove_old"
+    )
+    # B's rows were folded in before the swap — base + batch all present
+    n = sum(r["n_vectors"] for r in index_cell_stats(spark, p).collect())
+    assert n == n_base + 100, (n, n_base)
+    assert "xpb1" in ledger.applied_keys(os.path.join(p, "applied"))
+    # searches answer through A's session over the folded index
+    q = emb.filter(F.col("vec_id") < 3)
+    assert len(ivfpq_search(spark, p, q, k=5, nprobe=4).collect()) > 0
+    # driver B round 2: the replayed key no-ops cross-process
+    os.remove(sentinel)
+    b2 = run_b()
+    assert "APPENDED False" in b2.stdout, b2.stderr[-2000:]
+    assert sum(r["n_vectors"] for r in index_cell_stats(spark, p).collect()) == n
