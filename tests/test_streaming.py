@@ -564,6 +564,105 @@ def test_stream_dedup_gated_ingest_rejects_duplicate_shard(spark, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
+def test_stream_ingest_mid_batch_death_converges_exactly_once(spark, tmp_path):
+    """VERDICT r9 item 7: crash-inject the streamed ingestion's ledger
+    commit — the sink dies BETWEEN the gram insert and the applied-key
+    mark (the documented crash window), the stream restarts from its
+    checkpoint, and with the dedup gate on the state converges to the
+    batch present EXACTLY ONCE: no loss (every novel doc answers), no
+    duplicate (the replay re-inserts nothing — each already-inserted doc
+    is a perfect duplicate of itself and gets gated), marker finally
+    lands."""
+    import os
+
+    from pipeline_etl_website_visits_spark.operators import ledger
+    from pipeline_etl_website_visits_spark.operators.dedup import (
+        _table_location,
+        save_gram_index,
+    )
+    from pipeline_etl_website_visits_spark.streaming.corpus_stream import (
+        start_index_ingest_stream,
+        stream_key_prefix,
+    )
+
+    class DieAtMarker(ledger.LocalCommitBackend):
+        """Raise ONCE on the first applied-key marker publish — the
+        narrowest possible injection: the insert has committed, the
+        marker has not (everything else, incl. lease traffic, flows)."""
+
+        def __init__(self):
+            self.armed = True
+
+        def publish(self, path, payload):
+            if self.armed and f"{os.sep}_applied{os.sep}" in path:
+                self.armed = False
+                raise OSError("injected mid-batch death before ledger mark")
+            super().publish(path, payload)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 3 == 0)
+    day1 = docs.filter(F.col("doc_id") % 3 == 1)
+
+    table = "gramidx_crash_t"
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    prev = None
+    try:
+        save_gram_index(corpus, table, str(tmp_path / "idx"), "text", "doc_id", n=3)
+        n_seed = spark.table(table).count()
+        # expected exactly-once content, decided against the PRE-stream
+        # index: day1 docs already >=0.99-contained in the seed corpus are
+        # legitimately gated; everything else must end up present
+        from pipeline_etl_website_visits_spark.operators.dedup import (
+            containment_dedup_vs_stored,
+        )
+
+        pre = containment_dedup_vs_stored(
+            day1, spark.table(table), "text", "doc_id", n=3, threshold=0.99
+        )
+        expected_gated = {r["doc_id"] for r in pre.filter("dropped").collect()}
+        day1.coalesce(1).write.parquet(str(in_dir / "shard1"))
+
+        prev = ledger.set_commit_backend(DieAtMarker())
+        q = start_index_ingest_stream(
+            spark, str(in_dir) + "/*/", table, ckpt, dedup_threshold=0.99
+        )
+        import pyspark.errors
+        import pytest
+
+        with pytest.raises(pyspark.errors.StreamingQueryException):
+            q.awaitTermination(120)
+            raise AssertionError("injected death never fired")
+
+        # the true crash-window state: rows committed, marker absent
+        spark.catalog.refreshTable(table)
+        n_crashed = spark.table(table).count()
+        assert n_crashed > n_seed, "insert should have committed before the death"
+        key = f"{stream_key_prefix(ckpt)}_b0"
+        loc = _table_location(spark, table)
+        assert key not in ledger.applied_keys(os.path.join(loc, "_applied"))
+
+        # restart the SAME checkpoint lineage (backend healed: armed=False)
+        q = start_index_ingest_stream(
+            spark, str(in_dir) + "/*/", table, ckpt, dedup_threshold=0.99
+        )
+        q.awaitTermination(120)
+        spark.catalog.refreshTable(table)
+        # no duplicate: the replay's gate dropped every already-inserted doc
+        assert spark.table(table).count() == n_crashed
+        # no loss: every novel (non-pre-gated) day1 doc's grams are present
+        idx_ids = {r["old_id"] for r in spark.table(table).select("old_id").distinct().collect()}
+        novel = {r["doc_id"] for r in day1.select("doc_id").collect()}
+        assert (novel - expected_gated) <= idx_ids
+        # ...and the marker finally landed
+        assert key in ledger.applied_keys(os.path.join(loc, "_applied"))
+    finally:
+        if prev is not None:
+            ledger.set_commit_backend(prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
 def test_stream_vector_ingest_equals_full_rebuild(spark, tmp_path):
     """Streaming embedding shards drained into a stored IVF-PQ index give
     bit-identical search results to one full rebuild over everything, and
