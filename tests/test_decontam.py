@@ -1,0 +1,113 @@
+"""Unified decontamination front door (operators/decontam.py, VERDICT r8
+item 6): each mode must be BIT-IDENTICAL to its independently-certified
+query — the API routes to the same kernels, so any drift is a routing
+bug, and these goldens make it loud."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from pipeline_etl_website_visits_spark.operators.decontam import decontaminate
+from pipeline_etl_website_visits_spark.queries.registry import REGISTRY
+import pipeline_etl_website_visits_spark.queries  # noqa: F401 - registry fill
+from tests.conftest import SF_DIR
+
+
+def _rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_fuzzy_mode_matches_x47(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") >= 20)
+    evalset = docs.filter(F.col("doc_id") < 20)
+    got = decontaminate(corpus, evalset, "fuzzy", n=3)
+    want = REGISTRY["x47_decontaminate"].spark(spark, SF_DIR)
+    assert _rows(got) == _rows(want) and len(_rows(got)) > 0
+    # filter action: clean = corpus minus every reported hit (threshold 1)
+    clean = decontaminate(corpus, evalset, "fuzzy", n=3, action="filter")
+    hit_ids = {r[0] for r in _rows(got)}
+    assert {r["doc_id"] for r in clean.collect()} == (
+        {r["doc_id"] for r in corpus.collect()} - hit_ids
+    )
+
+
+def test_membership_mode_matches_x66(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fp = F.md5(F.col("n_chars").cast("string"))
+    got = decontaminate(
+        docs.select("doc_id", "lang", "n_chars"),
+        docs.filter(F.col("source") == "src0"),
+        "membership",
+        fingerprint=fp,
+        action="filter",
+    )
+    want = REGISTRY["x66_prefilter_decontam"].spark(spark, SF_DIR)
+    assert _rows(got) == _rows(want) and len(_rows(got)) > 0
+    # report action = exactly the complement (the dropped rows)
+    dropped = decontaminate(
+        docs.select("doc_id", "lang", "n_chars"),
+        docs.filter(F.col("source") == "src0"),
+        "membership",
+        fingerprint=fp,
+        action="report",
+    )
+    assert {r[0] for r in _rows(dropped)} == (
+        {r["doc_id"] for r in docs.collect()} - {r[0] for r in _rows(got)}
+    )
+
+
+def test_semantic_mode_matches_x101(spark):
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    evals = emb.filter(F.col("vec_id") % 50 == 0)
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    got = decontaminate(
+        corpus, evals, "semantic", id_col="vec_id", threshold=0.35
+    )
+    want = REGISTRY["x101_semantic_decontam"].spark(spark, SF_DIR)
+    assert _rows(got) == _rows(want) and len(_rows(got)) > 0
+    # filter removes exactly the hit corpus ids
+    clean = decontaminate(
+        corpus, evals, "semantic", id_col="vec_id", threshold=0.35, action="filter"
+    )
+    assert {r["vec_id"] for r in clean.collect()} == (
+        {r["vec_id"] for r in corpus.collect()} - {r[0] for r in _rows(got)}
+    )
+
+
+def test_substring_mode_matches_x138(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    needles = [
+        r["needle"]
+        for r in docs.filter(F.col("doc_id") % 97 == 0)
+        .select("doc_id", F.substring("text", 20, 30).alias("needle"))
+        .filter(F.length("needle") == 30)
+        .orderBy("doc_id")
+        .limit(16)
+        .collect()
+    ]
+    got = decontaminate(docs, docs.limit(0), "substring", needles=needles)
+    want = REGISTRY["x138_substring_decontam"].spark(spark, SF_DIR)
+    assert _rows(got) == _rows(want) and len(_rows(got)) > 0
+
+
+def test_substring_default_needles_and_bound(spark):
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta"), (3, "the alpha beta gamma doc")],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame([(10, "Alpha  Beta GAMMA")], "doc_id long, text string")
+    # default needles = normalized evalset text: doc 1 and 3 contain it
+    hits = decontaminate(docs, evalset, "substring")
+    assert {r["doc_id"] for r in hits.collect()} == {1, 3}
+    clean = decontaminate(docs, evalset, "substring", action="filter")
+    assert {r["doc_id"] for r in clean.collect()} == {2}
+    with pytest.raises(ValueError, match="needles"):
+        decontaminate(docs, docs, "substring", max_needles=1)
+
+
+def test_mode_and_action_validation(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="mode"):
+        decontaminate(docs, docs, "bloom")
+    with pytest.raises(ValueError, match="action"):
+        decontaminate(docs, docs, "fuzzy", action="drop")
