@@ -51,81 +51,79 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in dict order; with 177 registered queries we rotate so every query's
+# in dict order; with 179 registered queries we rotate so every query's
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-7 pinning rule: HEAD = the eight queries whose implementation
-# changed in round 7 (x123 eager cache-scoped materialization; x146 UDTF
-# empty-text oracle parity; x140 packed pair keys + conditional
-# repartition; x84/x82 via the pq_code_batch qerr take-along; x143 via
-# the mad_outliers approx knob; x117/x122 via the stored-index writer
-# lease + snapshot/delta compaction), then the stalest rows — 42 of the
-# 43 round-3-latest names (each green twice, implementation unchanged
-# since round 3, displaced across rounds 5-6 by never-checked heads):
-# 8 + 42 = exactly 50. The alphabetical tail (x78) plus every
-# round-4/5/6-latest row spills to round 8; all stay covered by the
-# local full-suite check_oracle runs.
+# Round-9 pinning rule: HEAD = the four queries whose implementation (or
+# underlying operators) changed this round, then ALL 39 round-5-latest
+# names (including q42/q43, displaced by the r8 head), then the 7 oldest
+# round-6-latest names: 4 + 39 + 7 = exactly 50. After this round no
+# query's latest driver row predates round 6; the remaining round-6
+# cohort rotates in round 10. All names stay covered by the local
+# full-suite check_oracle runs regardless of rotation.
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- (a) round-8 rotation head: the NEW query first (never driver-
-    #    checked), then the one remaining round-3-latest
-    #    name (x78 — the r7 alphabetical spill), then the queries whose
-    #    implementation changed this round (pack_pairs guard; ledger
-    #    seam + family pointer under the stored indexes; x82 encode) --
-    "x147_sequence_packing",
+    # -- (a) round-9 rotation head: the queries whose implementation (or
+    #    whose underlying operators) changed this round — x148 via
+    #    greedy_pack_bins' caller-typed grp schema; x122/x117 via the
+    #    stored indexes' backend-routed ledger resets/carries +
+    #    save_gram_index's family compactor lease; q10 via the warehouse
+    #    pointer reads now routed through the commit backend --
     "x148_greedy_doc_packing",
-    "x78_bpe_merges",
-    "x140_market_basket_pairs",
-    "x82_embed_pq_codes",
-    "x117_stored_index_search",
     "x122_stored_gram_dedup",
-    # -- (b) ALL 39 round-4-latest names: after this round no query's
-    #    latest driver row predates round 5 (VERDICT r7 item 3) --
-    "q02_regex_filter",
-    "q03_null_or_pattern",
-    "q04_bool_split",
-    "q06_nullif_trim",
-    "q07_casts",
-    "q08_visits_agg",
-    "q09_scalar_counts",
-    "q11_anti_join",
-    "q12_inner_join",
-    "q13_semi_join",
-    "q14_window_dedup",
-    "q15_topk",
-    "q16_union",
-    "q17_count_distinct",
-    "q18_rollup",
-    "q19_extract_ym",
-    "q20_text_ops",
-    "x100_weighted_sample",
-    "x101_semantic_decontam",
-    "x103_cohort_retention",
-    "x104_session_window_native",
-    "x105_token_budget_mixture",
-    "x56_dedup_containment",
-    "x80_product_profit",
-    "x81_market_share",
-    "x83_ngram_novelty",
-    "x85_incremental_dedup",
-    "x86_dedup_pipeline",
-    "x87_correlated_exists",
-    "x88_lateral_topk",
-    "x89_fuzzy_adjacent_names",
-    "x90_bpe_token_counts",
-    "x91_hll_union_rollup",
-    "x93_zorder_zone_map",
-    "x94_incremental_mv",
-    "x95_skyline_pareto",
-    "x96_semantic_dedup",
-    "x97_cms_token_counts",
-    "x99_custdist",
-    # -- (c) oldest round-5-latest names fill the remaining slots
-    #    (q10 also exercises the lease changes under merge) --
-    "q00_flagship_visitantes",
+    "x117_stored_index_search",
     "q10_merge_upsert",
-    "q40_left_outer_join",
-    "q41_cross_join",
+    # -- (b) ALL 39 round-5-latest names (incl. the q42/q43 the r8 head
+    #    displaced): after this round no query's latest driver row
+    #    predates round 6 (VERDICT r8 item 1) --
+    "q42_except",
+    "q43_intersect",
+    "q44_union_distinct",
+    "q45_cube",
+    "q46_window_rank_lag",
+    "q47_window_frame_running_sum",
+    "q48_having",
+    "q49_conditional_agg",
+    "q50_scalar_subquery",
+    "q51_in_subquery",
+    "q52_string_funcs",
+    "q53_math_funcs",
+    "q54_date_funcs",
+    "q55_json_extract",
+    "q57_inline_lookup_join",
+    "x106_label_centroids",
+    "x107_scd2_dimension",
+    "x108_scd2_asof_lookup",
+    "x109_waiting_supplier",
+    "x110_dormant_customers",
+    "x111_bulk_suppliers",
+    "x112_dup_span_scrub",
+    "x113_constraint_audit",
+    "x114_neardup_triangles",
+    "x115_repetition_scrub",
+    "x116_cheapest_supplier",
+    "x118_promo_revenue",
+    "x119_disjunctive_revenue",
+    "x120_top_supplier",
+    "x121_nation_volume",
+    "x28_text_quality",
+    "x29_text_token_count",
+    "x30_text_fingerprint",
+    "x31_doc_stats_by_lang",
+    "x34_events_user_daily",
+    "x35_distinct",
+    "x38_top_bigrams",
+    "x79_recursive_cte",
+    "x98_doc_pagerank",
+    # -- (c) oldest round-6-latest names fill the remaining 7 slots;
+    #    the rest of the round-6 cohort rotates in round 10 --
+    "q58_star_join",
+    "q59_sql_identical_text",
+    "q60_pricing_summary",
+    "q61_pivot",
+    "q62_variance_manual",
+    "q63_shipping_priority",
+    "q64_regional_volume",
 )
 
 
