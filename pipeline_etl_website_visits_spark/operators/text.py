@@ -1196,3 +1196,105 @@ def greedy_pack_bins(
         f"grp {grp_type}, doc_id long, n_tokens long, "
         f"bin_ix long, offset_in_bin long",
     )
+
+
+def split_bounds(train: float = 0.8, val: float = 0.1) -> "tuple[str, str]":
+    """The two 8-hex-digit fingerprint-prefix bounds that carve md5 space
+    into train/val/test fractions — shared by :func:`leakage_free_split`
+    and its SQL oracle so both engines compare against the SAME literals
+    (never re-derive a float fraction per engine)."""
+    if not (0 < train < 1 and 0 < val < 1 and train + val < 1):
+        raise ValueError(f"need 0<train, 0<val, train+val<1; got {train}, {val}")
+    scale = 16**8
+    return (
+        format(min(int(train * scale), scale - 1), "08x"),
+        format(min(int((train + val) * scale), scale - 1), "08x"),
+    )
+
+
+def leakage_free_split(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    train: float = 0.8,
+    val: float = 0.1,
+    key: Column | None = None,
+) -> DataFrame:
+    """Deterministic leakage-free train/val/test assignment: the split is
+    a pure function of the document's content fingerprint (md5 of
+    normalized text by default), so every EXACT copy of a document —
+    across shards, sources, re-crawls, reruns — lands in the SAME split.
+    Hash-based assignment is the training-pipeline discipline random
+    sampling violates twice over: a random split is neither reproducible
+    across reruns nor consistent for duplicated content (the classic
+    train/test leak). For near-duplicate leakage, pass ``key`` = the dup
+    CLUSTER's fingerprint (e.g. the x71 connected-components label or a
+    MinHash bucket id) so the whole cluster moves together.
+
+    Assignment compares the fingerprint's first 8 hex digits against the
+    :func:`split_bounds` literals — a plain string comparison both
+    engines evaluate identically (the x65 strata-hex idiom; never
+    hex→int conversions that differ per dialect).
+
+    Scale: map-only — one codegen'd projection, no shuffle, no state;
+    the split of 100 TB is decided at scan speed.
+    """
+    from pipeline_etl_website_visits_spark.operators.dedup import fingerprint
+
+    lo, hi = split_bounds(train, val)
+    fp = fingerprint(F.col(text_col)) if key is None else F.md5(key.cast("string"))
+    prefix = F.substring(fp, 1, 8)
+    return df.select(
+        F.col(id_col),
+        F.when(prefix < lo, F.lit("train"))
+        .when(prefix < hi, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+def oov_counts(
+    df: DataFrame,
+    vocab: "list[str]",
+    text_col: str,
+    id_col: str,
+    group_col: str,
+) -> DataFrame:
+    """Vocabulary-coverage audit: per ``group_col``, total whitespace
+    tokens and how many fall OUTSIDE ``vocab`` (the out-of-vocabulary
+    mass a fixed tokenizer would map to <unk>). The pipeline gate before
+    committing a tokenizer to a new corpus slice: a source whose OOV
+    share jumps is mis-normalized, mis-languaged, or needs a vocab
+    refresh.
+
+    ``vocab`` is a driver-side list (tokenizer vocabularies are ~50k
+    entries — KBs against TB corpora) shipped as a plan literal: the
+    scan stays MAP-ONLY (normalize → split → two array HOF counts per
+    row, all codegen'd; no explode, no join), and the single exchange is
+    the final groupBy on ``group_col``. Counts only — BIGINTs, exact
+    across engines; rates are the caller's division.
+    """
+    from pipeline_etl_website_visits_spark.operators.dedup import normalize_text
+
+    if len(vocab) > 200_000:
+        raise ValueError(
+            f"vocab has {len(vocab)} entries; the plan-literal contract is "
+            f"a tokenizer-sized vocabulary (<=200k) — store bigger sets as "
+            f"a table and broadcast-join instead"
+        )
+    lit_vocab = F.array(*[F.lit(v) for v in sorted(set(vocab))])
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    return (
+        df.select(
+            F.col(group_col),
+            F.size(toks).cast("long").alias("n_toks"),
+            F.size(
+                F.filter(toks, lambda t: ~F.array_contains(lit_vocab, t))
+            ).cast("long").alias("n_oov"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("n_oov").cast("long").alias("n_oov"),
+        )
+    )

@@ -1767,3 +1767,77 @@ def x147(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x148(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.greedy_pack_bins(docs, "text", "doc_id", "source", budget=512)
+
+
+# --------------------------------------------------------------------------
+# x149 — leakage-free hash split (train/val/test assignment)
+#
+# The training-pipeline split discipline: assignment is a pure function
+# of the CONTENT fingerprint, so exact copies of a document — across
+# shards, re-crawls, reruns — always land in the same split (random
+# sampling leaks duplicated content across train/test and is not even
+# reproducible). Map-only: one codegen'd projection, the 100 TB split is
+# decided at scan speed. Bounds compared as 8-hex-digit string literals
+# (the x65 strata-hex idiom) shared between engines via
+# operators.text.split_bounds — never per-dialect hex→int conversion.
+# --------------------------------------------------------------------------
+_SPLIT_LO, _SPLIT_HI = T.split_bounds(0.8, 0.1)
+
+
+@query(
+    "x149_leakage_free_split",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN SUBSTRING(md5({_NORM}), 1, 8) < '{_SPLIT_LO}' THEN 'train'
+                WHEN SUBSTRING(md5({_NORM}), 1, 8) < '{_SPLIT_HI}' THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents ORDER BY doc_id
+    """,
+    certifies="X4 leakage-free deterministic train/val/test split: content-fingerprint hex-prefix assignment, map-only (north-star §0.3)",
+    tags=("llm", "curation", "text"),
+)
+def x149(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.leakage_free_split(docs, "text", "doc_id", train=0.8, val=0.1)
+
+
+# --------------------------------------------------------------------------
+# x150 — OOV-rate audit (vocabulary coverage per source)
+#
+# The gate before committing a tokenizer to a new corpus slice: per
+# source, total whitespace tokens and how many a fixed vocabulary would
+# map to <unk>. The "tokenizer sample" is pinned (the first three
+# documents' distinct tokens) so the vocab is deterministic and
+# SF-independent; the corpus scan is MAP-ONLY against the plan-literal
+# vocab (two array HOF counts per row, no explode/join), one exchange
+# for the source rollup. Counts only — exact BIGINTs in both engines.
+# --------------------------------------------------------------------------
+@query(
+    "x150_oov_rate",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT DISTINCT unnest(regexp_split_to_array({_NORM}, ' ')) AS tok
+      FROM documents WHERE doc_id < 3
+    ), toks AS (
+      SELECT source, unnest(regexp_split_to_array({_NORM}, ' ')) AS tok
+      FROM documents
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN tok IN (SELECT tok FROM vocab) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov
+    FROM toks GROUP BY source ORDER BY source
+    """,
+    certifies="X4 vocabulary-coverage / OOV-mass audit per source: plan-literal vocab, map-only HOF counts, single exchange (north-star §0.3)",
+    tags=("llm", "text"),
+)
+def x150(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = [
+        r["tok"]
+        for r in docs.filter(F.col("doc_id") < 3)
+        .select(
+            F.explode(F.split(D.normalize_text(F.col("text")), " ")).alias("tok")
+        )
+        .distinct()
+        .collect()
+    ]
+    return T.oov_counts(docs, vocab, "text", "doc_id", "source")

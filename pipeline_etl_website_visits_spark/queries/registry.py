@@ -55,20 +55,25 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-9 pinning rule: HEAD = the four queries whose implementation (or
-# underlying operators) changed this round, then ALL 39 round-5-latest
-# names (including q42/q43, displaced by the r8 head), then the 7 oldest
-# round-6-latest names: 4 + 39 + 7 = exactly 50. After this round no
-# query's latest driver row predates round 6; the remaining round-6
-# cohort rotates in round 10. All names stay covered by the local
-# full-suite check_oracle runs regardless of rotation.
+# Round-9 pinning rule: HEAD = the two NEW queries (x149/x150), then the
+# four whose implementation (or underlying operators) changed this round,
+# then ALL 39 round-5-latest names (including q42/q43, displaced by the
+# r8 head), then the 5 oldest round-6-latest names:
+# 2 + 4 + 39 + 5 = exactly 50. After this round no query's latest driver
+# row predates round 6; the remaining round-6 cohort rotates in round 10.
+# All names stay covered by the local full-suite check_oracle runs
+# regardless of rotation.
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- (a) round-9 rotation head: the queries whose implementation (or
-    #    whose underlying operators) changed this round — x148 via
-    #    greedy_pack_bins' caller-typed grp schema; x122/x117 via the
-    #    stored indexes' backend-routed ledger resets/carries +
-    #    save_gram_index's family compactor lease; q10 via the warehouse
-    #    pointer reads now routed through the commit backend --
+    # -- (a) round-9 rotation head: the TWO new queries first (never
+    #    driver-checked: x149 leakage-free hash split, x150 OOV audit),
+    #    then the queries whose implementation (or whose underlying
+    #    operators) changed this round — x148 via greedy_pack_bins'
+    #    caller-typed grp schema; x122/x117 via the stored indexes'
+    #    backend-routed ledger resets/carries + save_gram_index's family
+    #    compactor lease; q10 via the warehouse pointer reads now routed
+    #    through the commit backend --
+    "x149_leakage_free_split",
+    "x150_oov_rate",
     "x148_greedy_doc_packing",
     "x122_stored_gram_dedup",
     "x117_stored_index_search",
@@ -115,15 +120,13 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x38_top_bigrams",
     "x79_recursive_cte",
     "x98_doc_pagerank",
-    # -- (c) oldest round-6-latest names fill the remaining 7 slots;
+    # -- (c) oldest round-6-latest names fill the remaining 5 slots;
     #    the rest of the round-6 cohort rotates in round 10 --
     "q58_star_join",
     "q59_sql_identical_text",
     "q60_pricing_summary",
     "q61_pivot",
     "q62_variance_manual",
-    "q63_shipping_priority",
-    "q64_regional_volume",
 )
 
 

@@ -522,3 +522,69 @@ def test_greedy_pack_bins_int_group_key(spark):
     assert out.schema["grp"].dataType.simpleString() == "int"
     got = sorted(map(tuple, out.collect()))
     assert got == [(7, 1, 3, 0, 0), (7, 2, 2, 1, 0), (9, 3, 4, 0, 0)]
+
+
+def test_leakage_free_split_is_deterministic_and_leak_free(spark):
+    """Exact copies of a document get the SAME split (the leakage-free
+    contract), assignment is rerun-stable, fractions are roughly honored,
+    and a cluster key moves whole groups together."""
+    import pyspark.sql.functions as F
+
+    from pipeline_etl_website_visits_spark.operators.text import (
+        leakage_free_split,
+        split_bounds,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    # plant exact copies under new ids
+    copies = docs.limit(10).withColumn("doc_id", F.col("doc_id") + 1_000_000)
+    both = docs.unionByName(copies)
+    out = leakage_free_split(both, "text", "doc_id").collect()
+    by_id = {r["doc_id"]: r["split"] for r in out}
+    orig = {r["doc_id"]: r["text"] for r in docs.limit(10).collect()}
+    for did in orig:
+        assert by_id[did] == by_id[did + 1_000_000], "copy crossed the split"
+    # rerun-stable
+    again = {r["doc_id"]: r["split"] for r in leakage_free_split(both, "text", "doc_id").collect()}
+    assert by_id == again
+    # all three splits appear and train dominates on a 500-doc corpus
+    from collections import Counter
+
+    c = Counter(by_id.values())
+    assert set(c) == {"train", "val", "test"} and c["train"] > c["val"] + c["test"]
+    # cluster key: every member of a group gets the group's split
+    grouped = leakage_free_split(
+        docs, "text", "doc_id", key=F.col("doc_id") % 7
+    ).collect()
+    docs_rows = {r["doc_id"]: r["doc_id"] % 7 for r in docs.collect()}
+    by_cluster = {}
+    for r in grouped:
+        by_cluster.setdefault(docs_rows[r["doc_id"]], set()).add(r["split"])
+    assert all(len(s) == 1 for s in by_cluster.values())
+    # bounds validation
+    import pytest
+
+    with pytest.raises(ValueError, match="train"):
+        split_bounds(0.9, 0.2)
+
+
+def test_oov_counts_exact_and_bounded(spark):
+    import pyspark.sql.functions as F
+    import pytest
+
+    from pipeline_etl_website_visits_spark.operators.text import oov_counts
+
+    df = spark.createDataFrame(
+        [
+            ("a", 1, "x y z"),
+            ("a", 2, "x q"),        # q is OOV
+            ("b", 3, "Q  X"),       # normalizes to 'q x': one OOV
+            ("b", 4, ""),           # '' token: OOV (both engines agree)
+        ],
+        "source string, doc_id long, text string",
+    )
+    got = {r["source"]: (r["n_tokens"], r["n_oov"]) for r in
+           oov_counts(df, ["x", "y", "z"], "text", "doc_id", "source").collect()}
+    assert got == {"a": (5, 1), "b": (3, 2)}
+    with pytest.raises(ValueError, match="vocab"):
+        oov_counts(df, ["t"] * 200_001, "text", "doc_id", "source")
