@@ -97,6 +97,22 @@ class CommitBackend:
         """Delete ``path``; raise ``FileNotFoundError`` if absent."""
         raise NotImplementedError
 
+    def remove_if(self, path: str, expected: bytes) -> bool:
+        """Conditional delete: remove ``path`` iff its content equals
+        ``expected``; return whether it was removed. Object-store:
+        conditional DELETE (S3 ``If-Match`` on the ETag / GCS
+        ``ifGenerationMatch``) — EXACT there. The base implementation is
+        read-then-remove, which leaves the microsecond window the lease
+        release documents; backends with a native conditional DELETE
+        override to close it."""
+        try:
+            if self.read(path) != expected:
+                return False
+            self.remove(path)
+            return True
+        except FileNotFoundError:
+            return False
+
     def mtime(self, path: str) -> float:
         """Last-heartbeat time of ``path`` (epoch seconds); raise
         ``FileNotFoundError`` if absent."""
@@ -251,6 +267,16 @@ class InMemoryObjectStoreBackend(CommitBackend):
                 raise FileNotFoundError(path) from None
             self._objects[path] = (payload, time.time())
 
+    def remove_if(self, path: str, expected: bytes) -> bool:
+        # the real thing: conditional DELETE under the store's
+        # linearizability — no read-then-remove window at all
+        with self._lock:
+            entry = self._objects.get(path)
+            if entry is None or entry[0] != expected:
+                return False
+            del self._objects[path]
+            return True
+
     def ensure_dir(self, path: str) -> None:
         pass  # no directories in a flat namespace
 
@@ -351,10 +377,16 @@ def writer_lease(
                 continue  # holder released between create and stat: re-race
             if age > stale_after:
                 # corpse (no heartbeat for stale_after): re-confirm
-                # immediately before the break, then re-race the create
+                # immediately before the break, then remove CONDITIONALLY
+                # on the corpse's own token — on a conditional-DELETE
+                # backend a holder that resurrected (or a successor that
+                # won a parallel break) between our read and our remove
+                # can no longer be destroyed; the POSIX fallback keeps
+                # the documented microsecond window
                 with contextlib.suppress(FileNotFoundError):
+                    corpse = backend.read(lock)
                     if time.time() - backend.mtime(lock) > stale_after:
-                        backend.remove(lock)
+                        backend.remove_if(lock, corpse)
                 continue
             if time.monotonic() > deadline:
                 raise TimeoutError(
@@ -381,13 +413,13 @@ def writer_lease(
         # ownership-checked release: a holder that was SUSPENDED past
         # stale_after (SIGSTOP, VM pause) can be legitimately broken and
         # superseded; on resume its release must not destroy the
-        # successor's lease. Read-then-remove leaves a microsecond race
-        # the POSIX backend cannot close (no compare-and-delete — the
-        # object-store backends with conditional DELETE close it exactly),
-        # but it shrinks "always deletes the successor" to that window.
+        # successor's lease. remove_if is compare-and-delete: EXACT on
+        # backends with conditional DELETE (the object-store strategy);
+        # the POSIX base implementation falls back to read-then-remove,
+        # shrinking "always deletes the successor" to a microsecond
+        # window it cannot close natively.
         with contextlib.suppress(FileNotFoundError, OSError):
-            if backend.read(lock) == token:
-                backend.remove(lock)
+            backend.remove_if(lock, token)
 
 
 def check_applied_key(key: str) -> str:

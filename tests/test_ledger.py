@@ -125,3 +125,16 @@ def test_objectstore_backend_has_no_posixisms(tmp_path):
     b.remove("/idx/.w.lease")
     with pytest.raises(FileNotFoundError):
         b.touch("/idx/.w.lease")  # a broken lease must not resurrect
+
+
+def test_remove_if_is_compare_and_delete(tmp_path, any_commit_backend):
+    import os
+
+    p = os.path.join(str(tmp_path), "lease")
+    any_commit_backend.create_exclusive(p, b"mine")
+    assert any_commit_backend.remove_if(p, b"theirs") is False
+    assert any_commit_backend.read(p) == b"mine"  # wrong token: untouched
+    assert any_commit_backend.remove_if(p, b"mine") is True
+    with pytest.raises(FileNotFoundError):
+        any_commit_backend.read(p)
+    assert any_commit_backend.remove_if(p, b"mine") is False  # gone: False, no raise

@@ -536,3 +536,27 @@ def test_token_entropy_single_exchange(spark):
     adds a range exchange."""
     plan = simple_plan(REGISTRY["x139_token_entropy"].spark(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_leakage_free_split_is_map_only(spark):
+    """x149: the train/val/test assignment is ONE codegen'd projection —
+    no exchange of any kind, no aggregate, no window; the 100 TB split is
+    decided at scan speed."""
+    from pipeline_etl_website_visits_spark.plans import simple_plan
+
+    df = REGISTRY["x149_leakage_free_split"].spark(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert "Exchange" not in plan, plan
+    assert "Aggregate" not in plan and "Window" not in plan, plan
+
+
+def test_oov_rate_is_single_exchange_no_explode(spark):
+    """x150: the vocab ships as a plan literal, token counting is array
+    HOFs in the projection (no Generate/explode, no join), and the only
+    exchange is the per-source rollup."""
+    from pipeline_etl_website_visits_spark.plans import simple_plan
+
+    df = REGISTRY["x150_oov_rate"].spark(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert plan.count("hashpartitioning(source") == 1, plan
+    assert "Generate" not in plan and "Join" not in plan, plan
