@@ -1298,3 +1298,56 @@ def oov_counts(
             F.sum("n_oov").cast("long").alias("n_oov"),
         )
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str,
+    epochs: int = 2,
+    n_buckets: int = 256,
+    salt: str = "ep",
+) -> DataFrame:
+    """Deterministic multi-epoch reshuffle: for each epoch, every row gets
+    a (bucket, pos_in_bucket) read position derived ONLY from
+    ``md5(salt:epoch:id)`` — the training-data scheduling discipline
+    where each epoch visits the corpus in a different but perfectly
+    reproducible order (resume-safe, seed-auditable; a `rand()` shuffle
+    is neither). Readers stream buckets in order and rows within a
+    bucket by position — the standard two-level shuffle.
+
+    Why two-level: a GLOBAL rank over 100 TB is a single-partition
+    window (the x147 trap). The first 2 hex chars of the hash split the
+    corpus into ``n_buckets`` groups (string comparison, engine-portable
+    like the x65/x149 hex idioms), and ranking happens per
+    (epoch, bucket) — epochs x n_buckets independent window partitions,
+    each ~corpus/n_buckets rows, so the one shuffle this plan contains
+    fans out across the cluster. Raise ``n_buckets`` with corpus size
+    (hex prefix length 2 → 256, 3 → 4096, ...).
+
+    Output: (epoch, ``id_col``, bucket, pos_in_bucket).
+    """
+    from pyspark.sql import Window
+
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    if n_buckets not in (16, 256, 4096):
+        raise ValueError(
+            f"n_buckets must be a hex-prefix power (16, 256, 4096), got {n_buckets}"
+        )
+    prefix_len = {16: 1, 256: 2, 4096: 3}[n_buckets]
+    ep = F.explode(F.array(*[F.lit(e) for e in range(epochs)])).alias("epoch")
+    rows = df.select(F.col(id_col), ep)
+    key = F.md5(
+        F.concat_ws(":", F.lit(salt), F.col("epoch").cast("string"), F.col(id_col).cast("string"))
+    )
+    tagged = rows.select(
+        F.col("epoch").cast("int").alias("epoch"),
+        F.col(id_col),
+        F.substring(key, 1, prefix_len).alias("bucket"),
+        key.alias("__k"),
+    )
+    w = Window.partitionBy("epoch", "bucket").orderBy("__k")
+    return tagged.select(
+        "epoch", id_col, "bucket",
+        F.row_number().over(w).cast("long").alias("pos_in_bucket"),
+    )

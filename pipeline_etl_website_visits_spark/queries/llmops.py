@@ -1841,3 +1841,34 @@ def x150(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()
     ]
     return T.oov_counts(docs, vocab, "text", "doc_id", "source")
+
+
+# --------------------------------------------------------------------------
+# x151 — deterministic multi-epoch shuffle (training-order scheduling)
+#
+# Each pretraining epoch must visit the corpus in a different but
+# perfectly REPRODUCIBLE order (resume-safe, seed-auditable) — the
+# rand()-shuffle alternative is neither. Order = md5(salt:epoch:id),
+# realized two-level (hex-prefix bucket + rank within bucket) so the
+# plan's one shuffle fans out across epochs x 256 window partitions
+# instead of the single-partition global-rank trap (the x147 lesson).
+# --------------------------------------------------------------------------
+@query(
+    "x151_epoch_shuffle",
+    oracle="""
+    WITH rows_ AS (
+      SELECT doc_id, e.epoch,
+             md5('ep:' || CAST(e.epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS k
+      FROM documents, (SELECT unnest(ARRAY[0, 1]) AS epoch) e
+    )
+    SELECT CAST(epoch AS INT) AS epoch, doc_id,
+           SUBSTRING(k, 1, 2) AS bucket,
+           CAST(ROW_NUMBER() OVER (PARTITION BY epoch, SUBSTRING(k, 1, 2) ORDER BY k) AS BIGINT) AS pos_in_bucket
+    FROM rows_ ORDER BY epoch, bucket, pos_in_bucket
+    """,
+    certifies="X4 deterministic multi-epoch training-order shuffle: two-level (hex-prefix bucket + per-bucket rank), reproducible and resume-safe; one partitioned-window shuffle (north-star §0.3)",
+    tags=("llm", "curation", "scale"),
+)
+def x151(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.epoch_shuffle(docs, "doc_id", epochs=2, n_buckets=256)

@@ -588,3 +588,39 @@ def test_oov_counts_exact_and_bounded(spark):
     assert got == {"a": (5, 1), "b": (3, 2)}
     with pytest.raises(ValueError, match="vocab"):
         oov_counts(df, ["t"] * 200_001, "text", "doc_id", "source")
+
+
+def test_epoch_shuffle_is_deterministic_distinct_and_complete(spark):
+    """Each epoch is a permutation of the corpus (complete, no dup
+    positions within a bucket), different epochs order differently, and
+    reruns are bit-identical (the resume-safety contract)."""
+    import pytest
+
+    from pipeline_etl_website_visits_spark.operators.text import epoch_shuffle
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n = docs.count()
+    out = epoch_shuffle(docs, "doc_id", epochs=2, n_buckets=16).collect()
+    assert len(out) == 2 * n
+    by_epoch = {}
+    for r in out:
+        by_epoch.setdefault(r["epoch"], []).append(r)
+    for e, rows in by_epoch.items():
+        assert len(rows) == n and len({r["doc_id"] for r in rows}) == n
+        # positions within a bucket are 1..len(bucket), no gaps/dups
+        buckets = {}
+        for r in rows:
+            buckets.setdefault(r["bucket"], []).append(r["pos_in_bucket"])
+        for b, ps in buckets.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), (e, b)
+    # epochs disagree on order (salt:epoch in the key)
+    o0 = sorted((r["bucket"], r["pos_in_bucket"], r["doc_id"]) for r in by_epoch[0])
+    o1 = sorted((r["bucket"], r["pos_in_bucket"], r["doc_id"]) for r in by_epoch[1])
+    assert [t[2] for t in o0] != [t[2] for t in o1]
+    # rerun-stable
+    again = epoch_shuffle(docs, "doc_id", epochs=2, n_buckets=16).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+    with pytest.raises(ValueError, match="hex-prefix"):
+        epoch_shuffle(docs, "doc_id", n_buckets=100)
+    with pytest.raises(ValueError, match="epochs"):
+        epoch_shuffle(docs, "doc_id", epochs=0)

@@ -560,3 +560,14 @@ def test_oov_rate_is_single_exchange_no_explode(spark):
     plan = simple_plan(df)
     assert plan.count("hashpartitioning(source") == 1, plan
     assert "Generate" not in plan and "Join" not in plan, plan
+
+
+def test_epoch_shuffle_window_is_bucket_partitioned(spark):
+    """x151: the one shuffle is the (epoch, bucket)-partitioned window —
+    never a single-partition global rank (the x147 trap)."""
+    from pipeline_etl_website_visits_spark.plans import simple_plan
+
+    df = REGISTRY["x151_epoch_shuffle"].spark(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "hashpartitioning(epoch" in plan, plan
