@@ -111,3 +111,27 @@ def test_mode_and_action_validation(spark):
         decontaminate(docs, docs, "bloom")
     with pytest.raises(ValueError, match="action"):
         decontaminate(docs, docs, "fuzzy", action="drop")
+
+
+def test_membership_filter_clean_leg_never_joins(spark):
+    """The membership mode's scale contract: the prefix-miss leg passes
+    through with NO join at all — exactly ONE broadcast anti-join in the
+    whole filter plan (the candidates leg), so at 100 TB the provably-
+    clean bulk of the corpus is never shuffled or probed."""
+    from pipeline_etl_website_visits_spark.plans import simple_plan
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    fp = F.md5(F.col("n_chars").cast("string"))
+    clean = decontaminate(
+        docs.select("doc_id", "lang", "n_chars"),
+        docs.filter(F.col("source") == "src0"),
+        "membership",
+        fingerprint=fp,
+        action="filter",
+    )
+    plan = simple_plan(clean)
+    assert plan.count("Join") == 1, plan
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # no SHUFFLE exchange anywhere (the broadcast build of the tiny eval
+    # side is the one allowed Exchange): both legs stay scan-side
+    assert "hashpartitioning" not in plan and "SinglePartition" not in plan, plan
