@@ -135,3 +135,43 @@ def test_membership_filter_clean_leg_never_joins(spark):
     # no SHUFFLE exchange anywhere (the broadcast build of the tiny eval
     # side is the one allowed Exchange): both legs stay scan-side
     assert "hashpartitioning" not in plan and "SinglePartition" not in plan, plan
+
+
+def test_curation_pipeline_composes_end_to_end(spark):
+    """The workflow the round-9 APIs exist for, composed: decontaminate
+    the corpus against an eval set, assign leakage-free splits, schedule
+    the train split across epochs, pack it into token bins — each stage
+    consuming the previous stage's output schema directly."""
+    from pipeline_etl_website_visits_spark.operators.text import (
+        epoch_shuffle,
+        greedy_pack_bins,
+        leakage_free_split,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    evalset = docs.filter(F.col("doc_id") < 20)
+    corpus = docs.filter(F.col("doc_id") >= 20)
+
+    clean = decontaminate(corpus, evalset, "fuzzy", action="filter")
+    hits = {r["doc_id"] for r in decontaminate(corpus, evalset, "fuzzy").collect()}
+    clean_ids = {r["doc_id"] for r in clean.collect()}
+    assert clean_ids.isdisjoint(hits) and clean_ids
+
+    splits = leakage_free_split(clean, "text", "doc_id")
+    by_split = {}
+    for r in splits.collect():
+        by_split.setdefault(r["split"], set()).add(r["doc_id"])
+    assert set().union(*by_split.values()) == clean_ids  # a partition of clean
+
+    train = clean.join(
+        splits.filter(F.col("split") == "train").select("doc_id"), "doc_id", "left_semi"
+    )
+    order = epoch_shuffle(train, "doc_id", epochs=2, n_buckets=16)
+    assert order.count() == 2 * len(by_split["train"])
+
+    packed = greedy_pack_bins(train, "text", "doc_id", "source", budget=512)
+    packed_ids = {r["doc_id"] for r in packed.collect()}
+    # every non-empty train doc landed in a bin, nothing foreign
+    assert packed_ids <= by_split["train"] and packed_ids
