@@ -138,3 +138,47 @@ def test_remove_if_is_compare_and_delete(tmp_path, any_commit_backend):
     with pytest.raises(FileNotFoundError):
         any_commit_backend.read(p)
     assert any_commit_backend.remove_if(p, b"mine") is False  # gone: False, no raise
+
+
+def test_lease_mutual_exclusion_soak(tmp_path, any_commit_backend):
+    """Randomized interleaving soak: 8 threads x 6 acquisitions with
+    jittered hold times — at no instant may two threads believe they
+    hold the same lease. stale_after is far above the hold times, so a
+    break can only fire on a genuine corpse (there are none here); the
+    soak catches protocol regressions (a release deleting a successor,
+    a break destroying a live holder) as a mutual-exclusion violation."""
+    import os
+    import random
+    import threading
+    import time
+
+    d = str(tmp_path / "art")
+    active: list[int] = []
+    violations: list[str] = []
+    guard = threading.Lock()
+
+    def worker(i: int) -> None:
+        rng = random.Random(i)
+        for _ in range(6):
+            with ledger.writer_lease(d, name="soak", poll=0.003, stale_after=30):
+                with guard:
+                    active.append(i)
+                    if len(active) != 1:
+                        violations.append(f"concurrent holders: {active}")
+                time.sleep(rng.uniform(0.001, 0.01))
+                with guard:
+                    active.remove(i)
+            time.sleep(rng.uniform(0, 0.005))
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in range(8)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not violations, violations[:3]
+    assert not active
+    # the lease file is gone: the last release cleaned up after itself
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        any_commit_backend.read(os.path.join(d, ".soak.lease"))
