@@ -168,8 +168,14 @@ def _membership(
     cols = corpus.columns
     tagged = corpus.select(*cols, fingerprint.alias("__fp"))
     contam = evalset.select(fingerprint.alias("__fp"))
-    # driver-side sketch: bounded by construction at 65536 prefixes
-    prefixes = sorted({r[0] for r in contam.select(F.substring("__fp", 1, 4)).collect()})
+    # driver-side sketch, hard-bounded: distinct() BEFORE the collect caps
+    # the driver pull at 65536 rows by construction even if a caller
+    # points ``evalset`` at something corpus-sized (the x66 query skips
+    # the distinct because its eval side is certified tiny; a public API
+    # cannot assume that)
+    prefixes = sorted(
+        r[0] for r in contam.select(F.substring("__fp", 1, 4)).distinct().collect()
+    )
     pref = F.substring(F.col("__fp"), 1, 4)
     provably_clean = tagged.filter(~pref.isin(prefixes))
     candidates = tagged.filter(pref.isin(prefixes))
