@@ -593,3 +593,77 @@ spark.stop()
     finally:
         for t in ("gram_xproc", "gram_xproc_ref"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_gram_compact_crash_before_family_pointer_swap(spark, tmp_path):
+    """Crash-inject the gram compaction's FAMILY-pointer publish: the new
+    generation is written and this session's catalog even swapped, but
+    the session-independent pointer still names the OLD generation — the
+    durable truth. An append must redirect back to the old generation
+    (pointer beats catalog), GC must sweep the orphaned rewrite, and a
+    retry compaction must land everything including the post-crash
+    append."""
+    import os
+
+    from pipeline_etl_website_visits_spark.operators import ledger
+    from pipeline_etl_website_visits_spark.operators.dedup import (
+        _table_location,
+        compact_gram_index,
+        gc_gram_generations,
+        save_gram_index,
+    )
+
+    class CrashOnFamilySwap(ledger.LocalCommitBackend):
+        armed = True
+
+        def publish(self, path, payload):
+            if self.armed and os.path.basename(path).endswith(".pointer"):
+                self.armed = False
+                raise OSError("injected crash before the family pointer swap")
+            super().publish(path, payload)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    corpus = docs.filter(F.col("doc_id") % 4 == 0)
+    batch = docs.filter(F.col("doc_id") % 4 == 1)
+    table = "gramidx_crash_ptr_t"
+    path = str(tmp_path / "cidx")
+    prev = None
+    try:
+        save_gram_index(corpus, table, path, "text", "doc_id", n=3, n_buckets=8)
+        n0 = spark.table(table).count()
+        prev = ledger.set_commit_backend(CrashOnFamilySwap())
+        import pytest
+
+        with pytest.raises(OSError, match="injected"):
+            compact_gram_index(spark, table)
+        # the pointer still names generation zero — the durable truth
+        from pipeline_etl_website_visits_spark.operators.dedup import (
+            _family_live_location,
+        )
+
+        assert os.path.realpath(_family_live_location(path) or path) == os.path.realpath(path)
+        # an append follows the pointer back to the OLD generation, even
+        # though this session's catalog was already swapped by the crash
+        assert append_to_gram_index(
+            batch, table, "text", "doc_id", n=3, applied_key="pc1"
+        )
+        assert os.path.realpath(_table_location(spark, table)) == os.path.realpath(path)
+        n1 = spark.table(table).count()
+        assert n1 > n0
+        assert "pc1" in ledger.applied_keys(os.path.join(path, "_applied"))
+        # GC sweeps the orphaned rewrite (unreferenced by the pointer)
+        removed = gc_gram_generations(spark, table)
+        assert removed and all(".compact." in r for r in removed), removed
+        # retry compaction completes: pointer + catalog + rows all new
+        new_loc = compact_gram_index(spark, table, remove_old=True)
+        assert os.path.realpath(_table_location(spark, table)) == os.path.realpath(new_loc)
+        assert not os.path.exists(path)
+        spark.catalog.refreshTable(table)
+        assert spark.table(table).count() == n1
+        assert append_to_gram_index(
+            batch, table, "text", "doc_id", n=3, applied_key="pc1"
+        ) is False  # marker carried through the retry
+    finally:
+        if prev is not None:
+            ledger.set_commit_backend(prev)
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

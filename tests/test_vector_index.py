@@ -699,3 +699,68 @@ spark.stop()
     b2 = run_b()
     assert "APPENDED False" in b2.stdout, b2.stderr[-2000:]
     assert sum(r["n_vectors"] for r in index_cell_stats(spark, p).collect()) == n
+
+
+def test_compact_crash_before_pointer_swap_leaves_old_generation_live(
+    spark, emb, tmp_path
+):
+    """Crash-inject the compaction's generation-pointer publish: the
+    rewrite completed (codes_v1 on disk) but the swap never happened.
+    The OLD generation must stay live and complete (searches identical,
+    appends land there, ledger intact), GC must sweep the orphaned new
+    generation — it is unreferenced — and a retry compaction must
+    complete normally."""
+    from pipeline_etl_website_visits_spark.operators import ledger
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        _codes_dir,
+        append_to_ivfpq_index,
+        compact_ivfpq_codes,
+        gc_ivfpq_generations,
+        index_cell_stats,
+    )
+
+    class CrashOnSwap(ledger.LocalCommitBackend):
+        armed = True
+
+        def publish(self, path, payload):
+            if self.armed and path.endswith("codes_current"):
+                self.armed = False
+                raise OSError("injected crash before the generation swap")
+            super().publish(path, payload)
+
+    base = emb.filter(F.col("vec_id") < 300)
+    b1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    p = str(tmp_path / "cidx")
+    build_ivfpq_index(base, p, num_coarse=4)
+    assert append_to_ivfpq_index(b1, p, applied_key="d1")
+    queries = emb.filter(F.col("vec_id") < 5)
+    before = sorted(map(tuple, ivfpq_search(spark, p, queries, k=5, nprobe=4).collect()))
+    old_dir = _codes_dir(p)
+
+    prev = ledger.set_commit_backend(CrashOnSwap())
+    try:
+        with pytest.raises(OSError, match="injected"):
+            compact_ivfpq_codes(spark, p, remove_old=True)
+        # old generation still live and complete
+        assert _codes_dir(p) == old_dir
+        after = sorted(map(tuple, ivfpq_search(spark, p, queries, k=5, nprobe=4).collect()))
+        assert after == before
+        # ledger intact: the replay still no-ops; a new append lands in OLD
+        assert append_to_ivfpq_index(b1, p, applied_key="d1") is False
+        n_before = sum(r["n_vectors"] for r in index_cell_stats(spark, p).collect())
+        assert append_to_ivfpq_index(
+            b1.limit(2).withColumn("vec_id", F.col("vec_id") + 50_000), p, applied_key="d2"
+        )
+        assert sum(r["n_vectors"] for r in index_cell_stats(spark, p).collect()) == n_before + 2
+        # GC sweeps the orphaned (unreferenced) rewrite
+        removed = gc_ivfpq_generations(p)
+        assert any(os.path.basename(r).startswith("codes_v") for r in removed), removed
+        # retry compaction (backend healed: armed consumed) completes and
+        # carries EVERYTHING, including the post-crash append
+        new_dir = compact_ivfpq_codes(spark, p, remove_old=True)
+        assert _codes_dir(p) == new_dir and not os.path.exists(old_dir)
+        assert sum(r["n_vectors"] for r in index_cell_stats(spark, p).collect()) == n_before + 2
+        final = sorted(map(tuple, ivfpq_search(spark, p, queries, k=5, nprobe=4).collect()))
+        assert final == before  # top-k unchanged by the distant new vectors
+    finally:
+        ledger.set_commit_backend(prev)
