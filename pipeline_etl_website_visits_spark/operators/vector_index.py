@@ -439,6 +439,7 @@ def append_to_ivfpq_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     applied_key: str | None = None,
+    skip_existing: bool = False,
 ) -> bool:
     """Append a batch of new vectors to an EXISTING index — the steady-state
     ingestion path ("encode once, append forever"): daily embedding batches
@@ -467,6 +468,16 @@ def append_to_ivfpq_index(
     immediately (same partition dirs). The codebook stays frozen — the
     standard IVF-PQ production contract (FAISS add_with_ids); re-training
     centroids is an explicit full rebuild, not an append.
+
+    ``skip_existing=True`` closes the insert→marker crash window the way
+    the gram index's dedup gate does: after encoding, the batch is
+    anti-joined on ``id_col`` against the stored ids of ONLY its own
+    coarse cells (partition-pruned scan — a micro-batch touches a
+    handful of cells, never the index), so a replay whose first run
+    already landed re-inserts nothing and the marker commits. The gate
+    costs one pruned scan per append; ingestion paths that replay
+    (streaming) want it on, one-shot batch loads with their own redo
+    protection can leave it off.
     """
     if not index_is_complete(path):
         raise ValueError(f"no committed index at {path}; run build_ivfpq_index first")
@@ -490,9 +501,25 @@ def append_to_ivfpq_index(
         encode = _make_encoder(
             coarse, cents, num_subspaces, sublen, quant_scale, id_col, vec_col
         )
+        encoded = new_vectors.select(id_col, vec_col).mapInPandas(
+            encode, f"{id_col} long, cell int, codes array<int>"
+        )
+        if skip_existing:
+            # materialize the small encoded batch once: it feeds the cell
+            # list, the anti-join probe side, and the final write — and
+            # the decision must not race the append it gates (the same
+            # read-vs-own-write hazard the gram gate checkpoints around)
+            encoded = encoded.localCheckpoint(eager=True)
+            cells = [r["cell"] for r in encoded.select("cell").distinct().collect()]
+            if cells:
+                stored_ids = (
+                    spark.read.parquet(_codes_dir(path))
+                    .filter(F.col("cell").isin(cells))  # partition-pruned
+                    .select(id_col)
+                )
+                encoded = encoded.join(stored_ids, id_col, "left_anti")
         (
-            new_vectors.select(id_col, vec_col)
-            .mapInPandas(encode, f"{id_col} long, cell int, codes array<int>")
+            encoded
             .write.mode("append")
             .partitionBy("cell")
             .parquet(_codes_dir(path))

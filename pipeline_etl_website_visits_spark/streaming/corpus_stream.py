@@ -215,10 +215,13 @@ def start_vector_ingest_stream(
     encode, partitioned parquet append). Same redo composition:
     checkpoint dedupes re-delivered files, the checkpoint-scoped
     per-batch applied key (``<index>/applied`` sidecar ledger) dedupes
-    re-executed batches whose marker landed; the insert→marker crash
-    window re-appends, per the batch append's documented contract. No
-    relation-cache concern here — the index is path-based parquet, and
-    path reads list files per query."""
+    re-executed batches whose marker landed; and ``skip_existing`` is ON
+    (round 9) so a replay into the insert→marker crash window anti-joins
+    its ids against its own coarse cells (partition-pruned) and
+    re-inserts nothing — the stream composes to exactly-once, the same
+    convergence the gram path's dedup gate provides. No relation-cache
+    concern here — the index is path-based parquet, and path reads list
+    files per query."""
     from pipeline_etl_website_visits_spark.operators.vector_index import (
         append_to_ivfpq_index,
     )
@@ -227,7 +230,10 @@ def start_vector_ingest_stream(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         append_to_ivfpq_index(
-            batch_df, index_path, applied_key=f"{prefix}_b{batch_id}"
+            batch_df,
+            index_path,
+            applied_key=f"{prefix}_b{batch_id}",
+            skip_existing=True,
         )
 
     vecs = read_docs_stream(

@@ -1277,3 +1277,72 @@ def test_timeout_sessions_state_bounded_by_watermark_horizon():
     emitted, peak = drive(GAP_MIN - 1, 200, 1)
     assert peak == 1
     assert len(emitted) == 1 and emitted[0]["n_events"] == 200
+
+
+def test_vector_stream_mid_batch_death_converges_exactly_once(spark, tmp_path):
+    """The vector twin of the gram crash golden: the vector-ingest sink
+    dies between the codes append and the ledger mark; the restart
+    replays the batch, whose skip_existing gate (round 9) anti-joins its
+    own cells and re-inserts nothing — vector counts and search results
+    converge to exactly-once."""
+    import os
+
+    import pytest
+
+    from pipeline_etl_website_visits_spark.operators import ledger
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        build_ivfpq_index,
+        index_cell_stats,
+        ivfpq_search,
+    )
+    from pipeline_etl_website_visits_spark.streaming.corpus_stream import (
+        start_vector_ingest_stream,
+        stream_key_prefix,
+    )
+
+    class DieAtMarker(ledger.LocalCommitBackend):
+        armed = True
+
+        def publish(self, path, payload):
+            if self.armed and f"{os.sep}applied{os.sep}" in path:
+                self.armed = False
+                raise OSError("injected mid-batch death before ledger mark")
+            super().publish(path, payload)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") < 300)
+    shard = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    p = str(tmp_path / "vidx")
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    build_ivfpq_index(base, p, num_coarse=4)
+    n_base = base.count()
+    shard.coalesce(1).write.parquet(str(in_dir / "shard1"))
+
+    prev = ledger.set_commit_backend(DieAtMarker())
+    try:
+        import pyspark.errors
+
+        q = start_vector_ingest_stream(spark, str(in_dir) + "/*/", p, ckpt)
+        with pytest.raises(pyspark.errors.StreamingQueryException):
+            q.awaitTermination(120)
+            raise AssertionError("injected death never fired")
+        # crash-window state: codes landed, marker absent
+        n_crashed = sum(r["n_vectors"] for r in index_cell_stats(spark, p).collect())
+        assert n_crashed == n_base + 100
+        key = f"{stream_key_prefix(ckpt)}_b0"
+        assert key not in ledger.applied_keys(os.path.join(p, "applied"))
+
+        # restart: the replay's gate re-inserts nothing; the marker lands
+        q = start_vector_ingest_stream(spark, str(in_dir) + "/*/", p, ckpt)
+        q.awaitTermination(120)
+        assert sum(r["n_vectors"] for r in index_cell_stats(spark, p).collect()) == n_crashed
+        assert key in ledger.applied_keys(os.path.join(p, "applied"))
+        # searches answer over the exactly-once index
+        qs = emb.filter(F.col("vec_id") < 3)
+        assert len(ivfpq_search(spark, p, qs, k=5, nprobe=4).collect()) > 0
+    finally:
+        ledger.set_commit_backend(prev)

@@ -764,3 +764,39 @@ def test_compact_crash_before_pointer_swap_leaves_old_generation_live(
         assert final == before  # top-k unchanged by the distant new vectors
     finally:
         ledger.set_commit_backend(prev)
+
+
+def test_append_skip_existing_gates_replayed_and_mixed_batches(spark, emb, tmp_path):
+    """skip_existing: a replayed batch (insert landed, marker didn't)
+    re-inserts NOTHING; a mixed batch inserts only its novel ids; search
+    results stay bit-identical to the exactly-once state."""
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        append_to_ivfpq_index,
+        index_cell_stats,
+    )
+
+    base = emb.filter(F.col("vec_id") < 300)
+    b1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    p = str(tmp_path / "gidx")
+    build_ivfpq_index(base, p, num_coarse=4)
+    assert append_to_ivfpq_index(b1, p, applied_key="k1")
+    n1 = sum(r["n_vectors"] for r in index_cell_stats(spark, p).collect())
+    q = emb.filter(F.col("vec_id") < 5)
+    want = sorted(map(tuple, ivfpq_search(spark, p, q, k=5, nprobe=4).collect()))
+
+    # the crash-window replay: same rows, DIFFERENT key (the first run's
+    # marker never landed), gate on -> zero new rows
+    assert append_to_ivfpq_index(b1, p, applied_key="k1-retry", skip_existing=True)
+    assert sum(r["n_vectors"] for r in index_cell_stats(spark, p).collect()) == n1
+    assert sorted(map(tuple, ivfpq_search(spark, p, q, k=5, nprobe=4).collect())) == want
+
+    # mixed batch: half replayed, half novel -> exactly the novel half lands
+    novel = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    mixed = b1.limit(30).unionByName(novel)
+    assert append_to_ivfpq_index(mixed, p, applied_key="k2", skip_existing=True)
+    n2 = sum(r["n_vectors"] for r in index_cell_stats(spark, p).collect())
+    assert n2 == n1 + novel.count()
+    # and WITHOUT the gate the same replay would have duplicated (contract
+    # check: the default stays append-blind)
+    assert append_to_ivfpq_index(b1.limit(10), p, applied_key="k3")
+    assert sum(r["n_vectors"] for r in index_cell_stats(spark, p).collect()) == n2 + 10
