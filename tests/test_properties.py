@@ -397,3 +397,63 @@ def test_mad_outliers_match_numpy(spark, vals):
     n_out = int((adev > 3 * mad).sum())
     (r,) = mad_outliers(df, group_col="event_type", value_col="value", k=3.0).collect()
     assert (r.med, r.mad, r.n_outliers, r.n_rows) == (round(med, 6), round(mad, 6), n_out, len(vals))
+
+
+@given(
+    texts=st.lists(
+        st.text(alphabet="ab xyQ ", min_size=0, max_size=30), min_size=1, max_size=8
+    ),
+    vocab=st.lists(st.sampled_from(["a", "b", "ab", "x", "q"]), min_size=1, max_size=4),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_oov_counts_matches_python_reference(spark, texts, vocab):
+    """oov_counts == a pure-Python recount of the same normalize+split
+    rule, over fuzzed whitespace/case/empty-string shapes."""
+    import re
+
+    from pipeline_etl_website_visits_spark.operators.text import oov_counts
+
+    df = spark.createDataFrame(
+        [("s", i, t) for i, t in enumerate(texts)],
+        "source string, doc_id long, text string",
+    )
+    got = {
+        r["source"]: (r["n_tokens"], r["n_oov"])
+        for r in oov_counts(df, vocab, "text", "doc_id", "source").collect()
+    }
+    vset = set(vocab)
+    n_toks = n_oov = 0
+    for t in texts:
+        toks = re.sub(r"\s+", " ", t.strip().lower()).split(" ")
+        n_toks += len(toks)
+        n_oov += sum(1 for tok in toks if tok not in vset)
+    assert got == {"s": (n_toks, n_oov)}
+
+
+@given(seed=st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=5, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_leakage_free_split_matches_python_reference(spark, seed):
+    """leakage_free_split == a pure-Python md5-prefix replica on random
+    doc contents (the engine must add nothing beyond the documented
+    hash rule)."""
+    import hashlib
+    import random
+    import re
+
+    from pipeline_etl_website_visits_spark.operators.text import (
+        leakage_free_split,
+        split_bounds,
+    )
+
+    rng = random.Random(seed)
+    rows = [(i, " ".join(f"w{rng.randint(0, 50)}" for _ in range(rng.randint(0, 8))))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["split"] for r in leakage_free_split(df, "text", "doc_id").collect()}
+    lo, hi = split_bounds(0.8, 0.1)
+    want = {}
+    for did, text in rows:
+        norm = re.sub(r"\s+", " ", text.strip().lower())
+        pref = hashlib.md5(norm.encode()).hexdigest()[:8]
+        want[did] = "train" if pref < lo else ("val" if pref < hi else "test")
+    assert got == want
