@@ -64,10 +64,15 @@ _SUFFIX = ".key"
 
 
 class CommitBackend:
-    """The two commit primitives (+ the small lease-protocol helpers) a
-    storage backend must provide. See the module docstring for the
-    object-store mapping of each; subclass and
-    :func:`set_commit_backend` to deploy off a POSIX filesystem.
+    """The commit primitives a storage backend must provide: the two
+    write-side decisions (*create-exclusive*, *atomic publish*), their
+    read half (``read`` — ADVICE r8), the conditional delete that makes
+    lease release exact where the store supports it (``remove_if``),
+    and the small lease-protocol helpers. See the module docstring for
+    the object-store mapping of each; subclass and
+    :func:`set_commit_backend` to deploy off a POSIX filesystem —
+    :class:`InMemoryObjectStoreBackend` is the executable object-store
+    profile the goldens run against.
     """
 
     def create_exclusive(self, path: str, payload: bytes) -> None:
