@@ -1872,3 +1872,68 @@ def x150(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x151(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.epoch_shuffle(docs, "doc_id", epochs=2, n_buckets=256)
+
+
+# --------------------------------------------------------------------------
+# x152 — duplicate n-gram fraction (the Gopher repetition rule at gram level)
+#
+# Boilerplate/template text shows high duplicate-3-gram mass long before
+# whole tokens repeat (x52 covers the token level). Counts only — exact
+# BIGINT/INT in both engines; the gate fraction is the caller's division.
+# Map-only: gram array via sequence/transform HOFs, two sizes per row,
+# zero exchanges (plan-tested).
+# --------------------------------------------------------------------------
+@query(
+    "x152_dup_gram_fraction",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id,
+             list_transform(range(1, len(lst) - 1),
+                            i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]) AS grams
+      FROM (SELECT doc_id,
+                   regexp_split_to_array({_NORM}, ' ') AS lst
+            FROM documents)
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS INT) AS n_grams,
+           CAST(len(grams) - len(list_distinct(grams)) AS INT) AS n_dup_grams
+    FROM g ORDER BY doc_id
+    """,
+    certifies="X4 duplicate n-gram mass per document (Gopher gram-level repetition rule): map-only HOF gram array, exact integer counts (north-star §0.3)",
+    tags=("llm", "text"),
+)
+def x152(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.dup_gram_stats(docs, "text", "doc_id", n=3)
+
+
+# --------------------------------------------------------------------------
+# x153 — token-length histogram in power-of-two buckets (context planning)
+#
+# What fraction of each source fits a 2k/8k/32k context window, and how
+# much packing waste to expect — the capacity-planning rollup every
+# pretraining mix starts from. Bucket = floor(log2(n_tokens)) computed
+# INTEGER-exactly as length(bin(n)) - 1 in both engines (float log2 is
+# not representation-stable at bucket boundaries); empty docs -> -1.
+# --------------------------------------------------------------------------
+@query(
+    "x153_length_histogram",
+    oracle="""
+    WITH c AS (
+      SELECT source,
+             CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS BIGINT) AS n
+      FROM documents
+    )
+    SELECT source,
+           CAST(CASE WHEN n <= 0 THEN -1 ELSE LENGTH(bin(n)) - 1 END AS INT) AS len_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM c GROUP BY 1, 2 ORDER BY source, len_bucket
+    """,
+    certifies="X4 token-length distribution per source in power-of-two buckets: integer-exact log2 via bin(), single exchange (north-star §0.3)",
+    tags=("llm", "text", "stats"),
+)
+def x153(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.length_histogram(docs, "text", "doc_id", "source")

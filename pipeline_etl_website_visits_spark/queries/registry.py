@@ -55,11 +55,11 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-9 pinning rule: HEAD = the three NEW queries (x149/x150/x151),
-# then the four whose implementation (or underlying operators) changed
-# this round, then ALL 39 round-5-latest names (including q42/q43,
-# displaced by the r8 head), then the 4 oldest round-6-latest names:
-# 3 + 4 + 39 + 4 = exactly 50. After this round no query's latest driver
+# Round-9 pinning rule: HEAD = the five NEW queries (x149-x153), then
+# the four whose implementation (or underlying operators) changed this
+# round, then ALL 39 round-5-latest names (including q42/q43, displaced
+# by the r8 head), then the 2 oldest round-6-latest names:
+# 5 + 4 + 39 + 2 = exactly 50. After this round no query's latest driver
 # row predates round 6; the remaining round-6 cohort rotates in round 10.
 # All names stay covered by the local full-suite check_oracle runs
 # regardless of rotation.
@@ -75,6 +75,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x149_leakage_free_split",
     "x150_oov_rate",
     "x151_epoch_shuffle",
+    "x152_dup_gram_fraction",
+    "x153_length_histogram",
     "x148_greedy_doc_packing",
     "x122_stored_gram_dedup",
     "x117_stored_index_search",
@@ -121,12 +123,10 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x38_top_bigrams",
     "x79_recursive_cte",
     "x98_doc_pagerank",
-    # -- (c) oldest round-6-latest names fill the remaining 4 slots;
+    # -- (c) oldest round-6-latest names fill the remaining 2 slots;
     #    the rest of the round-6 cohort rotates in round 10 --
     "q58_star_join",
     "q59_sql_identical_text",
-    "q60_pricing_summary",
-    "q61_pivot",
 )
 
 

@@ -624,3 +624,41 @@ def test_epoch_shuffle_is_deterministic_distinct_and_complete(spark):
         epoch_shuffle(docs, "doc_id", n_buckets=100)
     with pytest.raises(ValueError, match="epochs"):
         epoch_shuffle(docs, "doc_id", epochs=0)
+
+
+def test_dup_gram_stats_counts(spark):
+    from pipeline_etl_website_visits_spark.operators.text import dup_gram_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),     # grams: aba,bab,aba,bab -> 4 total, 2 dups
+            (2, "x y z"),           # exactly one gram, no dups
+            (3, "q r"),             # shorter than n -> 0 grams
+            (4, ""),                # empty -> 0 grams
+            (5, "t t t t"),         # ttt,ttt -> 2 total, 1 dup
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+           for r in dup_gram_stats(df, "text", "doc_id", n=3).collect()}
+    assert got == {1: (4, 2), 2: (1, 0), 3: (0, 0), 4: (0, 0), 5: (2, 1)}
+
+
+def test_length_histogram_buckets(spark):
+    from pipeline_etl_website_visits_spark.operators.text import length_histogram
+
+    rows = [
+        ("a", 1, "w"),                               # 1 token  -> bucket 0
+        ("a", 2, "w w"),                             # 2 tokens -> bucket 1
+        ("a", 3, "w w w"),                           # 3 tokens -> bucket 1
+        ("a", 4, " ".join(["w"] * 4)),               # 4 tokens -> bucket 2
+        ("b", 5, ""),                                # empty    -> bucket -1
+        ("b", 6, " ".join(["w"] * 1024)),            # 1024     -> bucket 10
+    ]
+    df = spark.createDataFrame(rows, "source string, doc_id long, text string")
+    got = {(r["source"], r["len_bucket"]): (r["n_docs"], r["total_tokens"])
+           for r in length_histogram(df, "text", "doc_id", "source").collect()}
+    assert got == {
+        ("a", 0): (1, 1), ("a", 1): (2, 5), ("a", 2): (1, 4),
+        ("b", -1): (1, 0), ("b", 10): (1, 1024),
+    }

@@ -571,3 +571,15 @@ def test_epoch_shuffle_window_is_bucket_partitioned(spark):
     plan = simple_plan(df)
     assert "Exchange SinglePartition" not in plan, plan
     assert "hashpartitioning(epoch" in plan, plan
+
+
+def test_dup_gram_stats_is_map_only(spark):
+    """x152: gram arrays never explode and never KEY-shuffle — the only
+    allowed exchange is the single-split round-robin fan-out (the
+    shingles discipline; gram construction is the per-row hot cost)."""
+    from pipeline_etl_website_visits_spark.plans import simple_plan
+
+    df = REGISTRY["x152_dup_gram_fraction"].spark(spark, SF_DIR)
+    plan = simple_plan(df)
+    assert "hashpartitioning" not in plan and "Generate" not in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
