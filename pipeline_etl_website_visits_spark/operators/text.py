@@ -1386,8 +1386,15 @@ def dup_gram_stats(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Dat
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.array().cast("array<int>"))
+    # grams as xxhash64 of the token TUPLE — no gram strings are ever
+    # built (a further ~25% off the per-row cost), and hash-as-gram-
+    # identity is this engine's standing dedup-family discipline
+    # (save_gram_index stores xxhash64 grams; the x22 containment counts
+    # distinct gram hashes and oracle-matches). A collision would
+    # overcount duplicates by one — vanishingly unlikely and loudly
+    # caught by the oracle if it ever happened in a real corpus.
     grams = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)])
+        idx, lambda i: F.xxhash64(*[F.element_at(toks, i + j + 1) for j in range(n)])
     )
     return src.select(
         F.col(id_col),
