@@ -192,11 +192,14 @@ def test_append_rejects_unsafe_applied_key(spark, emb, tmp_path):
             append_to_ivfpq_index(emb.limit(0), p, applied_key=bad)
 
 
-def test_rebuild_resets_applied_ledger(spark, emb, tmp_path):
+def test_rebuild_resets_applied_ledger(spark, emb, tmp_path, any_commit_backend):
     """A rebuild at the same path is a fresh incarnation: batch keys
     applied to the PREVIOUS incarnation must append again (round 5 got
     this for free by rewriting meta; the sidecar must reset explicitly
-    or post-rebuild appends silently no-op and lose the batch)."""
+    or post-rebuild appends silently no-op and lose the batch). Runs
+    under BOTH commit backends (r9): the reset goes through
+    reset_applied_keys, which must clear the ledger where it actually
+    lives — a filesystem rmtree cannot see an object-store ledger."""
     from pipeline_etl_website_visits_spark.operators.vector_index import (
         append_to_ivfpq_index,
         index_cell_stats,
