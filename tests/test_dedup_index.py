@@ -77,10 +77,14 @@ def test_warehouse_gram_index_roundtrip(spark, tmp_path):
     spark.sql(f"DROP TABLE IF EXISTS {table}")
 
 
-def test_gram_index_geometry_validation_and_redo_safety(spark, tmp_path):
+def test_gram_index_geometry_validation_and_redo_safety(
+    spark, tmp_path, any_commit_backend
+):
     """An n mismatch must error loudly (it would otherwise score every
     duplicate ~0 silently); replaying an append with the same applied_key
-    is a no-op."""
+    is a no-op. Runs under BOTH commit backends (r9): the applied-key
+    markers and the save-time ledger reset must live in the backend's
+    world, wherever that is."""
     import pytest
 
     from pipeline_etl_website_visits_spark.etl.load import Warehouse
