@@ -89,6 +89,14 @@ def decontaminate(
         hits = contamination_hits(corpus, evalset, text_col, id_col, n=n)
         if action == "report":
             return hits
+        if threshold is not None and threshold < 1:
+            # in this mode `threshold` is a shared-GRAM COUNT (>=1), not the
+            # cosine float semantic mode takes — int() would silently turn
+            # 0.35 into "keep everything" (min_shared=0)
+            raise ValueError(
+                f"fuzzy-mode threshold is a shared-gram count >= 1, got "
+                f"{threshold!r} (cosine thresholds belong to mode='semantic')"
+            )
         min_shared = 1 if threshold is None else int(threshold)
         dropped = hits.filter(F.col("shared_grams") >= min_shared).select(
             F.col("doc_id").alias(id_col)
@@ -121,7 +129,8 @@ def decontaminate(
         substring_decontam_hits,
     )
 
-    if needles is None:
+    derived = needles is None
+    if derived:
         rows = (
             evalset.select(normalize_text(F.col(text_col)).alias("needle"))
             .filter(F.length("needle") > 0)
@@ -137,7 +146,18 @@ def decontaminate(
                 f"in the plan to every task)"
             )
         needles = sorted(r["needle"] for r in rows)
-    hits = substring_decontam_hits(corpus, needles, text_col=text_col, id_col=id_col)
+    # derived needles are NORMALIZED (lowercase, collapsed whitespace), so
+    # they must match a normalized view of the corpus too — otherwise
+    # verbatim contamination with any uppercase or double space is a silent
+    # false negative.  Explicit caller needles keep the raw-text contract
+    # (x138's shape).  Only (id, normalized text) feed the hit scan; the
+    # filter anti-join below still returns ORIGINAL corpus rows.
+    match_side = corpus
+    if derived:
+        match_side = corpus.select(
+            F.col(id_col), normalize_text(F.col(text_col)).alias(text_col)
+        )
+    hits = substring_decontam_hits(match_side, needles, text_col=text_col, id_col=id_col)
     if action == "report":
         return hits
     dropped = hits.select(F.col("doc_id").alias(id_col))

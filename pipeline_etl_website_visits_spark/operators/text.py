@@ -1276,6 +1276,10 @@ def oov_counts(
     """
     from pipeline_etl_website_visits_spark.operators.dedup import normalize_text
 
+    if not vocab:
+        # zero-arg F.array() fails analysis with an opaque type error;
+        # an empty vocab is a caller bug (every token would be OOV)
+        raise ValueError("oov_counts needs a non-empty vocab")
     if len(vocab) > 200_000:
         raise ValueError(
             f"vocab has {len(vocab)} entries; the plan-literal contract is "

@@ -588,6 +588,10 @@ def test_oov_counts_exact_and_bounded(spark):
     assert got == {"a": (5, 1), "b": (3, 2)}
     with pytest.raises(ValueError, match="vocab"):
         oov_counts(df, ["t"] * 200_001, "text", "doc_id", "source")
+    # ADVICE r9 (low): empty vocab = clear error, not an opaque zero-arg
+    # F.array() analysis failure
+    with pytest.raises(ValueError, match="non-empty vocab"):
+        oov_counts(df, [], "text", "doc_id", "source")
 
 
 def test_epoch_shuffle_is_deterministic_distinct_and_complete(spark):

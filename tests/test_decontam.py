@@ -105,12 +105,39 @@ def test_substring_default_needles_and_bound(spark):
         decontaminate(docs, docs, "substring", max_needles=1)
 
 
+def test_substring_derived_needles_match_case_insensitively(spark):
+    """ADVICE r9 (high): derived needles are normalized, so the corpus
+    match side must be normalized too — verbatim contamination that
+    differs only in case/whitespace must still be caught."""
+    docs = spark.createDataFrame(
+        [(1, "The Answer Is Paris today"), (2, "unrelated text")],
+        "doc_id long, text string",
+    )
+    evalset = spark.createDataFrame(
+        [(10, "The Answer Is Paris")], "doc_id long, text string"
+    )
+    hits = decontaminate(docs, evalset, "substring")
+    assert {r["doc_id"] for r in hits.collect()} == {1}
+    clean = decontaminate(docs, evalset, "substring", action="filter")
+    got = {(r["doc_id"], r["text"]) for r in clean.collect()}
+    # filter returns the ORIGINAL rows (raw text), not the normalized view
+    assert got == {(2, "unrelated text")}
+    # explicit needles keep the raw-text contract (the x138 shape)
+    raw_hits = decontaminate(
+        docs, evalset, "substring", needles=["The Answer Is Paris"]
+    )
+    assert {r["doc_id"] for r in raw_hits.collect()} == {1}
+
+
 def test_mode_and_action_validation(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
     with pytest.raises(ValueError, match="mode"):
         decontaminate(docs, docs, "bloom")
     with pytest.raises(ValueError, match="action"):
         decontaminate(docs, docs, "fuzzy", action="drop")
+    # ADVICE r9 (low): fuzzy threshold is a gram COUNT, not a cosine float
+    with pytest.raises(ValueError, match="shared-gram count"):
+        decontaminate(docs, docs, "fuzzy", threshold=0.35, action="filter")
 
 
 def test_membership_filter_clean_leg_never_joins(spark):
