@@ -55,78 +55,72 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-9 pinning rule: HEAD = the five NEW queries (x149-x153), then
-# the four whose implementation (or underlying operators) changed this
-# round, then ALL 39 round-5-latest names (including q42/q43, displaced
-# by the r8 head), then the 2 oldest round-6-latest names:
-# 5 + 4 + 39 + 2 = exactly 50. After this round no query's latest driver
-# row predates round 6; the remaining round-6 cohort rotates in round 10.
+# Round-10 pinning rule: HEAD = x150 (changed kernel this round), then
+# ALL 42 remaining round-6-latest names, then the 7 alphabetically-first
+# round-7-latest names as fill: 1 + 42 + 7 = exactly 50. After this
+# round no query's latest driver row predates round 7. New/changed
+# queries later in round 10 displace from the bottom of the fill.
 # All names stay covered by the local full-suite check_oracle runs
 # regardless of rotation.
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- (a) round-9 rotation head: the TWO new queries first (never
-    #    driver-checked: x149 leakage-free hash split, x150 OOV audit),
-    #    then the queries whose implementation (or whose underlying
-    #    operators) changed this round — x148 via greedy_pack_bins'
-    #    caller-typed grp schema; x122/x117 via the stored indexes'
-    #    backend-routed ledger resets/carries + save_gram_index's family
-    #    compactor lease; q10 via the warehouse pointer reads now routed
-    #    through the commit backend --
-    "x149_leakage_free_split",
+    # -- (a) round-10 rotation head: x150 first (its oov_counts kernel
+    #    gained the empty-vocab guard this round — changed-code outranks
+    #    stale rows), then ALL 42 remaining round-6-latest names
+    #    (VERDICT r9 item 1: after this round no query's latest driver
+    #    row predates round 7) --
     "x150_oov_rate",
-    "x151_epoch_shuffle",
-    "x152_dup_gram_fraction",
-    "x153_length_histogram",
-    "x148_greedy_doc_packing",
-    "x122_stored_gram_dedup",
-    "x117_stored_index_search",
-    "q10_merge_upsert",
-    # -- (b) ALL 39 round-5-latest names (incl. the q42/q43 the r8 head
-    #    displaced): after this round no query's latest driver row
-    #    predates round 6 (VERDICT r8 item 1) --
-    "q42_except",
-    "q43_intersect",
-    "q44_union_distinct",
-    "q45_cube",
-    "q46_window_rank_lag",
-    "q47_window_frame_running_sum",
-    "q48_having",
-    "q49_conditional_agg",
-    "q50_scalar_subquery",
-    "q51_in_subquery",
-    "q52_string_funcs",
-    "q53_math_funcs",
-    "q54_date_funcs",
-    "q55_json_extract",
-    "q57_inline_lookup_join",
-    "x106_label_centroids",
-    "x107_scd2_dimension",
-    "x108_scd2_asof_lookup",
-    "x109_waiting_supplier",
-    "x110_dormant_customers",
-    "x111_bulk_suppliers",
-    "x112_dup_span_scrub",
-    "x113_constraint_audit",
-    "x114_neardup_triangles",
-    "x115_repetition_scrub",
-    "x116_cheapest_supplier",
-    "x118_promo_revenue",
-    "x119_disjunctive_revenue",
-    "x120_top_supplier",
-    "x121_nation_volume",
-    "x28_text_quality",
-    "x29_text_token_count",
-    "x30_text_fingerprint",
-    "x31_doc_stats_by_lang",
-    "x34_events_user_daily",
-    "x35_distinct",
-    "x38_top_bigrams",
-    "x79_recursive_cte",
-    "x98_doc_pagerank",
-    # -- (c) oldest round-6-latest names fill the remaining 2 slots;
-    #    the rest of the round-6 cohort rotates in round 10 --
-    "q58_star_join",
-    "q59_sql_identical_text",
+    "q60_pricing_summary",
+    "q61_pivot",
+    "q62_variance_manual",
+    "q63_shipping_priority",
+    "q64_regional_volume",
+    "q65_median_manual",
+    "q66_regexp_extract",
+    "q67_event_funnel",
+    "q69_grouping_sets",
+    "x102_variant_extract",
+    "x124_priority_late_orders",
+    "x125_priority_class_lines",
+    "x126_small_quantity_revenue",
+    "x127_large_volume_orders",
+    "x128_returned_item_customers",
+    "x129_forecast_revenue",
+    "x130_zipf_slope",
+    "x131_source_overlap_matrix",
+    "x132_schema_evolution",
+    "x133_bag_set_ops",
+    "x134_important_parts",
+    "x135_supplier_part_counts",
+    "x136_window_distribution_family",
+    "x137_null_ordering",
+    "x138_substring_decontam",
+    "x139_token_entropy",
+    "x141_event_transitions",
+    "x142_gap_fill_forward",
+    "x144_orc_roundtrip",
+    "x145_k_anonymity",
+    "x36_approx_count_distinct",
+    "x37_approx_percentile",
+    "x44_hash_split",
+    "x45_snapshot_cdc",
+    "x46_len_quantiles_by_lang",
+    "x49_sequence_packing",
+    "x50_shuffled_sample",
+    "x51_mixture_sampling",
+    "x58_tfidf_top_terms",
+    "x59_bigram_rarity",
+    "x70_json_struct_agg",
+    "x92_heavy_hitters",
+    # -- (b) alphabetically-first round-7-latest names fill the last 7
+    #    slots; any query added or changed later in round 10 displaces
+    #    from the BOTTOM of this fill --
+    "q01_scan_project_rename",
+    "q05_error_explode",
+    "q56_sorted_collect",
+    "q68_rolling_hour_window",
+    "x123_native_recursion",
+    "x143_mad_outliers",
+    "x146_chunk_udtf",
 )
 
 
