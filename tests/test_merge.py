@@ -717,3 +717,75 @@ spark.stop()
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_retention_knob_time_travel_window_and_sweep(spark, tmp_path, target, source):
+    """VERDICT r9 item 7: `retention` is the VACUUM knob. With
+    retention=3 a third-back version still serves; the fourth publish
+    rotates it out (read raises, dir swept once unreferenced). Lowering
+    retention on reopen takes effect at the next publish."""
+    import pytest
+
+    root = str(tmp_path / "wh_ret")
+    wh = Warehouse(spark, root, n_buckets=2, retention=3)
+    wh.write_visitantes(target, applied_key="seed")
+    v0 = wh._current_visitantes_version()
+    # every merge carries the FULL source (touches all buckets), so a
+    # rotated-out version's dir loses every manifest reference and the
+    # sweep can be asserted at the directory level too
+    wh.merge_visitantes(source, process_date=PROCESS_DATE, applied_key="b1")
+    v1 = wh._current_visitantes_version()
+    wh.merge_visitantes(source, process_date=PROCESS_DATE, applied_key="b2")
+    v2 = wh._current_visitantes_version()
+    assert wh.visitantes_versions() == [v0, v1, v2]
+    # third-back serves under retention=3 (the two-deep default would raise)
+    assert wh.read_visitantes(version=v0).count() == target.count()
+
+    wh.merge_visitantes(source, process_date=PROCESS_DATE, applied_key="b3")
+    v3 = wh._current_visitantes_version()
+    assert wh.visitantes_versions() == [v1, v2, v3]
+    with pytest.raises(ValueError, match="not retained"):
+        wh.read_visitantes(version=v0)
+    assert not os.path.exists(os.path.join(root, v0)), (
+        "rotated-out, fully-rewritten version dir must be swept"
+    )
+    # retained ones serve with full content
+    assert wh.read_visitantes(version=v1).count() == target.count() + 1
+
+    # LOWER retention on reopen: next publish trims to the new window
+    wh1 = Warehouse(spark, root, n_buckets=2, retention=1)
+    wh1.merge_visitantes(source, process_date=PROCESS_DATE, applied_key="b4")
+    v4 = wh1._current_visitantes_version()
+    assert wh1.visitantes_versions() == [v4]
+    with pytest.raises(ValueError, match="not retained"):
+        wh1.read_visitantes(version=v3)
+    for old in (v1, v2, v3):
+        assert not os.path.exists(os.path.join(root, old))
+
+    with pytest.raises(ValueError, match="retention"):
+        Warehouse(spark, root, retention=0)
+
+
+def test_retention_knob_compact_chain(spark, tmp_path):
+    """The compacted append-table chain honors the same retention knob:
+    with retention=3, versions v0..v2 coexist; the v3 compaction sweeps
+    only v0."""
+    import pyspark.sql.functions as F2
+
+    root = str(tmp_path / "wh_cret")
+    wh = Warehouse(spark, root, retention=3)
+    for i in range(4):
+        df = (
+            spark.range(5)
+            .select(
+                F2.concat(F2.lit(f"e{i}-"), F2.col("id").cast("string")).alias("email"),
+                F2.lit(f"f{i}.txt").alias("nombreArchivo"),
+            )
+        )
+        wh.append_partitioned(df, "t")
+        out = wh.compact("t", target_mb=64)
+        assert out["version"] == f"t_compact_v{i}"
+    names = sorted(d for d in os.listdir(root) if d.startswith("t_compact_v"))
+    assert names == ["t_compact_v1", "t_compact_v2", "t_compact_v3"]
+    # rows all present through the read path
+    assert wh.read("t").count() == 20
