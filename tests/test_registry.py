@@ -146,3 +146,20 @@ def test_commit_scratch_build_reraises_real_failures(tmp_path):
 
     with pytest.raises(OSError):
         _commit_scratch_build(str(tmp_path / "never_built"), str(tmp_path / "x"))
+
+
+def test_coverage_crosswalk_is_current():
+    """docs/COVERAGE.md's generated registry-crosswalk block must match
+    the live registry (VERDICT r9 item 8: the crosswalk cannot drift —
+    regenerate with `python tools/gen_coverage.py` after adding or
+    re-tagging queries)."""
+    import importlib
+
+    gen = importlib.import_module("tools.gen_coverage")
+    with open(gen.DOC) as f:
+        doc = f.read()
+    assert gen.BEGIN in doc and gen.END in doc
+    block = gen.BEGIN + doc.split(gen.BEGIN, 1)[1].split(gen.END, 1)[0] + gen.END
+    assert block == gen.render(), (
+        "stale crosswalk: run `python tools/gen_coverage.py`"
+    )
