@@ -1,0 +1,114 @@
+"""The corpus-curation front door: one call composing the LLM-data
+pipeline the operator suite exists for (VERDICT r9 item 5).
+
+The individually-certified stages — exact dedup (x21), benchmark
+decontamination in four modes (x47/x66/x101/x138 via
+:func:`operators.decontam.decontaminate`), leakage-free content-hash
+splits (x149), deterministic multi-epoch scheduling (x151), and
+whole-document greedy packing (x148) — compose into the standard
+curation run:
+
+    raw corpus → dedup → decontaminate → split → (train) epoch order
+                                               → (train) packed bins
+
+:func:`curate_corpus` wires them in that order and returns every
+intermediate relation, so a pipeline author gets the whole story in one
+call while keeping each stage's output for auditing. Every stage is the
+SAME kernel its certified query runs — no re-implementation to drift
+(the :mod:`operators.decontam` discipline, one level up).
+
+Scale shape (the 100 TB reading): dedup is one fingerprint-keyed
+shuffle; decontamination is map-only against a broadcast/driver-bounded
+eval structure; the split is a map-only hash comparison; the epoch
+order is one partitioned-window shuffle; packing parallelizes per
+group. Nothing here collects corpus-sized state to the driver, and all
+returned relations are lazy — the caller picks what to materialize.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def curate_corpus(
+    corpus: DataFrame,
+    evalset: DataFrame | None = None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    dedup: bool = True,
+    decontam_mode: str = "fuzzy",
+    train: float = 0.8,
+    val: float = 0.1,
+    epochs: int = 2,
+    epoch_buckets: int = 256,
+    pack_budget: int | None = 512,
+) -> dict[str, DataFrame]:
+    """Run the composed curation pipeline over ``corpus``.
+
+    Stages (each optional knob disables its stage):
+
+    1. **dedup** (``dedup=True``): exact content dedup — keep the
+       minimum-id copy of every identical (normalized) text
+       (:func:`operators.dedup.dedup_exact`).
+    2. **decontaminate** (skipped when ``evalset`` is None): drop corpus
+       rows that leak ``evalset`` content, via any
+       :func:`operators.decontam.decontaminate` mode (``fuzzy`` /
+       ``membership`` / ``semantic`` / ``substring``).
+    3. **split**: leakage-free train/val/test assignment from the
+       content fingerprint (:func:`operators.text.leakage_free_split`)
+       — exact copies always land in the same split.
+    4. **epoch order**: deterministic multi-epoch read schedule for the
+       train split (:func:`operators.text.epoch_shuffle`).
+    5. **pack** (skipped when ``pack_budget`` is None): whole-document
+       greedy bin packing of the train split per ``group_col``
+       (:func:`operators.text.greedy_pack_bins`).
+
+    Returns a dict of lazy DataFrames: ``clean`` (the curated corpus,
+    original schema), ``splits`` ((id, split)), ``train`` (clean ∩
+    train split, original schema), ``train_order`` ((epoch, id, bucket,
+    pos_in_bucket)), ``packed`` ((group, doc_id, n_tokens, bin_ix,
+    offset_in_bin); absent stages are omitted from the dict.
+    """
+    from pipeline_etl_website_visits_spark.operators.decontam import decontaminate
+    from pipeline_etl_website_visits_spark.operators.dedup import dedup_exact
+    from pipeline_etl_website_visits_spark.operators.text import (
+        epoch_shuffle,
+        greedy_pack_bins,
+        leakage_free_split,
+    )
+
+    out: dict[str, DataFrame] = {}
+    clean = corpus
+    if dedup:
+        keepers = dedup_exact(clean, text_col, id_col).select(
+            F.col("keeper_doc_id").alias(id_col)
+        )
+        clean = clean.join(keepers, id_col, "left_semi")
+    if evalset is not None:
+        clean = decontaminate(
+            clean,
+            evalset,
+            decontam_mode,
+            text_col=text_col,
+            id_col=id_col,
+            action="filter",
+        )
+    out["clean"] = clean
+
+    splits = leakage_free_split(clean, text_col, id_col, train=train, val=val)
+    out["splits"] = splits
+    train_df = clean.join(
+        splits.filter(F.col("split") == "train").select(id_col), id_col, "left_semi"
+    )
+    out["train"] = train_df
+    out["train_order"] = epoch_shuffle(
+        train_df, id_col, epochs=epochs, n_buckets=epoch_buckets
+    )
+    if pack_budget is not None:
+        out["packed"] = greedy_pack_bins(
+            train_df, text_col, id_col, group_col, budget=pack_budget
+        )
+    return out

@@ -165,15 +165,13 @@ def test_membership_filter_clean_leg_never_joins(spark):
 
 
 def test_curation_pipeline_composes_end_to_end(spark):
-    """The workflow the round-9 APIs exist for, composed: decontaminate
+    """The workflow the round-9 APIs exist for, through the ONE front
+    door (curate.curate_corpus, VERDICT r9 item 5): dedup + decontaminate
     the corpus against an eval set, assign leakage-free splits, schedule
     the train split across epochs, pack it into token bins — each stage
-    consuming the previous stage's output schema directly."""
-    from pipeline_etl_website_visits_spark.operators.text import (
-        epoch_shuffle,
-        greedy_pack_bins,
-        leakage_free_split,
-    )
+    the same kernel its certified query runs."""
+    from pipeline_etl_website_visits_spark.curate import curate_corpus
+    from pipeline_etl_website_visits_spark.operators.text import epoch_shuffle
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
         "doc_id", "source", "text"
@@ -181,24 +179,50 @@ def test_curation_pipeline_composes_end_to_end(spark):
     evalset = docs.filter(F.col("doc_id") < 20)
     corpus = docs.filter(F.col("doc_id") >= 20)
 
-    clean = decontaminate(corpus, evalset, "fuzzy", action="filter")
+    out = curate_corpus(
+        corpus, evalset, decontam_mode="fuzzy", epochs=2, epoch_buckets=16,
+        pack_budget=512,
+    )
     hits = {r["doc_id"] for r in decontaminate(corpus, evalset, "fuzzy").collect()}
-    clean_ids = {r["doc_id"] for r in clean.collect()}
+    clean_ids = {r["doc_id"] for r in out["clean"].collect()}
     assert clean_ids.isdisjoint(hits) and clean_ids
+    # clean keeps the corpus schema
+    assert out["clean"].columns == corpus.columns
 
-    splits = leakage_free_split(clean, "text", "doc_id")
     by_split = {}
-    for r in splits.collect():
+    for r in out["splits"].collect():
         by_split.setdefault(r["split"], set()).add(r["doc_id"])
     assert set().union(*by_split.values()) == clean_ids  # a partition of clean
 
-    train = clean.join(
-        splits.filter(F.col("split") == "train").select("doc_id"), "doc_id", "left_semi"
+    assert {r["doc_id"] for r in out["train"].collect()} == by_split["train"]
+    assert out["train_order"].count() == 2 * len(by_split["train"])
+    # bit-identical to calling the stage kernel directly (no drift)
+    direct = epoch_shuffle(out["train"], "doc_id", epochs=2, n_buckets=16)
+    assert sorted(map(tuple, out["train_order"].collect())) == sorted(
+        map(tuple, direct.collect())
     )
-    order = epoch_shuffle(train, "doc_id", epochs=2, n_buckets=16)
-    assert order.count() == 2 * len(by_split["train"])
 
-    packed = greedy_pack_bins(train, "text", "doc_id", "source", budget=512)
-    packed_ids = {r["doc_id"] for r in packed.collect()}
+    packed_ids = {r["doc_id"] for r in out["packed"].collect()}
     # every non-empty train doc landed in a bin, nothing foreign
     assert packed_ids <= by_split["train"] and packed_ids
+
+
+def test_curate_corpus_dedup_and_optional_stages(spark):
+    """dedup=True keeps the min-id copy of identical texts; evalset=None
+    skips decontamination; pack_budget=None omits the packed relation."""
+    from pipeline_etl_website_visits_spark.curate import curate_corpus
+
+    docs = spark.createDataFrame(
+        [
+            (1, "s", "alpha beta gamma"),
+            (2, "s", "alpha  BETA gamma"),  # normalized dup of 1
+            (3, "s", "delta unique"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    out = curate_corpus(docs, None, pack_budget=None)
+    assert {r["doc_id"] for r in out["clean"].collect()} == {1, 3}
+    assert "packed" not in out
+    # dedup off: all rows survive
+    out2 = curate_corpus(docs, None, dedup=False, pack_budget=None)
+    assert {r["doc_id"] for r in out2["clean"].collect()} == {1, 2, 3}
