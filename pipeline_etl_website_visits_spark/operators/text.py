@@ -1439,3 +1439,154 @@ def length_histogram(
             F.sum("__n").cast("long").alias("total_tokens"),
         )
     )
+
+
+def stratified_top_fraction(
+    df: DataFrame,
+    score: Column,
+    group_col: str,
+    id_col: str,
+    keep_per_mille: int,
+) -> DataFrame:
+    """Per-group dynamic quality gate: keep the top ``keep_per_mille``/1000
+    of each group's rows ranked by ``score`` (descending, ``id_col`` as
+    the deterministic tiebreak) — the FineWeb-style stratified filter
+    where every source keeps its best X% instead of the corpus sharing
+    one global threshold (a global cut silently drops whole low-scoring
+    sources; per-source percentiles preserve the mixture).
+
+    The cutoff is INTEGER arithmetic end to end:
+    ``rank * 1000 <= group_count * keep_per_mille`` — no float
+    ``percent_rank``/``count*frac`` whose rounding at the boundary row
+    is not representation-stable across engines (the x130/x153
+    discipline). Both window functions share one partitioning, so the
+    plan carries exactly ONE exchange on ``group_col``; ranking is
+    per-group (never the x147 global-window trap). Returns the kept
+    rows with ``df``'s schema.
+    """
+    from pyspark.sql import Window
+
+    if not 0 <= int(keep_per_mille) <= 1000:
+        raise ValueError(f"keep_per_mille must be in [0, 1000], got {keep_per_mille}")
+    w = Window.partitionBy(group_col).orderBy(score.desc(), F.col(id_col))
+    wc = Window.partitionBy(group_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn("__cnt", F.count(F.lit(1)).over(wc))
+        .filter(F.col("__rn") * 1000 <= F.col("__cnt") * int(keep_per_mille))
+        .drop("__rn", "__cnt")
+    )
+
+
+def gram_diversity(
+    df: DataFrame, text_col: str, id_col: str, group_col: str, n: int = 3
+) -> DataFrame:
+    """Corpus-level n-gram diversity per group — the synthetic-data /
+    mode-collapse audit: (group, n_gram_instances, n_distinct_grams,
+    ttr_permille) where ``ttr_permille`` is the gram type-token ratio in
+    integer per-mille (distinct·1000 DIV instances). A source whose TTR
+    collapses relative to its peers is template-generated, over-deduped
+    upstream, or a model looping on itself — checked BEFORE a mixture
+    admits it. Counts are exact integers (division quantized DIV, the
+    engine-portability discipline); per-DOC repetition is x152's
+    dup_gram_stats — this is the ACROSS-doc complement.
+
+    Shape: gram identity is xxhash64 of the token tuple (the dedup-family
+    discipline — no gram strings built). NOT the x58/x59 single-exchange
+    fold: ``group_col`` is LOW-cardinality (sources), so pre-partitioning
+    by it would funnel each source's whole tokenize+explode onto one
+    task. Instead the heavy map runs at scan parallelism (with the
+    single-split fan-out for toy inputs), and what EXPLODES is only each
+    doc's DISTINCT-gram array — position 0 carries the doc's full
+    instance count, so instances are recovered exactly without shipping
+    every repeat (strictly less shuffle on repetitive corpora; A/B'd
+    equal at sf0.1 where repetition is low). The dedup rollup exchanges
+    on high-cardinality (group, gram); the final (group) exchange is
+    tiny after map-side partial aggregation.
+    """
+    from pipeline_etl_website_visits_spark.operators.dedup import normalize_text
+
+    src = df.select(F.col(group_col), F.col(text_col))
+    sc = df.sparkSession.sparkContext
+    try:
+        few_splits = len(df.inputFiles()) < sc.defaultParallelism
+    except Exception:  # non-file sources can't report splits
+        few_splits = False
+    if few_splits:
+        src = src.repartition(sc.defaultParallelism)
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    idx = F.when(
+        F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(
+        idx, lambda i: F.xxhash64(*[F.element_at(toks, i + j + 1) for j in range(n)])
+    )
+    pre = src.select(
+        F.col(group_col),
+        F.size(grams).alias("__n_g"),
+        F.array_distinct(grams).alias("__dg"),
+    )
+    ex = pre.select(group_col, "__n_g", F.posexplode("__dg").alias("__pos", "g"))
+    per_gram = ex.groupBy(group_col, "g").agg(
+        F.sum(F.when(F.col("__pos") == 0, F.col("__n_g")).otherwise(F.lit(0))).alias(
+            "__inst"
+        )
+    )
+    return per_gram.groupBy(group_col).agg(
+        F.sum("__inst").cast("long").alias("n_gram_instances"),
+        F.count("*").cast("long").alias("n_distinct_grams"),
+        F.when(
+            F.sum("__inst") > 0,
+            F.expr("CAST(count(1) AS BIGINT) * 1000 DIV sum(__inst)"),
+        )
+        .cast("long")
+        .alias("ttr_permille"),
+    )
+
+
+def boilerplate_prefixes(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    n: int = 3,
+    min_docs: int = 2,
+    top: int = 5,
+) -> DataFrame:
+    """Shared document-PREFIX detection per group — the boilerplate audit
+    (scraped corpora repeat headers/templates at document START far more
+    often than anywhere else): the ``top`` most-shared first-``n``-token
+    prefixes per group that at least ``min_docs`` documents share, as
+    (group, prefix, n_docs, rank). Curation either strips the matched
+    prefix or caps the template's document count (quota_per_key).
+
+    Documents shorter than ``n`` tokens have no prefix and are excluded.
+    Shape: map-only prefix projection at scan parallelism (``group_col``
+    is LOW-cardinality, so pre-partitioning by it would funnel each
+    source's tokenization onto one task — not the x58/x59 fold); the
+    count exchanges on high-cardinality (group, prefix); the per-group
+    rank window re-exchanges only the ``n_docs >= min_docs`` survivors
+    (tiny — shared prefixes are by definition far fewer than documents)
+    and is partitioned by group with a (count DESC, prefix)
+    deterministic order — never a global window. The prefix here IS the
+    human-readable string (counts alone can't drive a strip rule), built
+    only for the first ``n`` tokens per doc — O(n) per row, not the gram
+    blow-up.
+    """
+    from pyspark.sql import Window
+
+    from pipeline_etl_website_visits_spark.operators.dedup import normalize_text
+
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    prefix = F.array_join(F.slice(toks, 1, n), " ")
+    counted = (
+        df.select(F.col(group_col), F.when(F.size(toks) >= n, prefix).alias("prefix"))
+        .filter(F.col("prefix").isNotNull())
+        .groupBy(group_col, "prefix")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= int(min_docs))
+    )
+    w = Window.partitionBy(group_col).orderBy(F.col("n_docs").desc(), F.col("prefix"))
+    return (
+        counted.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= int(top))
+    )

@@ -1937,3 +1937,107 @@ def x152(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x153(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.length_histogram(docs, "text", "doc_id", "source")
+
+
+# --------------------------------------------------------------------------
+# x154 — stratified per-source quality gate (FineWeb-style percentile filter)
+#
+# Keep each source's top 70% of documents by token count (the quality
+# proxy this synthetic corpus affords) — per-SOURCE percentiles, not one
+# global threshold, so low-scoring sources aren't silently wiped from
+# the mixture. Integer boundary arithmetic (rank*1000 <= cnt*700): no
+# float percent_rank at the cutoff row in either engine.
+# --------------------------------------------------------------------------
+@query(
+    "x154_stratified_quality_gate",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END AS BIGINT) AS n
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source, n,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n DESC, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS cnt
+      FROM c
+    )
+    SELECT doc_id, source, n AS n_tokens
+    FROM r WHERE rn * 1000 <= cnt * 700 ORDER BY doc_id
+    """,
+    certifies="X4 stratified per-group quality gate: keep each source's top per-mille by score, integer boundary arithmetic, ONE partitioned-window exchange (north-star §0.3)",
+    tags=("llm", "curation", "window"),
+)
+def x154(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "source",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+    )
+    return T.stratified_top_fraction(
+        scored, F.col("n_tokens"), "source", "doc_id", keep_per_mille=700
+    )
+
+
+# --------------------------------------------------------------------------
+# x155 — corpus-level gram diversity per source (synthetic-data audit)
+#
+# Gram type-token ratio ACROSS documents: a source whose distinct-gram
+# mass collapses relative to peers is template-generated or a model
+# looping on itself — the mode-collapse gate a mixture runs before
+# admitting synthetic data. x152 is the per-DOC complement.
+# --------------------------------------------------------------------------
+@query(
+    "x155_gram_diversity",
+    oracle=f"""
+    WITH g AS (
+      SELECT source,
+             unnest(list_transform(range(1, len(lst) - 1),
+                                   i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2])) AS gram
+      FROM (SELECT source, {_TOKS} AS lst FROM documents)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_gram_instances,
+           CAST(COUNT(DISTINCT gram) AS BIGINT) AS n_distinct_grams,
+           CAST(COUNT(DISTINCT gram) * 1000 // COUNT(*) AS BIGINT) AS ttr_permille
+    FROM g GROUP BY source ORDER BY source
+    """,
+    certifies="X4 corpus-level gram diversity per source (mode-collapse audit): hashed-tuple gram identity, single reused exchange via the x58/x59 subset-partitioning fold (north-star §0.3)",
+    tags=("llm", "text", "stats", "curation"),
+)
+def x155(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.gram_diversity(docs, "text", "doc_id", "source", n=3)
+
+
+# --------------------------------------------------------------------------
+# x156 — boilerplate prefix detection per source
+#
+# Scraped corpora repeat headers/templates at document START: the top-5
+# most-shared first-3-token prefixes per source (>= 2 docs). Feeds a
+# strip rule or a per-template quota (quota_per_key).
+# --------------------------------------------------------------------------
+@query(
+    "x156_boilerplate_prefixes",
+    oracle=f"""
+    WITH p AS (
+      SELECT source, array_to_string(list_slice(lst, 1, 3), ' ') AS prefix
+      FROM (SELECT source, {_TOKS} AS lst FROM documents)
+      WHERE len(lst) >= 3
+    ), c AS (
+      SELECT source, prefix, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM p GROUP BY source, prefix HAVING COUNT(*) >= 2
+    )
+    SELECT source, prefix, n_docs, CAST(rnk AS INT) AS rank FROM (
+      SELECT source, prefix, n_docs,
+             ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_docs DESC, prefix) AS rnk
+      FROM c
+    ) WHERE rnk <= 5 ORDER BY source, rank
+    """,
+    certifies="X4 boilerplate document-prefix audit per source: map-only prefix projection, grouped count + per-group rank over ONE reused exchange (north-star §0.3)",
+    tags=("llm", "text", "curation"),
+)
+def x156(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return T.boilerplate_prefixes(docs, "text", "source", n=3, min_docs=2, top=5)

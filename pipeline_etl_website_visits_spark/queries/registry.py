@@ -55,19 +55,23 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-10 pinning rule: HEAD = x150 (changed kernel this round), then
-# ALL 42 remaining round-6-latest names, then the 7 alphabetically-first
-# round-7-latest names as fill: 1 + 42 + 7 = exactly 50. After this
-# round no query's latest driver row predates round 7. New/changed
-# queries later in round 10 displace from the bottom of the fill.
-# All names stay covered by the local full-suite check_oracle runs
-# regardless of rotation.
+# Round-10 pinning rule: HEAD = the three NEW queries (x154-x156), then
+# x150 (changed kernel this round), then ALL 42 remaining round-6-latest
+# names, then the 4 alphabetically-first round-7-latest names as fill:
+# 3 + 1 + 42 + 4 = exactly 50. After this round no query's latest driver
+# row predates round 7. All names stay covered by the local full-suite
+# check_oracle runs regardless of rotation.
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- (a) round-10 rotation head: x150 first (its oov_counts kernel
-    #    gained the empty-vocab guard this round — changed-code outranks
-    #    stale rows), then ALL 42 remaining round-6-latest names
-    #    (VERDICT r9 item 1: after this round no query's latest driver
-    #    row predates round 7) --
+    # -- (a) round-10 rotation head: the THREE new queries first (never
+    #    driver-checked: x154 stratified quality gate, x155 gram
+    #    diversity, x156 boilerplate prefixes), then x150 (its
+    #    oov_counts kernel gained the empty-vocab guard this round —
+    #    changed-code outranks stale rows), then ALL 42 remaining
+    #    round-6-latest names (VERDICT r9 item 1: after this round no
+    #    query's latest driver row predates round 7) --
+    "x154_stratified_quality_gate",
+    "x155_gram_diversity",
+    "x156_boilerplate_prefixes",
     "x150_oov_rate",
     "q60_pricing_summary",
     "q61_pivot",
@@ -111,16 +115,13 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x59_bigram_rarity",
     "x70_json_struct_agg",
     "x92_heavy_hitters",
-    # -- (b) alphabetically-first round-7-latest names fill the last 7
-    #    slots; any query added or changed later in round 10 displaces
-    #    from the BOTTOM of this fill --
+    # -- (b) alphabetically-first round-7-latest names fill the last 4
+    #    slots (x123/x143/x146 displaced by the three new queries; they
+    #    stay covered by the local full-suite check_oracle runs) --
     "q01_scan_project_rename",
     "q05_error_explode",
     "q56_sorted_collect",
     "q68_rolling_hour_window",
-    "x123_native_recursion",
-    "x143_mad_outliers",
-    "x146_chunk_udtf",
 )
 
 

@@ -666,3 +666,77 @@ def test_length_histogram_buckets(spark):
         ("a", 0): (1, 1), ("a", 1): (2, 5), ("a", 2): (1, 4),
         ("b", -1): (1, 0), ("b", 10): (1, 1024),
     }
+
+
+def test_stratified_top_fraction_boundary_and_ties(spark):
+    """Integer boundary: 700 per-mille of 10 rows keeps exactly rank<=7;
+    score ties break by id (deterministic set); tiny groups keep
+    ceil-consistent counts (1 row at 700permille -> 0 kept: 1*1000>700)."""
+    import pyspark.sql.functions as F
+    from pipeline_etl_website_visits_spark.operators.text import stratified_top_fraction
+
+    rows = [("a", i, 100 - (i // 2)) for i in range(10)]  # ties in pairs
+    rows += [("b", 100, 5)]  # singleton group
+    df = spark.createDataFrame(rows, "grp string, id long, score long")
+    kept = stratified_top_fraction(df, F.col("score"), "grp", "id", 700)
+    got = sorted((r["grp"], r["id"]) for r in kept.collect())
+    # group a: ranks 1..7 by (score desc, id) = ids 0..6
+    assert got == [("a", i) for i in range(7)]
+    # keep everything / keep nothing
+    assert stratified_top_fraction(df, F.col("score"), "grp", "id", 1000).count() == 11
+    assert stratified_top_fraction(df, F.col("score"), "grp", "id", 0).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError, match="keep_per_mille"):
+        stratified_top_fraction(df, F.col("score"), "grp", "id", 1001)
+
+
+def test_gram_diversity_exact_counts(spark):
+    """Hand-counted: instances include repeats, distinct dedups ACROSS
+    docs in a group; docs shorter than n contribute nothing; empty
+    groups absent."""
+    from pipeline_etl_website_visits_spark.operators.text import gram_diversity
+
+    df = spark.createDataFrame(
+        [
+            ("s1", 1, "a b c a b c"),   # grams: abc bca cab abc -> 4 inst, 3 distinct
+            ("s1", 2, "a b c"),         # abc -> dup of s1's type
+            ("s2", 3, "x y"),           # too short: 0 grams
+            ("s2", 4, "p q r"),         # pqr
+        ],
+        "source string, doc_id long, text string",
+    )
+    got = {
+        r["source"]: (r["n_gram_instances"], r["n_distinct_grams"], r["ttr_permille"])
+        for r in gram_diversity(df, "text", "doc_id", "source").collect()
+    }
+    assert got == {"s1": (5, 3, 600), "s2": (1, 1, 1000)}
+
+
+def test_boilerplate_prefixes_ranks_and_thresholds(spark):
+    """min_docs filters singletons; rank orders by (count desc, prefix);
+    normalization folds case/whitespace; short docs excluded."""
+    from pipeline_etl_website_visits_spark.operators.text import boilerplate_prefixes
+
+    df = spark.createDataFrame(
+        [
+            ("s", 1, "Terms of service apply here"),
+            ("s", 2, "terms OF  service differ completely"),
+            ("s", 3, "terms of service again"),
+            ("s", 4, "all rights reserved footer text"),
+            ("s", 5, "all rights reserved"),
+            ("s", 6, "unique document body"),
+            ("s", 7, "ab cd"),  # too short
+        ],
+        "source string, doc_id long, text string",
+    )
+    got = [
+        (r["prefix"], r["n_docs"], r["rank"])
+        for r in boilerplate_prefixes(df, "text", "source", n=3, min_docs=2, top=5)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert got == [
+        ("terms of service", 3, 1),
+        ("all rights reserved", 2, 2),
+    ]

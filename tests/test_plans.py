@@ -583,3 +583,40 @@ def test_dup_gram_stats_is_map_only(spark):
     plan = simple_plan(df)
     assert "hashpartitioning" not in plan and "Generate" not in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
+
+
+def test_round10_curation_trio_plan_shapes(spark):
+    """x154/x155/x156 plan contracts: per-group windows and rollups,
+    never a global window or a low-cardinality pre-partition that would
+    funnel a source's tokenization onto one task."""
+    # x154: ONE exchange (both window functions share the source
+    # partitioning); no SinglePartition anywhere
+    p = _executed_plan(REGISTRY["x154_stratified_quality_gate"].spark(spark, SF_DIR))
+    assert p.count("Exchange") == 1 and "SinglePartition" not in p, p
+    # x155: heavy map at scan parallelism; the dedup rollup keys on
+    # high-cardinality (group, gram); the (group) fold is partial-agged.
+    # The tree prints top-down (final agg first), so the source-only
+    # exchange must sit ABOVE the (source, g) exchange, which sits ABOVE
+    # the posexplode (Generate) — i.e. the explode is never fed from a
+    # low-cardinality source-keyed exchange.
+    import re
+
+    p = _executed_plan(REGISTRY["x155_gram_diversity"].spark(spark, SF_DIR))
+    assert "SinglePartition" not in p
+    kinds = re.findall(
+        r"Exchange (hashpartitioning\([^)]*\)|RoundRobinPartitioning\(\d+\))", p
+    )
+    hashed = [k for k in kinds if k.startswith("hashpartitioning")]
+    assert len(hashed) == 2 and all("source" in k for k in hashed), kinds
+    src_only = next(k for k in hashed if ", g#" not in k)
+    src_gram = next(k for k in hashed if ", g#" in k)
+    assert (
+        p.index("Exchange " + src_only)
+        < p.index("Exchange " + src_gram)
+        < p.index("Generate")
+    ), p
+    # x156: count exchanges on (source, prefix); rank window re-exchanges
+    # only min_docs survivors; no SinglePartition
+    p = _executed_plan(REGISTRY["x156_boilerplate_prefixes"].spark(spark, SF_DIR))
+    assert "SinglePartition" not in p
+    assert "prefix" in p and p.count("Exchange") <= 3, p
