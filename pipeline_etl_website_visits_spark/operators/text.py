@@ -1590,3 +1590,70 @@ def boilerplate_prefixes(
         counted.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= int(top))
     )
+
+
+def token_budget_mixture(
+    df: DataFrame,
+    text_col: str,
+    group_col: str,
+    weight_per_mille: "Column | dict[str, int]",
+    budget_tokens: int,
+    cap_per_mille: int = 4000,
+) -> DataFrame:
+    """Mixture PLANNING under a token budget — the allocation step before
+    x51's sampling executes it: given each source's available tokens, a
+    target mixture weight (per-mille of ``budget_tokens``) and a
+    repetition cap (per-mille — 4000 = at most 4 epochs over a source,
+    the data-constrained-scaling rule of thumb), compute per source how
+    many tokens the mixture grants and how much of the target goes
+    unmet (the signal to re-weight or go find more data).
+
+    All arithmetic is integer (quantized DIV — the engine-portability
+    discipline): ``target = budget·w DIV 1000``, ``ceiling =
+    available·cap DIV 1000``, ``granted = least(target, ceiling)``,
+    ``epochs_permille = granted·1000 DIV available``. ``weight_per_mille``
+    is a Column expression over ``group_col`` (or a literal dict, turned
+    into one) — a 5-row config, never a join.
+
+    Scale: one exchange — the per-group token-count rollup (map-side
+    partial sums); everything after operates on one row per source.
+    """
+    if isinstance(weight_per_mille, dict):
+        w_expr = F.coalesce(
+            F.create_map(
+                *[F.lit(x) for kv in weight_per_mille.items() for x in kv]
+            )[F.col(group_col)],
+            F.lit(0),
+        )
+    else:
+        w_expr = weight_per_mille
+    if not 0 <= int(budget_tokens) < 2**43:
+        raise ValueError(f"budget_tokens out of range: {budget_tokens}")
+    if int(cap_per_mille) < 0:
+        raise ValueError(f"cap_per_mille must be >= 0, got {cap_per_mille}")
+    avail = df.groupBy(group_col).agg(
+        F.sum(token_count(F.col(text_col)).cast("long"))
+        .cast("long")
+        .alias("available_tokens"),
+        # the weight expression is a pure function of the group key; MIN
+        # is a no-op that lets it ride through the aggregate
+        F.min(w_expr).cast("long").alias("__w"),
+    )
+    b, cap = int(budget_tokens), int(cap_per_mille)
+    return avail.select(
+        group_col,
+        "available_tokens",
+        F.expr(f"CAST({b} * __w DIV 1000 AS BIGINT)").alias("target_tokens"),
+        F.expr(
+            f"CAST(LEAST({b} * __w DIV 1000, available_tokens * {cap} DIV 1000) AS BIGINT)"
+        ).alias("granted_tokens"),
+        F.expr(
+            f"CAST(CASE WHEN available_tokens = 0 THEN 0 ELSE "
+            f"LEAST({b} * __w DIV 1000, available_tokens * {cap} DIV 1000) "
+            f"* 1000 DIV available_tokens END AS BIGINT)"
+        ).alias("epochs_permille"),
+        F.expr(
+            f"CAST({b} * __w DIV 1000 - "
+            f"LEAST({b} * __w DIV 1000, available_tokens * {cap} DIV 1000) AS BIGINT)"
+        ).alias("unmet_tokens"),
+    )

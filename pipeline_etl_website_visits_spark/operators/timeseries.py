@@ -207,3 +207,44 @@ def mad_outliers(
         "n_outliers",
         "n_rows",
     ).orderBy(group_col)
+
+
+def ohlc_resample(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    key_col: str,
+    tiebreak_col: str,
+    unit: str = "hour",
+) -> DataFrame:
+    """Downsample an event stream into per-(key, time-bucket) OHLC bars —
+    open/high/low/close over ``value_col`` with event count; the standard
+    time-series resample (metrics rollups, market bars, sensor
+    decimation).
+
+    Exactness discipline: values are quantized to integer CENTS
+    (``FLOOR(value*100)`` — IEEE double multiply is bit-identical across
+    engines, the x34 rule) so min/max/first/last compare exactly; sums
+    of raw doubles are deliberately NOT emitted (order-dependent).
+    Open/close come from ONE aggregate each via the min/max-of-struct
+    argmin trick (the x120 discipline): ``min(struct(ts, tiebreak, v))``
+    picks the earliest event with a deterministic tiebreak — no window,
+    no second shuffle, so the whole bar is ONE exchange on
+    (key, bucket) with map-side partial aggregation. Output timestamps
+    surface as formatted strings (dialect rule).
+    """
+    bucket = F.date_trunc(unit, F.col(ts_col))
+    v = F.floor(F.col(value_col) * 100).cast("long")
+    tagged = df.select(
+        F.col(key_col),
+        F.date_format(bucket, "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+        F.struct(F.col(ts_col), F.col(tiebreak_col), v.alias("v")).alias("__s"),
+        v.alias("__v"),
+    )
+    return tagged.groupBy(key_col, "bucket_ts").agg(
+        F.min("__s")["v"].cast("long").alias("open_c"),
+        F.max("__v").cast("long").alias("high_c"),
+        F.min("__v").cast("long").alias("low_c"),
+        F.max("__s")["v"].cast("long").alias("close_c"),
+        F.count("*").cast("long").alias("n_events"),
+    )

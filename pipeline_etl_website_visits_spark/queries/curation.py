@@ -1691,3 +1691,60 @@ def x145(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("k") < 5)
         .orderBy("segment", "nationkey", "bal_bucket")
     )
+
+
+# --------------------------------------------------------------------------
+# x157 — token-budget mixture planning (the allocation step before x51's
+# sampling executes it)
+#
+# Weights derive from the source bucket (the x51 idiom — scale-free, no
+# name list): src%4==0 -> 400 per-mille of budget, ==1 -> 300, ==2 -> 200,
+# else 100; repetition capped at 2 epochs. Budget 20,000 tokens puts
+# sf0.01 sources cap-bound and sf0.1 sources target-bound — both branches
+# of the LEAST exercise under the driver gate.
+# --------------------------------------------------------------------------
+@query(
+    "x157_token_budget_mixture",
+    oracle="""
+    WITH a AS (
+      SELECT source,
+             CAST(SUM(CASE WHEN LENGTH(TRIM(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(TRIM(text), '\\s+')) END) AS BIGINT)
+               AS available_tokens
+      FROM documents GROUP BY source
+    ), w AS (
+      SELECT source, available_tokens,
+             CAST(CASE CAST(substring(source, 4) AS INT) % 4
+                  WHEN 0 THEN 400 WHEN 1 THEN 300 WHEN 2 THEN 200 ELSE 100 END
+                  AS BIGINT) AS wt
+      FROM a
+    )
+    SELECT source, available_tokens,
+           CAST(20000 * wt // 1000 AS BIGINT) AS target_tokens,
+           CAST(LEAST(20000 * wt // 1000, available_tokens * 2000 // 1000) AS BIGINT)
+             AS granted_tokens,
+           CAST(CASE WHEN available_tokens = 0 THEN 0 ELSE
+                LEAST(20000 * wt // 1000, available_tokens * 2000 // 1000)
+                * 1000 // available_tokens END AS BIGINT) AS epochs_permille,
+           CAST(20000 * wt // 1000
+                - LEAST(20000 * wt // 1000, available_tokens * 2000 // 1000)
+                AS BIGINT) AS unmet_tokens
+    FROM w ORDER BY source
+    """,
+    certifies="X4 token-budget mixture planning: per-source allocation under weight + repetition cap, exact integer arithmetic, one partial-agged exchange (north-star §0.3)",
+    tags=("llm", "curation", "stats"),
+)
+def x157(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators.text import token_budget_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.substring(F.col("source"), 4, 10).cast("int") % 4
+    w = (
+        F.when(bucket == 0, F.lit(400))
+        .when(bucket == 1, F.lit(300))
+        .when(bucket == 2, F.lit(200))
+        .otherwise(F.lit(100))
+    )
+    return token_budget_mixture(
+        docs, "text", "source", w, budget_tokens=20_000, cap_per_mille=2000
+    )

@@ -221,3 +221,44 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         # no ORDER BY: the result set is deterministic without it (no LIMIT)
         # and the global sort would be the single most expensive node here
     )
+
+
+# --------------------------------------------------------------------------
+# x158 — OHLC time-bucket resample of the event stream
+#
+# The standard downsample (metrics rollups, market bars, sensor
+# decimation): per (event_type, hour), open/high/low/close over value in
+# integer CENTS (FLOOR(value*100) — IEEE double multiply is bit-identical
+# across engines; raw double SUMs are order-dependent and deliberately
+# not emitted). Open/close via the min/max-of-struct argmin trick — ONE
+# exchange, no window (the oracle's ROW_NUMBER formulation needs two).
+# --------------------------------------------------------------------------
+@query(
+    "x158_ohlc_resample",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+             ts, event_id, CAST(FLOOR(value * 100) AS BIGINT) AS v
+      FROM events
+    ), r AS (
+      SELECT event_type, bucket_ts, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket_ts ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket_ts ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM e
+    )
+    SELECT event_type, bucket_ts,
+           CAST(MAX(CASE WHEN rn_a = 1 THEN v END) AS BIGINT) AS open_c,
+           CAST(MAX(v) AS BIGINT) AS high_c,
+           CAST(MIN(v) AS BIGINT) AS low_c,
+           CAST(MAX(CASE WHEN rn_d = 1 THEN v END) AS BIGINT) AS close_c,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM r GROUP BY event_type, bucket_ts ORDER BY event_type, bucket_ts
+    """,
+    certifies="time-series OHLC downsample per (key, bucket): integer-cent quantization, struct-argmin open/close in ONE exchange (SURVEY §2.10 temporal gap map)",
+    tags=("events", "temporal", "timeseries"),
+)
+def x158(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators.timeseries import ohlc_resample
+
+    events = load_table(spark, sf_dir, "events")
+    return ohlc_resample(events, "ts", "value", "event_type", "event_id", unit="hour")

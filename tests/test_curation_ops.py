@@ -740,3 +740,68 @@ def test_boilerplate_prefixes_ranks_and_thresholds(spark):
         ("terms of service", 3, 1),
         ("all rights reserved", 2, 2),
     ]
+
+
+def test_token_budget_mixture_branches_and_dict_api(spark):
+    """Cap-bound vs target-bound vs zero-available; dict weights map to
+    the same plan (missing group -> weight 0)."""
+    import pyspark.sql.functions as F
+    import pytest
+    from pipeline_etl_website_visits_spark.operators.text import token_budget_mixture
+
+    df = spark.createDataFrame(
+        [
+            ("rich", "a b c d e f g h i j"),   # 10 tokens
+            ("rich", "a b c d e f g h i j"),   # 20 total
+            ("poor", "a b"),                   # 2 tokens
+            ("empty", "   "),                  # 0 tokens
+        ],
+        "source string, text string",
+    )
+    out = {
+        r["source"]: r
+        for r in token_budget_mixture(
+            df, "text", "source",
+            {"rich": 500, "poor": 500},  # "empty" absent -> 0
+            budget_tokens=40, cap_per_mille=3000,
+        ).collect()
+    }
+    # rich: target 20, ceiling 60 -> target-bound; exactly 1.0 epochs
+    assert (out["rich"]["target_tokens"], out["rich"]["granted_tokens"]) == (20, 20)
+    assert out["rich"]["epochs_permille"] == 1000 and out["rich"]["unmet_tokens"] == 0
+    # poor: target 20, ceiling 2*3 = 6 -> cap-bound at 3 epochs
+    assert (out["poor"]["granted_tokens"], out["poor"]["epochs_permille"]) == (6, 3000)
+    assert out["poor"]["unmet_tokens"] == 14
+    # empty: no tokens, nothing granted, no division blow-up
+    assert (out["empty"]["available_tokens"], out["empty"]["granted_tokens"],
+            out["empty"]["epochs_permille"]) == (0, 0, 0)
+    with pytest.raises(ValueError, match="budget_tokens"):
+        token_budget_mixture(df, "text", "source", {"rich": 1}, budget_tokens=-1)
+
+
+def test_ohlc_resample_bars(spark):
+    """Hand-built bars: open = earliest (tiebreak by id), close = latest,
+    high/low exact in integer cents; buckets split on the hour."""
+    import datetime as dt
+
+    from pipeline_etl_website_visits_spark.operators.timeseries import ohlc_resample
+
+    T0 = dt.datetime(2026, 3, 1, 10, 0, 0)
+    rows = [
+        (1, T0, "m", 1.50),
+        (2, T0, "m", 9.99),                         # same ts as 1: id breaks tie
+        (3, T0 + dt.timedelta(minutes=30), "m", 0.25),
+        (4, T0 + dt.timedelta(minutes=59), "m", 4.00),
+        (5, T0 + dt.timedelta(hours=1), "m", 7.77),  # next bar
+        (6, T0, "k", 2.00),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string, value double")
+    got = {
+        (r["event_type"], r["bucket_ts"]): (
+            r["open_c"], r["high_c"], r["low_c"], r["close_c"], r["n_events"]
+        )
+        for r in ohlc_resample(df, "ts", "value", "event_type", "event_id").collect()
+    }
+    assert got[("m", "2026-03-01 10:00:00")] == (150, 999, 25, 400, 4)
+    assert got[("m", "2026-03-01 11:00:00")] == (777, 777, 777, 777, 1)
+    assert got[("k", "2026-03-01 10:00:00")] == (200, 200, 200, 200, 1)
