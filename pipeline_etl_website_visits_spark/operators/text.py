@@ -906,11 +906,63 @@ def zipf_slope(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
     )
 
 
+def _aho_corasick_build(needles: "list[str]"):
+    """Build an Aho–Corasick automaton over ``needles`` as plain lists —
+    goto (list of dict char→state), fail links, and per-state output
+    pattern-id sets merged through the fail chain at build time, so the
+    scan never walks fail links for outputs. Pure stdlib (the container
+    pins no AC package); pickles into the task closure."""
+    goto: list[dict] = [{}]
+    out: list[set] = [set()]
+    for pid, pat in enumerate(needles):
+        s = 0
+        for ch in pat:
+            nxt = goto[s].get(ch)
+            if nxt is None:
+                goto.append({})
+                out.append(set())
+                nxt = len(goto) - 1
+                goto[s][ch] = nxt
+            s = nxt
+        out[s].add(pid)
+    from collections import deque
+
+    fail = [0] * len(goto)
+    q = deque()
+    for ch, s in goto[0].items():
+        q.append(s)
+    while q:
+        r = q.popleft()
+        for ch, s in goto[r].items():
+            q.append(s)
+            f = fail[r]
+            while f and ch not in goto[f]:
+                f = fail[f]
+            fail[s] = goto[f].get(ch, 0) if goto[f].get(ch, 0) != s else 0
+            out[s] |= out[fail[s]]
+    return goto, fail, out
+
+
+def _ac_distinct_hits(text: str, goto, fail, out) -> int:
+    """Number of DISTINCT patterns occurring in ``text`` (the literal
+    scan's semantics: each needle counts once however often it occurs)."""
+    s = 0
+    seen: set = set()
+    for ch in text:
+        while s and ch not in goto[s]:
+            s = fail[s]
+        s = goto[s].get(ch, 0)
+        if out[s]:
+            seen |= out[s]
+    return len(seen)
+
+
 def substring_decontam_hits(
     docs: DataFrame,
     needles: list[str],
     text_col: str = "text",
     id_col: str = "doc_id",
+    engine: str = "auto",
 ) -> DataFrame:
     """Exact-substring decontamination: which corpus docs CONTAIN any of a
     bounded eval-needle set (the 4th decontamination mode beside x47's
@@ -919,25 +971,61 @@ def substring_decontam_hits(
     breaks n-gram shingles, so leakage audits grep for them verbatim).
 
     ``needles`` is a driver-side list (the eval-set contract, same
-    boundedness as semantic_decontam's broadcast eval matrix): it becomes
-    a literal array in the plan, so the scan is MAP-ONLY — no join, no
-    shuffle before the per-doc hit count. At 100 TB the corpus streams
-    through `contains` per needle (O(needles x len) per doc); for
-    thousands of needles graduate to one Aho-Corasick automaton in a
-    `mapInPandas` pass — same map-only shape, single-pass matching.
+    boundedness as semantic_decontam's broadcast eval matrix). Two
+    executable engines, BOTH map-only (no join, no shuffle before the
+    per-doc hit count), same output bit-for-bit:
 
-    Output: (id_col, n_hits) for docs with >= 1 hit, ordered by id.
+    * ``literal`` — the needle list ships as a plan-literal array and
+      the scan runs ``contains`` per needle in whole-stage codegen:
+      O(needles × len) per doc, unbeatable for the tens-of-needles case.
+    * ``automaton`` — ONE Aho–Corasick automaton over all needles,
+      Arrow-batched ``mapInPandas``: O(len) per doc regardless of
+      needle count — the 100 TB shape for thousands of needles, where
+      the literal scan's per-needle pass (and its codegen size) fall
+      over. The automaton builds once driver-side and pickles into the
+      task closure (KBs–MBs — the same boundedness contract).
+    * ``auto`` — literal up to 256 needles, automaton beyond.
+
+    Output: (id_col, n_hits) for docs with >= 1 DISTINCT needle hit,
+    ordered by id; ``n_hits`` counts distinct needles in both engines.
     """
     if not needles:
         raise ValueError("substring_decontam_hits needs a non-empty needle set")
-    arr = F.array(*[F.lit(n) for n in needles])
-    n_hits = F.size(F.filter(arr, lambda nd: F.contains(F.col(text_col), nd)))
-    return (
-        docs.select(
-            F.col(id_col).cast("long").alias(id_col),
-            n_hits.cast("long").alias("n_hits"),
+    if engine not in ("auto", "literal", "automaton"):
+        raise ValueError(f"engine must be auto/literal/automaton, got {engine!r}")
+    if engine == "auto":
+        engine = "literal" if len(needles) <= 256 else "automaton"
+    if engine == "literal":
+        arr = F.array(*[F.lit(n) for n in needles])
+        n_hits = F.size(F.filter(arr, lambda nd: F.contains(F.col(text_col), nd)))
+        return (
+            docs.select(
+                F.col(id_col).cast("long").alias(id_col),
+                n_hits.cast("long").alias("n_hits"),
+            )
+            .filter(F.col("n_hits") > 0)
+            .orderBy(id_col)
         )
-        .filter(F.col("n_hits") > 0)
+
+    goto, fail, out = _aho_corasick_build(list(needles))
+    narrow = docs.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+
+    def scan(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            hits = [
+                _ac_distinct_hits(t, goto, fail, out) if t is not None else 0
+                for t in pdf["text"]
+            ]
+            res = pd.DataFrame({"doc_id": pdf["doc_id"], "n_hits": hits})
+            yield res[res["n_hits"] > 0]
+
+    return (
+        narrow.mapInPandas(scan, schema="doc_id long, n_hits long")
+        .withColumnRenamed("doc_id", id_col)
         .orderBy(id_col)
     )
 

@@ -805,3 +805,46 @@ def test_ohlc_resample_bars(spark):
     assert got[("m", "2026-03-01 10:00:00")] == (150, 999, 25, 400, 4)
     assert got[("m", "2026-03-01 11:00:00")] == (777, 777, 777, 777, 1)
     assert got[("k", "2026-03-01 10:00:00")] == (200, 200, 200, 200, 1)
+
+
+def test_substring_decontam_automaton_matches_literal(spark):
+    """The Aho-Corasick engine is bit-identical to the plan-literal
+    contains scan — including overlapping needles, needles nested in
+    needles, repeated occurrences (distinct-needle counting), and NULL
+    text — and engine='auto' flips on needle count."""
+    from pipeline_etl_website_visits_spark.operators.text import (
+        substring_decontam_hits,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "ababa banana and cocoa"),       # 'aba' twice (overlap), 'ana' twice
+            (2, "the cocoa coconut"),
+            (3, None),
+            (4, "nothing relevant"),
+            (5, "aba"),
+        ],
+        "doc_id long, text string",
+    )
+    needles = ["aba", "ana", "coco", "cocoa", "banana"]
+    lit = substring_decontam_hits(docs, needles, engine="literal").collect()
+    ac = substring_decontam_hits(docs, needles, engine="automaton").collect()
+    assert sorted(map(tuple, lit)) == sorted(map(tuple, ac))
+    got = {r["doc_id"]: r["n_hits"] for r in ac}
+    # doc 1: aba, ana, coco, cocoa, banana -> 5 distinct needles
+    # (overlapping and repeated occurrences count once)
+    assert got == {1: 5, 2: 2, 5: 1}
+
+    # auto: past 256 needles the automaton path engages and still agrees
+    import random
+
+    rng = random.Random(7)
+    big = needles + ["".join(rng.choices("xyz", k=6)) for _ in range(300)]
+    a = substring_decontam_hits(docs, big, engine="literal").collect()
+    b = substring_decontam_hits(docs, big, engine="auto").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="engine"):
+        substring_decontam_hits(docs, needles, engine="grep")
