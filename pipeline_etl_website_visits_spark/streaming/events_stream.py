@@ -466,3 +466,61 @@ def timeout_sessions(events: DataFrame, watermark: str = "10 minutes") -> DataFr
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def ohlc_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of :func:`operators.timeseries.ohlc_resample`:
+    per-(event_type, 1-hour tumbling window) OHLC bars with watermarked
+    late-data handling. Identical exactness discipline — integer CENTS,
+    open/close via min/max-of-struct (works inside a streaming agg where
+    a window-function formulation would not: ranking needs the whole
+    partition, struct-argmin folds incrementally in state), so a drained
+    stream is BIT-IDENTICAL to the batch operator over the same rows
+    (the parity golden pins it)."""
+    v = F.floor(F.col("value") * 100).cast("long")
+    return (
+        events.withWatermark("ts", watermark)
+        .select(
+            "event_type",
+            "ts",
+            F.struct(F.col("ts"), F.col("event_id"), v.alias("v")).alias("__s"),
+            v.alias("__v"),
+        )
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.min("__s")["v"].cast("long").alias("open_c"),
+            F.max("__v").cast("long").alias("high_c"),
+            F.min("__v").cast("long").alias("low_c"),
+            F.max("__s")["v"].cast("long").alias("close_c"),
+            F.count("*").cast("long").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("bucket_ts"),
+            "open_c",
+            "high_c",
+            "low_c",
+            "close_c",
+            "n_events",
+        )
+    )
+
+
+def start_ohlc_to_memory(
+    spark: SparkSession,
+    events_dir: str,
+    schema,
+    checkpoint_dir: str,
+    query_name: str = "events_ohlc",
+    watermark: str = "1 hour",
+) -> StreamingQuery:
+    """AvailableNow drain into an in-memory sink (tests/demos)."""
+    agg = ohlc_stream(read_events_stream(spark, events_dir, schema), watermark)
+    return (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1346,3 +1346,34 @@ def test_vector_stream_mid_batch_death_converges_exactly_once(spark, tmp_path):
         assert len(ivfpq_search(spark, p, qs, k=5, nprobe=4).collect()) > 0
     finally:
         ledger.set_commit_backend(prev)
+
+
+def test_ohlc_stream_matches_batch(spark, tmp_path):
+    """Streamed OHLC bars == the batch x158 operator over the same rows
+    (struct-argmin open/close folds incrementally in streaming state —
+    the formulation a window-function OHLC could not stream)."""
+    from pipeline_etl_website_visits_spark.streaming.events_stream import (
+        start_ohlc_to_memory,
+    )
+
+    events = load_table(spark, SF_DIR, "events")
+    events_dir = str(tmp_path / "events_ohlc")
+    events.write.parquet(events_dir)
+    ckpt = str(tmp_path / "ckpt_ohlc")
+
+    q = start_ohlc_to_memory(spark, events_dir, events.schema, ckpt, query_name="t_ohlc")
+    q.awaitTermination(120)
+
+    got = {
+        (r["event_type"], r["bucket_ts"]): (
+            r["open_c"], r["high_c"], r["low_c"], r["close_c"], r["n_events"]
+        )
+        for r in spark.sql("SELECT * FROM t_ohlc").collect()
+    }
+    batch = {
+        (r["event_type"], r["bucket_ts"]): (
+            r["open_c"], r["high_c"], r["low_c"], r["close_c"], r["n_events"]
+        )
+        for r in REGISTRY["x158_ohlc_resample"].spark(spark, SF_DIR).collect()
+    }
+    assert got == batch and len(got) > 10
