@@ -1535,6 +1535,7 @@ def stratified_top_fraction(
     group_col: str,
     id_col: str,
     keep_per_mille: int,
+    method: str = "window",
 ) -> DataFrame:
     """Per-group dynamic quality gate: keep the top ``keep_per_mille``/1000
     of each group's rows ranked by ``score`` (descending, ``id_col`` as
@@ -1543,27 +1544,70 @@ def stratified_top_fraction(
     one global threshold (a global cut silently drops whole low-scoring
     sources; per-source percentiles preserve the mixture).
 
-    The cutoff is INTEGER arithmetic end to end:
-    ``rank * 1000 <= group_count * keep_per_mille`` — no float
+    The cutoff is INTEGER arithmetic end to end: keep exactly
+    ``k = count·keep_per_mille DIV 1000`` rows per group — no float
     ``percent_rank``/``count*frac`` whose rounding at the boundary row
     is not representation-stable across engines (the x130/x153
-    discipline). Both window functions share one partitioning, so the
-    plan carries exactly ONE exchange on ``group_col``; ranking is
-    per-group (never the x147 global-window trap). Returns the kept
-    rows with ``df``'s schema.
+    discipline). Returns the kept rows with ``df``'s schema; both
+    methods return the IDENTICAL set (equality-tested):
+
+    * ``window`` — row_number + count over one ``group_col``
+      partitioning: ONE exchange, the right default. Its scale ceiling:
+      groups are few (20 sources), so each group sorts on ONE task.
+    * ``histogram`` — the mega-group two-pass for LOW-CARDINALITY
+      scores (quality scores, token counts): a map-side-combinable
+      (group, score) histogram, a per-group cumulative walk over that
+      TINY relation to find each group's threshold score (full-keep
+      scores above it, a ``take`` quota at it), then a broadcast-join
+      map filter back over the corpus — only the boundary-score rows
+      (one score's worth per group) ever see a ranking window. The
+      100 TB shape: no task ever sorts a whole group.
     """
     from pyspark.sql import Window
 
     if not 0 <= int(keep_per_mille) <= 1000:
         raise ValueError(f"keep_per_mille must be in [0, 1000], got {keep_per_mille}")
-    w = Window.partitionBy(group_col).orderBy(score.desc(), F.col(id_col))
-    wc = Window.partitionBy(group_col)
-    return (
-        df.withColumn("__rn", F.row_number().over(w))
-        .withColumn("__cnt", F.count(F.lit(1)).over(wc))
-        .filter(F.col("__rn") * 1000 <= F.col("__cnt") * int(keep_per_mille))
-        .drop("__rn", "__cnt")
+    if method not in ("window", "histogram"):
+        raise ValueError(f"method must be window/histogram, got {method!r}")
+    if method == "window":
+        w = Window.partitionBy(group_col).orderBy(score.desc(), F.col(id_col))
+        wc = Window.partitionBy(group_col)
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .withColumn("__cnt", F.count(F.lit(1)).over(wc))
+            .filter(F.col("__rn") * 1000 <= F.col("__cnt") * int(keep_per_mille))
+            .drop("__rn", "__cnt")
+        )
+
+    scored = df.withColumn("__score", score)
+    hist = scored.groupBy(group_col, "__score").agg(F.count("*").alias("__c"))
+    wcum = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col("__score").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    spec = (
+        hist.withColumn("__cum", F.sum("__c").over(wcum))
+        .withColumn("__k", F.expr(f"sum(__c) OVER (PARTITION BY {group_col}) * {int(keep_per_mille)} DIV 1000"))
+        .withColumn("__prev", F.col("__cum") - F.col("__c"))
+        .filter(F.col("__prev") < F.col("__k"))  # fully-dropped scores never join
+        .select(
+            group_col,
+            "__score",
+            (F.col("__cum") <= F.col("__k")).alias("__full"),
+            F.least(F.col("__c"), F.col("__k") - F.col("__prev")).alias("__take"),
+        )
+    )
+    joined = scored.join(F.broadcast(spec), [group_col, "__score"], "inner")
+    full = joined.filter(F.col("__full"))
+    wb = Window.partitionBy(group_col, "__score").orderBy(F.col(id_col))
+    boundary = (
+        joined.filter(~F.col("__full"))
+        .withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") <= F.col("__take"))
+        .drop("__rn")
+    )
+    return full.unionByName(boundary).drop("__score", "__full", "__take")
 
 
 def gram_diversity(

@@ -848,3 +848,36 @@ def test_substring_decontam_automaton_matches_literal(spark):
 
     with pytest.raises(ValueError, match="engine"):
         substring_decontam_hits(docs, needles, engine="grep")
+
+
+def test_stratified_top_fraction_histogram_equals_window(spark):
+    """The mega-group histogram two-pass returns the IDENTICAL kept set
+    as the window formulation — across tie-heavy seeded data and every
+    boundary-shaped keep fraction, including 0 and 1000."""
+    import random
+
+    import pyspark.sql.functions as F
+    from pipeline_etl_website_visits_spark.operators.text import stratified_top_fraction
+
+    rng = random.Random(42)
+    rows = [
+        (f"g{rng.randrange(3)}", i, rng.randrange(8))  # 8 score values: heavy ties
+        for i in range(400)
+    ]
+    df = spark.createDataFrame(rows, "grp string, id long, score long")
+    for pm in (0, 137, 500, 700, 999, 1000):
+        a = sorted(
+            map(tuple, stratified_top_fraction(df, F.col("score"), "grp", "id", pm).collect())
+        )
+        b = sorted(
+            map(
+                tuple,
+                stratified_top_fraction(
+                    df, F.col("score"), "grp", "id", pm, method="histogram"
+                ).collect(),
+            )
+        )
+        assert a == b, pm
+    # schema preserved, helper columns gone
+    out = stratified_top_fraction(df, F.col("score"), "grp", "id", 500, method="histogram")
+    assert out.columns == df.columns
