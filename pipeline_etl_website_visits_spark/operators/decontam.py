@@ -160,7 +160,9 @@ def decontaminate(
     hits = substring_decontam_hits(match_side, needles, text_col=text_col, id_col=id_col)
     if action == "report":
         return hits
-    dropped = hits.select(F.col("doc_id").alias(id_col))
+    # the hits relation's id column is named id_col (both engines) — a
+    # literal "doc_id" here crashed every non-default id_col caller
+    dropped = hits.select(F.col(id_col))
     return corpus.join(F.broadcast(dropped), id_col, "left_anti")
 
 

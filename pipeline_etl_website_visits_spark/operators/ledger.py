@@ -377,6 +377,14 @@ class RetryingBackend(CommitBackend):
                         # the slot is free again — re-race the create
                         continue
                 raise
+        # exhausted via the re-race path (every retry saw the slot occupied
+        # then freed): nothing was created — FALLING OFF silently here would
+        # read as success to writer_lease, and a caller would proceed as
+        # lease holder with no lease file (mutual-exclusion violation).
+        raise TransientStoreError(
+            f"create_exclusive({path}) did not converge in {self.attempts} "
+            f"attempts (transient failures + re-races); retry the operation"
+        )
 
     def publish(self, path: str, payload: bytes) -> None:
         self._retry(lambda: self.delegate.publish(path, payload))

@@ -1574,8 +1574,13 @@ def stratified_top_fraction(
         wc = Window.partitionBy(group_col)
         return (
             df.withColumn("__rn", F.row_number().over(w))
+            # row_number() is 32-bit: the *1000 must happen in LONG or a
+            # group past ~2.1M rows silently wraps and keeps tail rows
             .withColumn("__cnt", F.count(F.lit(1)).over(wc))
-            .filter(F.col("__rn") * 1000 <= F.col("__cnt") * int(keep_per_mille))
+            .filter(
+                F.col("__rn").cast("long") * 1000
+                <= F.col("__cnt") * int(keep_per_mille)
+            )
             .drop("__rn", "__cnt")
         )
 
@@ -1586,19 +1591,32 @@ def stratified_top_fraction(
         .orderBy(F.col("__score").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    wtot = Window.partitionBy(group_col)
     spec = (
         hist.withColumn("__cum", F.sum("__c").over(wcum))
-        .withColumn("__k", F.expr(f"sum(__c) OVER (PARTITION BY {group_col}) * {int(keep_per_mille)} DIV 1000"))
+        .withColumn("__tot", F.sum("__c").over(wtot))
+        # integer DIV on helper columns only — the group column never gets
+        # spliced into a SQL string (backtick-needing names stay fine)
+        .withColumn("__k", F.expr(f"__tot * {int(keep_per_mille)} DIV 1000"))
         .withColumn("__prev", F.col("__cum") - F.col("__c"))
         .filter(F.col("__prev") < F.col("__k"))  # fully-dropped scores never join
         .select(
-            group_col,
-            "__score",
+            F.col(group_col).alias("__g"),
+            F.col("__score").alias("__s"),
             (F.col("__cum") <= F.col("__k")).alias("__full"),
             F.least(F.col("__c"), F.col("__k") - F.col("__prev")).alias("__take"),
         )
     )
-    joined = scored.join(F.broadcast(spec), [group_col, "__score"], "inner")
+    # NULL-SAFE join keys: groupBy and window partitioning both treat a
+    # NULL score (or group) as a regular key, and desc ordering puts the
+    # NULL-score bucket last in BOTH formulations — a plain equi-join
+    # would silently drop those rows here, breaking method equality
+    joined = scored.join(
+        F.broadcast(spec),
+        scored[group_col].eqNullSafe(F.col("__g"))
+        & scored["__score"].eqNullSafe(F.col("__s")),
+        "inner",
+    ).drop("__g", "__s")
     full = joined.filter(F.col("__full"))
     wb = Window.partitionBy(group_col, "__score").orderBy(F.col(id_col))
     boundary = (

@@ -881,3 +881,44 @@ def test_stratified_top_fraction_histogram_equals_window(spark):
     # schema preserved, helper columns gone
     out = stratified_top_fraction(df, F.col("score"), "grp", "id", 500, method="histogram")
     assert out.columns == df.columns
+
+
+def test_stratified_top_fraction_big_group_no_int_overflow(spark):
+    """Review r10 finding: row_number() is 32-bit; rank*1000 must happen
+    in LONG or groups past ~2.1M rows wrap negative and keep tail rows.
+    2.2M-row single group at 500 per-mille keeps exactly 1.1M."""
+    import pyspark.sql.functions as F
+    from pipeline_etl_website_visits_spark.operators.text import stratified_top_fraction
+
+    df = spark.range(2_200_000).select(
+        F.lit("g").alias("grp"), F.col("id"), (F.col("id") % 97).alias("score")
+    )
+    kept = stratified_top_fraction(df, F.col("score"), "grp", "id", 500)
+    assert kept.count() == 1_100_000
+
+
+def test_stratified_top_fraction_null_scores_method_equality(spark):
+    """Review r10 finding: NULL scores (and NULL groups) are regular keys
+    in both formulations — the histogram join must be null-safe or those
+    rows silently vanish from one method only."""
+    import pyspark.sql.functions as F
+    from pipeline_etl_website_visits_spark.operators.text import stratified_top_fraction
+
+    df = spark.createDataFrame(
+        [("g", 1, 5), ("g", 2, None), ("g", 3, 7), ("g", 4, None), (None, 5, 1)],
+        "grp string, id long, score long",
+    )
+    for pm in (400, 800, 1000):
+        a = {tuple(r) for r in stratified_top_fraction(df, F.col("score"), "grp", "id", pm).collect()}
+        b = {
+            tuple(r)
+            for r in stratified_top_fraction(
+                df, F.col("score"), "grp", "id", pm, method="histogram"
+            ).collect()
+        }
+        assert a == b, pm
+    # at 1000 per-mille nothing is dropped, NULLs included
+    assert (
+        stratified_top_fraction(df, F.col("score"), "grp", "id", 1000, method="histogram").count()
+        == 5
+    )

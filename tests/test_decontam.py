@@ -127,6 +127,14 @@ def test_substring_derived_needles_match_case_insensitively(spark):
         docs, evalset, "substring", needles=["The Answer Is Paris"]
     )
     assert {r["doc_id"] for r in raw_hits.collect()} == {1}
+    # review r10 finding: a non-default id_col must work end to end
+    # (the filter branch selected a literal 'doc_id' from the hits)
+    docs2 = docs.withColumnRenamed("doc_id", "id")
+    clean2 = decontaminate(
+        docs2, evalset.withColumnRenamed("doc_id", "id"), "substring",
+        id_col="id", action="filter",
+    )
+    assert {r["id"] for r in clean2.collect()} == {2}
 
 
 def test_mode_and_action_validation(spark):

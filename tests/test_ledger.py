@@ -219,3 +219,41 @@ def test_retrying_backend_disambiguation_rules(tmp_path):
         )
     with pytest.raises(ValueError, match="attempts"):
         ledger.RetryingBackend(store, attempts=0)
+
+
+def test_retrying_create_exclusive_raises_when_rerace_exhausts(tmp_path):
+    """Review r10 finding: exhausting attempts through the
+    FileExistsError->read-FileNotFoundError re-race path must RAISE, not
+    fall off the loop returning None — a silent None reads as 'lease
+    acquired' to writer_lease with no lease file on disk."""
+
+    class FlappingStore(ledger.InMemoryObjectStoreBackend):
+        """Every create sees the slot occupied; every read-back sees it
+        already released (a fast acquire/release churn)."""
+
+        def create_exclusive(self, path, payload):
+            raise FileExistsError(path)
+
+        def read(self, path):
+            raise FileNotFoundError(path)
+
+    b = ledger.RetryingBackend(FlappingStore(), attempts=3, backoff=0.0)
+    # first attempt: genuine FileExistsError propagates (no ambiguity yet)
+    with pytest.raises(FileExistsError):
+        b.create_exclusive("k", b"tok")
+
+    class FlapAfterTransient(FlappingStore):
+        def __init__(self):
+            super().__init__()
+            self.calls = 0
+
+        def create_exclusive(self, path, payload):
+            self.calls += 1
+            if self.calls == 1:
+                raise ledger.TransientStoreError("503")
+            raise FileExistsError(path)
+
+    with pytest.raises(ledger.TransientStoreError, match="did not converge"):
+        ledger.RetryingBackend(FlapAfterTransient(), attempts=3, backoff=0.0).create_exclusive(
+            "k", b"tok"
+        )
