@@ -39,6 +39,7 @@ def curate_corpus(
     id_col: str = "doc_id",
     group_col: str = "source",
     dedup: bool = True,
+    quality_keep_per_mille: int | None = None,
     decontam_mode: str = "fuzzy",
     train: float = 0.8,
     val: float = 0.1,
@@ -53,6 +54,10 @@ def curate_corpus(
     1. **dedup** (``dedup=True``): exact content dedup — keep the
        minimum-id copy of every identical (normalized) text
        (:func:`operators.dedup.dedup_exact`).
+    1b. **quality gate** (``quality_keep_per_mille`` set): keep each
+       ``group_col``'s top per-mille by the integer heuristic quality
+       score (:func:`operators.text.stratified_top_fraction`, histogram
+       method — the score is low-cardinality by construction).
     2. **decontaminate** (skipped when ``evalset`` is None): drop corpus
        rows that leak ``evalset`` content, via any
        :func:`operators.decontam.decontaminate` mode (``fuzzy`` /
@@ -87,6 +92,20 @@ def curate_corpus(
             F.col("keeper_doc_id").alias(id_col)
         )
         clean = clean.join(keepers, id_col, "left_semi")
+    if quality_keep_per_mille is not None:
+        from pipeline_etl_website_visits_spark.operators.text import (
+            quality_score_millis,
+            stratified_top_fraction,
+        )
+
+        clean = stratified_top_fraction(
+            clean,
+            quality_score_millis(F.col(text_col)),
+            group_col,
+            id_col,
+            int(quality_keep_per_mille),
+            method="histogram",
+        )
     if evalset is not None:
         clean = decontaminate(
             clean,

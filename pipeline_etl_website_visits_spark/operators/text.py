@@ -114,6 +114,17 @@ def lang_id_df(df: DataFrame, text_col: str, id_col: str, out_col: str = "predic
     )
 
 
+def quality_score_millis(text: Column) -> Column:
+    """The bounded heuristic quality score in exact integer MILLIS
+    (0..1000): ``min(500, 5·tokens) + min(500, chars)`` — the integer
+    form of ``0.5·min(1, tokens/100) + 0.5·min(1, chars/500)``.
+    Engine-reproducible, and exactly the low-cardinality integer shape
+    :func:`stratified_top_fraction`'s histogram method wants."""
+    return F.least(F.lit(500), token_count(text) * 5) + F.least(
+        F.lit(500), F.length(text).cast("int")
+    )
+
+
 def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Per-document quality features + bounded score.
 
@@ -130,7 +141,7 @@ def quality_features(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     alnum_ratio = ratio_round(F.length(stripped), F.length(t), 3)
     chars_no_ws = F.length(F.regexp_replace(F.trim(t), r"\s+", ""))
     avg_tok_len = ratio_round(chars_no_ws, n_tokens, 2)
-    score_millis = F.least(F.lit(500), n_tokens * 5) + F.least(F.lit(500), n_chars)
+    score_millis = quality_score_millis(t)
     score = (score_millis / F.lit(1000.0)).cast("double")
     return df.select(
         F.col(id_col).alias("doc_id"),

@@ -234,3 +234,31 @@ def test_curate_corpus_dedup_and_optional_stages(spark):
     # dedup off: all rows survive
     out2 = curate_corpus(docs, None, dedup=False, pack_budget=None)
     assert {r["doc_id"] for r in out2["clean"].collect()} == {1, 2, 3}
+
+
+def test_curate_corpus_quality_gate_stage(spark):
+    """quality_keep_per_mille filters per-source by the integer quality
+    score via the histogram scale path; bit-identical to calling the
+    stage kernel directly."""
+    import pyspark.sql.functions as F2
+
+    from pipeline_etl_website_visits_spark.curate import curate_corpus
+    from pipeline_etl_website_visits_spark.operators.text import (
+        quality_score_millis,
+        stratified_top_fraction,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "source", "text"
+    )
+    out = curate_corpus(
+        docs, None, dedup=False, quality_keep_per_mille=600, pack_budget=None
+    )
+    direct = stratified_top_fraction(
+        docs, quality_score_millis(F2.col("text")), "source", "doc_id", 600,
+        method="histogram",
+    )
+    assert sorted(r["doc_id"] for r in out["clean"].collect()) == sorted(
+        r["doc_id"] for r in direct.collect()
+    )
+    assert 0 < out["clean"].count() < docs.count()
