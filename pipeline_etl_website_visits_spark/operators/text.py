@@ -1818,3 +1818,52 @@ def token_budget_mixture(
             f"LEAST({b} * __w DIV 1000, available_tokens * {cap} DIV 1000) AS BIGINT)"
         ).alias("unmet_tokens"),
     )
+
+
+def compression_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Per-document zlib compression ratio in integer per-mille — the
+    Gopher-family quality signal n-gram metrics approximate from the
+    other side: highly compressible text (ratio far below normal prose)
+    is boilerplate/templates/repetition; incompressible text is often
+    binary junk or already-encoded payloads mislabeled as text. Curation
+    gates on both tails.
+
+    Not SQL-expressible (no DEFLATE in an ANSI oracle) — certified by a
+    direct zlib exactness test instead (level pinned to 6 so the ratio
+    is deterministic for a given zlib build). Shape: Arrow-batched
+    ``mapInPandas`` over the narrow (id, text) projection — map-only,
+    no shuffle, the same grain as the multimodal codecs.
+
+    Output: (id_col, raw_len, compressed_len, ratio_permille) with
+    ratio_permille = compressed·1000 DIV raw (0 for empty text).
+    """
+    narrow = df.select(
+        F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+    )
+
+    def comp(batches):
+        import zlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            raw, cl = [], []
+            for t in pdf["text"]:
+                b = (t or "").encode("utf-8")
+                raw.append(len(b))
+                cl.append(len(zlib.compress(b, 6)) if b else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "raw_len": raw,
+                    "compressed_len": cl,
+                    "ratio_permille": [
+                        (c * 1000) // r if r else 0 for c, r in zip(cl, raw)
+                    ],
+                }
+            )
+
+    return narrow.mapInPandas(
+        comp,
+        schema="doc_id long, raw_len long, compressed_len long, ratio_permille long",
+    )

@@ -1748,3 +1748,61 @@ def x157(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_budget_mixture(
         docs, "text", "source", w, budget_tokens=20_000, cap_per_mille=2000
     )
+
+
+# --------------------------------------------------------------------------
+# x159 — l-diversity audit (the k-anonymity complement, x145)
+#
+# k-anonymity alone leaks when a quasi-identifier group is homogeneous in
+# the SENSITIVE attribute (everyone in the group shares it). Per
+# (segment, bal_bucket) QI group: group size k and distinct sensitive
+# nationkeys l; emit the l < 3 violations a release gate would block.
+# --------------------------------------------------------------------------
+@query(
+    "x159_l_diversity",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           CAST(FLOOR(c_acctbal / 2000) AS INT) AS bal_bucket,
+           CAST(COUNT(*) AS BIGINT) AS k,
+           CAST(COUNT(DISTINCT c_nationkey) AS BIGINT) AS l
+    FROM customer
+    GROUP BY segment, bal_bucket
+    HAVING COUNT(DISTINCT c_nationkey) < 3
+    ORDER BY segment, bal_bucket
+    """,
+    certifies="privacy governance: l-diversity audit (sensitive-attribute homogeneity within quasi-identifier groups — the x145 k-anonymity complement)",
+    tags=("governance", "privacy"),
+)
+def x159(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.select(
+            F.col("c_mktsegment").alias("segment"),
+            F.floor(F.col("c_acctbal") / 2000).cast("int").alias("bal_bucket"),
+            F.col("c_nationkey").alias("sensitive"),
+        )
+        .groupBy("segment", "bal_bucket")
+        .agg(
+            F.count("*").cast("long").alias("k"),
+            F.countDistinct("sensitive").cast("long").alias("l"),
+        )
+        .where(F.col("l") < 3)
+        .orderBy("segment", "bal_bucket")
+    )
+
+
+# --------------------------------------------------------------------------
+# x160 — zlib compression-ratio quality signal (rows-only: no DEFLATE in
+# an ANSI oracle; certified by the direct-zlib exactness test)
+# --------------------------------------------------------------------------
+@query(
+    "x160_compression_ratio",
+    oracle=None,
+    certifies="X4 compression-ratio quality signal (boilerplate/junk tails): Arrow mapInPandas map-only pass, integer per-mille ratios; exactness test vs direct zlib",
+    tags=("llm", "text", "quality", "no-oracle"),
+)
+def x160(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators.text import compression_ratio
+
+    docs = load_table(spark, sf_dir, "documents")
+    return compression_ratio(docs, "text", "doc_id")

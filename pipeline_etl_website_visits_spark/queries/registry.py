@@ -55,17 +55,18 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-10 pinning rule: HEAD = the five NEW queries (x154-x158), then
+# Round-10 pinning rule: HEAD = the seven NEW queries (x154-x160), then
 # x150 (changed kernel this round), then ALL 42 remaining round-6-latest
-# names, then the 2 alphabetically-first round-7-latest names as fill:
-# 5 + 1 + 42 + 2 = exactly 50. After this round no query's latest driver
-# row predates round 7. All names stay covered by the local full-suite
-# check_oracle runs regardless of rotation.
+# names: 7 + 1 + 42 = exactly 50. After this round no query's latest
+# driver row predates round 7 (the round-7 fill names q01/q05/q56/q68/
+# x123/x143/x146 were displaced by new queries; all stay covered by the
+# local full-suite check_oracle runs).
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- (a) round-10 rotation head: the FIVE new queries first (never
+    # -- (a) round-10 rotation head: the SEVEN new queries first (never
     #    driver-checked: x154 stratified quality gate, x155 gram
     #    diversity, x156 boilerplate prefixes, x157 token-budget
-    #    mixture planner, x158 OHLC resample), then x150 (its
+    #    mixture planner, x158 OHLC resample, x159 l-diversity audit,
+    #    x160 compression-ratio signal), then x150 (its
     #    oov_counts kernel gained the empty-vocab guard this round —
     #    changed-code outranks stale rows), then ALL 42 remaining
     #    round-6-latest names (VERDICT r9 item 1: after this round no
@@ -75,6 +76,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x156_boilerplate_prefixes",
     "x157_token_budget_mixture",
     "x158_ohlc_resample",
+    "x159_l_diversity",
+    "x160_compression_ratio",
     "x150_oov_rate",
     "q60_pricing_summary",
     "q61_pivot",
@@ -118,11 +121,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x59_bigram_rarity",
     "x70_json_struct_agg",
     "x92_heavy_hitters",
-    # -- (b) alphabetically-first round-7-latest names fill the last 2
-    #    slots (x123/x143/x146/q56/q68 displaced by the five new queries;
-    #    they stay covered by the local full-suite check_oracle runs) --
-    "q01_scan_project_rename",
-    "q05_error_explode",
 )
 
 

@@ -922,3 +922,28 @@ def test_stratified_top_fraction_null_scores_method_equality(spark):
         stratified_top_fraction(df, F.col("score"), "grp", "id", 1000, method="histogram").count()
         == 5
     )
+
+
+def test_compression_ratio_matches_direct_zlib(spark):
+    """The distributed pass == zlib.compress(utf8, 6) computed directly;
+    empty and unicode text handled."""
+    import zlib
+
+    from pipeline_etl_website_visits_spark.operators.text import compression_ratio
+
+    texts = {
+        1: "spam spam spam spam spam spam spam spam",   # highly compressible
+        2: "q7#xK!9z@pW$2mN&vB*4cJ^8hL%3dF",           # junk: incompressible
+        3: "",                                          # empty
+        4: "naïve café — über 文档",                    # multibyte utf-8
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {r["doc_id"]: r for r in compression_ratio(df, "text", "doc_id").collect()}
+    for i, t in texts.items():
+        b = t.encode("utf-8")
+        cl = len(zlib.compress(b, 6)) if b else 0
+        assert got[i]["raw_len"] == len(b)
+        assert got[i]["compressed_len"] == cl
+        assert got[i]["ratio_permille"] == ((cl * 1000) // len(b) if b else 0)
+    # the signal separates the tails
+    assert got[1]["ratio_permille"] < got[2]["ratio_permille"]
