@@ -457,3 +457,45 @@ def test_leakage_free_split_matches_python_reference(spark, seed):
         pref = hashlib.md5(norm.encode()).hexdigest()[:8]
         want[did] = "train" if pref < lo else ("val" if pref < hi else "test")
     assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.sampled_from(["g1", "g2", "g3"]),
+            st.integers(min_value=0, max_value=6),  # low-cardinality scores: ties
+        ),
+        min_size=1,
+        max_size=40,
+    ),
+    pm=st.sampled_from([0, 133, 500, 999, 1000]),
+)
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_stratified_top_fraction_matches_python_reference(spark, rows, pm):
+    """Both methods == a pure-Python re-derivation of 'keep exactly
+    k = cnt*pm DIV 1000 rows per group by (score desc, id asc)' over
+    fuzzed tie-heavy shapes."""
+    import pyspark.sql.functions as F
+
+    from pipeline_etl_website_visits_spark.operators.text import stratified_top_fraction
+
+    data = [(g, i, s) for i, (g, s) in enumerate(rows)]
+    df = spark.createDataFrame(data, "grp string, id long, score long")
+
+    want = set()
+    by_g: dict = {}
+    for g, i, s in data:
+        by_g.setdefault(g, []).append((i, s))
+    for g, members in by_g.items():
+        k = len(members) * pm // 1000
+        ranked = sorted(members, key=lambda t: (-t[1], t[0]))
+        want |= {(g, i, s) for i, s in ranked[:k]}
+
+    for method in ("window", "histogram"):
+        got = {
+            tuple(r)
+            for r in stratified_top_fraction(
+                df, F.col("score"), "grp", "id", pm, method=method
+            ).collect()
+        }
+        assert got == want, (method, pm)
