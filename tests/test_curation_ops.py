@@ -947,3 +947,46 @@ def test_compression_ratio_matches_direct_zlib(spark):
         assert got[i]["ratio_permille"] == ((cl * 1000) // len(b) if b else 0)
     # the signal separates the tails
     assert got[1]["ratio_permille"] < got[2]["ratio_permille"]
+
+
+def test_jaccard_prefix_filter_is_exact(spark):
+    """PPJoin-style prefix filtering returns the IDENTICAL pair set as
+    the full inverted-index join — across thresholds including exact
+    integer boundaries (t*|A| whole) where a float prefix length would
+    silently lose pairs — and rejects the non-composable knobs."""
+    import pytest
+    from pipeline_etl_website_visits_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    for t in (0.2, 0.25, 0.5, 0.8):
+        base = sorted(
+            map(tuple, D.shingle_jaccard_pairs(docs, "text", "doc_id", threshold=t).collect())
+        )
+        pf = sorted(
+            map(
+                tuple,
+                D.shingle_jaccard_pairs(
+                    docs, "text", "doc_id", threshold=t, prefix_filter=True
+                ).collect(),
+            )
+        )
+        assert base == pf, t
+    assert len(base) >= 0  # smoke: at t=0.8 the set may legitimately be tiny
+    # boundary-exact on a crafted integer case: |A|=4, t=0.5 -> prefix 3
+    tiny = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),       # grams: abc bcd cde def (4)
+            (2, "c d e f g h"),       # cde def efg fgh (4); inter=2, J=2/6=0.333
+            (3, "a b c d e g"),       # abc bcd cde deg; inter with 1 = 3, J=3/5=0.6
+        ],
+        "doc_id long, text string",
+    )
+    for t in (0.333, 0.5, 0.6):
+        base = sorted(map(tuple, D.shingle_jaccard_pairs(tiny, "text", "doc_id", threshold=t).collect()))
+        pf = sorted(
+            map(tuple, D.shingle_jaccard_pairs(tiny, "text", "doc_id", threshold=t, prefix_filter=True).collect())
+        )
+        assert base == pf, t
+    with pytest.raises(ValueError, match="standalone"):
+        D.shingle_jaccard_pairs(tiny, "text", "doc_id", prefix_filter=True, max_doc_freq=5)
