@@ -515,3 +515,190 @@ def decode_audio_real(df: DataFrame, batch_size: int = 64) -> DataFrame:
             )
 
     return df.select("path", "content").mapInPandas(decode, schema=AUDIO_DECODED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real resize + real frame sampling. The reference has no multimodal path at
+# all (SURVEY §2.11 X5 is a mandate row, not a parity row); these are the
+# model-input-prep stages a 100 TB multimodal ingest needs, built on the
+# in-module real PNG codec so the whole decode→transform→encode loop is
+# certified without external libraries.
+# ---------------------------------------------------------------------------
+
+
+def block_mean_resize(px: np.ndarray, factor: int = 2) -> np.ndarray:
+    """Exact integer area-average downsample of an (h, w, c) uint8 array.
+
+    Each output pixel is ``floor(sum(block) / count(block))`` over a
+    ``factor×factor`` block (count-weighted at the right/bottom edges), so
+    the result is pure integer arithmetic — an oracle can replicate it in
+    SQL with GROUP BY (x//factor, y//factor), which is exactly what
+    ``x161_image_resize`` does. Vectorized via ``np.add.reduceat`` (two
+    passes, no Python per-pixel loop): at Arrow batch grain this is the
+    same cost profile as a real cv2/PIL area resize.
+    """
+    if factor < 1:
+        raise ValueError(f"factor must be >= 1, got {factor}")
+    h, w, _ = px.shape
+    a = px.astype(np.int64)
+    ys = np.arange(0, h, factor)
+    xs = np.arange(0, w, factor)
+    sums = np.add.reduceat(np.add.reduceat(a, ys, axis=0), xs, axis=1)
+    cnt_y = np.diff(np.append(ys, h))
+    cnt_x = np.diff(np.append(xs, w))
+    counts = np.outer(cnt_y, cnt_x)[:, :, None]
+    return (sums // counts).astype(np.uint8)
+
+
+RESIZED_REAL_SCHEMA = (
+    "path string, in_w int, in_h int, out_w int, out_h int, "
+    "resized binary, px_sum long, error string"
+)
+
+
+def resize_images_real(df: DataFrame, factor: int = 2, batch_size: int = 64) -> DataFrame:
+    """REAL resize over (path, content) PNG rows: decode with the pure
+    codec, :func:`block_mean_resize`, re-encode to PNG, and emit the
+    decoded-again pixel sum — so one row certifies decode → resize →
+    encode → decode. Map-only Arrow batches (zero shuffle; the wide input
+    binary column is dropped at this projection), per-file error isolation
+    like :func:`decode_image_real`.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                row = {
+                    "path": path,
+                    "in_w": None,
+                    "in_h": None,
+                    "out_w": None,
+                    "out_h": None,
+                    "resized": None,
+                    "px_sum": None,
+                    "error": None,
+                }
+                try:
+                    px = png_decode(data)
+                    small = block_mean_resize(px, factor=factor)
+                    encoded = png_encode(small)
+                    again = png_decode(encoded)
+                    row.update(
+                        in_w=px.shape[1],
+                        in_h=px.shape[0],
+                        out_w=again.shape[1],
+                        out_h=again.shape[0],
+                        resized=encoded,
+                        px_sum=int(again.astype(np.int64).sum()),
+                    )
+                except Exception as e:
+                    row["error"] = f"{type(e).__name__}: {e}"
+                out.append(row)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "path", "in_w", "in_h", "out_w", "out_h", "resized", "px_sum", "error",
+                ],
+            )
+
+    return df.select("path", "content").mapInPandas(run, schema=RESIZED_REAL_SCHEMA)
+
+
+# NPV ("n PNG video") container: a minimal REAL multi-frame format so frame
+# sampling exercises real parsing + real per-frame decode. Layout:
+# b"NPV1" | uint32 n_frames | n_frames × (uint32 byte_len | PNG bytes).
+_NPV_MAGIC = b"NPV1"
+
+
+def npv_encode(frames) -> bytes:
+    """Pack a list of 2-D/3-D uint8 frame arrays into an NPV container."""
+    import struct
+
+    blobs = [png_encode(f) for f in frames]
+    out = [_NPV_MAGIC, struct.pack(">I", len(blobs))]
+    for b in blobs:
+        out.append(struct.pack(">I", len(b)))
+        out.append(b)
+    return b"".join(out)
+
+
+def npv_decode(data: bytes) -> list:
+    """Unpack an NPV container to a list of decoded (h, w, c) uint8 arrays."""
+    import struct
+
+    if not data.startswith(_NPV_MAGIC):
+        raise ValueError("not an NPV container")
+    (n,) = struct.unpack(">I", data[4:8])
+    pos = 8
+    frames = []
+    for _ in range(n):
+        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+        pos += 4
+        frames.append(png_decode(data[pos : pos + ln]))
+        pos += ln
+    return frames
+
+
+FRAME_REAL_SCHEMA = (
+    "path string, n_frames int, frame_index int, width int, height int, "
+    "mean_luma double, error string"
+)
+
+
+def sample_frames_real(df: DataFrame, every_n: int = 2, batch_size: int = 16) -> DataFrame:
+    """REAL frame sampling over (path, content) NPV rows: parse the
+    container, decode every ``every_n``-th frame with the real PNG codec,
+    emit per-frame geometry + mean luma. The 1-to-N row expansion happens
+    inside the Arrow batch (one input file → ceil(n_frames/every_n) rows)
+    — the distributed shape of ffmpeg keyframe extraction, with zero
+    shuffle. Container-level failures isolate to one error row per file.
+    """
+    import struct
+
+    def expand(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ["path", "n_frames", "frame_index", "width", "height", "mean_luma", "error"]
+        for pdf in batches:
+            out = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content) if content is not None else b""
+                try:
+                    if not data.startswith(_NPV_MAGIC):
+                        raise ValueError("not an NPV container")
+                    (n,) = struct.unpack(">I", data[4:8])
+                    pos = 8
+                    for i in range(n):
+                        (ln,) = struct.unpack(">I", data[pos : pos + 4])
+                        pos += 4
+                        blob = data[pos : pos + ln]
+                        pos += ln
+                        if i % every_n != 0:
+                            continue  # skip without decoding — the sampling saves the decode cost
+                        px = png_decode(blob)
+                        out.append(
+                            {
+                                "path": path,
+                                "n_frames": n,
+                                "frame_index": i,
+                                "width": px.shape[1],
+                                "height": px.shape[0],
+                                "mean_luma": float(px[:, :, 0].mean()),
+                                "error": None,
+                            }
+                        )
+                except Exception as e:
+                    out.append(
+                        {
+                            "path": path,
+                            "n_frames": None,
+                            "frame_index": None,
+                            "width": None,
+                            "height": None,
+                            "mean_luma": None,
+                            "error": f"{type(e).__name__}: {e}",
+                        }
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return df.select("path", "content").mapInPandas(expand, schema=FRAME_REAL_SCHEMA)

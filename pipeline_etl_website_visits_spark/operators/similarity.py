@@ -71,11 +71,14 @@ def cosine_topk(
     id_col: str = "vec_id",
     k: int = 5,
     use_arrow: bool = True,
+    with_rank: bool = False,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query among the candidates.
 
     Output: (query_id, neighbor_id, sim) with sim rounded to 4 dp; ranking
     uses the unrounded similarity, ties broken by neighbor id.
+    ``with_rank=True`` appends that row_number as an int ``rank`` column —
+    the contract rank-fusion consumers (reciprocal_rank_fusion) need.
 
     Scoring runs as an Arrow-batched numpy einsum by default (the interpreted
     higher-order-function fold re-evaluates its lambda per element — ~3x the
@@ -162,11 +165,10 @@ def cosine_topk(
             )
         )
     w = Window.partitionBy("query_id").orderBy(F.col("sim_raw").desc(), F.col("neighbor_id"))
-    return (
-        sims.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .select("query_id", "neighbor_id", F.round("sim_raw", 4).alias("sim"))
-    )
+    cols = ["query_id", "neighbor_id", F.round("sim_raw", 4).alias("sim")]
+    if with_rank:
+        cols.append(F.col("rn").cast("int").alias("rank"))
+    return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).select(*cols)
 
 
 def hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
@@ -944,4 +946,164 @@ def semantic_decontam_hits(
         hits.select("corpus_id", "eval_id", F.round("sim_raw", 4).alias("sim"))
         .filter(F.col("sim") >= threshold)
         .orderBy("corpus_id")
+    )
+
+
+def pca_fit(df: DataFrame, vec_col: str = "embedding", k: int = 2):
+    """Fit a PCA basis over an embedding column in ONE distributed pass.
+
+    Each partition folds its vectors into (count, sum, upper-Gram) moment
+    partials inside an Arrow batch (numpy matmul — no per-row Python), the
+    dim²-sized partials reduce through one tiny exchange, and the driver
+    finishes with an O(dim³) eigendecomposition of the dim×dim covariance —
+    the standard moment-sketch PCA that scales to any corpus size because
+    nothing driver-side grows with rows (dim guarded to the broadcast
+    bound). Signs are canonicalized (largest-|loading| coordinate positive)
+    so the basis is deterministic up to float summation order.
+
+    Returns (components ndarray [k, dim], mean ndarray [dim],
+    explained_variance_ratio ndarray [k]).
+    """
+    arr = F.col(vec_col).cast("array<double>")
+    vecs_only = df.select(arr.alias("v")).where(F.col("v").isNotNull())
+    first = vecs_only.limit(1).collect()
+    if not first:
+        raise ValueError("pca_fit: empty input")
+    dim = len(first[0]["v"])
+    _guard_driver_bytes("pca_fit moment matrix", dim + 2, dim)
+    if not (1 <= k <= dim):
+        raise ValueError(f"pca_fit: k={k} out of range for dim={dim}")
+
+    def partials(batches, _d=dim):
+        n = 0
+        s = np.zeros(_d, dtype=np.float64)
+        g = np.zeros((_d, _d), dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.asarray(pdf["v"].tolist(), dtype=np.float64)
+            n += m.shape[0]
+            s += m.sum(axis=0)
+            g += m.T @ m
+        if n:
+            yield pd.DataFrame({"n": [n], "s": [s.tolist()], "g": [g.reshape(-1).tolist()]})
+
+    parts = vecs_only.mapInPandas(partials, "n long, s array<double>, g array<double>")
+    # fold the per-partition moments through ONE exchange: explode to
+    # (pos, value) and sum per position — stays distributed however many
+    # partitions fed in (no unbounded driver collect of partials).
+    folded = (
+        parts.select(
+            "n",
+            F.posexplode(F.concat(F.col("s"), F.col("g"))).alias("pos", "val"),
+        )
+        .groupBy("pos")
+        .agg(F.sum("val").alias("val"), F.sum(F.when(F.col("pos") == 0, F.col("n"))).alias("n_part"))
+    )
+    rows = folded.collect()
+    n_total = int(next(r["n_part"] for r in rows if r["pos"] == 0))
+    flat = np.zeros(dim + dim * dim, dtype=np.float64)
+    for r in rows:
+        flat[r["pos"]] = r["val"]
+    s = flat[:dim]
+    g = flat[dim:].reshape(dim, dim)
+    mean = s / n_total
+    cov = g / n_total - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T.copy()
+    top = np.abs(comps).argmax(axis=1)
+    signs = np.sign(comps[np.arange(k), top])
+    signs[signs == 0] = 1.0
+    comps *= signs[:, None]
+    total_var = float(np.clip(evals.sum(), 1e-300, None))
+    ratio = np.clip(evals[order], 0, None) / total_var
+    return comps, mean, ratio
+
+
+def pca_project(
+    df: DataFrame, components: "np.ndarray", mean: "np.ndarray", vec_col: str = "embedding"
+) -> DataFrame:
+    """Project the embedding column onto a fitted PCA basis: map-only Arrow
+    matmul against the broadcast (k, dim) components; appends a
+    ``pca array<double>`` column of length k."""
+    comps = np.asarray(components, dtype=np.float64)
+    mu = np.asarray(mean, dtype=np.float64)
+
+    @F.pandas_udf("array<double>")
+    def proj(col: pd.Series) -> pd.Series:
+        m = np.asarray(col.tolist(), dtype=np.float64)
+        out = (m - mu) @ comps.T
+        return pd.Series(list(out))
+
+    return df.withColumn("pca", proj(F.col(vec_col).cast("array<double>")))
+
+
+def embed_pca_summary(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 2,
+) -> DataFrame:
+    """PCA fit + project + per-label summary — the dimensionality-reduction
+    stage in front of semantic dedup / clustering (SemDeDup-style
+    pipelines run k-means in PCA space). Output: one row per label with
+    member count and the per-label mean of each retained component
+    (milli-quantized for a stable display contract; the exactness test
+    pins the projection itself against numpy)."""
+    comps, mu, ratio = pca_fit(df, vec_col=vec_col, k=k)
+    proj = pca_project(df, comps, mu, vec_col=vec_col)
+    aggs = [F.count("*").cast("long").alias("n")]
+    for i in range(k):
+        aggs.append(
+            F.floor(F.avg(F.col("pca")[i]) * 1000).cast("long").alias(f"pc{i + 1}_mean_milli")
+        )
+    return (
+        proj.select(F.col(label_col).alias("label"), "pca")
+        .groupBy("label")
+        .agg(*aggs)
+        .orderBy("label")
+    )
+
+
+def reciprocal_rank_fusion(legs: list[DataFrame], k: int = 10, c: int = 60) -> DataFrame:
+    """Fuse ranked retrieval legs with Reciprocal Rank Fusion — the
+    standard hybrid-search combiner (lexical BM25 leg + dense cosine leg,
+    or any number of (query_id, doc_id, rank) relations).
+
+    Integer-exact: each leg contributes ``1_000_000 div (c + rank)``
+    (integer division — no float enters the score), legs union and
+    sum-aggregate per (query, doc), and the fused ranking breaks ties by
+    doc_id. A doc absent from a leg simply contributes nothing (the
+    union-aggregate IS the full outer join). Scale shape: each leg is
+    already top-bounded per query (|Q|·depth rows), so the union, the
+    aggregation, and the final per-query window are all tiny regardless
+    of corpus size — fusion cost never touches the corpus.
+    """
+    from functools import reduce
+
+    if not legs:
+        raise ValueError("reciprocal_rank_fusion needs at least one leg")
+    if c < 0 or k < 1:
+        raise ValueError(f"bad parameters: k={k}, c={c}")
+    contribs = [
+        leg.select(
+            "query_id",
+            "doc_id",
+            F.expr(f"1000000 div ({c} + rank)").cast("long").alias("contrib"),
+        )
+        for leg in legs
+    ]
+    u = reduce(DataFrame.unionByName, contribs)
+    fused = u.groupBy("query_id", "doc_id").agg(
+        F.sum("contrib").cast("long").alias("rrf_micro"),
+        F.count("*").cast("int").alias("n_legs"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("rrf_micro").desc(), F.col("doc_id"))
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "rrf_micro", "n_legs", "rank")
+        .orderBy("query_id", "rank")
     )

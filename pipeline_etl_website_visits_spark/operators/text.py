@@ -1867,3 +1867,129 @@ def compression_ratio(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         comp,
         schema="doc_id long, raw_len long, compressed_len long, ratio_permille long",
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    queries: dict[str, str],
+    k: int = 10,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+) -> DataFrame:
+    """BM25 top-``k`` retrieval: score every document against a small set of
+    query strings and return the best ``k`` docs per query — the lexical
+    leg of a RAG / eval-retrieval stack (the dense leg is
+    similarity.cosine_topk / vector_index.ivfpq_search).
+
+    Integer-exact scoring (the x58 discipline, extended to BM25's
+    length-normalized term weight): with N docs, TL total corpus tokens,
+    dl the doc length and df_t the term's doc frequency,
+
+        idf_micro = floor(ln(2(N+1) / (2*df_t+1)) * 1e6)          -- one ln()
+        num  = tf * (1000 + k1_milli) * 1000 * TL                 -- exact int64
+        den  = 1_000_000*TL*tf + k1_milli*(1000-b_milli)*TL
+               + k1_milli*b_milli*dl*N                            -- exact int64
+        contrib_micro = floor(idf_micro * num / den)              -- one fp divide
+        score_micro   = sum(contrib_micro)                        -- exact int64
+
+    num/den is the classic (k1+1)·tf / (tf + k1(1−b+b·dl/avgdl)) multiplied
+    through by 1000·TL so both sides are integers; the only float ops are
+    the per-term ln() and one multiply-divide, evaluated with the same
+    operand order in Spark and the SQL oracle, so ranking ties (and the
+    hash gate) are deterministic. Magnitudes: idf_micro·num ≲ 1e7·2e13 —
+    the double mantissa rounds identically on both engines; den ≲ 1e13
+    stays far inside int64.
+
+    Scale shape: the query-term table is tiny and BROADCAST — the token
+    stream filters map-side before the single (doc, term) aggregation
+    shuffle, so corpus cost is O(matched tokens), not O(all tokens); df_t
+    and the per-query ranking are windows over that already-small matched
+    relation. Corpus stats (N, TL) are a 1-row broadcast cross join, never
+    a driver collect.
+    """
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("queries must be a non-empty {query_id: text} dict")
+
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(qid, qtext) for qid, qtext in sorted(queries.items())], "query_id string, qtext string"
+    )
+    qterms = (
+        qdf.select("query_id", F.explode(F.split(normalize_text(F.col("qtext")), " ")).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("toks"),
+    )
+    # one pass computes dl AND the token stream; stats fold from the dl relation
+    with_dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"), "toks")
+    stats = with_dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
+    )
+
+    pairs = with_dl.select("doc_id", "dl", F.explode("toks").alias("term"))
+    matched = pairs.join(F.broadcast(qterms.select("term").distinct()), "term")
+    tf = matched.groupBy("doc_id", "dl", "term").agg(F.count("*").cast("long").alias("tf"))
+    w_term = Window.partitionBy("term")
+    with_df = tf.withColumn("df_t", F.count("*").over(w_term).cast("long"))
+
+    scored_terms = (
+        with_df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "idf_micro",
+            F.floor(
+                F.log(
+                    F.lit(2.0)
+                    * (F.col("n_docs") + F.lit(1)).cast("double")
+                    / (F.lit(2) * F.col("df_t") + F.lit(1)).cast("double")
+                )
+                * F.lit(1000000.0)
+            ).cast("long"),
+        )
+        .withColumn(
+            "num",
+            (F.col("tf") * F.lit(1000 + k1_milli) * F.lit(1000) * F.col("total_len")).cast("long"),
+        )
+        .withColumn(
+            "den",
+            (
+                F.lit(1000000) * F.col("total_len") * F.col("tf")
+                + F.lit(k1_milli * (1000 - b_milli)) * F.col("total_len")
+                + F.lit(k1_milli * b_milli) * F.col("dl") * F.col("n_docs")
+            ).cast("long"),
+        )
+        .withColumn(
+            "contrib_micro",
+            F.floor(
+                F.col("idf_micro").cast("double")
+                * F.col("num").cast("double")
+                / F.col("den").cast("double")
+            ).cast("long"),
+        )
+    )
+
+    per_doc = (
+        scored_terms.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("contrib_micro").cast("long").alias("score_micro"),
+            F.count("*").cast("long").alias("n_terms_matched"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score_micro").desc(), F.col("doc_id").asc()
+    )
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score_micro", "n_terms_matched", "rank")
+        .orderBy("query_id", "rank")
+    )

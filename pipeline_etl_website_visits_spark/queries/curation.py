@@ -1806,3 +1806,157 @@ def x160(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return compression_ratio(docs, "text", "doc_id")
+
+
+_BM25_QUERIES = {
+    "q_join": "fast hash join",
+    "q_scan": "table scan filter",
+    "q_sort": "sort merge window",
+}
+_BM25_Q_VALUES = ", ".join(f"('{k}', '{v}')" for k, v in sorted(_BM25_QUERIES.items()))
+
+
+# Shared BM25 CTE chain (query terms -> integer-quantized per-(query,doc)
+# scores) used by both the x163 oracle and the x165 hybrid-fusion oracle.
+_BM25_PERDOC_CTES = f"""\
+    WITH q(query_id, qtext) AS (VALUES {_BM25_Q_VALUES}),
+    qterms AS (
+      SELECT DISTINCT query_id, term FROM (
+        SELECT query_id,
+               unnest(string_split(regexp_replace(lower(trim(qtext)), '\\s+', ' ', 'g'), ' ')) AS term
+        FROM q
+      ) WHERE term <> ''
+    ),
+    toks AS (SELECT doc_id, string_split({_NORM_C}, ' ') AS lst FROM documents),
+    dl AS (SELECT doc_id, CAST(len(lst) AS BIGINT) AS dl FROM toks),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_len FROM dl),
+    pairs AS (SELECT doc_id, unnest(lst) AS term FROM toks),
+    tf AS (
+      SELECT p.doc_id, p.term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM pairs p JOIN (SELECT DISTINCT term FROM qterms) t USING (term)
+      GROUP BY p.doc_id, p.term
+    ),
+    wdf AS (
+      SELECT *, CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df_t FROM tf
+    ),
+    scored AS (
+      SELECT w.doc_id, w.term,
+             CAST(FLOOR(LN(2.0 * (s.n_docs + 1) / (2 * w.df_t + 1)) * 1000000) AS BIGINT) AS idf_micro,
+             CAST(w.tf * 2200 * 1000 * s.total_len AS BIGINT) AS num,
+             CAST(1000000 * s.total_len * w.tf + 1200 * 250 * s.total_len
+                  + 1200 * 750 * d.dl * s.n_docs AS BIGINT) AS den
+      FROM wdf w CROSS JOIN stats s JOIN dl d ON w.doc_id = d.doc_id
+    ),
+    contrib AS (
+      SELECT qt.query_id, sc.doc_id,
+             CAST(FLOOR(CAST(sc.idf_micro AS DOUBLE) * CAST(sc.num AS DOUBLE)
+                        / CAST(sc.den AS DOUBLE)) AS BIGINT) AS c
+      FROM scored sc JOIN qterms qt USING (term)
+    ),
+    perdoc AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(c) AS BIGINT) AS score_micro,
+             CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+      FROM contrib GROUP BY query_id, doc_id
+    )
+"""
+
+
+@query(
+    "x163_bm25_retrieval",
+    oracle=f"""
+    {_BM25_PERDOC_CTES}
+    SELECT query_id, doc_id, score_micro, n_terms_matched, CAST(rnk AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score_micro DESC, doc_id) AS rnk
+      FROM perdoc
+    ) WHERE rnk <= 10 ORDER BY query_id, rank
+    """,
+    certifies="X4 BM25 top-k retrieval (lexical RAG serving): broadcast query-term filter before the one (doc,term) aggregation shuffle; integer-quantized scoring (the x58 discipline extended to BM25 length normalization)",
+    tags=("llm", "text", "retrieval"),
+)
+def x163(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return T.bm25_topk(docs, "text", "doc_id", _BM25_QUERIES, k=10)
+
+
+# vec_id -> BM25 query_id pairing for the hybrid query: the three probe
+# vectors stand in for "the embedding of the query" (the synthetic tables
+# have no query-encoder; the fusion contract only needs consistent ids).
+_HYBRID_DQ_VALUES = "(0, 'q_join'), (1, 'q_scan'), (2, 'q_sort')"
+
+
+@query(
+    "x165_hybrid_rrf",
+    oracle=f"""
+    {_BM25_PERDOC_CTES},
+    lex AS (
+      SELECT query_id, doc_id, CAST(rnk AS INT) AS rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score_micro DESC, doc_id) AS rnk
+        FROM perdoc
+      ) WHERE rnk <= 50
+    ),
+    dq(vec_id, query_id) AS (VALUES {_HYBRID_DQ_VALUES}),
+    eq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 3),
+    ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dsims AS (
+      SELECT eq.vec_id AS qvid, ec.vec_id AS doc_id,
+             list_dot_product(eq.v, ec.v)
+               / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS sim_raw
+      FROM eq JOIN ec ON eq.vec_id <> ec.vec_id
+    ),
+    dense AS (
+      SELECT dq.query_id, d.doc_id, CAST(d.rnk AS INT) AS rank
+      FROM (
+        SELECT qvid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qvid ORDER BY sim_raw DESC, doc_id) AS rnk
+        FROM dsims
+      ) d JOIN dq ON dq.vec_id = d.qvid
+      WHERE d.rnk <= 50
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro,
+             CAST(COUNT(*) AS INT) AS n_legs
+      FROM (SELECT * FROM lex UNION ALL SELECT * FROM dense)
+      GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_micro, n_legs, CAST(rnk AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_micro DESC, doc_id) AS rnk
+      FROM fused
+    ) WHERE rnk <= 10 ORDER BY query_id, rank
+    """,
+    certifies="X3+X4 hybrid retrieval: BM25 lexical leg + exact-cosine dense leg fused by integer Reciprocal Rank Fusion; fusion cost is rank-bounded, never corpus-bounded",
+    tags=("llm", "retrieval", "similarity"),
+)
+def x165(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search (the RAG-serving shape): top-50 BM25 leg over
+    documents.text + top-50 exact-cosine leg over embeddings (probe
+    vectors vec_id 0-2 paired to the three query strings), fused with
+    RRF (c=60) into a final top-10 per query. Both legs' plans are the
+    certified x163/x25 shapes; the fusion itself is a tiny union-agg.
+    """
+    from pipeline_etl_website_visits_spark.operators import similarity as S
+    from pipeline_etl_website_visits_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    lex = T.bm25_topk(docs, "text", "doc_id", _BM25_QUERIES, k=50).select(
+        "query_id", "doc_id", "rank"
+    )
+    dense = S.cosine_topk(emb.filter(F.col("vec_id") < 3), emb, k=50, with_rank=True)
+    qid = (
+        F.when(F.col("query_id") == 0, F.lit("q_join"))
+        .when(F.col("query_id") == 1, F.lit("q_scan"))
+        .otherwise(F.lit("q_sort"))
+    )
+    dense_leg = dense.select(
+        qid.alias("query_id"), F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return S.reciprocal_rank_fusion([lex, dense_leg], k=10, c=60)

@@ -2041,3 +2041,170 @@ def x155(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x156(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return T.boilerplate_prefixes(docs, "text", "source", n=3, min_docs=2, top=5)
+
+
+@query(
+    "x161_image_resize",
+    oracle="""
+    WITH geo AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 16 AS INT) AS w,
+             CAST(1 + (doc_id // 16) % 16 AS INT) AS h
+      FROM documents WHERE doc_id % 5 = 0
+    ), px AS (
+      SELECT doc_id, w, h, x, y, (3 * x + 7 * y + doc_id) % 256 AS v
+      FROM geo,
+           unnest(generate_series(0, w - 1)) AS ux(x),
+           unnest(generate_series(0, h - 1)) AS uy(y)
+    ), blocks AS (
+      SELECT doc_id, w, h, x // 2 AS bx, y // 2 AS by,
+             CAST(SUM(v) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS bv
+      FROM px GROUP BY doc_id, w, h, bx, by
+    )
+    SELECT doc_id,
+           CAST(w AS INT) AS in_w, CAST(h AS INT) AS in_h,
+           CAST((w + 1) // 2 AS INT) AS out_w, CAST((h + 1) // 2 AS INT) AS out_h,
+           CAST(SUM(bv) AS BIGINT) AS px_sum
+    FROM blocks GROUP BY doc_id, w, h ORDER BY doc_id
+    """,
+    certifies="X5 multimodal: REAL image resize (decode -> integer block-mean downsample -> encode -> decode) with pixel sums the oracle derives arithmetically",
+    tags=("llm", "multimodal"),
+)
+def x161(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize sibling of x61: fabricate a REAL gradient PNG per document
+    (pixel(x,y) = (3x + 7y + doc_id) % 256, geometry the x61 arithmetic),
+    run the full decode -> block_mean_resize(2) -> encode -> decode loop
+    with the pure codec, and emit the recovered geometry + pixel sum of
+    the RESIZED image. Block means are floor(sum/count) integers, so the
+    oracle replicates the resize as GROUP BY (x//2, y//2) — any defect in
+    the codec OR the resampling arithmetic breaks the hash. Map-only
+    Arrow batches, 1-in-5 subset like x61.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pipeline_etl_website_visits_spark.operators.multimodal import (
+        block_mean_resize,
+        png_decode,
+        png_encode,
+    )
+
+    def roundtrip(batches):
+        cols = ["doc_id", "in_w", "in_h", "out_w", "out_h", "px_sum"]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].to_numpy():
+                w = int(1 + did % 16)
+                h = int(1 + (did // 16) % 16)
+                xs = np.arange(w, dtype=np.int64)[None, :]
+                ys = np.arange(h, dtype=np.int64)[:, None]
+                px = ((3 * xs + 7 * ys + int(did)) % 256).astype(np.uint8)
+                small = png_decode(png_encode(block_mean_resize(png_decode(png_encode(px)), 2)))
+                rows.append(
+                    {
+                        "doc_id": int(did),
+                        "in_w": w,
+                        "in_h": h,
+                        "out_w": small.shape[1],
+                        "out_h": small.shape[0],
+                        "px_sum": int(small.astype(np.int64).sum()),
+                    }
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    docs = (
+        load_table(spark, sf_dir, "documents", fan_out=True)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(
+        roundtrip, "doc_id long, in_w int, in_h int, out_w int, out_h int, px_sum long"
+    )
+
+
+@query(
+    "x162_video_frame_sample",
+    oracle="""
+    WITH geo AS (
+      SELECT doc_id,
+             CAST(1 + doc_id % 16 AS INT) AS w,
+             CAST(1 + (doc_id // 16) % 16 AS INT) AS h,
+             CAST(1 + doc_id % 6 AS INT) AS nf
+      FROM documents WHERE doc_id % 7 = 0
+    )
+    SELECT doc_id,
+           CAST(nf AS INT) AS n_frames,
+           CAST(f AS INT) AS frame_index,
+           CAST(w AS INT) AS width,
+           CAST(h AS INT) AS height,
+           CAST((doc_id * 31 + f * 17) % 256 AS DOUBLE) AS mean_luma
+    FROM geo, unnest(generate_series(0, nf - 1)) AS uf(f)
+    WHERE f % 2 = 0
+    ORDER BY doc_id, frame_index
+    """,
+    certifies="X5 multimodal video: REAL container parse + per-frame decode with 1-in-every_n sampling; frame stats the oracle derives arithmetically",
+    tags=("llm", "multimodal"),
+)
+def x162(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video sibling of x61: fabricate a REAL NPV container per document
+    (1 + doc_id % 6 constant-fill PNG frames, frame f filled with
+    (doc_id*31 + f*17) % 256), then run the REAL sampling path —
+    container parse, skip odd frames WITHOUT decoding them, pure-codec
+    decode of the kept frames — and emit per-frame geometry + mean luma.
+    Constant fill makes mean_luma exactly the fill value, so the oracle
+    is pure arithmetic over a frame-index series. The 1-to-N Arrow batch
+    expansion (operators/multimodal.py sample_frames_real) is the
+    distributed shape of ffmpeg keyframe extraction; map-only.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pipeline_etl_website_visits_spark.operators.multimodal import npv_encode
+    from pipeline_etl_website_visits_spark.operators.multimodal import sample_frames_real
+
+    def fabricate(batches):
+        for pdf in batches:
+            paths, blobs = [], []
+            for did in pdf["doc_id"].to_numpy():
+                w = int(1 + did % 16)
+                h = int(1 + (did // 16) % 16)
+                nf = int(1 + did % 6)
+                frames = [
+                    np.full((h, w), (int(did) * 31 + f * 17) % 256, dtype=np.uint8)
+                    for f in range(nf)
+                ]
+                paths.append(str(int(did)))
+                blobs.append(npv_encode(frames))
+            yield pd.DataFrame({"path": paths, "content": blobs})
+
+    docs = (
+        load_table(spark, sf_dir, "documents", fan_out=True)
+        .filter(F.col("doc_id") % 7 == 0)
+        .select("doc_id")
+    )
+    videos = docs.mapInPandas(fabricate, "path string, content binary")
+    sampled = sample_frames_real(videos, every_n=2)
+    return sampled.select(
+        F.col("path").cast("long").alias("doc_id"),
+        "n_frames",
+        "frame_index",
+        "width",
+        "height",
+        "mean_luma",
+    )
+
+
+@query(
+    "x164_embed_pca",
+    oracle=None,
+    certifies="X3 PCA over embeddings (SemDeDup-style reduction): one distributed moment pass + O(dim^3) driver eigh; exactness vs numpy full PCA in tests/test_operators.py",
+    tags=("llm", "similarity", "no-oracle"),
+)
+def x164(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label summary of a 2-component PCA over the embeddings table.
+    Eigendecomposition is iterative float work (not SQL-expressible) so the
+    driver check is rows-only (one row per label — stable count); the
+    numpy-pinned exactness test certifies the projection, the variance
+    ratios, and the sign canonicalization."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.embed_pca_summary(emb, k=2)

@@ -55,22 +55,26 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-10 pinning rule: HEAD = the seven NEW queries (x154-x160), then
-# x150 (changed kernel this round), then ALL 42 remaining round-6-latest
-# names: 7 + 1 + 42 = exactly 50. After this round no query's latest
-# driver row predates round 7 (the round-7 fill names q01/q05/q56/q68/
-# x123/x143/x146 were displaced by new queries; all stay covered by the
-# local full-suite check_oracle runs).
+# Round-10 pinning rule: HEAD = the TWELVE new queries (x154-x165,
+# never driver-checked — new code outranks everything), then x150
+# (changed kernel this round), then 37 of the 42 remaining
+# round-6-latest names: 12 + 1 + 37 = exactly 50. The five
+# round-6-latest names that no longer fit (x50_shuffled_sample,
+# x51_mixture_sampling, x58_tfidf_top_terms, x70_json_struct_agg,
+# x92_heavy_hitters — the tail of the list, none changed since round
+# 6) defer to the round-11 rotation head; all stay covered by the
+# local full-suite check_oracle runs every session.
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- (a) round-10 rotation head: the SEVEN new queries first (never
-    #    driver-checked: x154 stratified quality gate, x155 gram
-    #    diversity, x156 boilerplate prefixes, x157 token-budget
-    #    mixture planner, x158 OHLC resample, x159 l-diversity audit,
-    #    x160 compression-ratio signal), then x150 (its
-    #    oov_counts kernel gained the empty-vocab guard this round —
-    #    changed-code outranks stale rows), then ALL 42 remaining
-    #    round-6-latest names (VERDICT r9 item 1: after this round no
-    #    query's latest driver row predates round 7) --
+    # -- (a) round-10 rotation head: the ELEVEN new queries first
+    #    (x154 stratified quality gate, x155 gram diversity, x156
+    #    boilerplate prefixes, x157 token-budget mixture planner,
+    #    x158 OHLC resample, x159 l-diversity audit, x160
+    #    compression-ratio signal, x161 real image resize, x162 real
+    #    video frame sampling, x163 BM25 retrieval, x164 embed PCA,
+    #    x165 hybrid BM25+dense RRF),
+    #    then x150 (its oov_counts kernel gained the empty-vocab
+    #    guard this round — changed-code outranks stale rows), then
+    #    38 round-6-latest names (VERDICT r9 item 1) --
     "x154_stratified_quality_gate",
     "x155_gram_diversity",
     "x156_boilerplate_prefixes",
@@ -78,6 +82,11 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x158_ohlc_resample",
     "x159_l_diversity",
     "x160_compression_ratio",
+    "x161_image_resize",
+    "x162_video_frame_sample",
+    "x163_bm25_retrieval",
+    "x164_embed_pca",
+    "x165_hybrid_rrf",
     "x150_oov_rate",
     "q60_pricing_summary",
     "q61_pivot",
@@ -115,12 +124,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x45_snapshot_cdc",
     "x46_len_quantiles_by_lang",
     "x49_sequence_packing",
-    "x50_shuffled_sample",
-    "x51_mixture_sampling",
-    "x58_tfidf_top_terms",
     "x59_bigram_rarity",
-    "x70_json_struct_agg",
-    "x92_heavy_hitters",
 )
 
 

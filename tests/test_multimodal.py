@@ -208,3 +208,99 @@ def test_real_wav_roundtrip(spark, tmp_path):
     assert (st["sample_rate"], st["n_channels"], st["n_samples"]) == (8000, 2, 800)
     assert abs(st["rms"] - 1234.0) < 1e-9
     assert out["junk.wav"]["error"] is not None
+
+
+def test_block_mean_resize_exact_integer_semantics():
+    """floor(sum/count) per block, count-weighted at ragged edges —
+    the contract the x161 oracle replicates in SQL."""
+    import numpy as np
+
+    from pipeline_etl_website_visits_spark.operators.multimodal import block_mean_resize
+
+    rng = np.random.RandomState(7)
+    for h, w, f in [(1, 1, 2), (5, 7, 2), (16, 16, 4), (3, 10, 3)]:
+        px = rng.randint(0, 256, (h, w, 2)).astype(np.uint8)
+        out = block_mean_resize(px, factor=f)
+        oh, ow = -(-h // f), -(-w // f)
+        assert out.shape == (oh, ow, 2)
+        for by in range(oh):
+            for bx in range(ow):
+                blk = px[by * f : min((by + 1) * f, h), bx * f : min((bx + 1) * f, w)].astype(int)
+                n = blk.shape[0] * blk.shape[1]
+                expect = blk.reshape(n, 2).sum(axis=0) // n
+                assert (out[by, bx] == expect).all(), (h, w, f, by, bx)
+    with pytest.raises(ValueError):
+        block_mean_resize(px, factor=0)
+
+
+def test_resize_images_real_roundtrip_and_error_isolation(spark, tmp_path):
+    """decode -> block-mean -> encode -> decode over real PNG bytes;
+    non-PNG rows isolate into the error column instead of failing the job."""
+    import numpy as np
+
+    from pipeline_etl_website_visits_spark.operators.multimodal import (
+        block_mean_resize,
+        png_decode,
+        png_encode,
+        read_binary_dir,
+        resize_images_real,
+    )
+
+    d = tmp_path / "imgs"
+    d.mkdir()
+    rng = np.random.RandomState(3)
+    expected = {}
+    for name, (h, w) in [("a.png", (9, 5)), ("b.png", (4, 4))]:
+        px = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        (d / name).write_bytes(png_encode(px))
+        small = block_mean_resize(px[:, :, None], factor=2)
+        expected[name] = (w, h, small.shape[1], small.shape[0], int(small.astype(np.int64).sum()))
+    (d / "junk.bin").write_bytes(b"not a png at all")
+
+    rows = {r["path"].rsplit("/", 1)[-1]: r for r in resize_images_real(read_binary_dir(spark, str(d)), factor=2).collect()}
+    assert rows["junk.bin"]["error"] is not None and rows["junk.bin"]["px_sum"] is None
+    for name, (iw, ih, ow, oh, s) in expected.items():
+        r = rows[name]
+        assert (r["in_w"], r["in_h"], r["out_w"], r["out_h"], r["px_sum"]) == (iw, ih, ow, oh, s)
+        assert r["error"] is None
+        # the emitted payload is a REAL decodable PNG of the resized image
+        again = png_decode(bytes(r["resized"]))
+        assert again.shape == (oh, ow, 1)
+        assert int(again.astype("int64").sum()) == s
+
+
+def test_sample_frames_real_decodes_only_kept_frames(spark, tmp_path):
+    """NPV container parse + real per-frame decode; every_n sampling skips
+    the in-between frames (their bytes are never inflated); corrupt
+    containers isolate per-file."""
+    import numpy as np
+
+    from pipeline_etl_website_visits_spark.operators.multimodal import (
+        npv_decode,
+        npv_encode,
+        read_binary_dir,
+        sample_frames_real,
+    )
+
+    d = tmp_path / "vids"
+    d.mkdir()
+    fills = [10, 20, 30, 40, 50]
+    (d / "v5.npv").write_bytes(npv_encode([np.full((2, 3), v, dtype=np.uint8) for v in fills]))
+    (d / "v1.npv").write_bytes(npv_encode([np.full((4, 4), 99, dtype=np.uint8)]))
+    (d / "bad.npv").write_bytes(b"NOPE")
+
+    rows = sample_frames_real(read_binary_dir(spark, str(d), glob="*.npv"), every_n=2).collect()
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r["path"].rsplit("/", 1)[-1], []).append(r)
+    v5 = sorted(by_file["v5.npv"], key=lambda r: r["frame_index"])
+    assert [r["frame_index"] for r in v5] == [0, 2, 4]
+    assert [r["mean_luma"] for r in v5] == [10.0, 30.0, 50.0]
+    assert all(r["n_frames"] == 5 and (r["width"], r["height"]) == (3, 2) for r in v5)
+    (v1,) = by_file["v1.npv"]
+    assert (v1["frame_index"], v1["mean_luma"]) == (0, 99.0)
+    (bad,) = by_file["bad.npv"]
+    assert bad["error"] is not None and bad["frame_index"] is None
+    # codec round-trip: decode returns every frame in order
+    dec = npv_decode((d / "v5.npv").read_bytes())
+    assert [int(f[0, 0, 0]) for f in dec] == fills

@@ -742,3 +742,161 @@ def test_source_overlap_matrix_hand_computed(spark):
     }
     # shared trigram: 'quick brown fox' only
     assert out == {("s1", "s2"): 1}
+
+
+def test_pca_matches_numpy(spark):
+    """pca_fit/pca_project vs a full numpy PCA on the same matrix: the
+    distributed moment pass + driver eigh must recover the same basis
+    (up to the shared sign canonicalization), projections, and variance
+    ratios."""
+    import numpy as np
+
+    from pipeline_etl_website_visits_spark.operators.similarity import pca_fit, pca_project
+
+    rng = np.random.RandomState(11)
+    # planted 2-factor structure in 8 dims so the top eigenpairs are well separated
+    base = rng.standard_normal((200, 2)) @ rng.standard_normal((2, 8)) * 3.0
+    m = base + rng.standard_normal((200, 8)) * 0.1
+    df = spark.createDataFrame(
+        [(i, m[i].tolist()) for i in range(m.shape[0])], "vec_id long, embedding array<double>"
+    ).repartition(4)
+
+    comps, mean, ratio = pca_fit(df, k=2)
+
+    mu = m.mean(axis=0)
+    cov = (m.T @ m) / m.shape[0] - np.outer(mu, mu)
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:2]
+    want = evecs[:, order].T.copy()
+    top = np.abs(want).argmax(axis=1)
+    sg = np.sign(want[np.arange(2), top])
+    want *= sg[:, None]
+
+    assert np.allclose(mean, mu, atol=1e-9)
+    assert np.allclose(comps, want, atol=1e-6), (comps, want)
+    want_ratio = np.clip(evals[order], 0, None) / evals.sum()
+    assert np.allclose(ratio, want_ratio, atol=1e-9)
+
+    got = {r["vec_id"]: np.array(r["pca"]) for r in pca_project(df, comps, mean).collect()}
+    expect = (m - mu) @ want.T
+    for i in range(m.shape[0]):
+        assert np.allclose(got[i], expect[i], atol=1e-6)
+
+
+def test_pca_fit_guards(spark):
+    import pytest as _pytest
+
+    from pipeline_etl_website_visits_spark.operators.similarity import pca_fit
+
+    df = spark.createDataFrame([(1, [1.0, 2.0])], "vec_id long, embedding array<double>")
+    with _pytest.raises(ValueError, match="out of range"):
+        pca_fit(df, k=5)
+    with _pytest.raises(ValueError, match="empty"):
+        pca_fit(df.where("vec_id < 0"), k=1)
+
+
+def test_bm25_matches_pure_python(spark):
+    """bm25_topk vs a row-at-a-time replica of the SAME integer-quantized
+    scheme, plus the semantic sanity that matching more query terms with
+    shorter docs ranks higher."""
+    import math
+
+    from pipeline_etl_website_visits_spark.operators.text import bm25_topk
+
+    corpus = {
+        1: "fast hash join beats sort merge join",
+        2: "hash table scan",
+        3: "the slow full table scan reads every row of the table",
+        4: "fast fast hash hash join",
+        5: "window functions and aggregation",
+    }
+    queries = {"qa": "fast hash join", "qb": "table scan"}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in corpus.items()], "doc_id long, text string"
+    )
+
+    toks = {d: t.split() for d, t in corpus.items()}
+    n_docs = len(toks)
+    total_len = sum(len(t) for t in toks.values())
+    df_t: dict[str, int] = {}
+    for t in toks.values():
+        for term in set(t):
+            df_t[term] = df_t.get(term, 0) + 1
+
+    def score(qtext, did):
+        s, matched = 0, 0
+        for term in sorted(set(qtext.split())):
+            tf = toks[did].count(term)
+            if tf == 0:
+                continue
+            matched += 1
+            idf = math.floor(math.log(2.0 * (n_docs + 1) / (2 * df_t[term] + 1)) * 1e6)
+            num = tf * 2200 * 1000 * total_len
+            den = 1000000 * total_len * tf + 1200 * 250 * total_len + 1200 * 750 * len(toks[did]) * n_docs
+            s += math.floor(float(idf) * float(num) / float(den))
+        return s, matched
+
+    rows = bm25_topk(df, "text", "doc_id", queries, k=5).collect()
+    got = {(r["query_id"], r["doc_id"]): (r["score_micro"], r["n_terms_matched"], r["rank"]) for r in rows}
+    for qid, qtext in queries.items():
+        expect = []
+        for did in corpus:
+            s, mt = score(qtext, did)
+            if mt:
+                expect.append((-s, did, mt))
+        expect.sort()
+        for rank, (negs, did, mt) in enumerate(expect, start=1):
+            assert got[(qid, did)] == (-negs, mt, rank), (qid, did, got.get((qid, did)), (-negs, mt, rank))
+    # doc 1 matches all three qa terms; doc 3 is long and matches qb terms diluted
+    qa = sorted(((r["rank"], r["doc_id"]) for r in rows if r["query_id"] == "qa"))
+    assert qa[0][1] in (1, 4)  # full-match docs lead
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="non-empty"):
+        bm25_topk(df, "text", "doc_id", {}, k=5)
+
+
+def test_reciprocal_rank_fusion_integer_semantics(spark):
+    """RRF: integer contributions 1e6 div (c+rank), absent-leg docs just
+    lose that leg's mass, ties break by doc_id, top-k enforced."""
+    from pipeline_etl_website_visits_spark.operators.similarity import reciprocal_rank_fusion
+
+    lex = spark.createDataFrame(
+        [("q", 1, 1), ("q", 2, 2), ("q", 3, 3)], "query_id string, doc_id long, rank int"
+    )
+    dense = spark.createDataFrame(
+        [("q", 3, 1), ("q", 4, 2)], "query_id string, doc_id long, rank int"
+    )
+    rows = {r["doc_id"]: r for r in reciprocal_rank_fusion([lex, dense], k=10, c=60).collect()}
+    c = 60
+    assert rows[3]["rrf_micro"] == 1000000 // (c + 3) + 1000000 // (c + 1)
+    assert rows[3]["n_legs"] == 2 and rows[3]["rank"] == 1
+    assert rows[1]["rrf_micro"] == 1000000 // (c + 1) and rows[1]["n_legs"] == 1
+    assert rows[4]["rrf_micro"] == 1000000 // (c + 2)
+    # doc1 (16393) > doc4 (16129) > doc2 (16129)? no: doc4 rank2 dense = doc2 rank2 lex
+    # -> equal mass, tie broken by doc_id: doc2 before doc4
+    assert rows[1]["rank"] == 2 and rows[2]["rank"] == 3 and rows[4]["rank"] == 4
+
+    top1 = reciprocal_rank_fusion([lex, dense], k=1).collect()
+    assert len(top1) == 1 and top1[0]["doc_id"] == 3
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="at least one leg"):
+        reciprocal_rank_fusion([], k=5)
+    with _pytest.raises(ValueError, match="bad parameters"):
+        reciprocal_rank_fusion([lex], k=0)
+
+
+def test_cosine_topk_with_rank_contract(spark):
+    """with_rank=True appends the 1-based dense rank consistent with the
+    (sim desc, neighbor_id) order of the rows themselves."""
+    from pipeline_etl_website_visits_spark.operators.similarity import cosine_topk
+
+    emb = spark.createDataFrame(
+        [(i, [float(i == j) + 0.1 * j for j in range(4)]) for i in range(6)],
+        "vec_id long, embedding array<double>",
+    )
+    out = cosine_topk(emb.where("vec_id = 0"), emb, k=3, with_rank=True).collect()
+    assert [r["rank"] for r in sorted(out, key=lambda r: -r["sim"])] == [1, 2, 3]
+    assert all(r["query_id"] == 0 and r["neighbor_id"] != 0 for r in out)
