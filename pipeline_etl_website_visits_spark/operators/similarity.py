@@ -845,6 +845,7 @@ def semantic_dedup(
     k: int = 8,
     iters: int = 5,
     threshold: float = 0.95,
+    pca_k: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the embedding space
     with spherical k-means, then WITHIN each cluster drop every vector
@@ -859,9 +860,22 @@ def semantic_dedup(
     ``applyInPandas`` task per cluster with a hard size guard. The
     clustering itself is the shuffle-free map-only Lloyd loop of
     :func:`kmeans_assign`; the only shuffle here is the groupBy(cluster).
+
+    ``pca_k``: optionally CLUSTER in a PCA-reduced space (the published
+    SemDeDup recipe quantizes in reduced dimensions to make Lloyd cheap
+    at 100 TB — one extra moment pass, then every Lloyd iteration and
+    centroid broadcast shrinks dim/pca_k-fold). The within-cluster
+    duplicate test always runs on the ORIGINAL vectors, so the threshold
+    keeps its meaning; only the partitioning of the O(n²) problem moves.
     """
+    if pca_k is not None:
+        comps, mu, _ = pca_fit(df, vec_col=vec_col, k=pca_k)
+        df = pca_project(df, comps, mu, vec_col=vec_col)
+        cluster_col = "pca"
+    else:
+        cluster_col = vec_col
     clustered = (
-        kmeans_assign(df, vec_col, id_col, k=k, iters=iters, carry_cols=[vec_col])
+        kmeans_assign(df, cluster_col, id_col, k=k, iters=iters, carry_cols=[vec_col])
         .withColumnRenamed("cluster_id", "cluster")
         .withColumnRenamed(vec_col, "v")
     )

@@ -1877,6 +1877,7 @@ def bm25_topk(
     k: int = 10,
     k1_milli: int = 1200,
     b_milli: int = 750,
+    array_prefilter: bool = True,
 ) -> DataFrame:
     """BM25 top-``k`` retrieval: score every document against a small set of
     query strings and return the best ``k`` docs per query — the lexical
@@ -1935,8 +1936,20 @@ def bm25_topk(
         F.sum("dl").cast("long").alias("total_len"),
     )
 
-    pairs = with_dl.select("doc_id", "dl", F.explode("toks").alias("term"))
-    matched = pairs.join(F.broadcast(qterms.select("term").distinct()), "term")
+    # Pre-filter the token ARRAY to query terms before exploding: only
+    # matched tokens ever become rows, so the explode output is O(matched)
+    # instead of O(all tokens) — at 100 TB that's the difference between
+    # shuffling the query hits and materializing the whole token stream.
+    # The literal isin set requires Python lower() to agree with Spark
+    # lower() on the query strings; guaranteed for ASCII, so non-ASCII
+    # query terms fall back to the full explode + broadcast-join filter.
+    flat_terms = sorted({t for q in queries.values() for t in q.lower().split() if t})
+    if array_prefilter and flat_terms and all(t.isascii() for t in flat_terms):
+        kept = F.filter(F.col("toks"), lambda t: t.isin(*flat_terms))
+        matched = with_dl.select("doc_id", "dl", F.explode(kept).alias("term"))
+    else:
+        pairs = with_dl.select("doc_id", "dl", F.explode("toks").alias("term"))
+        matched = pairs.join(F.broadcast(qterms.select("term").distinct()), "term")
     tf = matched.groupBy("doc_id", "dl", "term").agg(F.count("*").cast("long").alias("tf"))
     w_term = Window.partitionBy("term")
     with_df = tf.withColumn("df_t", F.count("*").over(w_term).cast("long"))

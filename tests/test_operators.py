@@ -900,3 +900,30 @@ def test_cosine_topk_with_rank_contract(spark):
     out = cosine_topk(emb.where("vec_id = 0"), emb, k=3, with_rank=True).collect()
     assert [r["rank"] for r in sorted(out, key=lambda r: -r["sim"])] == [1, 2, 3]
     assert all(r["query_id"] == 0 and r["neighbor_id"] != 0 for r in out)
+
+
+def test_semantic_dedup_pca_space_matches_full_space(spark):
+    """pca_k clusters in reduced space but prunes on ORIGINAL vectors: on
+    well-separated planted clusters the kept set is identical to the
+    full-space run, and planted near-duplicates are dropped."""
+    import numpy as np
+
+    from pipeline_etl_website_visits_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(5)
+    centers = rng.standard_normal((4, 16)) * 5
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(10):
+            v = centers[c] + rng.standard_normal(16) * 0.05
+            rows.append((vid, (v / np.linalg.norm(v)).tolist()))
+            vid += 1
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").repartition(4)
+
+    full = {r["id"] for r in semantic_dedup(df, k=4, iters=4, threshold=0.999).collect()}
+    reduced = {r["id"] for r in semantic_dedup(df, k=4, iters=4, threshold=0.999, pca_k=3).collect()}
+    assert full == reduced
+    # members of one tight cluster are >0.999 cosine to each other ->
+    # exactly one survivor per planted cluster at this threshold
+    assert len(reduced) == 4
