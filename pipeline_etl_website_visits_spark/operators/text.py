@@ -2006,3 +2006,99 @@ def bm25_topk(
         .select("query_id", "doc_id", "score_micro", "n_terms_matched", "rank")
         .orderBy("query_id", "rank")
     )
+
+
+def dsir_scores(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+) -> DataFrame:
+    """DSIR-style importance scores (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every corpus doc by
+    the log-likelihood ratio of its hashed-bigram features under the
+    TARGET domain's profile vs the RAW corpus profile — the standard
+    cheap proxy for "how much does this doc look like the domain I want
+    more of". Selection is then a top-fraction (or Gumbel-resampled) cut
+    on ``score_micro``.
+
+    Integer-exact: bigrams hash into ``buckets`` via the portable md5-u48
+    idiom; both profiles are exact counts; the per-bucket weight is ONE
+    ln() over an exact int64 rational with add-one smoothing,
+
+        w_micro[b] = floor(ln( (t_cnt+1)·(R+B) / ((r_cnt+1)·(T+B)) ) · 1e6)
+
+    and a doc's score is the exact integer sum of w_micro over its bigram
+    OCCURRENCES. Scale shape: both profiles aggregate to ≤``buckets``
+    rows and BROADCAST; the corpus-side cost is one map-side-combined
+    groupBy(doc) over the exploded bigram stream — a single exchange, no
+    corpus-sized join. Output: (doc_id, n_bigrams, score_micro), docs
+    with <2 tokens omitted (they have no bigram evidence).
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+
+    def bucketed(df: DataFrame) -> DataFrame:
+        t = F.col("__t")
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        )
+        return (
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.split(normalize_text(F.col(text_col)), " ").alias("__t"),
+            )
+            .where(F.size("__t") >= 2)
+            .select(
+                "doc_id",
+                F.explode(grams).alias("gram"),
+            )
+            .select(
+                "doc_id",
+                (
+                    F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 12), 16, 10).cast(
+                        "long"
+                    )
+                    % F.lit(buckets)
+                ).alias("b"),
+            )
+        )
+
+    corpus_b = bucketed(corpus)
+    target_b = bucketed(target)
+
+    tprof = target_b.groupBy("b").agg(F.count("*").cast("long").alias("t_cnt"))
+    tstat = target_b.agg(F.count("*").cast("long").alias("tt"))
+    rprof = corpus_b.groupBy("b").agg(F.count("*").cast("long").alias("r_cnt"))
+    rstat = corpus_b.agg(F.count("*").cast("long").alias("rr"))
+
+    weights = (
+        rprof.join(tprof, "b", "left")
+        .na.fill({"t_cnt": 0})
+        .crossJoin(F.broadcast(tstat))
+        .crossJoin(F.broadcast(rstat))
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    ((F.col("t_cnt") + F.lit(1)) * (F.col("rr") + F.lit(buckets))).cast("double")
+                    / ((F.col("r_cnt") + F.lit(1)) * (F.col("tt") + F.lit(buckets))).cast("double")
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("w_micro"),
+        )
+    )
+
+    return (
+        corpus_b.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("w_micro").cast("long").alias("score_micro"),
+        )
+        .orderBy("doc_id")
+    )

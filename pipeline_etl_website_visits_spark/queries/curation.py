@@ -1960,3 +1960,47 @@ def x165(spark: SparkSession, sf_dir: str) -> DataFrame:
         qid.alias("query_id"), F.col("neighbor_id").alias("doc_id"), "rank"
     )
     return S.reciprocal_rank_fusion([lex, dense_leg], k=10, c=60)
+
+
+@query(
+    "x166_dsir_scores",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split({_NORM_C}, ' ') AS t FROM documents
+    ),
+    buck AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1]), 1, 12)) AS BIGINT) % 1024 AS b
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    tprof AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS t_cnt FROM buck WHERE source = 'src0' GROUP BY b),
+    tstat AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM buck WHERE source = 'src0'),
+    rprof AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS r_cnt FROM buck GROUP BY b),
+    rstat AS (SELECT CAST(COUNT(*) AS BIGINT) AS rr FROM buck),
+    w AS (
+      SELECT r.b,
+             CAST(FLOOR(LN(
+               CAST((COALESCE(t.t_cnt, 0) + 1) * (rs.rr + 1024) AS DOUBLE)
+               / CAST((r.r_cnt + 1) * (ts.tt + 1024) AS DOUBLE)
+             ) * 1000000) AS BIGINT) AS w_micro
+      FROM rprof r LEFT JOIN tprof t USING (b)
+      CROSS JOIN tstat ts CROSS JOIN rstat rs
+    )
+    SELECT bk.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(w.w_micro) AS BIGINT) AS score_micro
+    FROM buck bk JOIN w USING (b)
+    GROUP BY bk.doc_id ORDER BY bk.doc_id
+    """,
+    certifies="X4 DSIR importance scoring (hashed-bigram log-likelihood ratio vs a target domain): broadcast ≤buckets-row profiles, ONE map-side-combined corpus exchange; integer-exact weights (one ln over an int64 rational)",
+    tags=("llm", "text", "curation"),
+)
+def x166(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR scores for every document against the src0 domain as target.
+    Docstring cite: the method is public (Xie et al. 2023); the reference
+    repo has no counterpart — this is §2.11 north-star surface."""
+    from pipeline_etl_website_visits_spark.operators import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return T.dsir_scores(docs, docs.where(F.col("source") == "src0"), "text", "doc_id")

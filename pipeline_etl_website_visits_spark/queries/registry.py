@@ -55,15 +55,15 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-10 pinning rule: HEAD = the TWELVE new queries (x154-x165,
+# Round-10 pinning rule: HEAD = the THIRTEEN new queries (x154-x166,
 # never driver-checked — new code outranks everything), then x150
-# (changed kernel this round), then 37 of the 42 remaining
-# round-6-latest names: 12 + 1 + 37 = exactly 50. The five
+# (changed kernel this round), then 36 of the 42 remaining
+# round-6-latest names: 13 + 1 + 36 = exactly 50. The six
 # round-6-latest names that no longer fit (x50_shuffled_sample,
-# x51_mixture_sampling, x58_tfidf_top_terms, x70_json_struct_agg,
-# x92_heavy_hitters — the tail of the list, none changed since round
-# 6) defer to the round-11 rotation head; all stay covered by the
-# local full-suite check_oracle runs every session.
+# x51_mixture_sampling, x58_tfidf_top_terms, x59_bigram_rarity,
+# x70_json_struct_agg, x92_heavy_hitters — the tail of the list, none
+# changed since round 6) defer to the round-11 rotation head; all stay
+# covered by the local full-suite check_oracle runs every session.
 DRIVER_ORDER: tuple[str, ...] = (
     # -- (a) round-10 rotation head: the ELEVEN new queries first
     #    (x154 stratified quality gate, x155 gram diversity, x156
@@ -71,7 +71,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     #    x158 OHLC resample, x159 l-diversity audit, x160
     #    compression-ratio signal, x161 real image resize, x162 real
     #    video frame sampling, x163 BM25 retrieval, x164 embed PCA,
-    #    x165 hybrid BM25+dense RRF),
+    #    x165 hybrid BM25+dense RRF, x166 DSIR importance scores),
     #    then x150 (its oov_counts kernel gained the empty-vocab
     #    guard this round — changed-code outranks stale rows), then
     #    38 round-6-latest names (VERDICT r9 item 1) --
@@ -87,6 +87,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x163_bm25_retrieval",
     "x164_embed_pca",
     "x165_hybrid_rrf",
+    "x166_dsir_scores",
     "x150_oov_rate",
     "q60_pricing_summary",
     "q61_pivot",
@@ -124,7 +125,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x45_snapshot_cdc",
     "x46_len_quantiles_by_lang",
     "x49_sequence_packing",
-    "x59_bigram_rarity",
 )
 
 

@@ -990,3 +990,68 @@ def test_jaccard_prefix_filter_is_exact(spark):
         assert base == pf, t
     with pytest.raises(ValueError, match="standalone"):
         D.shingle_jaccard_pairs(tiny, "text", "doc_id", prefix_filter=True, max_doc_freq=5)
+
+
+def test_dsir_scores_match_pure_python(spark):
+    """dsir_scores vs a row-at-a-time replica of the same hashed-bigram
+    log-ratio scheme, plus the semantic check that target-domain docs
+    outscore off-domain ones."""
+    import hashlib
+    import math
+
+    from pipeline_etl_website_visits_spark.operators.text import dsir_scores
+
+    corpus = {
+        1: ("tgt", "spark shuffle spark shuffle spark shuffle"),
+        2: ("tgt", "spark shuffle broadcast join"),
+        3: ("web", "cats and dogs and cats and dogs"),
+        4: ("web", "weather is nice today"),
+        5: ("web", "spark shuffle cats and dogs"),
+        6: ("web", "x"),  # single token: no bigrams -> omitted
+    }
+    B = 64
+    df = spark.createDataFrame(
+        [(k, src, txt) for k, (src, txt) in corpus.items()],
+        "doc_id long, source string, text string",
+    )
+
+    def bucket(gram):
+        return int(hashlib.md5(gram.encode()).hexdigest()[:12], 16) % B
+
+    def bigrams(txt):
+        t = txt.split()
+        return [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    raw, tgt = {}, {}
+    for did, (src, txt) in corpus.items():
+        for g in bigrams(txt):
+            b = bucket(g)
+            raw[b] = raw.get(b, 0) + 1
+            if src == "tgt":
+                tgt[b] = tgt.get(b, 0) + 1
+    R, T = sum(raw.values()), sum(tgt.values())
+    w = {
+        b: math.floor(math.log(float((tgt.get(b, 0) + 1) * (R + B)) / float((r + 1) * (T + B))) * 1e6)
+        for b, r in raw.items()
+    }
+    expect = {}
+    for did, (src, txt) in corpus.items():
+        gs = bigrams(txt)
+        if gs:
+            expect[did] = (len(gs), sum(w[bucket(g)] for g in gs))
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["score_micro"])
+        for r in dsir_scores(
+            df, df.where("source = 'tgt'"), "text", "doc_id", buckets=B
+        ).collect()
+    }
+    assert got == expect
+    # semantic: the pure-target docs outscore the pure-web docs per bigram
+    per = {d: got[d][1] / got[d][0] for d in got}
+    assert min(per[1], per[2]) > max(per[3], per[4])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="buckets"):
+        dsir_scores(df, df, buckets=0)
