@@ -2004,3 +2004,82 @@ def x166(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return T.dsir_scores(docs, docs.where(F.col("source") == "src0"), "text", "doc_id")
+
+
+@query(
+    "x167_t_closeness",
+    oracle="""
+    WITH base AS (
+      SELECT c_mktsegment AS segment,
+             CAST(FLOOR(c_acctbal / 2000) AS INT) AS bal_bucket,
+             c_nationkey AS s
+      FROM customer
+    ),
+    gs AS (
+      SELECT segment, bal_bucket, s, CAST(COUNT(*) AS BIGINT) AS cnt_gs
+      FROM base GROUP BY segment, bal_bucket, s
+    ),
+    g AS (
+      SELECT segment, bal_bucket, CAST(SUM(cnt_gs) AS BIGINT) AS n_g
+      FROM gs GROUP BY segment, bal_bucket
+    ),
+    sglob AS (
+      SELECT s, CAST(SUM(cnt_gs) AS BIGINT) AS cnt_s FROM gs GROUP BY s
+    ),
+    tot AS (SELECT CAST(SUM(cnt_gs) AS BIGINT) AS n FROM gs),
+    grid AS (
+      SELECT g.segment, g.bal_bucket, g.n_g, sg.s, sg.cnt_s,
+             COALESCE(gs.cnt_gs, 0) AS cnt_gs, t.n
+      FROM g CROSS JOIN sglob sg
+      LEFT JOIN gs ON gs.segment = g.segment AND gs.bal_bucket = g.bal_bucket AND gs.s = sg.s
+      CROSS JOIN tot t
+    )
+    SELECT segment, bal_bucket,
+           CAST(MAX(n_g) AS BIGINT) AS k,
+           CAST((CAST(SUM(ABS(cnt_gs * n - cnt_s * n_g)) AS BIGINT) * 500000)
+                // (MAX(n_g) * MAX(n)) AS BIGINT) AS tvd_micro
+    FROM grid GROUP BY segment, bal_bucket
+    ORDER BY segment, bal_bucket
+    """,
+    certifies="privacy governance: t-closeness audit (total-variation distance between each QI group's sensitive distribution and the global one) — completes the k-anonymity (x145) / l-diversity (x159) trio; exact integer cross-multiplied rationals, micro-quantized once",
+    tags=("governance", "privacy"),
+)
+def x167(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TVD-based t-closeness per (segment, bal_bucket) QI group over the
+    customer table (sensitive = nationkey). Exact arithmetic:
+    |p_g(s) - p(s)| cross-multiplies to |cnt_gs*N - cnt_s*n_g| (int64),
+    sums exactly, and quantizes once via integer division by (n_g*N) —
+    bound: group-count x total products must stay under 2^63/1e6
+    (documents fine through ~sf100; beyond that swap in DECIMAL(38,0)).
+    Scale shape: everything derives from the ONE (group, s) aggregation;
+    the grid is groups x |sensitive support| with both small sides
+    broadcast — corpus rows are touched exactly once.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / 2000).cast("int").alias("bal_bucket"),
+        F.col("c_nationkey").alias("s"),
+    )
+    gs = base.groupBy("segment", "bal_bucket", "s").agg(
+        F.count("*").cast("long").alias("cnt_gs")
+    )
+    g = gs.groupBy("segment", "bal_bucket").agg(F.sum("cnt_gs").cast("long").alias("n_g"))
+    sglob = gs.groupBy("s").agg(F.sum("cnt_gs").cast("long").alias("cnt_s"))
+    tot = gs.agg(F.sum("cnt_gs").cast("long").alias("n"))
+    grid = (
+        g.crossJoin(F.broadcast(sglob))
+        .join(gs, ["segment", "bal_bucket", "s"], "left")
+        .na.fill({"cnt_gs": 0})
+        .crossJoin(F.broadcast(tot))
+    )
+    return (
+        grid.groupBy("segment", "bal_bucket")
+        .agg(
+            F.max("n_g").cast("long").alias("k"),
+            F.expr("CAST((SUM(ABS(cnt_gs * n - cnt_s * n_g)) * 500000) div (MAX(n_g) * MAX(n)) AS BIGINT)").alias(
+                "tvd_micro"
+            ),
+        )
+        .orderBy("segment", "bal_bucket")
+    )
