@@ -46,6 +46,8 @@ def curate_corpus(
     epochs: int = 2,
     epoch_buckets: int = 256,
     pack_budget: int | None = 512,
+    dsir_target: DataFrame | None = None,
+    dsir_keep_per_mille: int = 500,
 ) -> dict[str, DataFrame]:
     """Run the composed curation pipeline over ``corpus``.
 
@@ -58,6 +60,11 @@ def curate_corpus(
        ``group_col``'s top per-mille by the integer heuristic quality
        score (:func:`operators.text.stratified_top_fraction`, histogram
        method — the score is low-cardinality by construction).
+    1c. **domain gate** (``dsir_target`` set): keep each group's top
+       ``dsir_keep_per_mille`` by DSIR importance score against the
+       target-domain sample (:func:`operators.text.dsir_scores` — the
+       importance-resampling selection recipe; scores join back
+       per-id, selection reuses the same stratified cut).
     2. **decontaminate** (skipped when ``evalset`` is None): drop corpus
        rows that leak ``evalset`` content, via any
        :func:`operators.decontam.decontaminate` mode (``fuzzy`` /
@@ -106,6 +113,29 @@ def curate_corpus(
             int(quality_keep_per_mille),
             method="histogram",
         )
+    if dsir_target is not None:
+        from pipeline_etl_website_visits_spark.operators.text import (
+            dsir_scores,
+            stratified_top_fraction,
+        )
+
+        scores = dsir_scores(clean, dsir_target, text_col, id_col).select(
+            F.col("doc_id").alias(id_col), "score_micro"
+        )
+        # per-doc score rides in via one equi-join keyed on the id; the
+        # cut itself is the same stratified machinery as the quality gate
+        # (window method: DSIR scores are high-cardinality, so the
+        # histogram two-pass would degenerate to one bucket per score)
+        with_scores = clean.join(scores, id_col, "inner")
+        kept = stratified_top_fraction(
+            with_scores,
+            F.col("score_micro"),
+            group_col,
+            id_col,
+            int(dsir_keep_per_mille),
+            method="window",
+        )
+        clean = clean.join(kept.select(id_col), id_col, "left_semi")
     if evalset is not None:
         clean = decontaminate(
             clean,

@@ -262,3 +262,53 @@ def test_curate_corpus_quality_gate_stage(spark):
         r["doc_id"] for r in direct.collect()
     )
     assert 0 < out["clean"].count() < docs.count()
+
+
+def test_curate_corpus_dsir_gate(spark):
+    """The dsir_target knob keeps each group's top fraction by importance
+    score against the target sample — docs resembling the target domain
+    survive, clearly off-domain ones go, and the kept set equals the
+    direct dsir_scores + stratified cut composition."""
+    import pyspark.sql.functions as F
+
+    from pipeline_etl_website_visits_spark.curate import curate_corpus
+    from pipeline_etl_website_visits_spark.operators.text import (
+        dsir_scores,
+        stratified_top_fraction,
+    )
+
+    rows = []
+    for i in range(8):
+        rows.append((i, "srcA", "spark shuffle broadcast join spark shuffle plan"))
+    for i in range(8, 16):
+        rows.append((i, "srcA", "cats dogs weather lunch cats dogs weather lunch"))
+    corpus = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    target = spark.createDataFrame(
+        [(100, "spark shuffle broadcast join exchange plan")], "doc_id long, text string"
+    )
+
+    out = curate_corpus(
+        corpus,
+        None,
+        dedup=False,  # the twin texts above are intentional duplicates
+        dsir_target=target,
+        dsir_keep_per_mille=500,
+        pack_budget=None,
+    )
+    kept = {r["doc_id"] for r in out["clean"].collect()}
+    assert kept == set(range(8))  # the on-domain half survives the 50% cut
+
+    # equivalence with the direct composition
+    scores = dsir_scores(corpus, target, "text", "doc_id")
+    direct = {
+        r["doc_id"]
+        for r in stratified_top_fraction(
+            corpus.join(scores.select("doc_id", "score_micro"), "doc_id"),
+            F.col("score_micro"),
+            "source",
+            "doc_id",
+            500,
+            method="window",
+        ).collect()
+    }
+    assert kept == direct
