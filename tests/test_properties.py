@@ -499,3 +499,108 @@ def test_stratified_top_fraction_matches_python_reference(spark, rows, pm):
             ).collect()
         }
         assert got == want, (method, pm)
+
+
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    c=st.integers(1, 3),
+    factor=st.integers(1, 5),
+    seed=st.integers(0, 2**16),
+)
+@settings(max_examples=60, deadline=None)
+def test_block_mean_resize_matches_brute_force(h, w, c, factor, seed):
+    """Pure-kernel property: every output pixel is floor(sum/count) over
+    its (ragged-edge-aware) block, for any geometry and factor."""
+    import numpy as np
+
+    from pipeline_etl_website_visits_spark.operators.multimodal import block_mean_resize
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, (h, w, c)).astype(np.uint8)
+    out = block_mean_resize(px, factor=factor)
+    oh, ow = -(-h // factor), -(-w // factor)
+    assert out.shape == (oh, ow, c)
+    for by in range(oh):
+        for bx in range(ow):
+            blk = px[by * factor : min((by + 1) * factor, h),
+                     bx * factor : min((bx + 1) * factor, w)].astype(int)
+            n = blk.shape[0] * blk.shape[1]
+            assert (out[by, bx] == blk.reshape(n, c).sum(axis=0) // n).all()
+
+
+@given(
+    frames=st.lists(
+        st.tuples(st.integers(1, 8), st.integers(1, 8), st.integers(0, 255)),
+        min_size=0,
+        max_size=6,
+    )
+)
+@settings(max_examples=40, deadline=None)
+def test_npv_container_roundtrip(frames):
+    """NPV encode/decode round-trips any frame list (including empty),
+    preserving order, geometry, and pixel values."""
+    import numpy as np
+
+    from pipeline_etl_website_visits_spark.operators.multimodal import npv_decode, npv_encode
+
+    arrs = [np.full((h, w), v, dtype=np.uint8) for h, w, v in frames]
+    dec = npv_decode(npv_encode(arrs))
+    assert len(dec) == len(arrs)
+    for a, d in zip(arrs, dec):
+        assert d.shape == (a.shape[0], a.shape[1], 1)
+        assert (d[:, :, 0] == a).all()
+
+
+@given(
+    legs=st.lists(
+        st.lists(
+            st.tuples(st.sampled_from(["qa", "qb"]), st.integers(0, 20)),
+            min_size=0,
+            max_size=15,
+            unique_by=lambda t: t,
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    k=st.integers(1, 8),
+    c=st.integers(0, 100),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_reciprocal_rank_fusion_matches_python_reference(spark, legs, k, c):
+    """RRF over arbitrary ranked legs equals the pure-python fusion:
+    ranks are assigned per leg by (query, doc) insertion order, fused
+    scores are exact integer sums, final order (score desc, doc asc)."""
+    leg_dfs, py_legs = [], []
+    for leg in legs:
+        ranked, seen = [], {}
+        for q, d in leg:
+            seen.setdefault(q, 0)
+            seen[q] += 1
+            ranked.append((q, d, seen[q]))
+        py_legs.append(ranked)
+        leg_dfs.append(
+            spark.createDataFrame(ranked or [("__none__", -1, 1)], "query_id string, doc_id long, rank int")
+            .where("doc_id >= 0")
+        )
+
+    from pipeline_etl_website_visits_spark.operators.similarity import reciprocal_rank_fusion
+
+    got = [
+        (r["query_id"], r["doc_id"], r["rrf_micro"], r["n_legs"], r["rank"])
+        for r in reciprocal_rank_fusion(leg_dfs, k=k, c=c).collect()
+    ]
+
+    fused: dict = {}
+    for ranked in py_legs:
+        for q, d, rk in ranked:
+            s, n = fused.get((q, d), (0, 0))
+            fused[(q, d)] = (s + 1000000 // (c + rk), n + 1)
+    expect = []
+    for q in sorted({q for q, _ in fused}):
+        rows = sorted(
+            ((-s, d, n) for (qq, d), (s, n) in fused.items() if qq == q),
+        )
+        for i, (negs, d, n) in enumerate(rows[:k], start=1):
+            expect.append((q, d, -negs, n, i))
+    assert sorted(got) == sorted(expect)
