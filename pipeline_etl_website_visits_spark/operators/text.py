@@ -2014,6 +2014,7 @@ def dsir_scores(
     text_col: str = "text",
     id_col: str = "doc_id",
     buckets: int = 1024,
+    portable_hash: bool = False,
 ) -> DataFrame:
     """DSIR-style importance scores (Xie et al. 2023, "Data Selection for
     Language Models via Importance Resampling"): score every corpus doc by
@@ -2023,8 +2024,10 @@ def dsir_scores(
     more of". Selection is then a top-fraction (or Gumbel-resampled) cut
     on ``score_micro``.
 
-    Integer-exact: bigrams hash into ``buckets`` via the portable md5-u48
-    idiom; both profiles are exact counts; the per-bucket weight is ONE
+    Integer-exact: bigrams hash into ``buckets`` via xxhash64 (JVM-fast
+    default) or the portable md5-u48 idiom (``portable_hash=True`` — what
+    the x166 SQL oracle replicates; the winnowing-fingerprints precedent);
+    either hash gives a valid DSIR feature space, both profiles are exact counts; the per-bucket weight is ONE
     ln() over an exact int64 rational with add-one smoothing,
 
         w_micro[b] = floor(ln( (t_cnt+1)·(R+B) / ((r_cnt+1)·(T+B)) ) · 1e6)
@@ -2038,6 +2041,13 @@ def dsir_scores(
     """
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
+
+    def bucket_of(gram: Column) -> Column:
+        if portable_hash:
+            return F.conv(F.substring(F.md5(gram.cast("binary")), 1, 12), 16, 10).cast(
+                "long"
+            ) % F.lit(buckets)
+        return F.pmod(F.xxhash64(gram), F.lit(buckets)).cast("long")
 
     def bucketed(df: DataFrame) -> DataFrame:
         t = F.col("__t")
@@ -2055,15 +2065,7 @@ def dsir_scores(
                 "doc_id",
                 F.explode(grams).alias("gram"),
             )
-            .select(
-                "doc_id",
-                (
-                    F.conv(F.substring(F.md5(F.col("gram").cast("binary")), 1, 12), 16, 10).cast(
-                        "long"
-                    )
-                    % F.lit(buckets)
-                ).alias("b"),
-            )
+            .select("doc_id", bucket_of(F.col("gram")).alias("b"))
         )
 
     corpus_b = bucketed(corpus)

@@ -2003,7 +2003,9 @@ def x166(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_etl_website_visits_spark.operators import text as T
 
     docs = load_table(spark, sf_dir, "documents")
-    return T.dsir_scores(docs, docs.where(F.col("source") == "src0"), "text", "doc_id")
+    return T.dsir_scores(
+        docs, docs.where(F.col("source") == "src0"), "text", "doc_id", portable_hash=True
+    )
 
 
 @query(

@@ -1043,7 +1043,7 @@ def test_dsir_scores_match_pure_python(spark):
     got = {
         r["doc_id"]: (r["n_bigrams"], r["score_micro"])
         for r in dsir_scores(
-            df, df.where("source = 'tgt'"), "text", "doc_id", buckets=B
+            df, df.where("source = 'tgt'"), "text", "doc_id", buckets=B, portable_hash=True
         ).collect()
     }
     assert got == expect
