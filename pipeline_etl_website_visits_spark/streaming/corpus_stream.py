@@ -72,12 +72,21 @@ def index_ingest_batch(
     n: int = 3,
     dedup_threshold: float | None = None,
     key_prefix: str = "stream",
+    quality_threshold_millis: int | None = None,
 ):
     """The ``foreachBatch`` sink: append the micro-batch's grams under
     the ``<key_prefix>_b<batch_id>`` applied key. Exposed separately so
     tests can replay a batch id directly (simulating post-crash
     re-execution) — pass the SAME ``key_prefix`` the stream used
     (:func:`stream_key_prefix` of its checkpoint dir).
+
+    ``quality_threshold_millis`` applies the certified quality kernel
+    (``text.quality_score_millis`` — the same integer score x28/x154
+    certify) as a map-only filter BEFORE anything else touches the
+    batch, so low-quality documents never pay shingling or index writes
+    — the streaming twin of ``curate_corpus``'s quality gate, with the
+    fixed-threshold form a stream needs (per-source quantiles are a
+    corpus-level decision; a micro-batch is not a corpus sample).
 
     ``dedup_threshold`` turns on the real production semantic —
     dedup-then-ingest: exact intra-batch duplicates collapse first
@@ -114,6 +123,12 @@ def index_ingest_batch(
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         applied_key = f"{key_prefix}_b{batch_id}"
+        if quality_threshold_millis is not None:
+            from pipeline_etl_website_visits_spark.operators.text import quality_score_millis
+
+            batch_df = batch_df.where(
+                quality_score_millis(F.col("text")) >= quality_threshold_millis
+            )
         if dedup_threshold is None:
             append_to_gram_index(
                 batch_df, table, "text", "doc_id", n=n, applied_key=applied_key
@@ -168,6 +183,7 @@ def start_index_ingest_stream(
     n: int = 3,
     max_files_per_trigger: int = 1,
     dedup_threshold: float | None = None,
+    quality_threshold_millis: int | None = None,
 ):
     """Drain available document files into the stored gram index
     (``Trigger.AvailableNow`` — the bounded-backlog drain used across
@@ -188,6 +204,7 @@ def start_index_ingest_stream(
         n=n,
         dedup_threshold=dedup_threshold,
         key_prefix=stream_key_prefix(checkpoint_dir),
+        quality_threshold_millis=quality_threshold_millis,
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

@@ -1377,3 +1377,67 @@ def test_ohlc_stream_matches_batch(spark, tmp_path):
         for r in REGISTRY["x158_ohlc_resample"].spark(spark, SF_DIR).collect()
     }
     assert got == batch and len(got) > 10
+
+
+def test_stream_quality_gated_ingest_matches_batch_filter(spark, tmp_path):
+    """Quality-gated streaming ingest: documents below the integer quality
+    threshold never enter the index, and the streamed result equals a
+    from-scratch batch build over the SAME certified-kernel filter —
+    stream/batch parity for the quality gate."""
+    from pipeline_etl_website_visits_spark.operators.dedup import save_gram_index
+    from pipeline_etl_website_visits_spark.operators.text import quality_score_millis
+    from pipeline_etl_website_visits_spark.streaming.corpus_stream import (
+        start_index_ingest_stream,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 120)
+    )
+    # pick a threshold strictly inside the batch's score range so the gate
+    # provably both keeps and drops
+    lo, hi = (
+        docs.select(
+            F.min(quality_score_millis(F.col("text"))).alias("lo"),
+            F.max(quality_score_millis(F.col("text"))).alias("hi"),
+        )
+        .collect()[0]
+    )
+    assert lo < hi, "fixture corpus must have score spread"
+    thr = (lo + hi + 1) // 2
+
+    table = "gramidx_quality_t"
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    try:
+        save_gram_index(
+            docs.limit(0), table, str(tmp_path / "idx"), "text", "doc_id", n=3
+        )
+        docs.coalesce(1).write.parquet(str(in_dir / "shard1"))
+        q = start_index_ingest_stream(
+            spark,
+            str(in_dir) + "/*/",
+            table,
+            str(tmp_path / "ckpt"),
+            quality_threshold_millis=int(thr),
+        )
+        q.awaitTermination(120)
+
+        kept_batch = docs.where(quality_score_millis(F.col("text")) >= int(thr))
+        ref_table = "gramidx_quality_ref"
+        save_gram_index(
+            kept_batch, ref_table, str(tmp_path / "ref_idx"), "text", "doc_id", n=3
+        )
+        try:
+            got = {tuple(r) for r in spark.table(table).collect()}
+            want = {tuple(r) for r in spark.table(ref_table).collect()}
+            assert got == want and len(got) > 0
+            # the gate provably dropped someone (index stores ids as old_id)
+            streamed_ids = {r["old_id"] for r in spark.table(table).select("old_id").distinct().collect()}
+            all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+            assert streamed_ids < all_ids
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {ref_table}")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
