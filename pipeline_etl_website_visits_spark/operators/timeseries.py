@@ -248,3 +248,69 @@ def ohlc_resample(
         F.max("__s")["v"].cast("long").alias("close_c"),
         F.count("*").cast("long").alias("n_events"),
     )
+
+
+def touch_attribution(
+    events: DataFrame,
+    touch_types: tuple[str, ...] = ("view", "click"),
+    conversion_type: str = "purchase",
+) -> DataFrame:
+    """First/last-touch attribution: credit every conversion event to the
+    first and last touch event by the same user SINCE their previous
+    conversion — the standard product-analytics attribution shape.
+
+    Segments: a running count of PRIOR conversions per user (window sum
+    over rows unbounded-preceding..1-preceding) splits each user's
+    timeline into attribution segments; first/last touch then come from
+    IGNORE-NULLS first/last windows over the full (user, segment) frame
+    — no join at all, so the whole operator is ONE user_id exchange (the
+    (user, seg) windows are subset-partitioned by the user hash; only
+    sorts are added). Conversions with no touch in their segment are
+    excluded (unattributable — first_touch IS NULL marks them upstream).
+    Determinism: all orderings are (ts, event_id) with the unique id as
+    tiebreak.
+    """
+    w_seg = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    is_touch = F.col("event_type").isin(*touch_types)
+    seq = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == conversion_type, 1).otherwise(0)).over(w_seg),
+            F.lit(0),
+        ).alias("seg"),
+    )
+    w_full = (
+        Window.partitionBy("user_id", "seg")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    w_cnt = Window.partitionBy("user_id", "seg")
+    touch_type = F.when(is_touch, F.col("event_type"))
+    att = seq.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.first(touch_type, ignorenulls=True).over(w_full).alias("first_touch"),
+        F.last(touch_type, ignorenulls=True).over(w_full).alias("last_touch"),
+        F.sum(F.when(is_touch, 1).otherwise(0)).over(w_cnt).cast("long").alias("n_touches"),
+    )
+    return (
+        att.where(
+            (F.col("event_type") == conversion_type) & F.col("first_touch").isNotNull()
+        )
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "first_touch",
+            "last_touch",
+            "n_touches",
+        )
+        .orderBy("purchase_id")
+    )

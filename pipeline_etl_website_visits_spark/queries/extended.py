@@ -2876,3 +2876,38 @@ def x143(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_etl_website_visits_spark.operators.timeseries import mad_outliers
 
     return mad_outliers(_t(spark, sf_dir, "events"), group_col="event_type", value_col="value", k=3.0)
+
+
+@query(
+    "x168_touch_attribution",
+    oracle="""
+    WITH seq AS (
+      SELECT event_id, user_id, ts, event_type,
+             COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS seg
+      FROM events
+    ),
+    att AS (
+      SELECT event_id, user_id, event_type,
+             FIRST_VALUE(CASE WHEN event_type IN ('view', 'click') THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id, seg ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_touch,
+             LAST_VALUE(CASE WHEN event_type IN ('view', 'click') THEN event_type END IGNORE NULLS)
+               OVER (PARTITION BY user_id, seg ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_touch,
+             CAST(SUM(CASE WHEN event_type IN ('view', 'click') THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, seg) AS BIGINT) AS n_touches
+      FROM seq
+    )
+    SELECT event_id AS purchase_id, user_id, first_touch, last_touch, n_touches
+    FROM att WHERE event_type = 'purchase' AND first_touch IS NOT NULL
+    ORDER BY purchase_id
+    """,
+    certifies="event analytics: first/last-touch conversion attribution — running-conversion segments + per-segment touch ranks, all windows served by ONE user_id exchange (subset partitioning)",
+    tags=("events", "window"),
+)
+def x168(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators.timeseries import touch_attribution
+
+    return touch_attribution(_t(spark, sf_dir, "events"))

@@ -55,16 +55,16 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-10 pinning rule: HEAD = the FOURTEEN new queries (x154-x167,
+# Round-10 pinning rule: HEAD = the FIFTEEN new queries (x154-x168,
 # never driver-checked — new code outranks everything), then x150
-# (changed kernel this round), then 35 of the 42 remaining
-# round-6-latest names: 14 + 1 + 35 = exactly 50. The seven
-# round-6-latest names that no longer fit (x49_sequence_packing,
-# x50_shuffled_sample, x51_mixture_sampling, x58_tfidf_top_terms,
-# x59_bigram_rarity, x70_json_struct_agg, x92_heavy_hitters — the
-# tail of the list, none changed since round 6) defer to the round-11
-# rotation head; all stay covered by the local full-suite check_oracle
-# runs every session.
+# (changed kernel this round), then 34 of the 42 remaining
+# round-6-latest names: 15 + 1 + 34 = exactly 50. The eight
+# round-6-latest names that no longer fit (x46_len_quantiles_by_lang,
+# x49_sequence_packing, x50_shuffled_sample, x51_mixture_sampling,
+# x58_tfidf_top_terms, x59_bigram_rarity, x70_json_struct_agg,
+# x92_heavy_hitters — the tail of the list, none changed since round
+# 6) defer to the round-11 rotation head; all stay covered by the
+# local full-suite check_oracle runs every session.
 DRIVER_ORDER: tuple[str, ...] = (
     # -- (a) round-10 rotation head: the ELEVEN new queries first
     #    (x154 stratified quality gate, x155 gram diversity, x156
@@ -73,7 +73,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     #    compression-ratio signal, x161 real image resize, x162 real
     #    video frame sampling, x163 BM25 retrieval, x164 embed PCA,
     #    x165 hybrid BM25+dense RRF, x166 DSIR importance scores,
-    #    x167 t-closeness audit),
+    #    x167 t-closeness audit, x168 touch attribution),
     #    then x150 (its oov_counts kernel gained the empty-vocab
     #    guard this round — changed-code outranks stale rows), then
     #    38 round-6-latest names (VERDICT r9 item 1) --
@@ -91,6 +91,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x165_hybrid_rrf",
     "x166_dsir_scores",
     "x167_t_closeness",
+    "x168_touch_attribution",
     "x150_oov_rate",
     "q60_pricing_summary",
     "q61_pivot",
@@ -126,7 +127,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x37_approx_percentile",
     "x44_hash_split",
     "x45_snapshot_cdc",
-    "x46_len_quantiles_by_lang",
 )
 
 

@@ -204,3 +204,29 @@ def test_pack_pairs_domain_contract_is_enforced(spark):
         co_occurrence_pairs(ok, pack_pairs=True).collect()
         == co_occurrence_pairs(ok, pack_pairs=False).collect()
     )
+
+
+def test_touch_attribution_semantics(spark):
+    """First/last touch per conversion segment; unattributable conversions
+    (no touch since the previous purchase) are excluded; touches after a
+    purchase credit the NEXT one."""
+    from pipeline_etl_website_visits_spark.operators.timeseries import touch_attribution
+
+    rows = [
+        # (event_id, ts, user_id, event_type)
+        (1, 100, 7, "view"),
+        (2, 200, 7, "click"),
+        (3, 300, 7, "purchase"),   # seg 0: first=view last=click n=2
+        (4, 400, 7, "purchase"),   # seg 1: no touches -> excluded
+        (5, 500, 7, "click"),
+        (6, 600, 7, "purchase"),   # seg 2: first=last=click n=1
+        (7, 700, 9, "error"),
+        (8, 800, 9, "purchase"),   # other user, error is not a touch -> excluded
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts long, user_id long, event_type string"
+    )
+    got = {r["purchase_id"]: r for r in touch_attribution(events).collect()}
+    assert set(got) == {3, 6}
+    assert (got[3]["first_touch"], got[3]["last_touch"], got[3]["n_touches"]) == ("view", "click", 2)
+    assert (got[6]["first_touch"], got[6]["last_touch"], got[6]["n_touches"]) == ("click", "click", 1)
