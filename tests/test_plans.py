@@ -620,3 +620,83 @@ def test_round10_curation_trio_plan_shapes(spark):
     p = _executed_plan(REGISTRY["x156_boilerplate_prefixes"].spark(spark, SF_DIR))
     assert "SinglePartition" not in p
     assert "prefix" in p and p.count("Exchange") <= 3, p
+
+
+def test_partitioned_fact_join_uses_dynamic_partition_pruning(spark, tmp_path):
+    """The 100 TB partition-pruning lever: a date-partitioned fact joined
+    to a FILTERED dim must plan a dynamic-pruning subquery on the fact's
+    partition column — only matching partitions get scanned. Locks in
+    that our session config keeps spark.sql.optimizer.dynamicPartitionPruning
+    effective on the join shapes the warehouse uses."""
+    fact_dir = str(tmp_path / "fact")
+    dim_dir = str(tmp_path / "dim")
+    orders = load_table(spark, SF_DIR, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+    )
+    orders.write.partitionBy("month").parquet(fact_dir)
+    # dim carries a NON-join attribute; the selective filter sits on it —
+    # the canonical DPP shape (a limit()/distinct() dim does NOT qualify:
+    # DPP's benefit check wants a real filter predicate on the build side)
+    (
+        orders.select("month")
+        .distinct()
+        .withColumn(
+            "quarter",
+            F.concat(
+                F.substring("month", 1, 4),
+                F.lit("-Q"),
+                F.ceil(F.substring("month", 6, 2).cast("int") / 3).cast("string"),
+            ),
+        )
+        .write.parquet(dim_dir)
+    )
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).where(F.col("quarter") == "2024-Q1")
+    joined = fact.join(dim, "month").groupBy("month").agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan[:2000]
+
+
+def test_touch_attribution_single_user_exchange(spark):
+    """x168's contract: every window (segmenting + first/last/count) rides
+    ONE user_id hash exchange — subset partitioning, no joins."""
+    import re
+
+    df = REGISTRY["x168_touch_attribution"].spark(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan[:2000]
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+
+
+def test_bm25_prefilter_explodes_only_matched_tokens(spark):
+    """The ASCII fast path filters the token ARRAY before exploding: no
+    join sits between the scan and the tf aggregation (the non-ASCII
+    fallback is the broadcast-join form)."""
+    from pipeline_etl_website_visits_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, SF_DIR, "documents")
+    fast = bm25_topk(docs, "text", "doc_id", {"q": "fast hash join"}, k=5)
+    plan = simple_plan(fast)
+    # the corpus-side explode consumes a FILTERED array (isin lambda), so
+    # only matched tokens ever become rows; the only other explode is the
+    # tiny query-string tokenizer
+    squeezed = plan.replace(" ", "")
+    assert "explode(filter(" in squeezed, plan[:1500]
+    assert "IN(fast,hash,join)" in squeezed
+
+
+def test_dsir_profiles_broadcast_corpus_single_exchange(spark):
+    """dsir_scores: both domain profiles broadcast; the corpus-side doc
+    aggregation is the only exchange that scales with data (plus the
+    bounded <=buckets-row profile aggregations)."""
+    from pipeline_etl_website_visits_spark.operators.text import dsir_scores
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = dsir_scores(docs, docs.where(F.col("source") == "src0"))
+    plan = simple_plan(out)
+    assert uses_broadcast_join(out)
+    assert "SortMergeJoin" not in plan
