@@ -314,3 +314,62 @@ def touch_attribution(
         )
         .orderBy("purchase_id")
     )
+
+
+def timed_funnel(
+    events: DataFrame,
+    steps: tuple[str, ...] = ("view", "click", "purchase"),
+    gap_seconds: int = 3600,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Strict sequential funnel with a per-step time bound: step k must
+    happen strictly AFTER the user's step k-1 completion and within
+    ``gap_nanos`` of it (the product-analytics funnel q67's
+    conditional-min form cannot express — min(click) may precede
+    min(view) there). Earliest-completion semantics: each stage keeps
+    the MINIMUM qualifying timestamp, which maximizes downstream
+    conversion counts (the canonical funnel definition).
+
+    Returns one row: n_step1, n_step2, ... (users reaching each step).
+
+    Scale shape: one filtered aggregation per step, each joined to the
+    previous stage on the user key — all stages hash-partition on
+    ``user_col``, so Catalyst plans co-partitioned joins with no extra
+    exchange beyond the per-stage aggregations; event rows are scanned
+    once per step with the type filter pushed down. ``ts`` may be a
+    native timestamp (gap applied as an INTERVAL) or raw int64 nanos
+    (the nanosAsLong ingest shape; gap applied as nanos) — detected
+    from the column type, identical comparison semantics either way.
+    """
+    if len(steps) < 2:
+        raise ValueError("timed_funnel needs at least two steps")
+    base = events.select(
+        F.col(user_col).alias("u"), F.col(ts_col).alias("t"), F.col(type_col).alias("e")
+    )
+    if dict(base.dtypes)["t"].startswith("timestamp"):
+        gap = F.expr(f"INTERVAL {int(gap_seconds)} SECOND")
+    else:
+        gap = F.lit(int(gap_seconds) * 1_000_000_000)
+    stage = (
+        base.where(F.col("e") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("t1"))
+    )
+    stages = [stage]
+    for i, step in enumerate(steps[1:], start=2):
+        prev = stages[-1].select("u", F.col(f"t{i - 1}").alias("__prev"))
+        nxt = (
+            base.where(F.col("e") == step)
+            .join(prev, "u")
+            .where((F.col("t") > F.col("__prev")) & (F.col("t") <= F.col("__prev") + gap))
+            .groupBy("u")
+            .agg(F.min("t").alias(f"t{i}"))
+        )
+        stages.append(nxt)
+    counts = [s.agg(F.count("*").cast("long").alias(f"n_step{i + 1}")) for i, s in enumerate(stages)]
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.crossJoin(c)
+    return out

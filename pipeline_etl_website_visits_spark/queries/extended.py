@@ -2911,3 +2911,34 @@ def x168(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_etl_website_visits_spark.operators.timeseries import touch_attribution
 
     return touch_attribution(_t(spark, sf_dir, "events"))
+
+
+@query(
+    "x169_timed_funnel",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s1 ON e.user_id = s1.user_id
+      WHERE e.event_type = 'click' AND e.ts > s1.t1 AND e.ts <= s1.t1 + INTERVAL 1 HOUR
+      GROUP BY e.user_id
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN s2 ON e.user_id = s2.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > s2.t2 AND e.ts <= s2.t2 + INTERVAL 1 HOUR
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM s1) AS n_step1,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s2) AS n_step2,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM s3) AS n_step3
+    """,
+    certifies="strict sequential timed funnel (each step after AND within 1h of the previous step's earliest completion) — the ordering q67's conditional-min form cannot express; per-stage co-partitioned user joins",
+    tags=("events", "agg", "window"),
+)
+def x169(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pipeline_etl_website_visits_spark.operators.timeseries import timed_funnel
+
+    return timed_funnel(_t(spark, sf_dir, "events"), gap_seconds=3600)

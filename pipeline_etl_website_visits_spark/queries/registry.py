@@ -55,16 +55,17 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-10 pinning rule: HEAD = the FIFTEEN new queries (x154-x168,
+# Round-10 pinning rule: HEAD = the SIXTEEN new queries (x154-x169,
 # never driver-checked — new code outranks everything), then x150
-# (changed kernel this round), then 34 of the 42 remaining
-# round-6-latest names: 15 + 1 + 34 = exactly 50. The eight
-# round-6-latest names that no longer fit (x46_len_quantiles_by_lang,
-# x49_sequence_packing, x50_shuffled_sample, x51_mixture_sampling,
-# x58_tfidf_top_terms, x59_bigram_rarity, x70_json_struct_agg,
-# x92_heavy_hitters — the tail of the list, none changed since round
-# 6) defer to the round-11 rotation head; all stay covered by the
-# local full-suite check_oracle runs every session.
+# (changed kernel this round), then 33 of the 42 remaining
+# round-6-latest names: 16 + 1 + 33 = exactly 50. The nine
+# round-6-latest names that no longer fit (x45_snapshot_cdc,
+# x46_len_quantiles_by_lang, x49_sequence_packing,
+# x50_shuffled_sample, x51_mixture_sampling, x58_tfidf_top_terms,
+# x59_bigram_rarity, x70_json_struct_agg, x92_heavy_hitters — the
+# tail of the list, none changed since round 6) defer to the
+# round-11 rotation head; all stay covered by the local full-suite
+# check_oracle runs every session.
 DRIVER_ORDER: tuple[str, ...] = (
     # -- (a) round-10 rotation head: the ELEVEN new queries first
     #    (x154 stratified quality gate, x155 gram diversity, x156
@@ -73,7 +74,8 @@ DRIVER_ORDER: tuple[str, ...] = (
     #    compression-ratio signal, x161 real image resize, x162 real
     #    video frame sampling, x163 BM25 retrieval, x164 embed PCA,
     #    x165 hybrid BM25+dense RRF, x166 DSIR importance scores,
-    #    x167 t-closeness audit, x168 touch attribution),
+    #    x167 t-closeness audit, x168 touch attribution, x169 timed
+    #    funnel),
     #    then x150 (its oov_counts kernel gained the empty-vocab
     #    guard this round — changed-code outranks stale rows), then
     #    38 round-6-latest names (VERDICT r9 item 1) --
@@ -92,6 +94,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x166_dsir_scores",
     "x167_t_closeness",
     "x168_touch_attribution",
+    "x169_timed_funnel",
     "x150_oov_rate",
     "q60_pricing_summary",
     "q61_pivot",
@@ -126,7 +129,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x36_approx_count_distinct",
     "x37_approx_percentile",
     "x44_hash_split",
-    "x45_snapshot_cdc",
 )
 
 

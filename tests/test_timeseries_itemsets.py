@@ -230,3 +230,37 @@ def test_touch_attribution_semantics(spark):
     assert set(got) == {3, 6}
     assert (got[3]["first_touch"], got[3]["last_touch"], got[3]["n_touches"]) == ("view", "click", 2)
     assert (got[6]["first_touch"], got[6]["last_touch"], got[6]["n_touches"]) == ("click", "click", 1)
+
+
+def test_timed_funnel_strict_sequencing(spark):
+    """The gap bound and strict after-ordering both bite: a click BEFORE
+    the first view doesn't count, a purchase outside the gap doesn't
+    count, and earliest-completion semantics pick the qualifying
+    minimum."""
+    from pipeline_etl_website_visits_spark.operators.timeseries import timed_funnel
+
+    rows = [
+        # user 1: click(50) precedes view(100) -> not a funnel click;
+        # click(150) qualifies; purchase at 150+3601s -> outside gap
+        (1, 50, 1, "click"),
+        (2, 100, 1, "view"),
+        (3, 150, 1, "click"),
+        (4, 150 + 3_601, 1, "purchase"),
+        # user 2: full funnel within gaps
+        (5, 10, 2, "view"),
+        (6, 20, 2, "click"),
+        (7, 30, 2, "purchase"),
+        # user 3: view only
+        (8, 5, 3, "view"),
+    ]
+    events = spark.createDataFrame(
+        [(e, t * 1_000_000_000, u, ty) for e, t, u, ty in rows],
+        "event_id long, ts long, user_id long, event_type string",
+    )
+    out = timed_funnel(events, gap_seconds=3600).collect()[0]
+    assert (out["n_step1"], out["n_step2"], out["n_step3"]) == (3, 2, 1)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="two steps"):
+        timed_funnel(events, steps=("view",))
