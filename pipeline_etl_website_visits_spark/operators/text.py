@@ -1878,6 +1878,7 @@ def bm25_topk(
     k1_milli: int = 1200,
     b_milli: int = 750,
     array_prefilter: bool = True,
+    corpus_stats: tuple[int, int] | None = None,
 ) -> DataFrame:
     """BM25 top-``k`` retrieval: score every document against a small set of
     query strings and return the best ``k`` docs per query — the lexical
@@ -1908,7 +1909,10 @@ def bm25_topk(
     shuffle, so corpus cost is O(matched tokens), not O(all tokens); df_t
     and the per-query ranking are windows over that already-small matched
     relation. Corpus stats (N, TL) are a 1-row broadcast cross join, never
-    a driver collect.
+    a driver collect; a serving deployment passes ``corpus_stats=(n_docs,
+    total_tokens)`` — a corpus-level constant computed once, like a stored
+    index's codebook — which removes the second corpus scan entirely (the
+    certified x163 keeps the in-query computation for oracle parity).
     """
     from pyspark.sql import Window
 
@@ -1931,10 +1935,17 @@ def bm25_topk(
     )
     # one pass computes dl AND the token stream; stats fold from the dl relation
     with_dl = toks.select("doc_id", F.size("toks").cast("long").alias("dl"), "toks")
-    stats = with_dl.agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("dl").cast("long").alias("total_len"),
-    )
+    if corpus_stats is not None:
+        n_docs_v, total_len_v = int(corpus_stats[0]), int(corpus_stats[1])
+        stats = spark.range(1).select(
+            F.lit(n_docs_v).cast("long").alias("n_docs"),
+            F.lit(total_len_v).cast("long").alias("total_len"),
+        )
+    else:
+        stats = with_dl.agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("dl").cast("long").alias("total_len"),
+        )
 
     # Pre-filter the token ARRAY to query terms before exploding: only
     # matched tokens ever become rows, so the explode output is O(matched)

@@ -1055,3 +1055,21 @@ def test_dsir_scores_match_pure_python(spark):
 
     with _pytest.raises(ValueError, match="buckets"):
         dsir_scores(df, df, buckets=0)
+
+
+def test_bm25_precomputed_stats_match_in_query_stats(spark):
+    """Serving path: passing corpus_stats=(N, TL) yields bit-identical
+    results to the in-query computation (and skips the second corpus
+    scan)."""
+    from pipeline_etl_website_visits_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "fast hash join wins"), (2, "slow table scan"), (3, "hash hash join")],
+        "doc_id long, text string",
+    )
+    queries = {"q": "hash join"}
+    base = bm25_topk(df, "text", "doc_id", queries, k=3).collect()
+    n_docs = 3
+    total_len = sum(len(t.split()) for _, t in [(1, "fast hash join wins"), (2, "slow table scan"), (3, "hash hash join")])
+    pre = bm25_topk(df, "text", "doc_id", queries, k=3, corpus_stats=(n_docs, total_len)).collect()
+    assert sorted(map(tuple, base)) == sorted(map(tuple, pre))
