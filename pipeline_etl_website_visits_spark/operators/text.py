@@ -2055,31 +2055,8 @@ def dsir_scores(
     if buckets < 1:
         raise ValueError(f"buckets must be >= 1, got {buckets}")
 
-    def bucket_of(gram: Column) -> Column:
-        if portable_hash:
-            return F.conv(F.substring(F.md5(gram.cast("binary")), 1, 12), 16, 10).cast(
-                "long"
-            ) % F.lit(buckets)
-        return F.pmod(F.xxhash64(gram), F.lit(buckets)).cast("long")
-
     def bucketed(df: DataFrame) -> DataFrame:
-        t = F.col("__t")
-        grams = F.transform(
-            F.sequence(F.lit(1), F.size(t) - 1),
-            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-        )
-        return (
-            df.select(
-                F.col(id_col).alias("doc_id"),
-                F.split(normalize_text(F.col(text_col)), " ").alias("__t"),
-            )
-            .where(F.size("__t") >= 2)
-            .select(
-                "doc_id",
-                F.explode(grams).alias("gram"),
-            )
-            .select("doc_id", bucket_of(F.col("gram")).alias("b"))
-        )
+        return _dsir_bucketed(df, text_col, id_col, buckets, portable_hash)
 
     # ONE corpus pass: compact the occurrence stream to (doc, bucket,
     # count) immediately (map-side combined), then derive the corpus
@@ -2120,6 +2097,121 @@ def dsir_scores(
         )
     )
 
+    return (
+        corpus_docb.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("w_micro")).cast("long").alias("score_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _dsir_bucketed(
+    df: DataFrame, text_col: str, id_col: str, buckets: int, portable_hash: bool
+) -> DataFrame:
+    """(doc_id, b) hashed-bigram occurrence stream shared by the inline
+    and stored-profile DSIR paths. ``id_col`` may name a missing column
+    for profile building (targets need no ids) — a literal stands in."""
+
+    def bucket_of(gram: Column) -> Column:
+        if portable_hash:
+            return F.conv(F.substring(F.md5(gram.cast("binary")), 1, 12), 16, 10).cast(
+                "long"
+            ) % F.lit(buckets)
+        return F.pmod(F.xxhash64(gram), F.lit(buckets)).cast("long")
+
+    t = F.col("__t")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    id_expr = F.col(id_col) if id_col in df.columns else F.lit(0)
+    return (
+        df.select(
+            id_expr.alias("doc_id"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("__t"),
+        )
+        .where(F.size("__t") >= 2)
+        .select("doc_id", F.explode(grams).alias("gram"))
+        .select("doc_id", bucket_of(F.col("gram")).alias("b"))
+    )
+
+
+def save_dsir_profile(
+    target: DataFrame,
+    path: str,
+    text_col: str = "text",
+    buckets: int = 1024,
+    portable_hash: bool = False,
+) -> None:
+    """Persist a DSIR target-domain profile as a self-describing parquet
+    artifact — the train-once half of the importance-resampling recipe
+    (the IVF-PQ-codebook discipline applied to domain selection: the
+    profile is computed from the target sample ONCE and every future
+    corpus scores against it without rescanning the target).
+
+    Schema: one row per non-empty bucket (b, t_cnt) plus the constants
+    (tt, buckets, portable) denormalized onto every row, so the artifact
+    carries its own hash/bucket contract and a reader can't silently
+    score with mismatched parameters.
+    """
+    prof = _dsir_bucketed(target, text_col, "__ignored", buckets, portable_hash).groupBy(
+        "b"
+    ).agg(F.count("*").cast("long").alias("t_cnt"))
+    (
+        prof.crossJoin(
+            F.broadcast(prof.agg(F.sum("t_cnt").cast("long").alias("tt")))
+        )
+        .withColumn("buckets", F.lit(int(buckets)).cast("long"))
+        .withColumn("portable", F.lit(bool(portable_hash)))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def dsir_scores_vs_profile(
+    corpus: DataFrame,
+    profile_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a corpus against a STORED DSIR profile
+    (:func:`save_dsir_profile`) — bit-identical to
+    :func:`dsir_scores` with the original target (golden-tested), but
+    the target sample is never rescanned. Bucket count and hash kind
+    come from the artifact itself."""
+    spark = corpus.sparkSession
+    prof = spark.read.parquet(profile_path)
+    meta = prof.select("tt", "buckets", "portable").limit(1).collect()
+    if not meta:
+        raise ValueError(f"empty DSIR profile at {profile_path}")
+    tt, buckets, portable = int(meta[0]["tt"]), int(meta[0]["buckets"]), bool(meta[0]["portable"])
+
+    corpus_docb = _dsir_bucketed(corpus, text_col, id_col, buckets, portable).groupBy(
+        "doc_id", "b"
+    ).agg(F.count("*").cast("long").alias("c"))
+    rprof = corpus_docb.groupBy("b").agg(F.sum("c").cast("long").alias("r_cnt"))
+    rstat = rprof.agg(F.sum("r_cnt").cast("long").alias("rr"))
+    weights = (
+        rprof.join(F.broadcast(prof.select("b", "t_cnt")), "b", "left")
+        .na.fill({"t_cnt": 0})
+        .crossJoin(F.broadcast(rstat))
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    ((F.col("t_cnt") + F.lit(1)) * (F.col("rr") + F.lit(buckets))).cast("double")
+                    / ((F.col("r_cnt") + F.lit(1)) * (F.lit(tt) + F.lit(buckets))).cast("double")
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("w_micro"),
+        )
+    )
     return (
         corpus_docb.join(F.broadcast(weights), "b")
         .groupBy("doc_id")

@@ -1073,3 +1073,42 @@ def test_bm25_precomputed_stats_match_in_query_stats(spark):
     total_len = sum(len(t.split()) for _, t in [(1, "fast hash join wins"), (2, "slow table scan"), (3, "hash hash join")])
     pre = bm25_topk(df, "text", "doc_id", queries, k=3, corpus_stats=(n_docs, total_len)).collect()
     assert sorted(map(tuple, base)) == sorted(map(tuple, pre))
+
+
+def test_stored_dsir_profile_matches_inline(spark, tmp_path):
+    """save_dsir_profile + dsir_scores_vs_profile == dsir_scores with the
+    live target, bit-for-bit — the train-once / score-many contract.
+    The artifact carries its own bucket/hash parameters."""
+    from pipeline_etl_website_visits_spark.operators.text import (
+        dsir_scores,
+        dsir_scores_vs_profile,
+        save_dsir_profile,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "spark shuffle broadcast join spark shuffle"),
+            (2, "cats dogs weather lunch cats dogs"),
+            (3, "spark shuffle cats dogs table scan"),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(0, "spark shuffle broadcast join exchange")], "tid long, text string"
+    )
+
+    for portable in (False, True):
+        path = str(tmp_path / f"prof_{portable}")
+        save_dsir_profile(target, path, buckets=64, portable_hash=portable)
+        inline = sorted(
+            map(tuple, dsir_scores(corpus, target, buckets=64, portable_hash=portable).collect())
+        )
+        stored = sorted(map(tuple, dsir_scores_vs_profile(corpus, path).collect()))
+        assert inline == stored and len(stored) == 3
+
+    import pytest as _pytest
+
+    empty = str(tmp_path / "empty_prof")
+    save_dsir_profile(target.where("tid < 0"), empty, buckets=64)
+    with _pytest.raises(ValueError, match="empty DSIR profile"):
+        dsir_scores_vs_profile(corpus, empty).collect()
