@@ -2221,3 +2221,84 @@ def dsir_scores_vs_profile(
         )
         .orderBy("doc_id")
     )
+
+
+def save_dsir_weights(
+    target: DataFrame,
+    reference: DataFrame,
+    path: str,
+    text_col: str = "text",
+    buckets: int = 1024,
+    portable_hash: bool = False,
+) -> None:
+    """Persist FIXED per-bucket DSIR weights trained offline from a target
+    sample against a reference (raw) corpus — exactly the weights
+    :func:`dsir_scores` derives when scoring ``reference`` against
+    ``target``. With weights frozen, scoring any future document is a
+    pure map (hash its bigrams, sum the looked-up weights): no profile
+    computation, which is what a streaming ingest gate needs. Buckets
+    absent from the reference get the add-one-smoothed weight they'd
+    have had at r_cnt=0, so unseen grams are still scored.
+    """
+    tprof = _dsir_bucketed(target, text_col, "__none", buckets, portable_hash).groupBy(
+        "b"
+    ).agg(F.count("*").cast("long").alias("t_cnt"))
+    rprof = _dsir_bucketed(reference, text_col, "__none", buckets, portable_hash).groupBy(
+        "b"
+    ).agg(F.count("*").cast("long").alias("r_cnt"))
+    tstat = tprof.agg(F.sum("t_cnt").cast("long").alias("tt"))
+    rstat = rprof.agg(F.sum("r_cnt").cast("long").alias("rr"))
+    spark = target.sparkSession
+    grid = spark.range(0, buckets).select(F.col("id").cast("long").alias("b"))
+    weights = (
+        grid.join(tprof, "b", "left")
+        .join(rprof, "b", "left")
+        .na.fill({"t_cnt": 0, "r_cnt": 0})
+        .crossJoin(F.broadcast(tstat))
+        .crossJoin(F.broadcast(rstat))
+        .select(
+            "b",
+            F.floor(
+                F.log(
+                    ((F.col("t_cnt") + F.lit(1)) * (F.col("rr") + F.lit(buckets))).cast("double")
+                    / ((F.col("r_cnt") + F.lit(1)) * (F.col("tt") + F.lit(buckets))).cast("double")
+                )
+                * F.lit(1000000.0)
+            )
+            .cast("long")
+            .alias("w_micro"),
+            F.lit(int(buckets)).cast("long").alias("buckets"),
+            F.lit(bool(portable_hash)).alias("portable"),
+        )
+    )
+    weights.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def dsir_scores_vs_weights(
+    corpus: DataFrame,
+    weights_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score documents against FROZEN DSIR weights
+    (:func:`save_dsir_weights`): one hash pass, one broadcast lookup,
+    one per-doc aggregation — no profile computation at all, the
+    streaming-safe form. Output matches :func:`dsir_scores`'s schema."""
+    spark = corpus.sparkSession
+    w = spark.read.parquet(weights_path)
+    meta = w.select("buckets", "portable").limit(1).collect()
+    if not meta:
+        raise ValueError(f"empty DSIR weights at {weights_path}")
+    buckets, portable = int(meta[0]["buckets"]), bool(meta[0]["portable"])
+    docb = _dsir_bucketed(corpus, text_col, id_col, buckets, portable).groupBy(
+        "doc_id", "b"
+    ).agg(F.count("*").cast("long").alias("c"))
+    return (
+        docb.join(F.broadcast(w.select("b", "w_micro")), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("w_micro")).cast("long").alias("score_micro"),
+        )
+        .orderBy("doc_id")
+    )

@@ -73,6 +73,8 @@ def index_ingest_batch(
     dedup_threshold: float | None = None,
     key_prefix: str = "stream",
     quality_threshold_millis: int | None = None,
+    dsir_weights_path: str | None = None,
+    dsir_min_score_micro: int = 0,
 ):
     """The ``foreachBatch`` sink: append the micro-batch's grams under
     the ``<key_prefix>_b<batch_id>`` applied key. Exposed separately so
@@ -87,6 +89,13 @@ def index_ingest_batch(
     — the streaming twin of ``curate_corpus``'s quality gate, with the
     fixed-threshold form a stream needs (per-source quantiles are a
     corpus-level decision; a micro-batch is not a corpus sample).
+
+    ``dsir_weights_path`` applies the FROZEN-weights DSIR domain gate
+    (``text.save_dsir_weights`` / ``dsir_scores_vs_weights`` — weights
+    trained offline, so per-batch scoring is one hash pass + a broadcast
+    lookup, no profile computation): documents scoring below
+    ``dsir_min_score_micro`` never enter the index. Docs too short to
+    have bigrams carry no domain evidence and pass the gate.
 
     ``dedup_threshold`` turns on the real production semantic —
     dedup-then-ingest: exact intra-batch duplicates collapse first
@@ -129,6 +138,17 @@ def index_ingest_batch(
             batch_df = batch_df.where(
                 quality_score_millis(F.col("text")) >= quality_threshold_millis
             )
+        if dsir_weights_path is not None:
+            from pipeline_etl_website_visits_spark.operators.text import (
+                dsir_scores_vs_weights,
+            )
+
+            low = (
+                dsir_scores_vs_weights(batch_df, dsir_weights_path, "text", "doc_id")
+                .where(F.col("score_micro") < dsir_min_score_micro)
+                .select("doc_id")
+            )
+            batch_df = batch_df.join(low, "doc_id", "left_anti")
         if dedup_threshold is None:
             append_to_gram_index(
                 batch_df, table, "text", "doc_id", n=n, applied_key=applied_key
@@ -184,6 +204,8 @@ def start_index_ingest_stream(
     max_files_per_trigger: int = 1,
     dedup_threshold: float | None = None,
     quality_threshold_millis: int | None = None,
+    dsir_weights_path: str | None = None,
+    dsir_min_score_micro: int = 0,
 ):
     """Drain available document files into the stored gram index
     (``Trigger.AvailableNow`` — the bounded-backlog drain used across
@@ -205,6 +227,8 @@ def start_index_ingest_stream(
         dedup_threshold=dedup_threshold,
         key_prefix=stream_key_prefix(checkpoint_dir),
         quality_threshold_millis=quality_threshold_millis,
+        dsir_weights_path=dsir_weights_path,
+        dsir_min_score_micro=dsir_min_score_micro,
     )
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:

@@ -1112,3 +1112,31 @@ def test_stored_dsir_profile_matches_inline(spark, tmp_path):
     save_dsir_profile(target.where("tid < 0"), empty, buckets=64)
     with _pytest.raises(ValueError, match="empty DSIR profile"):
         dsir_scores_vs_profile(corpus, empty).collect()
+
+
+def test_stored_dsir_weights_match_inline_when_reference_is_corpus(spark, tmp_path):
+    """save_dsir_weights(target, reference=corpus) + dsir_scores_vs_weights
+    == dsir_scores(corpus, target) bit-for-bit: frozen weights are the
+    same integer quantities, scoring is a pure map + lookup."""
+    from pipeline_etl_website_visits_spark.operators.text import (
+        dsir_scores,
+        dsir_scores_vs_weights,
+        save_dsir_weights,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "spark shuffle broadcast join spark shuffle"),
+            (2, "cats dogs weather lunch cats dogs"),
+            (3, "spark shuffle cats dogs table scan"),
+        ],
+        "doc_id long, text string",
+    )
+    target = spark.createDataFrame(
+        [(0, "spark shuffle broadcast join exchange")], "tid long, text string"
+    )
+    path = str(tmp_path / "weights")
+    save_dsir_weights(target, corpus, path, buckets=64, portable_hash=True)
+    inline = sorted(map(tuple, dsir_scores(corpus, target, buckets=64, portable_hash=True).collect()))
+    frozen = sorted(map(tuple, dsir_scores_vs_weights(corpus, path).collect()))
+    assert inline == frozen and len(frozen) == 3

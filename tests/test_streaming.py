@@ -1441,3 +1441,65 @@ def test_stream_quality_gated_ingest_matches_batch_filter(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {ref_table}")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_dsir_gated_ingest_matches_batch_filter(spark, tmp_path):
+    """Frozen-weights DSIR gate on the streaming ingest: off-domain docs
+    never enter the index; the streamed result equals a from-scratch
+    batch build over the same dsir_scores_vs_weights filter."""
+    from pipeline_etl_website_visits_spark.operators.dedup import save_gram_index
+    from pipeline_etl_website_visits_spark.operators.text import (
+        dsir_scores_vs_weights,
+        save_dsir_weights,
+    )
+    from pipeline_etl_website_visits_spark.streaming.corpus_stream import (
+        start_index_ingest_stream,
+    )
+
+    rows = [(i, "spark shuffle broadcast join plan exchange shuffle") for i in range(6)]
+    rows += [(i, "cats dogs weather lunch picnic cats dogs weather") for i in range(6, 12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    target = spark.createDataFrame(
+        [(0, "spark shuffle broadcast join exchange plan")], "tid long, text string"
+    )
+    wpath = str(tmp_path / "weights")
+    save_dsir_weights(target, docs, wpath, buckets=64)
+
+    table = "gramidx_dsir_t"
+    in_dir = tmp_path / "incoming"
+    in_dir.mkdir()
+    try:
+        save_gram_index(docs.limit(0), table, str(tmp_path / "idx"), "text", "doc_id", n=3)
+        docs.coalesce(1).write.parquet(str(in_dir / "shard1"))
+        q = start_index_ingest_stream(
+            spark,
+            str(in_dir) + "/*/",
+            table,
+            str(tmp_path / "ckpt"),
+            dsir_weights_path=wpath,
+            # log-ratio scores here are all negative (tiny target sample);
+            # the threshold sits between the two planted score levels
+            # (-5.27M on-domain vs -13.66M off-domain)
+            dsir_min_score_micro=-9_000_000,
+        )
+        q.awaitTermination(120)
+
+        kept = docs.join(
+            dsir_scores_vs_weights(docs, wpath)
+            .where("score_micro >= -9000000")
+            .select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        ref_table = "gramidx_dsir_ref"
+        save_gram_index(kept, ref_table, str(tmp_path / "ref_idx"), "text", "doc_id", n=3)
+        try:
+            got = {tuple(r) for r in spark.table(table).collect()}
+            want = {tuple(r) for r in spark.table(ref_table).collect()}
+            assert got == want and len(got) > 0
+            streamed_ids = {r["old_id"] for r in spark.table(table).select("old_id").distinct().collect()}
+            assert streamed_ids == set(range(6))  # on-domain half only
+        finally:
+            spark.sql(f"DROP TABLE IF EXISTS {ref_table}")
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
