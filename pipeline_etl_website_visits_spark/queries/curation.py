@@ -2085,3 +2085,66 @@ def x167(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment", "bal_bucket")
     )
+
+
+@query(
+    "x170_stored_dsir_serving",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source, string_split({_NORM_C}, ' ') AS t FROM documents
+    ),
+    buck AS (
+      SELECT doc_id, source,
+             CAST(('0x' || substring(md5(t[i] || ' ' || t[i+1]), 1, 12)) AS BIGINT) % 1024 AS b
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    tprof AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS t_cnt FROM buck WHERE source = 'src0' GROUP BY b),
+    tstat AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM buck WHERE source = 'src0'),
+    rprof AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS r_cnt FROM buck GROUP BY b),
+    rstat AS (SELECT CAST(COUNT(*) AS BIGINT) AS rr FROM buck),
+    w AS (
+      SELECT r.b,
+             CAST(FLOOR(LN(
+               CAST((COALESCE(t.t_cnt, 0) + 1) * (rs.rr + 1024) AS DOUBLE)
+               / CAST((r.r_cnt + 1) * (ts.tt + 1024) AS DOUBLE)
+             ) * 1000000) AS BIGINT) AS w_micro
+      FROM rprof r LEFT JOIN tprof t USING (b)
+      CROSS JOIN tstat ts CROSS JOIN rstat rs
+    )
+    SELECT bk.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(w.w_micro) AS BIGINT) AS score_micro
+    FROM buck bk JOIN w USING (b)
+    GROUP BY bk.doc_id ORDER BY bk.doc_id
+    """,
+    certifies="X4 DSIR serving against a STORED weights artifact (train-once / score-many): one hash pass + broadcast weight lookup, zero profile computation at query time; bit-identical to x166 because the artifact froze the same integer weights",
+    tags=("llm", "text", "curation", "stored-index"),
+)
+def x170(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-path certificate for the frozen-weights DSIR artifact:
+    train weights ONCE per corpus fingerprint (target = src0, reference
+    = the corpus — exactly x166's setup, so the x166 oracle applies
+    verbatim), then score through
+    operators/text.py:dsir_scores_vs_weights, which never touches the
+    target again. The write-once scratch discipline is x144's."""
+    import os
+
+    from pipeline_etl_website_visits_spark.operators.text import (
+        dsir_scores_vs_weights,
+        save_dsir_weights,
+    )
+    from pipeline_etl_website_visits_spark.queries.llmops import (
+        _commit_scratch_build,
+        _scratch_path,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch_path(sf_dir, "documents", "dsirw")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.build.{os.getpid()}"
+        save_dsir_weights(
+            docs.where(F.col("source") == "src0"), docs, tmp, buckets=1024, portable_hash=True
+        )
+        _commit_scratch_build(tmp, path)
+    return dsir_scores_vs_weights(docs, path, "text", "doc_id")

@@ -55,12 +55,12 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-10 pinning rule: HEAD = the SIXTEEN new queries (x154-x169,
+# Round-10 pinning rule: HEAD = the SEVENTEEN new queries (x154-x170,
 # never driver-checked — new code outranks everything), then x150
-# (changed kernel this round), then 33 of the 42 remaining
-# round-6-latest names: 16 + 1 + 33 = exactly 50. The nine
-# round-6-latest names that no longer fit (x45_snapshot_cdc,
-# x46_len_quantiles_by_lang, x49_sequence_packing,
+# (changed kernel this round), then 32 of the 42 remaining
+# round-6-latest names: 17 + 1 + 32 = exactly 50. The ten
+# round-6-latest names that no longer fit (x44_hash_split,
+# x45_snapshot_cdc, x46_len_quantiles_by_lang, x49_sequence_packing,
 # x50_shuffled_sample, x51_mixture_sampling, x58_tfidf_top_terms,
 # x59_bigram_rarity, x70_json_struct_agg, x92_heavy_hitters — the
 # tail of the list, none changed since round 6) defer to the
@@ -75,7 +75,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     #    video frame sampling, x163 BM25 retrieval, x164 embed PCA,
     #    x165 hybrid BM25+dense RRF, x166 DSIR importance scores,
     #    x167 t-closeness audit, x168 touch attribution, x169 timed
-    #    funnel),
+    #    funnel, x170 stored-weights DSIR serving),
     #    then x150 (its oov_counts kernel gained the empty-vocab
     #    guard this round — changed-code outranks stale rows), then
     #    38 round-6-latest names (VERDICT r9 item 1) --
@@ -95,6 +95,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x167_t_closeness",
     "x168_touch_attribution",
     "x169_timed_funnel",
+    "x170_stored_dsir_serving",
     "x150_oov_rate",
     "q60_pricing_summary",
     "q61_pivot",
@@ -128,7 +129,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x145_k_anonymity",
     "x36_approx_count_distinct",
     "x37_approx_percentile",
-    "x44_hash_split",
 )
 
 
