@@ -604,3 +604,100 @@ def test_reciprocal_rank_fusion_matches_python_reference(spark, legs, k, c):
         for i, (negs, d, n) in enumerate(rows[:k], start=1):
             expect.append((q, d, -negs, n, i))
     assert sorted(got) == sorted(expect)
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # user
+            st.integers(0, 50),         # ts (coarse -> frequent ties)
+            st.sampled_from(["view", "click", "purchase", "error"]),
+        ),
+        min_size=0,
+        max_size=40,
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_touch_attribution_matches_python_reference(spark, events):
+    """Random event streams (with heavy ts ties) vs a brute-force
+    replica: segments from prior-conversion counts, first/last touch by
+    (ts, event_id) order, unattributable conversions dropped."""
+    from pipeline_etl_website_visits_spark.operators.timeseries import touch_attribution
+
+    rows = [(i, ts, u, ty) for i, (u, ts, ty) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows or [(0, 0, 0, "error")], "event_id long, ts long, user_id long, event_type string"
+    )
+    if not rows:
+        df = df.where("event_id < 0")
+
+    got = {
+        r["purchase_id"]: (r["first_touch"], r["last_touch"], r["n_touches"])
+        for r in touch_attribution(df).collect()
+    }
+
+    expect = {}
+    by_user: dict = {}
+    for eid, ts, u, ty in rows:
+        by_user.setdefault(u, []).append((ts, eid, ty))
+    for u, evs in by_user.items():
+        evs.sort()
+        seg, touches = 0, {}
+        for ts, eid, ty in evs:
+            if ty in ("view", "click"):
+                touches.setdefault(seg, []).append(ty)
+            elif ty == "purchase":
+                if touches.get(seg):
+                    t = touches[seg]
+                    expect[eid] = (t[0], t[-1], len(t))
+                seg += 1
+    assert got == expect
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(0, 3),
+            st.integers(0, 30),
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=0,
+        max_size=40,
+    ),
+    gap=st.integers(1, 10),
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_timed_funnel_matches_python_reference(spark, events, gap):
+    """Earliest-completion timed funnel vs brute force: t1 = min view;
+    t2 = min click in (t1, t1+gap]; t3 = min purchase in (t2, t2+gap]."""
+    from pipeline_etl_website_visits_spark.operators.timeseries import timed_funnel
+
+    rows = [(i, ts * 1_000_000_000, u, ty) for i, (u, ts, ty) in enumerate(events)]
+    df = spark.createDataFrame(
+        rows or [(0, 0, 0, "view")], "event_id long, ts long, user_id long, event_type string"
+    )
+    if not rows:
+        df = df.where("event_id < 0")
+
+    out = timed_funnel(df, gap_seconds=gap).collect()[0]
+
+    gN = gap * 1_000_000_000
+    by_user: dict = {}
+    for eid, ts, u, ty in rows:
+        by_user.setdefault(u, []).append((ts, ty))
+    n1 = n2 = n3 = 0
+    for u, evs in by_user.items():
+        views = [t for t, ty in evs if ty == "view"]
+        if not views:
+            continue
+        n1 += 1
+        t1 = min(views)
+        clicks = [t for t, ty in evs if ty == "click" and t1 < t <= t1 + gN]
+        if not clicks:
+            continue
+        n2 += 1
+        t2 = min(clicks)
+        purchases = [t for t, ty in evs if ty == "purchase" and t2 < t <= t2 + gN]
+        if purchases:
+            n3 += 1
+    assert (out["n_step1"], out["n_step2"], out["n_step3"]) == (n1, n2, n3)
