@@ -2208,3 +2208,80 @@ def x164(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratios, and the sign canonicalization."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.embed_pca_summary(emb, k=2)
+
+
+@query(
+    "x171_audio_frames",
+    oracle="""
+    WITH geo AS (
+      SELECT doc_id,
+             CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS rate,
+             CAST((8000 + (doc_id % 4) * 4000) // 100 AS BIGINT) AS n
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    frames AS (
+      SELECT doc_id, rate, n, f, CAST(n // 40 AS BIGINT) AS n_frames
+      FROM geo, unnest(generate_series(0, CAST(n // 40 AS BIGINT) - 1)) AS uf(f)
+      WHERE n >= 40
+    )
+    SELECT fr.doc_id,
+           CAST(fr.f AS INT) AS frame_index,
+           CAST(fr.n_frames AS INT) AS n_frames,
+           CAST(SUM(POWER((fr.doc_id * 11 + i * 7) % 256 - 128, 2)) AS BIGINT) AS sq_sum
+    FROM frames fr, unnest(generate_series(fr.f * 40, fr.f * 40 + 39)) AS ui(i)
+    GROUP BY fr.doc_id, fr.f, fr.n_frames
+    ORDER BY fr.doc_id, frame_index
+    """,
+    certifies="X5 multimodal audio features: REAL WAV decode + non-overlapping 40-sample framing with exact integer per-frame energy; arithmetic oracle",
+    tags=("llm", "multimodal"),
+)
+def x171(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level audio features over a REAL codec round trip: each doc
+    fabricates 10 ms of deterministic sawtooth int16 samples
+    (v(i) = (doc_id*11 + i*7) % 256 - 128, rate an arithmetic function
+    of doc_id — the x76 geometry), encodes+decodes through the stdlib
+    PCM codec, then frames the DECODED signal into non-overlapping
+    40-sample windows and emits each frame's exact integer energy
+    (sum of squares). Any defect in the codec, the framing bounds, or
+    the tail-drop rule breaks the hash. Map-only Arrow batches; the
+    1-to-N frame expansion mirrors x162's video shape.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pipeline_etl_website_visits_spark.operators.multimodal import wav_decode, wav_encode
+
+    W = 40
+
+    def frames(batches):
+        cols = ["doc_id", "frame_index", "n_frames", "sq_sum"]
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"].to_numpy():
+                rate = int(8000 + (did % 4) * 4000)
+                n = rate // 100
+                i = np.arange(n, dtype=np.int64)
+                samples = ((int(did) * 11 + i * 7) % 256 - 128).astype(np.int16)
+                decoded, _ = wav_decode(wav_encode(samples, rate))
+                sig = decoded[:, 0].astype(np.int64)
+                nf = len(sig) // W
+                for f in range(nf):
+                    frame = sig[f * W : (f + 1) * W]
+                    rows.append(
+                        {
+                            "doc_id": int(did),
+                            "frame_index": f,
+                            "n_frames": nf,
+                            "sq_sum": int((frame * frame).sum()),
+                        }
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    docs = (
+        load_table(spark, sf_dir, "documents", fan_out=True)
+        .filter(F.col("doc_id") % 5 == 0)
+        .select("doc_id")
+    )
+    return docs.mapInPandas(
+        frames, "doc_id long, frame_index int, n_frames int, sq_sum long"
+    )
