@@ -48,6 +48,7 @@ def curate_corpus(
     pack_budget: int | None = 512,
     dsir_target: DataFrame | None = None,
     dsir_keep_per_mille: int = 500,
+    report: bool = False,
 ) -> dict[str, DataFrame]:
     """Run the composed curation pipeline over ``corpus``.
 
@@ -83,6 +84,13 @@ def curate_corpus(
     train split, original schema), ``train_order`` ((epoch, id, bucket,
     pos_in_bucket)), ``packed`` ((group, doc_id, n_tokens, bin_ix,
     offset_in_bin); absent stages are omitted from the dict.
+
+    ``report=True`` adds ``report``: one (stage_ix, stage, n_docs) row
+    per enabled stage — the survivor funnel an operator reads before
+    trusting a curation run (input → dedup → quality → domain →
+    decontam). Lazy like everything else, but NOTE it re-executes each
+    stage's lineage once when collected: it is an audit action, not a
+    free byproduct.
     """
     from pipeline_etl_website_visits_spark.operators.decontam import decontaminate
     from pipeline_etl_website_visits_spark.operators.dedup import dedup_exact
@@ -93,12 +101,14 @@ def curate_corpus(
     )
 
     out: dict[str, DataFrame] = {}
+    stages: list[tuple[str, DataFrame]] = [("input", corpus)]
     clean = corpus
     if dedup:
         keepers = dedup_exact(clean, text_col, id_col).select(
             F.col("keeper_doc_id").alias(id_col)
         )
         clean = clean.join(keepers, id_col, "left_semi")
+        stages.append(("dedup", clean))
     if quality_keep_per_mille is not None:
         from pipeline_etl_website_visits_spark.operators.text import (
             quality_score_millis,
@@ -113,6 +123,7 @@ def curate_corpus(
             int(quality_keep_per_mille),
             method="histogram",
         )
+        stages.append(("quality", clean))
     if dsir_target is not None:
         from pipeline_etl_website_visits_spark.operators.text import (
             dsir_scores,
@@ -136,6 +147,7 @@ def curate_corpus(
             method="window",
         )
         clean = clean.join(kept.select(id_col), id_col, "left_semi")
+        stages.append(("domain", clean))
     if evalset is not None:
         clean = decontaminate(
             clean,
@@ -145,7 +157,20 @@ def curate_corpus(
             id_col=id_col,
             action="filter",
         )
+        stages.append(("decontam", clean))
     out["clean"] = clean
+    if report:
+        from functools import reduce
+
+        rows = [
+            df.agg(F.count("*").cast("long").alias("n_docs")).select(
+                F.lit(i).cast("int").alias("stage_ix"),
+                F.lit(name).alias("stage"),
+                "n_docs",
+            )
+            for i, (name, df) in enumerate(stages)
+        ]
+        out["report"] = reduce(DataFrame.unionByName, rows).orderBy("stage_ix")
 
     splits = leakage_free_split(clean, text_col, id_col, train=train, val=val)
     out["splits"] = splits

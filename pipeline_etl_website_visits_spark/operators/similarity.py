@@ -1101,11 +1101,17 @@ def reciprocal_rank_fusion(legs: list[DataFrame], k: int = 10, c: int = 60) -> D
         raise ValueError("reciprocal_rank_fusion needs at least one leg")
     if c < 0 or k < 1:
         raise ValueError(f"bad parameters: k={k}, c={c}")
+    # ranks must be 1-based: rank 0 with c=0 would integer-divide by zero
+    # (a silent NULL contribution in Spark) — assert_true makes a bad leg
+    # fail the job loudly instead of quietly dropping its vote
     contribs = [
         leg.select(
             "query_id",
             "doc_id",
-            F.expr(f"1000000 div ({c} + rank)").cast("long").alias("contrib"),
+            F.when(
+                F.assert_true(F.col("rank") >= 1, "reciprocal_rank_fusion: rank must be >= 1").isNull(),
+                F.expr(f"1000000 div ({c} + rank)").cast("long"),
+            ).alias("contrib"),
         )
         for leg in legs
     ]

@@ -312,3 +312,24 @@ def test_curate_corpus_dsir_gate(spark):
         ).collect()
     }
     assert kept == direct
+
+
+def test_curate_corpus_report_funnel(spark):
+    """report=True yields one (stage_ix, stage, n_docs) row per enabled
+    stage, each count equal to independently recounting that stage's
+    survivors."""
+    from pipeline_etl_website_visits_spark.curate import curate_corpus
+
+    rows = [(i, "srcA", f"unique text number {i} alpha beta gamma") for i in range(8)]
+    rows += [(100 + i, "srcA", "duplicate text twin alpha beta gamma delta") for i in range(4)]
+    corpus = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    evalset = spark.createDataFrame(
+        [(0, "unique text number 0 alpha beta gamma")], "eid long, text string"
+    )
+    out = curate_corpus(corpus, evalset, decontam_mode="substring", pack_budget=None, report=True)
+    rep = {r["stage"]: (r["stage_ix"], r["n_docs"]) for r in out["report"].collect()}
+    assert set(rep) == {"input", "dedup", "decontam"}
+    assert rep["input"] == (0, 12)
+    assert rep["dedup"][1] == 9  # 8 unique + 1 of the 4 twins
+    assert rep["decontam"][1] == out["clean"].count()
+    assert rep["dedup"][0] < rep["decontam"][0]

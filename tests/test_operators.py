@@ -927,3 +927,13 @@ def test_semantic_dedup_pca_space_matches_full_space(spark):
     # members of one tight cluster are >0.999 cosine to each other ->
     # exactly one survivor per planted cluster at this threshold
     assert len(reduced) == 4
+
+
+def test_reciprocal_rank_fusion_rejects_zero_rank(spark):
+    import pytest as _pytest
+
+    from pipeline_etl_website_visits_spark.operators.similarity import reciprocal_rank_fusion
+
+    bad = spark.createDataFrame([("q", 1, 0)], "query_id string, doc_id long, rank int")
+    with _pytest.raises(Exception, match="rank must be >= 1"):
+        reciprocal_rank_fusion([bad], k=5).collect()
