@@ -701,3 +701,60 @@ def test_timed_funnel_matches_python_reference(spark, events, gap):
         if purchases:
             n3 += 1
     assert (out["n_step1"], out["n_step2"], out["n_step3"]) == (n1, n2, n3)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 3), st.integers(0, 4)),
+        min_size=1,
+        max_size=60,
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_t_closeness_tvd_matches_brute_force(spark, rows):
+    """x167's integer TVD vs a fraction-exact brute force over random
+    (group, bucket, sensitive) populations."""
+    from fractions import Fraction
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(rows, "g int, bb int, s int").select(
+        F.col("g").cast("string").alias("segment"),
+        F.col("bb").alias("bal_bucket"),
+        F.col("s"),
+    )
+    gs = df.groupBy("segment", "bal_bucket", "s").agg(F.count("*").cast("long").alias("cnt_gs"))
+    g = gs.groupBy("segment", "bal_bucket").agg(F.sum("cnt_gs").cast("long").alias("n_g"))
+    sglob = gs.groupBy("s").agg(F.sum("cnt_gs").cast("long").alias("cnt_s"))
+    tot = gs.agg(F.sum("cnt_gs").cast("long").alias("n"))
+    grid = (
+        g.crossJoin(F.broadcast(sglob))
+        .join(gs, ["segment", "bal_bucket", "s"], "left")
+        .na.fill({"cnt_gs": 0})
+        .crossJoin(F.broadcast(tot))
+    )
+    got = {
+        (r["segment"], r["bal_bucket"]): r["tvd_micro"]
+        for r in grid.groupBy("segment", "bal_bucket")
+        .agg(
+            F.expr(
+                "CAST((SUM(ABS(cnt_gs * n - cnt_s * n_g)) * 500000) div (MAX(n_g) * MAX(n)) AS BIGINT)"
+            ).alias("tvd_micro")
+        )
+        .collect()
+    }
+
+    n = len(rows)
+    glob: dict = {}
+    groups: dict = {}
+    for gg, bb, s in rows:
+        glob[s] = glob.get(s, 0) + 1
+        groups.setdefault((str(gg), bb), []).append(s)
+    for key, members in groups.items():
+        n_g = len(members)
+        tvd = Fraction(0)
+        for s, cnt_s in glob.items():
+            cnt_gs = members.count(s)
+            tvd += abs(Fraction(cnt_gs, n_g) - Fraction(cnt_s, n))
+        expect = int(tvd / 2 * 1_000_000)  # floor via int() on a non-negative Fraction
+        assert got[key] == expect, (key, got[key], expect)
