@@ -2302,3 +2302,149 @@ def dsir_scores_vs_weights(
         )
         .orderBy("doc_id")
     )
+
+
+def save_bm25_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    tok_buckets: int = 64,
+) -> None:
+    """Build a STORED BM25 inverted index — the Lucene shape on Spark:
+    a postings table (token, doc_id, tf, dl) written
+    ``partitionBy(tok_bucket)`` where ``tok_bucket = pmod(xxhash64(token),
+    tok_buckets)``, so serving a query reads ONLY its terms' partitions
+    (all postings for a token live in exactly one bucket — df counts
+    from the pruned read are the true document frequencies). Corpus
+    stats (n_docs, total_len, tok_buckets) land in a ``_stats`` sidecar.
+    At 100 TB the postings table is the big side and serving cost is
+    O(postings of the query terms), never a corpus scan.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.split(normalize_text(F.col(text_col)), " ").alias("__t"),
+    ).select("doc_id", F.size("__t").cast("long").alias("dl"), F.explode("__t").alias("token"))
+    toks = toks.where(F.col("token") != "")
+    postings = (
+        toks.groupBy("doc_id", "dl", "token")
+        .agg(F.count("*").cast("long").alias("tf"))
+        .withColumn("tok_bucket", F.pmod(F.xxhash64("token"), F.lit(tok_buckets)).cast("int"))
+    )
+    postings.write.mode("overwrite").partitionBy("tok_bucket").parquet(path)
+    stats = toks.agg(
+        F.countDistinct("doc_id").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("total_len"),
+    ).withColumn("tok_buckets", F.lit(int(tok_buckets)).cast("long"))
+    stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/_stats")
+
+
+def bm25_index_topk(
+    spark: SparkSession,
+    path: str,
+    queries: dict[str, str],
+    k: int = 10,
+    k1_milli: int = 1200,
+    b_milli: int = 750,
+) -> DataFrame:
+    """Serve BM25 top-``k`` from a STORED index (:func:`save_bm25_index`):
+    the query terms' buckets are resolved once (a ≤|terms|-row driver
+    job using the same JVM hash as the writer), the postings scan is
+    PARTITION-PRUNED to those buckets plus a pushed token filter, and
+    scoring is the exact integer scheme of :func:`bm25_topk` — output is
+    bit-identical to scoring the original corpus (x172's oracle is
+    x163's, verbatim). Corpus cost at serve time: zero.
+    """
+    from pyspark.sql import Window
+
+    if not queries:
+        raise ValueError("queries must be a non-empty {query_id: text} dict")
+    stats_row = spark.read.parquet(f"{path}/_stats").collect()
+    if not stats_row:
+        raise ValueError(f"BM25 index at {path} has no _stats sidecar")
+    n_docs, total_len, tok_buckets = (
+        int(stats_row[0]["n_docs"]),
+        int(stats_row[0]["total_len"]),
+        int(stats_row[0]["tok_buckets"]),
+    )
+
+    qdf = spark.createDataFrame(
+        [(qid, qtext) for qid, qtext in sorted(queries.items())], "query_id string, qtext string"
+    )
+    qterms = (
+        qdf.select("query_id", F.explode(F.split(normalize_text(F.col("qtext")), " ")).alias("term"))
+        .where(F.col("term") != "")
+        .distinct()
+    )
+    # resolve term buckets with the SAME JVM hash the writer used —
+    # bounded driver job (one row per distinct query term)
+    term_rows = (
+        qterms.select("term")
+        .distinct()
+        .withColumn("tok_bucket", F.pmod(F.xxhash64("term"), F.lit(tok_buckets)).cast("int"))
+        .collect()
+    )
+    terms = [r["term"] for r in term_rows]
+    bucket_list = sorted({r["tok_bucket"] for r in term_rows})
+
+    postings = (
+        spark.read.parquet(path)
+        .where(F.col("tok_bucket").isin(bucket_list))
+        .where(F.col("token").isin(terms))
+        .select("doc_id", "dl", F.col("token").alias("term"), "tf")
+    )
+    w_term = Window.partitionBy("term")
+    with_df = postings.withColumn("df_t", F.count("*").over(w_term).cast("long"))
+    scored_terms = (
+        with_df.withColumn(
+            "idf_micro",
+            F.floor(
+                F.log(
+                    F.lit(2.0)
+                    * F.lit(float(n_docs + 1))
+                    / (F.lit(2) * F.col("df_t") + F.lit(1)).cast("double")
+                )
+                * F.lit(1000000.0)
+            ).cast("long"),
+        )
+        .withColumn(
+            "num",
+            (
+                F.col("tf")
+                * F.lit(1000 + k1_milli).cast("long")
+                * F.lit(1000).cast("long")
+                * F.lit(total_len).cast("long")
+            ).cast("long"),
+        )
+        .withColumn(
+            "den",
+            (
+                F.lit(1000000).cast("long") * F.lit(total_len).cast("long") * F.col("tf")
+                + F.lit(k1_milli * (1000 - b_milli)).cast("long") * F.lit(total_len).cast("long")
+                + F.lit(k1_milli * b_milli).cast("long") * F.col("dl") * F.lit(n_docs).cast("long")
+            ).cast("long"),
+        )
+        .withColumn(
+            "contrib_micro",
+            F.floor(
+                F.col("idf_micro").cast("double")
+                * F.col("num").cast("double")
+                / F.col("den").cast("double")
+            ).cast("long"),
+        )
+    )
+    per_doc = (
+        scored_terms.join(F.broadcast(qterms), "term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("contrib_micro").cast("long").alias("score_micro"),
+            F.count("*").cast("long").alias("n_terms_matched"),
+        )
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.col("score_micro").desc(), F.col("doc_id").asc())
+    return (
+        per_doc.withColumn("rank", F.row_number().over(w_rank).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score_micro", "n_terms_matched", "rank")
+        .orderBy("query_id", "rank")
+    )

@@ -2187,3 +2187,43 @@ def x170(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         _commit_scratch_build(tmp, path)
     return dsir_scores_vs_weights(docs, path, "text", "doc_id")
+
+
+@query(
+    "x172_stored_bm25_serving",
+    oracle=f"""
+    {_BM25_PERDOC_CTES}
+    SELECT query_id, doc_id, score_micro, n_terms_matched, CAST(rnk AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY score_micro DESC, doc_id) AS rnk
+      FROM perdoc
+    ) WHERE rnk <= 10 ORDER BY query_id, rank
+    """,
+    certifies="X4 BM25 serving from a STORED inverted index (bucket-partitioned postings; queries read only their terms' partitions — partition-pruned, zero corpus scan at serve time); x163's oracle verbatim, so the index is hash-certified faithful",
+    tags=("llm", "text", "retrieval", "stored-index"),
+)
+def x172(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-path certificate for the stored BM25 inverted index:
+    build once per corpus fingerprint (x144's write-once scratch
+    discipline), then answer the standard three queries reading ONLY
+    the query terms' tok_bucket partitions. Identical output to x163
+    because the postings/stats are faithful — one oracle certifies
+    both the index build and the pruned serve."""
+    import os
+
+    from pipeline_etl_website_visits_spark.operators.text import (
+        bm25_index_topk,
+        save_bm25_index,
+    )
+    from pipeline_etl_website_visits_spark.queries.llmops import (
+        _commit_scratch_build,
+        _scratch_path,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch_path(sf_dir, "documents", "bm25idx")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        tmp = f"{path}.build.{os.getpid()}"
+        save_bm25_index(docs, tmp, "text", "doc_id", tok_buckets=64)
+        _commit_scratch_build(tmp, path)
+    return bm25_index_topk(spark, path, _BM25_QUERIES, k=10)

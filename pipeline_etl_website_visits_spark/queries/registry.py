@@ -55,17 +55,18 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-10 pinning rule: HEAD = the EIGHTEEN new queries (x154-x171,
+# Round-10 pinning rule: HEAD = the NINETEEN new queries (x154-x172,
 # never driver-checked — new code outranks everything), then x150
-# (changed kernel this round), then 31 of the 42 remaining
-# round-6-latest names: 18 + 1 + 31 = exactly 50. The eleven
-# round-6-latest names that no longer fit (x37_approx_percentile,
-# x44_hash_split, x45_snapshot_cdc, x46_len_quantiles_by_lang,
-# x49_sequence_packing, x50_shuffled_sample, x51_mixture_sampling,
-# x58_tfidf_top_terms, x59_bigram_rarity, x70_json_struct_agg,
-# x92_heavy_hitters — the tail of the list, none changed since round
-# 6) defer to the round-11 rotation head; all stay covered by the
-# local full-suite check_oracle runs every session.
+# (changed kernel this round), then 30 of the 42 remaining
+# round-6-latest names: 19 + 1 + 30 = exactly 50. The twelve
+# round-6-latest names that no longer fit (x36_approx_count_distinct,
+# x37_approx_percentile, x44_hash_split, x45_snapshot_cdc,
+# x46_len_quantiles_by_lang, x49_sequence_packing,
+# x50_shuffled_sample, x51_mixture_sampling, x58_tfidf_top_terms,
+# x59_bigram_rarity, x70_json_struct_agg, x92_heavy_hitters — the
+# tail of the list, none changed since round 6) defer to the
+# round-11 rotation head; all stay covered by the local full-suite
+# check_oracle runs every session.
 DRIVER_ORDER: tuple[str, ...] = (
     # -- (a) round-10 rotation head: the ELEVEN new queries first
     #    (x154 stratified quality gate, x155 gram diversity, x156
@@ -76,7 +77,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     #    x165 hybrid BM25+dense RRF, x166 DSIR importance scores,
     #    x167 t-closeness audit, x168 touch attribution, x169 timed
     #    funnel, x170 stored-weights DSIR serving, x171 audio frame
-    #    features),
+    #    features, x172 stored-BM25-index serving),
     #    then x150 (its oov_counts kernel gained the empty-vocab
     #    guard this round — changed-code outranks stale rows), then
     #    38 round-6-latest names (VERDICT r9 item 1) --
@@ -98,6 +99,7 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x169_timed_funnel",
     "x170_stored_dsir_serving",
     "x171_audio_frames",
+    "x172_stored_bm25_serving",
     "x150_oov_rate",
     "q60_pricing_summary",
     "q61_pivot",
@@ -129,7 +131,6 @@ DRIVER_ORDER: tuple[str, ...] = (
     "x142_gap_fill_forward",
     "x144_orc_roundtrip",
     "x145_k_anonymity",
-    "x36_approx_count_distinct",
 )
 
 

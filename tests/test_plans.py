@@ -700,3 +700,30 @@ def test_dsir_profiles_broadcast_corpus_single_exchange(spark):
     plan = simple_plan(out)
     assert uses_broadcast_join(out)
     assert "SortMergeJoin" not in plan
+
+
+def test_stored_bm25_index_scan_is_partition_pruned(spark, tmp_path):
+    """Serving from the stored BM25 index reads ONLY the query terms'
+    tok_bucket partitions: the postings FileScan carries a tok_bucket
+    PartitionFilter, and the pruned partition count is below the
+    table's."""
+    from pipeline_etl_website_visits_spark.operators.text import (
+        bm25_index_topk,
+        save_bm25_index,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents")
+    path = str(tmp_path / "bm25idx")
+    save_bm25_index(docs, path, tok_buckets=64)
+    out = bm25_index_topk(spark, path, {"q": "fast hash join"}, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l and "tok_bucket" in l]
+    assert scan_lines, plan[:2000]
+    assert any("PartitionFilters: [" in l and "tok_bucket" in l.split("PartitionFilters:")[1][:200]
+               for l in scan_lines), scan_lines
+    # and the result is identical to scoring the corpus directly
+    from pipeline_etl_website_visits_spark.operators.text import bm25_topk
+
+    direct = sorted(map(tuple, bm25_topk(docs, "text", "doc_id", {"q": "fast hash join"}, k=5).collect()))
+    served = sorted(map(tuple, out.collect()))
+    assert direct == served
