@@ -65,7 +65,9 @@ def curate_corpus(
        ``dsir_keep_per_mille`` by DSIR importance score against the
        target-domain sample (:func:`operators.text.dsir_scores` — the
        importance-resampling selection recipe; scores join back
-       per-id, selection reuses the same stratified cut).
+       per-id, selection reuses the same stratified cut). Docs too
+       short to have bigrams (<2 tokens) carry no domain evidence and
+       pass the gate unconditionally — the streaming twin's semantics.
     2. **decontaminate** (skipped when ``evalset`` is None): drop corpus
        rows that leak ``evalset`` content, via any
        :func:`operators.decontam.decontaminate` mode (``fuzzy`` /
@@ -136,17 +138,24 @@ def curate_corpus(
         # per-doc score rides in via one equi-join keyed on the id; the
         # cut itself is the same stratified machinery as the quality gate
         # (window method: DSIR scores are high-cardinality, so the
-        # histogram two-pass would degenerate to one bucket per score)
-        with_scores = clean.join(scores, id_col, "inner")
+        # histogram two-pass would degenerate to one bucket per score).
+        # LEFT join: dsir_scores omits docs with <2 tokens (no bigram
+        # evidence) — those PASS the gate unconditionally, matching the
+        # streaming twin's documented semantics (index_ingest_batch), and
+        # are excluded from the stratified denominator.
+        with_scores = clean.join(scores, id_col, "left")
         kept = stratified_top_fraction(
-            with_scores,
+            with_scores.where(F.col("score_micro").isNotNull()),
             F.col("score_micro"),
             group_col,
             id_col,
             int(dsir_keep_per_mille),
             method="window",
         )
-        clean = clean.join(kept.select(id_col), id_col, "left_semi")
+        keep_ids = kept.select(id_col).unionByName(
+            with_scores.where(F.col("score_micro").isNull()).select(id_col)
+        )
+        clean = clean.join(keep_ids, id_col, "left_semi")
         stages.append(("domain", clean))
     if evalset is not None:
         clean = decontaminate(

@@ -846,6 +846,8 @@ def semantic_dedup(
     iters: int = 5,
     threshold: float = 0.95,
     pca_k: int | None = None,
+    centroids: str = "train",
+    round_dp: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster the embedding space
     with spherical k-means, then WITHIN each cluster drop every vector
@@ -867,7 +869,38 @@ def semantic_dedup(
     centroid broadcast shrinks dim/pca_k-fold). The within-cluster
     duplicate test always runs on the ORIGINAL vectors, so the threshold
     keeps its meaning; only the partitioning of the O(n²) problem moves.
+
+    ``centroids="codebook"`` replaces the trained Lloyd loop with the
+    deterministic codebook contract (rows ``id < k`` are the cluster
+    centers — the IVF/PQ stand-in discipline), and ``round_dp`` applies
+    the duplicate threshold to the ROUNDED cosine (the x101 oracle-parity
+    discipline) — together they make the whole SemDeDup run
+    SQL-replayable, which is what turned x96 oracle-backed (VERDICT r10
+    item 5). The default ("train", raw threshold) keeps the published
+    recipe's trained quantizer.
     """
+    if centroids not in ("train", "codebook"):
+        raise ValueError(f"centroids must be 'train' or 'codebook', got {centroids!r}")
+    if centroids == "codebook":
+        if pca_k is not None:
+            raise ValueError("pca_k only applies to the trained-centroid path")
+        rows = (
+            df.filter(F.col(id_col) < k)
+            .select(F.col(id_col).alias("mid"), F.col(vec_col).alias("mvec"))
+            .collect()
+        )
+        if len(rows) < k:
+            raise ValueError(
+                f"semantic_dedup codebook contract needs ids 0..{k - 1}; got {len(rows)}"
+            )
+        rows.sort(key=lambda r: r["mid"])
+        cmat = np.asarray([r["mvec"] for r in rows], dtype=np.float64)
+        _guard_driver_bytes("semantic_dedup codebook", k, cmat.shape[1])
+        assign = ivf_assign_udf(cmat)
+        clustered = df.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+        ).withColumn("cluster", assign(F.col("v")))
+        return _semantic_prune(clustered, threshold, round_dp)
     if pca_k is not None:
         comps, mu, _ = pca_fit(df, vec_col=vec_col, k=pca_k)
         df = pca_project(df, comps, mu, vec_col=vec_col)
@@ -879,6 +912,16 @@ def semantic_dedup(
         .withColumnRenamed("cluster_id", "cluster")
         .withColumnRenamed(vec_col, "v")
     )
+    return _semantic_prune(clustered, threshold, round_dp)
+
+
+def _semantic_prune(
+    clustered: DataFrame, threshold: float, round_dp: int | None
+) -> DataFrame:
+    """Within-cluster SemDeDup pruning: drop every vector with a lower-id
+    neighbor above ``threshold`` cosine (on the ``round_dp``-rounded value
+    when set — the oracle-parity form). One Arrow task per cluster with a
+    hard size guard."""
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         if len(pdf) > MAX_CLUSTER_PAIRWISE:
@@ -889,7 +932,10 @@ def semantic_dedup(
         pdf = pdf.sort_values("id").reset_index(drop=True)
         m = np.asarray(pdf["v"].tolist(), dtype=np.float64)
         m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
-        dup = (np.triu(m @ m.T, 1) > threshold).any(axis=0)
+        sims = m @ m.T
+        if round_dp is not None:
+            sims = np.round(sims, round_dp)
+        dup = (np.triu(sims, 1) > threshold).any(axis=0)
         return pdf.loc[~dup, ["id", "cluster"]]
 
     return clustered.groupBy("cluster").applyInPandas(prune, "id long, cluster int")
@@ -1126,4 +1172,140 @@ def reciprocal_rank_fusion(legs: list[DataFrame], k: int = 10, c: int = 60) -> D
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "rrf_micro", "n_legs", "rank")
         .orderBy("query_id", "rank")
+    )
+
+
+def kmeans_integer_summary(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+    k: int = 8,
+    iters: int = 4,
+    quant_scale: int = 1_000_000,
+) -> DataFrame:
+    """Lloyd's k-means over MICRO-QUANTIZED embeddings — the fully
+    integer-exact, oracle-replayable clustering form (VERDICT r10 item 5:
+    "pinned integer centroid arithmetic").
+
+    Geometry: vectors quantize once via ``floor(v·quant_scale)`` into
+    int64 (pq_quantize_rows — the shared PQ kernel); distances are exact
+    integer squared-Euclidean sums; centroid updates are exact integer
+    FLOOR-division means (empty clusters keep their previous centroid);
+    init is the deterministic codebook contract (rows ``id < k``). Every
+    quantity stays an integer < 2^53 end-to-end — per-dim deltas ≲
+    (2·scale)², summed over dim; per-dim centroid sums ≲ N·scale (fine
+    through ~10^9 members per cluster at scale 1e6 — past that, shrink
+    quant_scale) — so float summation order can never perturb a single
+    assignment and a SQL engine replays the run digit-for-digit. That is
+    the trade vs :func:`kmeans_assign`'s spherical float form: exact
+    replay + hash-certifiability, Euclidean-in-quantized-space geometry.
+
+    Output: one row per non-empty cluster — (cluster_id, n_members,
+    top_label, top_label_n, centroid_l1_micro), the purity view plus an
+    exact centroid fingerprint certifying the iteration arithmetic
+    itself.
+
+    Scale shape per iteration: ONE map-only job (Arrow argmin against the
+    broadcast centroid matrix, int64 partial sums per partition); the
+    driver reduces nparts×k tiny rows — kmeans_assign's no-shuffle loop,
+    exact arithmetic instead of 9-dp rounding.
+    """
+    rows = (
+        df.filter(F.col(id_col) < k)
+        .select(F.col(id_col).alias("mid"), F.col(vec_col).alias("mvec"))
+        .collect()
+    )
+    if len(rows) < k:
+        raise ValueError(
+            f"kmeans_integer codebook contract needs ids 0..{k - 1}; got {len(rows)}"
+        )
+    rows.sort(key=lambda r: r["mid"])
+    cents = pq_quantize_rows([r["mvec"] for r in rows], quant_scale)
+    _guard_driver_bytes("kmeans_integer centroid matrix", k, cents.shape[1])
+
+    base = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.col(label_col).alias("label")
+    )
+    vecs_only = base.select("v")
+    kk, dim = cents.shape
+
+    def partials_of(c_now):
+        def partials(batches, _c=c_now, _k=kk, _d=dim):
+            sums = np.zeros((_k, _d), dtype=np.int64)
+            counts = np.zeros(_k, dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                seen = True
+                q = pq_quantize_rows(pdf["v"].to_numpy(), quant_scale)
+                delta = q[:, None, :] - _c[None, :, :]
+                a = (delta * delta).sum(axis=2).argmin(axis=1)  # first-min tie
+                np.add.at(sums, a, q)
+                counts += np.bincount(a, minlength=_k)
+            if seen:
+                nz = np.flatnonzero(counts)
+                yield pd.DataFrame(
+                    {
+                        "cluster_id": nz.astype(np.int32),
+                        "s": [sums[j].tolist() for j in nz],
+                        "c": counts[nz],
+                    }
+                )
+
+        return partials
+
+    for _ in range(iters):
+        out = vecs_only.mapInPandas(
+            partials_of(cents), "cluster_id int, s array<long>, c long"
+        ).collect()
+        sums = np.zeros_like(cents)
+        counts = np.zeros(kk, dtype=np.int64)
+        for r in out:  # integer adds: order-insensitive by construction
+            sums[r["cluster_id"]] += np.asarray(r["s"], dtype=np.int64)
+            counts[r["cluster_id"]] += r["c"]
+        new = cents.copy()
+        nz = counts > 0
+        new[nz] = sums[nz] // counts[nz, None]  # exact integer floor mean
+        cents = new
+
+    c_final = cents
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            q = pq_quantize_rows(pdf["v"].to_numpy(), quant_scale)
+            delta = q[:, None, :] - c_final[None, :, :]
+            a = (delta * delta).sum(axis=2).argmin(axis=1)
+            yield pd.DataFrame(
+                {"id": pdf["id"], "label": pdf["label"], "cluster_id": a.astype(np.int32)}
+            )
+
+    labeled = base.mapInPandas(assign, "id long, label int, cluster_id int")
+    by_label = labeled.groupBy("cluster_id", "label").agg(
+        F.count("*").cast("long").alias("n")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(F.col("n").desc(), "label")
+    totals = by_label.groupBy("cluster_id").agg(F.sum("n").cast("long").alias("n_members"))
+    top = (
+        by_label.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("label").alias("top_label"), F.col("n").alias("top_label_n"))
+    )
+    l1 = np.abs(c_final).sum(axis=1)  # exact int64 centroid fingerprint
+    l1_col = F.element_at(
+        F.array(*[F.lit(int(x)).cast("long") for x in l1]), F.col("cluster_id") + 1
+    )
+    return (
+        totals.join(top, "cluster_id")
+        .select(
+            F.col("cluster_id").cast("int").alias("cluster_id"),
+            "n_members",
+            F.col("top_label").cast("int").alias("top_label"),
+            "top_label_n",
+            l1_col.cast("long").alias("centroid_l1_micro"),
+        )
+        .orderBy("cluster_id")
     )

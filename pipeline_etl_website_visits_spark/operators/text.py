@@ -1890,9 +1890,9 @@ def bm25_topk(
     dl the doc length and df_t the term's doc frequency,
 
         idf_micro = floor(ln(2(N+1) / (2*df_t+1)) * 1e6)          -- one ln()
-        num  = tf * (1000 + k1_milli) * 1000 * TL                 -- exact int64
+        num  = tf * (1000 + k1_milli) * 1000 * TL                 -- DECIMAL(38,0)
         den  = 1_000_000*TL*tf + k1_milli*(1000-b_milli)*TL
-               + k1_milli*b_milli*dl*N                            -- exact int64
+               + k1_milli*b_milli*dl*N                            -- DECIMAL(38,0)
         contrib_micro = floor(idf_micro * num / den)              -- one fp divide
         score_micro   = sum(contrib_micro)                        -- exact int64
 
@@ -1900,9 +1900,15 @@ def bm25_topk(
     through by 1000·TL so both sides are integers; the only float ops are
     the per-term ln() and one multiply-divide, evaluated with the same
     operand order in Spark and the SQL oracle, so ranking ties (and the
-    hash gate) are deterministic. Magnitudes: idf_micro·num ≲ 1e7·2e13 —
-    the double mantissa rounds identically on both engines; den ≲ 1e13
-    stays far inside int64.
+    hash gate) are deterministic. Magnitudes: num/den are exact DECIMAL(38,0)
+    integers — int64 would silently wrap once tf·TL passes ~4.2e12 (a
+    few-TB token corpus, well under the 100 TB design point), so both
+    products stay in decimal until the single double divide. The decimal→
+    double and int64→double casts of the same integer produce the same
+    double (round-to-nearest both engines), so the oracle's BIGINT
+    arithmetic agrees bit-for-bit wherever IT is exact; contrib itself is
+    bounded (num/den ≤ (1000+k1_milli)/1000, idf_micro ≲ 3e7) so the final
+    floor never loses integer precision.
 
     Scale shape: the query-term table is tiny and BROADCAST — the token
     stream filters map-side before the single (doc, term) aggregation
@@ -1912,7 +1918,8 @@ def bm25_topk(
     a driver collect; a serving deployment passes ``corpus_stats=(n_docs,
     total_tokens)`` — a corpus-level constant computed once, like a stored
     index's codebook — which removes the second corpus scan entirely (the
-    certified x163 keeps the in-query computation for oracle parity).
+    certified x163 sources them from a per-fingerprint cache; the values
+    are identical to the in-query fold, so the oracle applies unchanged).
     """
     from pyspark.sql import Window
 
@@ -1951,10 +1958,21 @@ def bm25_topk(
     # matched tokens ever become rows, so the explode output is O(matched)
     # instead of O(all tokens) — at 100 TB that's the difference between
     # shuffling the query hits and materializing the whole token stream.
-    # The literal isin set requires Python lower() to agree with Spark
-    # lower() on the query strings; guaranteed for ASCII, so non-ASCII
-    # query terms fall back to the full explode + broadcast-join filter.
-    flat_terms = sorted({t for q in queries.values() for t in q.lower().split() if t})
+    # The literal isin set requires Python tokenization to agree with the
+    # JVM's: split on exactly Java \s ([ \t\n\x0b\f\r] — Python str.split
+    # also breaks on \x1c-\x1f and Unicode spaces, which would DROP terms
+    # the broadcast-join path finds), and lower() parity holds for ASCII,
+    # so non-ASCII query terms fall back to explode + broadcast-join.
+    import re as _re
+
+    flat_terms = sorted(
+        {
+            t
+            for q in queries.values()
+            for t in _re.split(r"[ \t\n\x0b\f\r]+", q.strip(" ").lower())
+            if t
+        }
+    )
     if array_prefilter and flat_terms and all(t.isascii() for t in flat_terms):
         kept = F.filter(F.col("toks"), lambda t: t.isin(*flat_terms))
         matched = with_dl.select("doc_id", "dl", F.explode(kept).alias("term"))
@@ -1978,17 +1996,22 @@ def bm25_topk(
                 * F.lit(1000000.0)
             ).cast("long"),
         )
+        # num/den in DECIMAL: int64 wraps silently (ANSI off) once
+        # tf*total_len > ~4.2e12 — a few-TB token corpus. decimal(20,0)
+        # operands keep every product exact to 38 digits (~1e38, far past
+        # 100 TB) and cast to the same double int64 would have.
         .withColumn(
             "num",
-            (F.col("tf") * F.lit(1000 + k1_milli) * F.lit(1000) * F.col("total_len")).cast("long"),
+            F.col("tf").cast("decimal(20,0)")
+            * F.lit(1000 + k1_milli)
+            * F.lit(1000)
+            * F.col("total_len").cast("decimal(20,0)"),
         )
         .withColumn(
             "den",
-            (
-                F.lit(1000000) * F.col("total_len") * F.col("tf")
-                + F.lit(k1_milli * (1000 - b_milli)) * F.col("total_len")
-                + F.lit(k1_milli * b_milli) * F.col("dl") * F.col("n_docs")
-            ).cast("long"),
+            F.lit(1000000) * F.col("total_len").cast("decimal(20,0)") * F.col("tf").cast("decimal(20,0)")
+            + F.lit(k1_milli * (1000 - b_milli)) * F.col("total_len").cast("decimal(20,0)")
+            + F.lit(k1_milli * b_milli) * F.col("dl").cast("decimal(20,0)") * F.col("n_docs").cast("decimal(20,0)"),
         )
         .withColumn(
             "contrib_micro",
@@ -2038,8 +2061,10 @@ def dsir_scores(
     Integer-exact: bigrams hash into ``buckets`` via xxhash64 (JVM-fast
     default) or the portable md5-u48 idiom (``portable_hash=True`` — what
     the x166 SQL oracle replicates; the winnowing-fingerprints precedent);
-    either hash gives a valid DSIR feature space, both profiles are exact counts; the per-bucket weight is ONE
-    ln() over an exact int64 rational with add-one smoothing,
+    either hash gives a valid DSIR feature space, both profiles are exact
+    counts; the per-bucket weight is ONE ln() over an exact integer
+    rational (DECIMAL(38,0) cross-products — int64 would wrap at
+    count·total ~ 9.2e18) with add-one smoothing,
 
         w_micro[b] = floor(ln( (t_cnt+1)·(R+B) / ((r_cnt+1)·(T+B)) ) · 1e6)
 
@@ -2085,10 +2110,21 @@ def dsir_scores(
         .crossJoin(F.broadcast(rstat))
         .select(
             "b",
+            # the (count+1)*(total+B) cross-products go through
+            # DECIMAL(38,0): int64 wraps once either side passes ~9.2e18
+            # (counts * corpus totals get there well under 100 TB); the
+            # decimal→double cast of the same integer is the same double
+            # the oracle's BIGINT arithmetic produces where IT is exact
             F.floor(
                 F.log(
-                    ((F.col("t_cnt") + F.lit(1)) * (F.col("rr") + F.lit(buckets))).cast("double")
-                    / ((F.col("r_cnt") + F.lit(1)) * (F.col("tt") + F.lit(buckets))).cast("double")
+                    (
+                        (F.col("t_cnt") + F.lit(1)).cast("decimal(19,0)")
+                        * (F.col("rr") + F.lit(buckets)).cast("decimal(19,0)")
+                    ).cast("double")
+                    / (
+                        (F.col("r_cnt") + F.lit(1)).cast("decimal(19,0)")
+                        * (F.col("tt") + F.lit(buckets)).cast("decimal(19,0)")
+                    ).cast("double")
                 )
                 * F.lit(1000000.0)
             )
@@ -2201,10 +2237,18 @@ def dsir_scores_vs_profile(
         .crossJoin(F.broadcast(rstat))
         .select(
             "b",
+            # DECIMAL(38,0) cross-products — same overflow rationale as
+            # dsir_scores
             F.floor(
                 F.log(
-                    ((F.col("t_cnt") + F.lit(1)) * (F.col("rr") + F.lit(buckets))).cast("double")
-                    / ((F.col("r_cnt") + F.lit(1)) * (F.lit(tt) + F.lit(buckets))).cast("double")
+                    (
+                        (F.col("t_cnt") + F.lit(1)).cast("decimal(19,0)")
+                        * (F.col("rr") + F.lit(buckets)).cast("decimal(19,0)")
+                    ).cast("double")
+                    / (
+                        (F.col("r_cnt") + F.lit(1)).cast("decimal(19,0)")
+                        * (F.lit(tt) + F.lit(buckets)).cast("decimal(19,0)")
+                    ).cast("double")
                 )
                 * F.lit(1000000.0)
             )
@@ -2258,10 +2302,18 @@ def save_dsir_weights(
         .crossJoin(F.broadcast(rstat))
         .select(
             "b",
+            # DECIMAL(38,0) cross-products — same overflow rationale as
+            # dsir_scores
             F.floor(
                 F.log(
-                    ((F.col("t_cnt") + F.lit(1)) * (F.col("rr") + F.lit(buckets))).cast("double")
-                    / ((F.col("r_cnt") + F.lit(1)) * (F.col("tt") + F.lit(buckets))).cast("double")
+                    (
+                        (F.col("t_cnt") + F.lit(1)).cast("decimal(19,0)")
+                        * (F.col("rr") + F.lit(buckets)).cast("decimal(19,0)")
+                    ).cast("double")
+                    / (
+                        (F.col("r_cnt") + F.lit(1)).cast("decimal(19,0)")
+                        * (F.col("tt") + F.lit(buckets)).cast("decimal(19,0)")
+                    ).cast("double")
                 )
                 * F.lit(1000000.0)
             )
@@ -2321,20 +2373,27 @@ def save_bm25_index(
     At 100 TB the postings table is the big side and serving cost is
     O(postings of the query terms), never a corpus scan.
     """
-    toks = docs.select(
+    with_dl = docs.select(
         F.col(id_col).alias("doc_id"),
         F.split(normalize_text(F.col(text_col)), " ").alias("__t"),
-    ).select("doc_id", F.size("__t").cast("long").alias("dl"), F.explode("__t").alias("token"))
-    toks = toks.where(F.col("token") != "")
+    ).select("doc_id", F.size("__t").cast("long").alias("dl"), "__t")
+    toks = with_dl.select("doc_id", "dl", F.explode("__t").alias("token")).where(
+        F.col("token") != ""
+    )
     postings = (
         toks.groupBy("doc_id", "dl", "token")
         .agg(F.count("*").cast("long").alias("tf"))
         .withColumn("tok_bucket", F.pmod(F.xxhash64("token"), F.lit(tok_buckets)).cast("int"))
     )
     postings.write.mode("overwrite").partitionBy("tok_bucket").parquet(path)
-    stats = toks.agg(
-        F.countDistinct("doc_id").cast("long").alias("n_docs"),
-        F.count("*").cast("long").alias("total_len"),
+    # Stats fold from the PRE-explode, PRE-filter relation — exactly the
+    # relation bm25_topk derives (n_docs, total_len) from: every doc counts
+    # (an empty/whitespace-only text still splits to [''], dl=1), so the
+    # "bit-identical to scoring the corpus" serving contract holds on
+    # corpora containing degenerate docs too.
+    stats = with_dl.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("dl").cast("long").alias("total_len"),
     ).withColumn("tok_buckets", F.lit(int(tok_buckets)).cast("long"))
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/_stats")
 
@@ -2407,22 +2466,20 @@ def bm25_index_topk(
                 * F.lit(1000000.0)
             ).cast("long"),
         )
+        # DECIMAL(38,0) intermediates, same rationale (and bit-identity
+        # argument) as bm25_topk: int64 num wraps past tf*TL ~ 4.2e12
         .withColumn(
             "num",
-            (
-                F.col("tf")
-                * F.lit(1000 + k1_milli).cast("long")
-                * F.lit(1000).cast("long")
-                * F.lit(total_len).cast("long")
-            ).cast("long"),
+            F.col("tf").cast("decimal(20,0)")
+            * F.lit(1000 + k1_milli)
+            * F.lit(1000)
+            * F.lit(total_len).cast("decimal(20,0)"),
         )
         .withColumn(
             "den",
-            (
-                F.lit(1000000).cast("long") * F.lit(total_len).cast("long") * F.col("tf")
-                + F.lit(k1_milli * (1000 - b_milli)).cast("long") * F.lit(total_len).cast("long")
-                + F.lit(k1_milli * b_milli).cast("long") * F.col("dl") * F.lit(n_docs).cast("long")
-            ).cast("long"),
+            F.lit(1000000) * F.lit(total_len).cast("decimal(20,0)") * F.col("tf").cast("decimal(20,0)")
+            + F.lit(k1_milli * (1000 - b_milli)) * F.lit(total_len).cast("decimal(20,0)")
+            + F.lit(k1_milli * b_milli) * F.col("dl").cast("decimal(20,0)") * F.lit(n_docs).cast("decimal(20,0)"),
         )
         .withColumn(
             "contrib_micro",
@@ -2447,4 +2504,194 @@ def bm25_index_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "score_micro", "n_terms_matched", "rank")
         .orderBy("query_id", "rank")
+    )
+
+
+def _word_bigrams(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc_id, w1, w2) bigram occurrence stream (RAW words, not hashed —
+    the LM-model sibling of :func:`_dsir_bucketed`). ``id_col`` may name
+    a missing column for model training (targets need no ids)."""
+    t = F.col("__t")
+    id_expr = F.col(id_col) if id_col in df.columns else F.lit(0)
+    return (
+        df.select(
+            id_expr.alias("doc_id"),
+            F.split(normalize_text(F.col(text_col)), " ").alias("__t"),
+        )
+        .where(F.size("__t") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.struct(
+                        F.element_at(t, i).alias("w1"),
+                        F.element_at(t, i + 1).alias("w2"),
+                    ),
+                )
+            ).alias("bg"),
+        )
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+
+
+def _lm_model_relations(target: DataFrame, text_col: str):
+    """The four bigram-LM model relations trained from ``target``:
+    (c12, c1, rev, consts) — bigram counts, per-context totals +
+    follower-type counts, per-word predecessor-type counts, and the
+    1-row (nbt, v) constants."""
+    tb = _word_bigrams(target, text_col, "__none")
+    c12 = tb.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count("*").cast("long").alias("nfwd"),
+    )
+    rev = c12.groupBy("w2").agg(F.count("*").cast("long").alias("nrev"))
+    toks = target.select(
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    consts = c12.agg(F.count("*").cast("long").alias("nbt")).crossJoin(
+        toks.agg(F.countDistinct("tok").cast("long").alias("v"))
+    )
+    return c12, c1, rev, consts
+
+
+def _lm_score_against(
+    corpus: DataFrame,
+    c12: DataFrame,
+    c1: DataFrame,
+    rev: DataFrame,
+    consts: DataFrame,
+    text_col: str,
+    id_col: str,
+    discount_milli: int,
+) -> DataFrame:
+    """Score corpus docs against the model relations — the shared kernel
+    of the inline (x175) and stored-model (x176) paths."""
+    docb = _word_bigrams(corpus, text_col, id_col).groupBy(
+        "doc_id", "w1", "w2"
+    ).agg(F.count("*").cast("long").alias("c"))
+    joined = (
+        docb.join(c12, ["w1", "w2"], "left")
+        .join(c1, "w1", "left")
+        .join(rev, "w2", "left")
+        .crossJoin(F.broadcast(consts))
+    )
+    # smoothing denominator: bigram types + unigram vocab + 1 (OOV mass)
+    smooth = (F.col("nbt") + F.col("v") + F.lit(1)).cast("decimal(20,0)")
+    seen_num = (
+        F.greatest(
+            F.lit(1000) * F.coalesce(F.col("c12"), F.lit(0)) - F.lit(discount_milli),
+            F.lit(0),
+        ).cast("decimal(20,0)")
+        * smooth
+        + F.lit(discount_milli).cast("decimal(20,0)")
+        * F.col("nfwd").cast("decimal(20,0)")
+        * (F.coalesce(F.col("nrev"), F.lit(0)) + F.lit(1)).cast("decimal(20,0)")
+    )
+    seen_den = F.lit(1000).cast("decimal(20,0)") * F.col("c1").cast("decimal(20,0)") * smooth
+    unseen_num = (F.coalesce(F.col("nrev"), F.lit(0)) + F.lit(1)).cast("decimal(20,0)")
+    logp = F.when(
+        F.col("c1").isNotNull(),
+        F.floor(
+            F.log(seen_num.cast("double") / seen_den.cast("double")) * F.lit(1000000.0)
+        ).cast("long"),
+    ).otherwise(
+        F.floor(
+            F.log(unseen_num.cast("double") / smooth.cast("double")) * F.lit(1000000.0)
+        ).cast("long")
+    )
+    scored = joined.select("doc_id", "c", logp.alias("logp_micro"))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            (-F.sum(F.col("c") * F.col("logp_micro"))).cast("long").alias("nll_micro"),
+        )
+        .withColumn(
+            "avg_nll_micro", F.expr("nll_micro div n_bigrams").cast("long")
+        )
+        .orderBy("doc_id")
+    )
+
+
+def lm_perplexity_scores(
+    corpus: DataFrame,
+    target: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount_milli: int = 750,
+) -> DataFrame:
+    """CCNet-style n-gram LM perplexity filtering (Wenzek et al. 2020):
+    train an interpolated absolute-discount (Kneser-Ney family) bigram LM
+    on the TARGET domain, score every corpus doc by its negative
+    log-likelihood — low perplexity ≈ looks like the domain, the standard
+    quality filter next to DSIR importance weighting.
+
+    Integer-exact (the x130/x139 quantized-ln discipline): with D =
+    ``discount_milli``/1000, bigram count c12, context total c1, follower
+    types nfwd(w1), predecessor types nrev(w2), bigram types NBT and
+    vocab V, the smoothed probability is the exact integer rational
+
+      seen ctx:  p = [max(1000·c12 − D, 0)·S + D·nfwd·(nrev+1)] / (1000·c1·S)
+      unseen:    p = (nrev+1) / S            where S = NBT + V + 1
+
+    (continuation probability (nrev+1)/S — Knesey-Ney's predecessor-type
+    distribution with add-one OOV mass, so every token scores > 0).
+    Products run in DECIMAL(38,0) (the BM25/DSIR overflow discipline);
+    ONE ln() per distinct (doc, bigram) with both engines dividing the
+    same exact integers, so scores replay digit-for-digit. Per doc:
+    nll_micro = −Σ c·⌊ln(p)·1e6⌋ (positive), avg_nll_micro = nll div n —
+    the integer perplexity proxy a keep/drop threshold cuts on.
+
+    Scale shape: ONE corpus bigram pass compacted to (doc, w1, w2, c)
+    with map-side combine; the model relations join on their natural
+    keys (w1 / w2 / (w1,w2) — sort-merge or broadcast, AQE's call);
+    constants are a 1-row broadcast. Docs with <2 tokens are omitted
+    (no bigram evidence — the DSIR contract).
+    """
+    c12, c1, rev, consts = _lm_model_relations(target, text_col)
+    return _lm_score_against(
+        corpus, c12, c1, rev, consts, text_col, id_col, discount_milli
+    )
+
+
+def save_lm_model(
+    target: DataFrame,
+    path: str,
+    text_col: str = "text",
+) -> None:
+    """Persist the bigram-LM model relations as a self-describing parquet
+    artifact (train-once / score-many — the save_dsir_weights pattern):
+    ``<path>/c12`` (w1, w2, c12), ``<path>/c1`` (w1, c1, nfwd),
+    ``<path>/rev`` (w2, nrev), and a 1-row ``<path>/consts`` (nbt, v)
+    written LAST as the commit marker. At scale c12 is the big side —
+    partitionable by w1 — while c1/rev/consts stay broadcastable."""
+    c12, c1, rev, consts = _lm_model_relations(target, text_col)
+    c12.write.mode("overwrite").parquet(f"{path}/c12")
+    c1.write.mode("overwrite").parquet(f"{path}/c1")
+    rev.write.mode("overwrite").parquet(f"{path}/rev")
+    consts.coalesce(1).write.mode("overwrite").parquet(f"{path}/consts")
+
+
+def lm_scores_vs_model(
+    corpus: DataFrame,
+    model_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    discount_milli: int = 750,
+) -> DataFrame:
+    """Score documents against a STORED bigram LM
+    (:func:`save_lm_model`): the target corpus is never rescanned —
+    bit-identical to :func:`lm_perplexity_scores` with the live target
+    because the artifact froze the same exact integer counts."""
+    spark = corpus.sparkSession
+    c12 = spark.read.parquet(f"{model_path}/c12")
+    c1 = spark.read.parquet(f"{model_path}/c1")
+    rev = spark.read.parquet(f"{model_path}/rev")
+    consts = spark.read.parquet(f"{model_path}/consts")
+    if not consts.take(1):
+        raise ValueError(f"empty LM model at {model_path}")
+    return _lm_score_against(
+        corpus, c12, c1, rev, consts, text_col, id_col, discount_milli
     )

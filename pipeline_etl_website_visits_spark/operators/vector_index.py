@@ -572,3 +572,156 @@ def gc_ivfpq_generations(path: str) -> list[str]:
             shutil.rmtree(full, ignore_errors=True)
             removed.append(full)
     return removed
+
+
+# --------------------------------------------------------------------------
+# IVF-Flat: the EXACT-vector sibling of the IVF-PQ index (FAISS
+# IndexIVFFlat). Same coarse quantizer discipline, but cells store the
+# full float64 vectors instead of PQ codes — so a full-probe search is
+# BIT-IDENTICAL to similarity.cosine_topk over the original corpus (it
+# literally delegates to that kernel), and a pruned search (nprobe < C)
+# is the recall/cost dial. This is the dense half of the served hybrid
+# retrieval story: BM25 postings index (text.save_bm25_index) + this.
+# --------------------------------------------------------------------------
+
+_FLAT_PARAM_NAMES = ("num_coarse", "dim", "quant_scale")
+
+
+def build_ivfflat_index(
+    vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_coarse: int = 4,
+    quant_scale: int = 1_000_000,
+) -> dict:
+    """Build and persist an IVF-Flat index; returns {'vectors': dir, 'meta': dir}.
+
+    One map-only Arrow pass assigns each vector to its nearest coarse
+    cell — the SAME micro-quantized int64-L2 first-minimum argmin the
+    IVF-PQ build uses (coarse centroids = rows with ``id < num_coarse``,
+    the deterministic codebook contract) — and writes
+    ``<path>/vectors`` (id, vec array<double>) ``partitionBy(cell)``.
+    The float→float64 widening is exact, so the stored vectors carry the
+    source values bit-for-bit. ``meta`` (coarse centroids + build
+    params) is written LAST: its ``_SUCCESS`` is the build's commit
+    marker, the IVF-PQ discipline.
+
+    At 100 TB the vectors table is the big side; a search touches only
+    its probed cells' partitions. Flat cells cost ~32x the PQ codes in
+    storage — the exactness/footprint trade the two index kinds split.
+    """
+    rows = (
+        vectors.filter(F.col(id_col) < num_coarse)
+        .select(F.col(id_col).alias("mid"), F.col(vec_col).alias("mvec"))
+        .collect()
+    )
+    if len(rows) < num_coarse:
+        raise ValueError(
+            f"ivfflat coarse contract needs ids 0..{num_coarse - 1} present; got {len(rows)}"
+        )
+    rows.sort(key=lambda r: r["mid"])
+    coarse_q = pq_quantize_rows([r["mvec"] for r in rows], quant_scale)
+    dim = coarse_q.shape[1]
+    _guard_driver_bytes("ivfflat coarse quantizer", num_coarse, dim)
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            q = pq_quantize_rows(pdf[vec_col].to_numpy(), quant_scale)
+            cd = q[:, None, :] - coarse_q[None, :, :]
+            cell = (cd * cd).sum(axis=2).argmin(axis=1).astype(np.int32)
+            yield pd.DataFrame({id_col: ids, "cell": cell, "vec": list(m)})
+
+    vec_dir = os.path.join(path, "vectors")
+    meta_dir = os.path.join(path, "meta")
+    (
+        vectors.select(id_col, vec_col)
+        .mapInPandas(encode, f"{id_col} long, cell int, vec array<double>")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(vec_dir)
+    )
+    params = dict(num_coarse=num_coarse, dim=int(dim), quant_scale=quant_scale)
+    meta_rows = [
+        ("coarse", int(i), [float(x) for x in np.asarray(r["mvec"], dtype=np.float64)], None)
+        for i, r in enumerate(rows)
+    ] + [("param", i, [float(params[n])], None) for i, n in enumerate(_FLAT_PARAM_NAMES)]
+    _write_meta(vectors.sparkSession, meta_dir, meta_rows)
+    return {"vectors": vec_dir, "meta": meta_dir}
+
+
+def ivfflat_search(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int | None = None,
+    with_rank: bool = False,
+) -> DataFrame:
+    """Exact-cosine top-``k`` from the STORED IVF-Flat index.
+
+    Each query probes its ``nprobe`` nearest coarse cells (micro-quantized
+    int64 L2, ties to the lowest cell id — the ivfpq_search discipline;
+    ``nprobe=None`` probes every cell). Queries sharing a probe set are
+    grouped, and each group's candidates come from a PARTITION-PRUNED
+    read of only those cells — then scoring DELEGATES to
+    ``similarity.cosine_topk``, the certified exact kernel, verbatim.
+    With ``nprobe=None`` (or == num_coarse) the output is therefore
+    bit-identical to ``cosine_topk(queries, corpus)``: same Arrow
+    batches' arithmetic, same (sim desc, id asc) tie-break, same
+    self-exclusion. Pruned probes trade recall for reading fewer cells —
+    the production dial at 100 TB.
+    """
+    from pipeline_etl_website_visits_spark.operators.similarity import cosine_topk
+
+    mdf = spark.read.parquet(os.path.join(path, "meta"))
+    meta = mdf.collect()
+    p = {_FLAT_PARAM_NAMES[r["idx"]]: int(r["vec"][0]) for r in meta if r["kind"] == "param"}
+    num_coarse, quant_scale = p["num_coarse"], p["quant_scale"]
+    coarse_rows = sorted((r for r in meta if r["kind"] == "coarse"), key=lambda r: r["idx"])
+    coarse_q = pq_quantize_rows([r["vec"] for r in coarse_rows], quant_scale)
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    _guard_driver_bytes("ivfflat_search query set", len(q_rows), p["dim"])
+    qmat = pq_quantize_rows([r[vec_col] for r in q_rows], quant_scale)
+    cdist = ((qmat[:, None, :] - coarse_q[None, :, :]) ** 2).sum(axis=2)
+    npb = num_coarse if nprobe is None else min(nprobe, num_coarse)
+    cell_ids = np.arange(num_coarse)
+    groups: dict[tuple, list] = {}
+    for qi, r in enumerate(q_rows):
+        cells = tuple(sorted(int(c) for c in cell_ids[np.lexsort((cell_ids, cdist[qi]))][:npb]))
+        groups.setdefault(cells, []).append(r[id_col])
+
+    raw = spark.read.parquet(os.path.join(path, "vectors"))
+    str_cells = isinstance(raw.schema["cell"].dataType, StringType)
+
+    legs = []
+    for cells, qids in sorted(groups.items()):
+        cell_filter = (
+            F.col("cell").isin([str(c) for c in cells])
+            if str_cells
+            else F.col("cell").isin(list(cells))
+        )
+        cand = raw.filter(cell_filter).select(
+            F.col(id_col), F.col("vec").alias(vec_col)
+        )
+        legs.append(
+            cosine_topk(
+                queries.filter(F.col(id_col).isin(qids)),
+                cand,
+                vec_col=vec_col,
+                id_col=id_col,
+                k=k,
+                with_rank=with_rank,
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

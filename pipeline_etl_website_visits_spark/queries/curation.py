@@ -2227,3 +2227,267 @@ def x172(spark: SparkSession, sf_dir: str) -> DataFrame:
         save_bm25_index(docs, tmp, "text", "doc_id", tok_buckets=64)
         _commit_scratch_build(tmp, path)
     return bm25_index_topk(spark, path, _BM25_QUERIES, k=10)
+
+
+@query(
+    "x173_stored_hybrid_serving",
+    oracle=f"""
+    {_BM25_PERDOC_CTES},
+    lex AS (
+      SELECT query_id, doc_id, CAST(rnk AS INT) AS rank FROM (
+        SELECT query_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY score_micro DESC, doc_id) AS rnk
+        FROM perdoc
+      ) WHERE rnk <= 50
+    ),
+    dq(vec_id, query_id) AS (VALUES {_HYBRID_DQ_VALUES}),
+    eq AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 3),
+    ec AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dsims AS (
+      SELECT eq.vec_id AS qvid, ec.vec_id AS doc_id,
+             list_dot_product(eq.v, ec.v)
+               / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))) AS sim_raw
+      FROM eq JOIN ec ON eq.vec_id <> ec.vec_id
+    ),
+    dense AS (
+      SELECT dq.query_id, d.doc_id, CAST(d.rnk AS INT) AS rank
+      FROM (
+        SELECT qvid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qvid ORDER BY sim_raw DESC, doc_id) AS rnk
+        FROM dsims
+      ) d JOIN dq ON dq.vec_id = d.qvid
+      WHERE d.rnk <= 50
+    ),
+    fused AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_micro,
+             CAST(COUNT(*) AS INT) AS n_legs
+      FROM (SELECT * FROM lex UNION ALL SELECT * FROM dense)
+      GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, rrf_micro, n_legs, CAST(rnk AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY rrf_micro DESC, doc_id) AS rnk
+      FROM fused
+    ) WHERE rnk <= 10 ORDER BY query_id, rank
+    """,
+    certifies="X3+X4 SERVED hybrid retrieval: both legs answered from STORED indexes — partition-pruned BM25 postings (x172's artifact) + the IVF-Flat exact-vector index — fused by integer RRF; x165's oracle verbatim, so build+serve+fusion certify in one hash. The build-once/serve-many completion of the x170/x172 pattern",
+    tags=("llm", "retrieval", "similarity", "stored-index"),
+)
+def x173(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Served hybrid search: the x165 fusion answered WITHOUT touching the
+    corpus at query time. The lexical leg reads only the query terms'
+    tok_bucket partitions of the stored BM25 postings (the exact x172
+    artifact, shared scratch); the dense leg reads the stored IVF-Flat
+    index (full probe here — the exactness certificate; production sets
+    nprobe < num_coarse for the pruned path) and delegates scoring to the
+    certified cosine kernel. Output is bit-identical to the inline x165,
+    certified by the same oracle; serving cost is pruned-postings +
+    stored-cells, never a corpus tokenize or an embedding-table rescan.
+    """
+    import os
+
+    from pipeline_etl_website_visits_spark.operators.similarity import (
+        reciprocal_rank_fusion,
+    )
+    from pipeline_etl_website_visits_spark.operators.text import (
+        bm25_index_topk,
+        save_bm25_index,
+    )
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        build_ivfflat_index,
+        ivfflat_search,
+    )
+    from pipeline_etl_website_visits_spark.queries.llmops import (
+        _commit_scratch_build,
+        _scratch_path,
+    )
+
+    # lexical leg: the SAME stored postings artifact x172 serves from
+    docs = load_table(spark, sf_dir, "documents")
+    bm25_path = _scratch_path(sf_dir, "documents", "bm25idx")
+    if not os.path.exists(os.path.join(bm25_path, "_SUCCESS")):
+        tmp = f"{bm25_path}.build.{os.getpid()}"
+        save_bm25_index(docs, tmp, "text", "doc_id", tok_buckets=64)
+        _commit_scratch_build(tmp, bm25_path)
+    lex = bm25_index_topk(spark, bm25_path, _BM25_QUERIES, k=50).select(
+        "query_id", "doc_id", "rank"
+    )
+
+    # dense leg: stored IVF-Flat index (meta/_SUCCESS is the build's
+    # commit marker — written last by build_ivfflat_index)
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat_path = _scratch_path(sf_dir, "embeddings", "ivfflat")
+    if not os.path.exists(os.path.join(flat_path, "meta", "_SUCCESS")):
+        tmp = f"{flat_path}.build.{os.getpid()}"
+        build_ivfflat_index(emb, tmp, num_coarse=4)
+        _commit_scratch_build(tmp, flat_path)
+    dense = ivfflat_search(
+        spark, flat_path, emb.filter(F.col("vec_id") < 3), k=50, with_rank=True
+    )
+    qid = (
+        F.when(F.col("query_id") == 0, F.lit("q_join"))
+        .when(F.col("query_id") == 1, F.lit("q_scan"))
+        .otherwise(F.lit("q_sort"))
+    )
+    dense_leg = dense.select(
+        qid.alias("query_id"), F.col("neighbor_id").alias("doc_id"), "rank"
+    )
+    return reciprocal_rank_fusion([lex, dense_leg], k=10, c=60)
+
+
+@query(
+    "x174_common_span_mining",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split({_NORM_C}, ' ') AS t FROM documents
+    ),
+    g AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] AS gram
+      FROM toks, unnest(generate_series(1, len(t) - 3)) AS u(i)
+      WHERE len(t) >= 4
+    ),
+    keep AS (
+      SELECT gram FROM (
+        SELECT gram, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gram
+      ) WHERE df <= 64
+    ),
+    gk AS (SELECT g.* FROM g JOIN keep USING (gram)),
+    p AS (
+      SELECT g1.doc_id AS a, g2.doc_id AS b, g1.pos AS pa, g1.pos - g2.pos AS d
+      FROM gk g1 JOIN gk g2 ON g1.gram = g2.gram AND g1.doc_id < g2.doc_id
+    ),
+    runs AS (
+      SELECT a, b, d, pa - ROW_NUMBER() OVER (PARTITION BY a, b, d ORDER BY pa) AS isl
+      FROM p
+    ),
+    spans AS (
+      SELECT a, b, CAST(COUNT(*) + 3 AS BIGINT) AS span_len
+      FROM runs GROUP BY a, b, d, isl
+    )
+    SELECT a AS doc_a, b AS doc_b,
+           CAST(MAX(span_len) AS BIGINT) AS max_span_len,
+           CAST(COUNT(*) AS BIGINT) AS n_spans
+    FROM spans GROUP BY a, b ORDER BY doc_a, doc_b
+    """,
+    certifies="X3 corpus-internal exact-substring duplicate mining (Lee et al. 2022 shape): anchor-gram positional join + gaps-and-islands run folding — exact (doc_a, doc_b, max_span_len, n_spans) integers, stop-gram bounded (df cap replicated in the oracle), never a text self-join",
+    tags=("llm", "text", "dedup", "bounded"),
+)
+def x174(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mine exact shared token runs (>=4 tokens) across the corpus —
+    the repeated-substring signal Lee et al. deduplicate on, computed
+    relationally: anchor 4-grams with positions join on gram equality
+    (a < b, stop-grams with df > 64 dropped before the join — the bound
+    is part of the certified semantics), one alignment offset per match,
+    islands fold each maximal run to its exact length."""
+    from pipeline_etl_website_visits_spark.operators.dedup import mine_common_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mine_common_spans(docs, "text", "doc_id", min_span=4, max_gram_doc_freq=64)
+
+
+# Shared CTE chain for the bigram-LM perplexity oracles (x175 inline /
+# x176 stored-model serving — the model relations and the scoring
+# formula are the operator's docstring verbatim).
+_LM_PPL_SQL = f"""\
+    WITH toks AS (
+      SELECT doc_id, source, string_split({_NORM_C}, ' ') AS t FROM documents
+    ),
+    tb AS (
+      SELECT t[i] AS w1, t[i+1] AS w2
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE source = 'src0' AND len(t) >= 2
+    ),
+    c12 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM tb GROUP BY w1, w2),
+    c1 AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, CAST(COUNT(*) AS BIGINT) AS nfwd
+      FROM c12 GROUP BY w1
+    ),
+    rev AS (SELECT w2, CAST(COUNT(*) AS BIGINT) AS nrev FROM c12 GROUP BY w2),
+    consts AS (
+      SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM c12) AS nbt,
+             (SELECT CAST(COUNT(DISTINCT tok) AS BIGINT)
+              FROM (SELECT unnest(t) AS tok FROM toks WHERE source = 'src0')
+              WHERE tok <> '') AS v
+    ),
+    cb AS (
+      SELECT doc_id, t[i] AS w1, t[i+1] AS w2, CAST(COUNT(*) AS BIGINT) AS c
+      FROM toks, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+      GROUP BY doc_id, w1, w2
+    ),
+    scored AS (
+      SELECT cb.doc_id, cb.c,
+        CASE WHEN c1.c1 IS NOT NULL THEN
+          CAST(FLOOR(LN(
+            CAST(GREATEST(1000 * COALESCE(c12.c12, 0) - 750, 0) * (k.nbt + k.v + 1)
+                 + 750 * c1.nfwd * (COALESCE(rev.nrev, 0) + 1) AS DOUBLE)
+            / CAST(1000 * c1.c1 * (k.nbt + k.v + 1) AS DOUBLE)
+          ) * 1000000) AS BIGINT)
+        ELSE
+          CAST(FLOOR(LN(
+            CAST(COALESCE(rev.nrev, 0) + 1 AS DOUBLE) / CAST(k.nbt + k.v + 1 AS DOUBLE)
+          ) * 1000000) AS BIGINT)
+        END AS logp
+      FROM cb
+      LEFT JOIN c12 USING (w1, w2)
+      LEFT JOIN c1 USING (w1)
+      LEFT JOIN rev USING (w2)
+      CROSS JOIN consts k
+    )
+    SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(-SUM(c * logp) AS BIGINT) AS nll_micro,
+           CAST((-SUM(c * logp)) // SUM(c) AS BIGINT) AS avg_nll_micro
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@query(
+    "x175_lm_perplexity",
+    oracle=_LM_PPL_SQL,
+    certifies="X4 CCNet-shape n-gram LM perplexity filter (Wenzek et al. 2020): interpolated absolute-discount (KN-family) bigram LM trained on the target domain in one pass, corpus scored by exact integer-rational probabilities — ONE quantized ln per distinct (doc,bigram), DECIMAL(38,0) products; the quality filter next to DSIR (x166)",
+    tags=("llm", "text", "curation", "quality"),
+)
+def x175(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity of every document under the src0-domain model
+    (target = src0 docs, exactly x166's setup). avg_nll_micro is the
+    integer perplexity proxy a CCNet-style keep/middle/drop threshold
+    cuts on. Method is public (Wenzek et al. 2020 CCNet; Kneser-Ney
+    smoothing); the reference repo has no counterpart — §2.11 surface."""
+    from pipeline_etl_website_visits_spark.operators.text import lm_perplexity_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return lm_perplexity_scores(docs, docs.where(F.col("source") == "src0"))
+
+
+@query(
+    "x176_stored_lm_serving",
+    oracle=_LM_PPL_SQL,
+    certifies="X4 LM-perplexity serving against a STORED bigram model (train-once / score-many): the target is never rescanned, scoring is the corpus pass + model-key joins; bit-identical to x175 because the artifact froze the same exact integer counts — the x170/x172 stored-artifact pattern",
+    tags=("llm", "text", "curation", "quality", "stored-index"),
+)
+def x176(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-path certificate for the stored bigram LM: train the model
+    ONCE per corpus fingerprint (x144's write-once scratch discipline),
+    then score through operators/text.py:lm_scores_vs_model — x175's
+    oracle applies verbatim."""
+    import os
+
+    from pipeline_etl_website_visits_spark.operators.text import (
+        lm_scores_vs_model,
+        save_lm_model,
+    )
+    from pipeline_etl_website_visits_spark.queries.llmops import (
+        _commit_scratch_build,
+        _scratch_path,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = _scratch_path(sf_dir, "documents", "lmmodel")
+    if not os.path.exists(os.path.join(path, "consts", "_SUCCESS")):
+        tmp = f"{path}.build.{os.getpid()}"
+        save_lm_model(docs.where(F.col("source") == "src0"), tmp)
+        _commit_scratch_build(tmp, path)
+    return lm_scores_vs_model(docs, path)

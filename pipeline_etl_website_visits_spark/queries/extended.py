@@ -1111,7 +1111,13 @@ def x123(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pre-filtered key projection (the recursion's own WHERE — semantics
     # unchanged, the x79-round-4 prescription) makes each level an
     # in-memory probe instead of a parquet scan: measured 1.88 s → 1.24 s
-    # at sf0.1. The residual is the per-level job floor, by design.
+    # at sf0.1. Round-11 floor attack: AQE OFF for the statement — AQE
+    # re-plans and re-measures EVERY recursion level (29 Spark jobs per
+    # run vs 22 without; min-of-3 1.44 s → 1.00 s at sf0.1), and a
+    # 30-row-per-level loop has nothing for AQE to adapt. The residual
+    # ~45 ms/job × 22 jobs IS the UnionLoopExec scheduling floor
+    # (docs/SCALE.md round-11 note); the driver-fixpoint twin (x79) is
+    # the shape for recursions where that floor matters.
     import pandas as pd
 
     keys = (
@@ -1121,6 +1127,8 @@ def x123(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     keys.createOrReplaceTempView("customer")
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         # materialize EAGERLY inside the cache scope (triangle_count
         # discipline): the recursion's per-level probes hit the cache,
@@ -1134,6 +1142,7 @@ def x123(spark: SparkSession, sf_dir: str) -> DataFrame:
         # registered under the real table's name would silently corrupt
         # any later same-session consumer that reads `customer` without
         # re-registering it
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         spark.catalog.dropTempView("customer")
         keys.unpersist()
     return spark.createDataFrame(

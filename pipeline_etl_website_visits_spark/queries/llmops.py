@@ -577,19 +577,94 @@ def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.dedup_embed_cosine(emb, threshold=0.3)
 
 
+def _kmeans_integer_sql(k: int, iters: int) -> str:
+    """Unrolled DuckDB twin of operators/similarity.py:
+    kmeans_integer_summary — one CTE block per Lloyd iteration. Every
+    quantity is an exact integer (or an integer-valued double < 2^53), so
+    the SQL replays the Spark run digit-for-digit; FLOOR(SUM/COUNT) is
+    the floor-division mean (DuckDB's // truncates toward zero — wrong
+    for negative sums)."""
+    head = f"""
+    WITH lab AS (SELECT vec_id, label FROM embeddings),
+    v AS (
+      SELECT vec_id, i - 1 AS pos, CAST(FLOOR(arr[i] * 1000000) AS BIGINT) AS val
+      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS arr FROM embeddings),
+           unnest(generate_series(1, len(arr))) AS u(i)
+    ),
+    c0 AS (SELECT vec_id AS cid, pos, val FROM v WHERE vec_id < {k})"""
+    its = []
+    for t in range(iters):
+        its.append(f""",
+    d{t} AS (
+      SELECT v.vec_id, c.cid, SUM((v.val - c.val) * (v.val - c.val)) AS dist
+      FROM v JOIN c{t} c USING (pos) GROUP BY v.vec_id, c.cid
+    ),
+    a{t} AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d{t}
+      ) WHERE rn = 1
+    ),
+    m{t} AS (
+      SELECT a.cluster AS cid, v.pos,
+             CAST(FLOOR(CAST(SUM(v.val) AS DOUBLE) / COUNT(*)) AS BIGINT) AS val
+      FROM v JOIN a{t} a USING (vec_id) GROUP BY a.cluster, v.pos
+    ),
+    c{t + 1} AS (
+      SELECT c.cid, c.pos, COALESCE(m.val, c.val) AS val
+      FROM c{t} c LEFT JOIN m{t} m ON m.cid = c.cid AND m.pos = c.pos
+    )""")
+    tail = f""",
+    dF AS (
+      SELECT v.vec_id, c.cid, SUM((v.val - c.val) * (v.val - c.val)) AS dist
+      FROM v JOIN c{iters} c USING (pos) GROUP BY v.vec_id, c.cid
+    ),
+    aF AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM dF
+      ) WHERE rn = 1
+    ),
+    bylab AS (
+      SELECT a.cluster, l.label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM aF a JOIN lab l USING (vec_id) GROUP BY a.cluster, l.label
+    ),
+    l1 AS (
+      SELECT cid, CAST(SUM(ABS(val)) AS BIGINT) AS centroid_l1_micro
+      FROM c{iters} GROUP BY cid
+    )
+    SELECT CAST(t.cluster AS INT) AS cluster_id, t.n_members,
+           CAST(tp.label AS INT) AS top_label, tp.n AS top_label_n,
+           l1.centroid_l1_micro
+    FROM (SELECT cluster, CAST(SUM(n) AS BIGINT) AS n_members FROM bylab GROUP BY cluster) t
+    JOIN (SELECT cluster, label, n FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS rn
+            FROM bylab) WHERE rn = 1) tp USING (cluster)
+    JOIN l1 ON l1.cid = t.cluster
+    ORDER BY cluster_id"""
+    return head + "".join(its) + tail
+
+
 @query(
     "x60_embed_kmeans",
-    oracle=None,
-    certifies="X3 spherical k-means clustering over embeddings (iterative Lloyd's; not SQL-expressible)",
-    tags=("llm", "similarity", "no-oracle"),
+    oracle=_kmeans_integer_sql(k=8, iters=4),
+    certifies="X3 k-means clustering over embeddings — Lloyd's iterations in exact micro-quantized integer geometry (integer distances, floor-division centroid means, codebook init), so the full iterative run hash-certifies against an unrolled SQL twin (was rows-only through r10; VERDICT r10 item 5)",
+    tags=("llm", "similarity", "certificate"),
 )
 def x60(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-size + majority-label purity view of integer-exact k-means
+    (k=8, 4 Lloyd iterations) over the 64-dim embeddings, plus the exact
+    centroid L1 fingerprint certifying the iteration arithmetic itself.
+    The float spherical form stays available as
+    operators/similarity.py:kmeans_summary (exactness-tested on planted
+    clusters); this certified form pins every assignment and update
+    cross-engine. 'certificate' tag: the SQL twin is quadratic in
+    (vecs x centroids) by nature — the Spark side is the bounded
+    map-only loop."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # cluster-size + majority-label purity view; k=8 over the 64-dim
-    # synthetic embeddings. Rows-only driver check (row count == k when no
-    # cluster empties out); tests/test_operators.py asserts planted clusters
-    # are recovered exactly.
-    return S.kmeans_summary(emb, k=8, iters=5)
+    return S.kmeans_integer_summary(emb, k=8, iters=4)
 
 
 @query(
@@ -1264,16 +1339,48 @@ def x90(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x96_semantic_dedup",
-    oracle=None,
-    certifies="X3 semantic deduplication (SemDeDup: k-means quantization + within-cluster cosine pruning; iterative, not SQL-expressible)",
-    tags=("llm", "similarity", "dedup", "no-oracle"),
+    oracle="""
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < 8
+    ),
+    vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    asg AS (
+      SELECT vec_id, cid AS cluster FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_dot_product(v.v, c.cv)
+                   / (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                 c.cid) AS rn
+        FROM vecs v CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    dups AS (
+      SELECT DISTINCT a2.vec_id AS j
+      FROM asg a1 JOIN asg a2 ON a1.cluster = a2.cluster AND a1.vec_id < a2.vec_id
+      JOIN vecs v1 ON v1.vec_id = a1.vec_id
+      JOIN vecs v2 ON v2.vec_id = a2.vec_id
+      WHERE ROUND(list_dot_product(v1.v, v2.v)
+            / (sqrt(list_dot_product(v1.v, v1.v)) * sqrt(list_dot_product(v2.v, v2.v))), 4) > 0.95
+    ),
+    kept AS (SELECT vec_id, cluster FROM asg WHERE vec_id NOT IN (SELECT j FROM dups))
+    SELECT CAST(cluster AS INT) AS cluster, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(vec_id) AS BIGINT) AS min_kept_id
+    FROM kept GROUP BY cluster ORDER BY cluster
+    """,
+    certifies="X3 semantic deduplication (SemDeDup: quantize the space, prune within-cluster cosine near-dups) — oracle-backed via the deterministic-codebook quantizer + the x101 rounded-cosine discipline (was rows-only through r10; VERDICT r10 item 5); the trained-Lloyd form stays as the operator default, exactness-tested on planted groups",
+    tags=("llm", "similarity", "dedup", "certificate"),
 )
 def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster survivor counts of the SQL-replayable SemDeDup run:
+    codebook quantizer (vec_id < 8 are the cluster centers — the IVF/PQ
+    stand-in contract), within-cluster prune on the 4-dp-rounded cosine.
+    'certificate' tag: the oracle's within-cluster pairing is the
+    quadratic certificate form; the Spark side blocks the O(n^2) by
+    cluster with a hard size guard (the SemDeDup recipe's whole point)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # Per-cluster survivor counts (stable 8-row summary for the rows-only
-    # driver check); tests/test_operators.py pins the pruning rule exactly
-    # against a numpy brute force on planted duplicate groups.
-    kept = S.semantic_dedup(emb, k=8, iters=5, threshold=0.95)
+    kept = S.semantic_dedup(
+        emb, k=8, threshold=0.95, centroids="codebook", round_dp=4
+    )
     return (
         kept.groupBy("cluster")
         .agg(F.count("*").cast("long").alias("n_kept"), F.min("id").cast("long").alias("min_kept_id"))

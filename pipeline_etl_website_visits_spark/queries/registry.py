@@ -51,86 +51,81 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in dict order; with 179 registered queries we rotate so every query's
+# in dict order; with 207 registered queries we rotate so every query's
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-10 pinning rule: HEAD = the NINETEEN new queries (x154-x172,
-# never driver-checked — new code outranks everything), then x150
-# (changed kernel this round), then 30 of the 42 remaining
-# round-6-latest names: 19 + 1 + 30 = exactly 50. The twelve
-# round-6-latest names that no longer fit (x36_approx_count_distinct,
-# x37_approx_percentile, x44_hash_split, x45_snapshot_cdc,
-# x46_len_quantiles_by_lang, x49_sequence_packing,
-# x50_shuffled_sample, x51_mixture_sampling, x58_tfidf_top_terms,
-# x59_bigram_rarity, x70_json_struct_agg, x92_heavy_hitters — the
-# tail of the list, none changed since round 6) defer to the
-# round-11 rotation head; all stay covered by the local full-suite
-# check_oracle runs every session.
+# Round-11 pinning rule: HEAD = (a) the FOUR new queries (x173 served
+# hybrid retrieval, x174 common-span mining, x175 LM perplexity, x176
+# stored-LM serving — never driver-checked) plus the two queries whose
+# implementation CHANGED to oracle-backed forms this round (x60 integer
+# k-means, x96 codebook SemDeDup); then (b) the five queries whose
+# kernels changed this round — x163/x165/x172 (bm25_topk + the stored
+# index: DECIMAL(38,0) num/den, Java-\s prefilter tokenization, pre-
+# filter _stats sidecar) and x166/x170 (DSIR weight products through
+# DECIMAL) — changed code outranks stale rows; then (c) the TWELVE
+# round-6-latest names round-10 displaced; then (d) 27 of the 44
+# remaining round-7-latest names (the r7 fill names q01/q05/q56/q68/
+# x123/x143/x146 first, then alphabetical). 6 + 5 + 12 + 27 = 50.
+# The 17 round-7-latest names that do not fit (x57/x61-x69/x71-x77/
+# x84 cohort) defer to the round-12 head; all stay covered by the
+# local full-suite check_oracle runs every session.
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- (a) round-10 rotation head: the ELEVEN new queries first
-    #    (x154 stratified quality gate, x155 gram diversity, x156
-    #    boilerplate prefixes, x157 token-budget mixture planner,
-    #    x158 OHLC resample, x159 l-diversity audit, x160
-    #    compression-ratio signal, x161 real image resize, x162 real
-    #    video frame sampling, x163 BM25 retrieval, x164 embed PCA,
-    #    x165 hybrid BM25+dense RRF, x166 DSIR importance scores,
-    #    x167 t-closeness audit, x168 touch attribution, x169 timed
-    #    funnel, x170 stored-weights DSIR serving, x171 audio frame
-    #    features, x172 stored-BM25-index serving),
-    #    then x150 (its oov_counts kernel gained the empty-vocab
-    #    guard this round — changed-code outranks stale rows), then
-    #    38 round-6-latest names (VERDICT r9 item 1) --
-    "x154_stratified_quality_gate",
-    "x155_gram_diversity",
-    "x156_boilerplate_prefixes",
-    "x157_token_budget_mixture",
-    "x158_ohlc_resample",
-    "x159_l_diversity",
-    "x160_compression_ratio",
-    "x161_image_resize",
-    "x162_video_frame_sample",
+    # -- (a) new / converted-to-oracle this round --
+    "x173_stored_hybrid_serving",
+    "x174_common_span_mining",
+    "x175_lm_perplexity",
+    "x176_stored_lm_serving",
+    "x60_embed_kmeans",
+    "x96_semantic_dedup",
+    # -- (b) kernels changed this round --
     "x163_bm25_retrieval",
-    "x164_embed_pca",
     "x165_hybrid_rrf",
-    "x166_dsir_scores",
-    "x167_t_closeness",
-    "x168_touch_attribution",
-    "x169_timed_funnel",
-    "x170_stored_dsir_serving",
-    "x171_audio_frames",
     "x172_stored_bm25_serving",
-    "x150_oov_rate",
-    "q60_pricing_summary",
-    "q61_pivot",
-    "q62_variance_manual",
-    "q63_shipping_priority",
-    "q64_regional_volume",
-    "q65_median_manual",
-    "q66_regexp_extract",
-    "q67_event_funnel",
-    "q69_grouping_sets",
-    "x102_variant_extract",
-    "x124_priority_late_orders",
-    "x125_priority_class_lines",
-    "x126_small_quantity_revenue",
-    "x127_large_volume_orders",
-    "x128_returned_item_customers",
-    "x129_forecast_revenue",
-    "x130_zipf_slope",
-    "x131_source_overlap_matrix",
-    "x132_schema_evolution",
-    "x133_bag_set_ops",
-    "x134_important_parts",
-    "x135_supplier_part_counts",
-    "x136_window_distribution_family",
-    "x137_null_ordering",
-    "x138_substring_decontam",
-    "x139_token_entropy",
-    "x141_event_transitions",
-    "x142_gap_fill_forward",
-    "x144_orc_roundtrip",
-    "x145_k_anonymity",
+    "x166_dsir_scores",
+    "x170_stored_dsir_serving",
+    # -- (c) the twelve round-6-latest names (VERDICT r10 item 2) --
+    "x36_approx_count_distinct",
+    "x37_approx_percentile",
+    "x44_hash_split",
+    "x45_snapshot_cdc",
+    "x46_len_quantiles_by_lang",
+    "x49_sequence_packing",
+    "x50_shuffled_sample",
+    "x51_mixture_sampling",
+    "x58_tfidf_top_terms",
+    "x59_bigram_rarity",
+    "x70_json_struct_agg",
+    "x92_heavy_hitters",
+    # -- (d) round-7-latest fill: the displaced r7 fills, then
+    #    alphabetical --
+    "q01_scan_project_rename",
+    "q05_error_explode",
+    "q56_sorted_collect",
+    "q68_rolling_hour_window",
+    "x123_native_recursion",
+    "x143_mad_outliers",
+    "x146_chunk_udtf",
+    "x21_dedup_exact",
+    "x22_dedup_ngram_jaccard",
+    "x23_dedup_minhash_lsh",
+    "x24_dedup_simhash",
+    "x25_embed_cosine_topk",
+    "x26_embed_ann_lsh",
+    "x27_text_lang_id",
+    "x32_events_tumbling_hour",
+    "x33_events_sessionize",
+    "x39_time_range_join",
+    "x40_asof_join",
+    "x41_embed_ivf_topk",
+    "x42_dedup_embed_cosine",
+    "x43_corpus_curation",
+    "x47_decontaminate",
+    "x48_term_redaction",
+    "x52_repetition_metrics",
+    "x53_source_quota",
+    "x54_chunk_overlap",
+    "x55_doc_frequency",
 )
 
 

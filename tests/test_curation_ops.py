@@ -1075,6 +1075,64 @@ def test_bm25_precomputed_stats_match_in_query_stats(spark):
     assert sorted(map(tuple, base)) == sorted(map(tuple, pre))
 
 
+def test_stored_bm25_serving_handles_degenerate_docs(spark, tmp_path):
+    """_stats must fold from the same pre-filter relation bm25_topk uses:
+    empty/whitespace-only texts split to [''] (dl=1, doc counted), so
+    n_docs/total_len include them — the bit-identical serving claim has
+    to hold on corpora containing degenerate docs."""
+    from pipeline_etl_website_visits_spark.operators.text import (
+        bm25_index_topk,
+        bm25_topk,
+        save_bm25_index,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "fast hash join wins"),
+            (2, "slow table scan"),
+            (3, "hash hash join"),
+            (4, ""),  # empty: split -> [''], dl=1
+            (5, "   "),  # whitespace-only: same
+        ],
+        "doc_id long, text string",
+    )
+    queries = {"q": "hash join", "q2": "table"}
+    direct = sorted(map(tuple, bm25_topk(df, "text", "doc_id", queries, k=5).collect()))
+    path = str(tmp_path / "bm25idx_degen")
+    save_bm25_index(df, path, tok_buckets=8)
+    served = sorted(map(tuple, bm25_index_topk(spark, path, queries, k=5).collect()))
+    assert direct == served
+    # the sidecar itself reflects the pre-filter relation
+    stats = spark.read.parquet(f"{path}/_stats").collect()[0]
+    assert stats["n_docs"] == 5
+    assert stats["total_len"] == 4 + 3 + 3 + 1 + 1
+
+
+def test_bm25_prefilter_tokenization_matches_join_path(spark):
+    """Query strings containing ASCII control chars Java \\s does NOT
+    treat as whitespace (\\x1c) must tokenize identically on the
+    array-prefilter and broadcast-join paths: 'a\\x1cb' is ONE term to
+    Spark's normalize_text, so the prefilter must not split it into
+    {a, b} and silently change match sets."""
+    from pipeline_etl_website_visits_spark.operators.text import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "alpha\x1cbeta gamma"), (2, "alpha beta gamma"), (3, "gamma delta")],
+        "doc_id long, text string",
+    )
+    queries = {"q": "alpha\x1cbeta", "q2": "gamma"}
+    pre = sorted(
+        map(tuple, bm25_topk(df, "text", "doc_id", queries, k=3, array_prefilter=True).collect())
+    )
+    join = sorted(
+        map(tuple, bm25_topk(df, "text", "doc_id", queries, k=3, array_prefilter=False).collect())
+    )
+    assert pre == join
+    # the control-char term matches doc 1 only (it is one token there)
+    q_hits = {r[1] for r in pre if r[0] == "q"}
+    assert q_hits == {1}
+
+
 def test_stored_dsir_profile_matches_inline(spark, tmp_path):
     """save_dsir_profile + dsir_scores_vs_profile == dsir_scores with the
     live target, bit-for-bit — the train-once / score-many contract.
@@ -1140,3 +1198,146 @@ def test_stored_dsir_weights_match_inline_when_reference_is_corpus(spark, tmp_pa
     inline = sorted(map(tuple, dsir_scores(corpus, target, buckets=64, portable_hash=True).collect()))
     frozen = sorted(map(tuple, dsir_scores_vs_weights(corpus, path).collect()))
     assert inline == frozen and len(frozen) == 3
+
+
+def test_mine_common_spans_exact_runs(spark):
+    """Gaps-and-islands run folding: exact longest-shared-run lengths and
+    maximal-run counts, including multiple alignments per pair and an
+    identical-doc pair; docs shorter than min_span never join."""
+    from pipeline_etl_website_visits_spark.operators.dedup import mine_common_spans
+
+    rows = [
+        (1, "a b c d e f g h i j"),
+        (2, "x x a b c d e f y y a b c d z"),  # runs of 6 and 4 vs doc 1
+        (3, "q w e r t y u i o p"),
+        (4, "a b c d e f g h i j"),  # identical to doc 1
+        (5, "a b c"),  # 3 tokens < min_span: no grams
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): (r["max_span_len"], r["n_spans"])
+        for r in mine_common_spans(df, "text", "doc_id", min_span=4).collect()
+    }
+    assert got == {(1, 2): (6, 2), (1, 4): (10, 1), (2, 4): (6, 2)}
+
+
+def test_mine_common_spans_stop_gram_cap(spark):
+    """max_gram_doc_freq drops boilerplate grams BEFORE the join: with the
+    shared gram present in more docs than the cap, the pair disappears —
+    the certified bound, not a silent truncation (the x174 oracle
+    replicates it)."""
+    from pipeline_etl_website_visits_spark.operators.dedup import mine_common_spans
+
+    rows = [(i, f"common run here now tail{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # 'common run here now' appears in all 5 docs
+    uncapped = mine_common_spans(df, "text", "doc_id", min_span=4, max_gram_doc_freq=None)
+    assert uncapped.count() == 10  # all C(5,2) pairs share the run
+    capped = mine_common_spans(df, "text", "doc_id", min_span=4, max_gram_doc_freq=4)
+    assert capped.count() == 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_span"):
+        mine_common_spans(df, "text", "doc_id", min_span=1)
+
+
+def test_lm_perplexity_matches_pure_python(spark):
+    """lm_perplexity_scores vs a row-at-a-time replica of the SAME
+    interpolated absolute-discount formula — exact integer agreement,
+    including unseen-bigram/seen-context backoff and unseen-context
+    continuation fallback."""
+    import math
+    from collections import Counter
+
+    from pipeline_etl_website_visits_spark.operators.text import lm_perplexity_scores
+
+    target_texts = ["the cat sat on the mat", "the cat ate the fish", "a dog sat"]
+    corpus = {
+        1: "the cat sat",          # all seen bigrams
+        2: "the dog ate the mat",  # unseen bigrams in seen contexts
+        3: "zebra quark flux",     # unseen contexts entirely
+        4: "x",                    # 1 token: omitted (no bigrams)
+    }
+    tgt = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(target_texts)], "tid long, text string"
+    )
+    cdf = spark.createDataFrame(
+        [(k, v) for k, v in corpus.items()], "doc_id long, text string"
+    )
+
+    # pure-python model
+    def bigrams(s):
+        t = s.split()
+        return list(zip(t, t[1:]))
+
+    c12 = Counter(bg for t in target_texts for bg in bigrams(t))
+    c1 = Counter()
+    nfwd = Counter()
+    nrev = Counter()
+    for (w1, w2), c in c12.items():
+        c1[w1] += c
+        nfwd[w1] += 1
+        nrev[w2] += 1
+    nbt = len(c12)
+    v = len({w for t in target_texts for w in t.split()})
+    S = nbt + v + 1
+
+    def logp(w1, w2):
+        if w1 in c1:
+            num = max(1000 * c12.get((w1, w2), 0) - 750, 0) * S + 750 * nfwd[w1] * (
+                nrev.get(w2, 0) + 1
+            )
+            den = 1000 * c1[w1] * S
+            return math.floor(math.log(num / den) * 1e6)
+        return math.floor(math.log((nrev.get(w2, 0) + 1) / S) * 1e6)
+
+    expect = {}
+    for did, txt in corpus.items():
+        bgs = bigrams(txt)
+        if bgs:
+            nll = -sum(logp(w1, w2) for w1, w2 in bgs)
+            expect[did] = (len(bgs), nll, nll // len(bgs))
+
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nll_micro"], r["avg_nll_micro"])
+        for r in lm_perplexity_scores(cdf, tgt).collect()
+    }
+    assert got == expect
+    # semantic: the in-domain doc is least perplexing
+    assert got[1][2] < got[2][2] < got[3][2]
+
+
+def test_stored_lm_model_matches_inline(spark, tmp_path):
+    """save_lm_model + lm_scores_vs_model == lm_perplexity_scores with the
+    live target, bit-for-bit — the train-once / score-many contract."""
+    from pipeline_etl_website_visits_spark.operators.text import (
+        lm_perplexity_scores,
+        lm_scores_vs_model,
+        save_lm_model,
+    )
+    from pipeline_etl_website_visits_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    target = docs.where(F.col("source") == "src0")
+    path = str(tmp_path / "lm_model")
+    save_lm_model(target, path)
+    inline = sorted(map(tuple, lm_perplexity_scores(docs, target).collect()))
+    served = sorted(map(tuple, lm_scores_vs_model(docs, path).collect()))
+    assert inline == served and len(inline) > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty LM model"):
+        import os
+
+        os.makedirs(str(tmp_path / "empty" / "consts"), exist_ok=True)
+        spark.createDataFrame([], "nbt long, v long").write.mode("overwrite").parquet(
+            str(tmp_path / "empty" / "consts")
+        )
+        for sub in ("c12", "c1", "rev"):
+            spark.createDataFrame([], "w1 string, w2 string, c12 long").write.mode(
+                "overwrite"
+            ).parquet(str(tmp_path / "empty" / sub))
+        lm_scores_vs_model(docs, str(tmp_path / "empty"))

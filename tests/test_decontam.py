@@ -314,6 +314,41 @@ def test_curate_corpus_dsir_gate(spark):
     assert kept == direct
 
 
+def test_curate_corpus_dsir_gate_passes_short_docs(spark):
+    """Docs with <2 tokens carry no bigram evidence: dsir_scores omits
+    them, and the domain gate must pass them through unconditionally
+    (the streaming twin's documented semantics) — not silently drop them
+    even at keep=1000."""
+    from pipeline_etl_website_visits_spark.curate import curate_corpus
+
+    rows = [
+        (0, "srcA", "spark shuffle broadcast join spark shuffle plan"),
+        (1, "srcA", "cats dogs weather lunch cats dogs weather lunch"),
+        (2, "srcA", "x"),  # one token: no bigrams
+        (3, "srcA", ""),  # empty: no bigrams
+    ]
+    corpus = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    target = spark.createDataFrame(
+        [(100, "spark shuffle broadcast join exchange plan")], "doc_id long, text string"
+    )
+
+    # keep=1000 keeps every SCORED doc; the unscored short docs must ride
+    # through too
+    out = curate_corpus(
+        corpus, None, dedup=False, dsir_target=target,
+        dsir_keep_per_mille=1000, pack_budget=None,
+    )
+    assert {r["doc_id"] for r in out["clean"].collect()} == {0, 1, 2, 3}
+
+    # at keep=500 the cut applies to the two scored docs only (the
+    # off-domain one goes); the short docs still pass
+    out2 = curate_corpus(
+        corpus, None, dedup=False, dsir_target=target,
+        dsir_keep_per_mille=500, pack_budget=None,
+    )
+    assert {r["doc_id"] for r in out2["clean"].collect()} == {0, 2, 3}
+
+
 def test_curate_corpus_report_funnel(spark):
     """report=True yields one (stage_ix, stage, n_docs) row per enabled
     stage, each count equal to independently recounting that stage's

@@ -937,3 +937,113 @@ def test_reciprocal_rank_fusion_rejects_zero_rank(spark):
     bad = spark.createDataFrame([("q", 1, 0)], "query_id string, doc_id long, rank int")
     with _pytest.raises(Exception, match="rank must be >= 1"):
         reciprocal_rank_fusion([bad], k=5).collect()
+
+
+def test_kmeans_integer_matches_pure_python(spark):
+    """kmeans_integer_summary vs a numpy replica of the SAME integer Lloyd
+    run (micro-quantization, exact int distances, floor-division centroid
+    means, first-min ties) — every count, label and centroid fingerprint
+    agrees exactly."""
+    import numpy as np
+
+    from pipeline_etl_website_visits_spark.operators.similarity import (
+        kmeans_integer_summary,
+    )
+
+    rng = np.random.RandomState(7)
+    centers = rng.standard_normal((3, 8)) * 2
+    rows = []
+    for i in range(60):
+        c = i % 3
+        rows.append(
+            (i, (centers[c] + rng.standard_normal(8) * 0.05).tolist(), int(c))
+        )
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>, label int")
+
+    k, iters = 3, 4
+    q = np.floor(np.asarray([r[1] for r in rows]) * 1e6).astype(np.int64)
+    cents = q[:k].copy()
+    for _ in range(iters):
+        d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        a = d.argmin(axis=1)
+        new = cents.copy()
+        for j in range(k):
+            mask = a == j
+            if mask.any():
+                new[j] = q[mask].sum(axis=0) // mask.sum()
+        cents = new
+    d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    a = d.argmin(axis=1)
+    expect = {}
+    for j in range(k):
+        mask = a == j
+        if mask.any():
+            labs = np.asarray([rows[i][2] for i in np.flatnonzero(mask)])
+            vals, cnts = np.unique(labs, return_counts=True)
+            top_i = np.lexsort((vals, -cnts))[0]
+            expect[j] = (
+                int(mask.sum()),
+                int(vals[top_i]),
+                int(cnts[top_i]),
+                int(np.abs(cents[j]).sum()),
+            )
+
+    got = {
+        r["cluster_id"]: (
+            r["n_members"], r["top_label"], r["top_label_n"], r["centroid_l1_micro"]
+        )
+        for r in kmeans_integer_summary(df, k=k, iters=iters).collect()
+    }
+    assert got == expect
+    # planted structure recovered: each cluster is label-pure
+    assert all(v[0] == v[2] for v in got.values())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="codebook contract"):
+        kmeans_integer_summary(df.filter(F.col("vec_id") >= 2), k=3)
+
+
+def test_semantic_dedup_codebook_matches_pure_python(spark):
+    """The codebook + rounded-threshold SemDeDup path (x96's certified
+    form) vs a numpy replica: codebook assignment (cosine argmax, ties to
+    the lowest centroid id) and within-cluster lower-id pruning on the
+    4-dp-rounded cosine."""
+    import numpy as np
+
+    from pipeline_etl_website_visits_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(11)
+    base = rng.standard_normal((20, 6))
+    vecs = base.copy()
+    vecs[7] = vecs[3] * 1.7          # exact duplicate direction of 3
+    vecs[15] = vecs[3] * 0.9 + 1e-4  # near-duplicate of 3
+    rows = [(i, vecs[i].tolist()) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    k, thr = 4, 0.95
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    c = m[:k]
+    a = (m @ c.T).argmax(axis=1)
+    expect_kept = set()
+    for j in range(k):
+        ids = np.flatnonzero(a == j)
+        mm = m[ids]
+        sims = np.round(mm @ mm.T, 4)
+        dup = (np.triu(sims, 1) > thr).any(axis=0)
+        expect_kept |= set(ids[~dup].tolist())
+
+    got = {
+        r["id"] for r in semantic_dedup(
+            df, k=k, threshold=thr, centroids="codebook", round_dp=4
+        ).collect()
+    }
+    assert got == expect_kept
+    assert 7 not in got or 3 not in got  # the planted dup pair collapsed
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="centroids must be"):
+        semantic_dedup(df, centroids="nope")
+    with _pytest.raises(ValueError, match="pca_k only applies"):
+        semantic_dedup(df, centroids="codebook", pca_k=2)

@@ -727,3 +727,65 @@ def test_stored_bm25_index_scan_is_partition_pruned(spark, tmp_path):
     direct = sorted(map(tuple, bm25_topk(docs, "text", "doc_id", {"q": "fast hash join"}, k=5).collect()))
     served = sorted(map(tuple, out.collect()))
     assert direct == served
+
+
+def test_served_hybrid_matches_inline_hybrid_exactly(spark, tmp_path, monkeypatch):
+    """x173 (both legs from stored indexes) is bit-identical to x165 (both
+    legs inline) — build+serve+fusion certified against the same values.
+    The scratch artifacts build under a temp dir so this test owns its
+    index lifecycle."""
+    import pipeline_etl_website_visits_spark.queries.llmops as llmops
+    from pipeline_etl_website_visits_spark.queries.registry import REGISTRY
+
+    real = llmops._scratch_path
+    monkeypatch.setattr(
+        llmops,
+        "_scratch_path",
+        lambda sf_dir, table, kind: str(tmp_path / f"{table}_{kind}"),
+    )
+    inline = sorted(map(tuple, REGISTRY["x165_hybrid_rrf"].spark(spark, SF_DIR).collect()))
+    served = sorted(
+        map(tuple, REGISTRY["x173_stored_hybrid_serving"].spark(spark, SF_DIR).collect())
+    )
+    assert inline == served
+    assert len(served) == 30  # 3 queries x top-10
+
+
+def test_new_similarity_queries_default_to_bounded_forms():
+    """Policy gate (VERDICT r10 item 8): the all-pairs/quadratic similarity
+    and dedup forms registered through round 10 are grandfathered as
+    exactness CERTIFICATES; any NEW query in those families must either
+    serve from a stored index / bounded plan (tag 'stored-index' or
+    'bounded') or explicitly declare itself a certificate (tag
+    'certificate'). Adding an untagged all-pairs similarity query fails
+    here by design — the bounded form is the default, the certificate the
+    exception."""
+    import pipeline_etl_website_visits_spark.queries  # noqa: F401
+    from pipeline_etl_website_visits_spark.queries.registry import REGISTRY
+
+    grandfathered = {
+        # similarity family, rounds 1-10
+        "x25_embed_cosine_topk", "x26_embed_ann_lsh", "x41_embed_ivf_topk",
+        "x42_dedup_embed_cosine", "x60_embed_kmeans", "x82_embed_pq_codes",
+        "x84_embed_pq_adc_topk", "x96_semantic_dedup", "x101_semantic_decontam",
+        "x106_label_centroids", "x117_stored_index_search", "x164_embed_pca",
+        "x165_hybrid_rrf",
+        # dedup family, rounds 1-10
+        "x21_dedup_exact", "x22_dedup_ngram_jaccard", "x23_dedup_minhash_lsh",
+        "x24_dedup_simhash", "x47_decontaminate", "x56_dedup_containment",
+        "x57_winnowing_fingerprints", "x69_adjacent_doc_jaccard",
+        "x71_dedup_clusters", "x85_incremental_dedup", "x86_dedup_pipeline",
+        "x112_dup_span_scrub", "x114_neardup_triangles", "x115_repetition_scrub",
+        "x122_stored_gram_dedup", "x131_source_overlap_matrix",
+    }
+    ok_tags = {"stored-index", "bounded", "certificate"}
+    offenders = [
+        name
+        for name, spec in REGISTRY.items()
+        if ({"similarity", "dedup"} & set(spec.tags))
+        and name not in grandfathered
+        and not (ok_tags & set(spec.tags))
+    ]
+    assert not offenders, (
+        f"new similarity/dedup queries must be bounded or tagged certificate: {offenders}"
+    )

@@ -803,3 +803,66 @@ def test_append_skip_existing_gates_replayed_and_mixed_batches(spark, emb, tmp_p
     # check: the default stays append-blind)
     assert append_to_ivfpq_index(b1.limit(10), p, applied_key="k3")
     assert sum(r["n_vectors"] for r in index_cell_stats(spark, p).collect()) == n2 + 10
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat (exact vectors per cell) — the dense half of served hybrid
+# retrieval (x173)
+# ---------------------------------------------------------------------------
+
+
+def test_ivfflat_full_probe_matches_cosine_topk_exactly(spark, emb, tmp_path):
+    """Full-probe IVF-Flat search is bit-identical to cosine_topk over the
+    original corpus — it delegates to that kernel over the stored float64
+    vectors (exact float->double widening), so the certificate transfers."""
+    from pipeline_etl_website_visits_spark.operators.similarity import cosine_topk
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        build_ivfflat_index,
+        ivfflat_search,
+    )
+
+    path = str(tmp_path / "flat_idx")
+    out = build_ivfflat_index(emb, path, num_coarse=4)
+    assert set(out) == {"vectors", "meta"}
+    queries = emb.filter(F.col("vec_id") < 10)
+    stored = ivfflat_search(spark, path, queries, k=5, with_rank=True)
+    direct = cosine_topk(queries, emb, k=5, with_rank=True)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(stored) == key(direct)
+
+
+def test_ivfflat_pruned_search_reads_only_probed_cells(spark, emb, tmp_path):
+    """nprobe=1: the stored-vectors scan carries a cell partition filter
+    (only the probed cells' dirs are read) and still returns k rows per
+    query drawn from those cells."""
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        build_ivfflat_index,
+        ivfflat_search,
+    )
+
+    path = str(tmp_path / "flat_idx_pruned")
+    build_ivfflat_index(emb, path, num_coarse=4)
+    queries = emb.filter(F.col("vec_id") < 3)
+    res = ivfflat_search(spark, path, queries, k=5, nprobe=1)
+    plan = res._jdf.queryExecution().executedPlan().toString()
+    scans = [l for l in plan.splitlines() if "FileScan parquet" in l]
+    assert scans, plan
+    for s in scans:
+        pf = s.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+        # single-cell isin folds to an equality predicate; either way the
+        # filter sits in PartitionFilters (pruned dirs), not DataFilters
+        assert "cell#" in pf and ("IN" in pf or " = " in pf), plan
+    got = res.collect()
+    assert {r["query_id"] for r in got} == {0, 1, 2}
+    assert all(1 <= len([r for r in got if r["query_id"] == q]) <= 5 for q in (0, 1, 2))
+
+
+def test_ivfflat_build_requires_coarse_ids(spark, emb, tmp_path):
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        build_ivfflat_index,
+    )
+
+    with pytest.raises(ValueError, match="coarse contract"):
+        build_ivfflat_index(
+            emb.filter(F.col("vec_id") >= 2), str(tmp_path / "bad"), num_coarse=4
+        )
