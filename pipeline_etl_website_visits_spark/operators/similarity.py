@@ -72,8 +72,15 @@ def cosine_topk(
     k: int = 5,
     use_arrow: bool = True,
     with_rank: bool = False,
+    precollected_queries: list | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors of each query among the candidates.
+
+    ``precollected_queries``: (id, vec) rows the CALLER already collected
+    — the serving fast path (ivfflat_search collects its query side once
+    for probe planning; re-collecting even a 3-row LocalRelation costs
+    ~0.7 s of job machinery). When set, ``queries`` is ignored for
+    scoring; the same driver-size guard still applies.
 
     Output: (query_id, neighbor_id, sim) with sim rounded to 4 dp; ranking
     uses the unrounded similarity, ties broken by neighbor id.
@@ -101,10 +108,15 @@ def cosine_topk(
         # set fails fast with a clear contract error instead of OOMing the
         # driver mid-collect. (limit() costs nothing extra: the collect was
         # happening anyway.)
-        probe = queries.select(F.col(vec_col)).head(1)
-        dim = len(probe[0][0]) if probe else 1
-        max_q = MAX_DRIVER_STATE_BYTES // (8 * max(dim, 1))
-        qrows = queries.select(F.col(id_col), F.col(vec_col)).limit(max_q + 1).collect()
+        if precollected_queries is not None:
+            qrows = list(precollected_queries)
+            dim = len(qrows[0][1]) if qrows else 1
+            max_q = MAX_DRIVER_STATE_BYTES // (8 * max(dim, 1))
+        else:
+            probe = queries.select(F.col(vec_col)).head(1)
+            dim = len(probe[0][0]) if probe else 1
+            max_q = MAX_DRIVER_STATE_BYTES // (8 * max(dim, 1))
+            qrows = queries.select(F.col(id_col), F.col(vec_col)).limit(max_q + 1).collect()
         if len(qrows) > max_q:
             raise ValueError(
                 f"cosine_topk query set exceeds {max_q} rows at dim={dim} — it "

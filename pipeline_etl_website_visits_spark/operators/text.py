@@ -18,7 +18,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
-from pipeline_etl_website_visits_spark.functions import ratio_round
+from pipeline_etl_website_visits_spark.functions import ratio_round, xxhash64_long
 from pipeline_etl_website_visits_spark.operators.dedup import fingerprint, normalize_text  # noqa: F401
 
 # Marker words per language for the n-gram heuristic. Spaces around each
@@ -2385,7 +2385,18 @@ def save_bm25_index(
         .agg(F.count("*").cast("long").alias("tf"))
         .withColumn("tok_bucket", F.pmod(F.xxhash64("token"), F.lit(tok_buckets)).cast("int"))
     )
-    postings.write.mode("overwrite").partitionBy("tok_bucket").parquet(path)
+    # cluster each bucket into ONE writer task (a naive partitionBy write
+    # fans every task across every bucket dir: tasks x buckets small
+    # files — at 100 TB a listing/IO disaster, at bench scale ~0.4 s of
+    # per-query footer reads), and sort postings by token inside the file
+    # so the serve-time token filter prunes row groups via min/max stats
+    (
+        postings.repartition(tok_buckets, "tok_bucket")
+        .sortWithinPartitions("token", "doc_id")
+        .write.mode("overwrite")
+        .partitionBy("tok_bucket")
+        .parquet(path)
+    )
     # Stats fold from the PRE-explode, PRE-filter relation — exactly the
     # relation bm25_topk derives (n_docs, total_len) from: every doc counts
     # (an empty/whitespace-only text still splits to [''], dl=1), so the
@@ -2398,6 +2409,36 @@ def save_bm25_index(
     stats.coalesce(1).write.mode("overwrite").parquet(f"{path}/_stats")
 
 
+# (path, stats-file mtime_ns) -> (n_docs, total_len, tok_buckets): a
+# serving process loads an index's 1-row sidecar once, like a FAISS
+# handle caches its header — mtime keying makes a rebuilt index a cache
+# miss, never a stale read
+_BM25_SIDECAR_CACHE: dict[tuple, tuple[int, int, int]] = {}
+
+
+def _bm25_index_stats(path: str) -> tuple[int, int, int]:
+    """Read the ``_stats`` sidecar DRIVER-SIDE (pyarrow — a 1-row local
+    parquet needs no Spark job; the serving hot path was paying ~0.4 s of
+    job overhead per query batch for it), memoized per (path, mtime)."""
+    import glob as _glob
+    import os as _os
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(_glob.glob(_os.path.join(path, "_stats", "*.parquet")))
+    if not files:
+        raise ValueError(f"BM25 index at {path} has no _stats sidecar")
+    key = (path, _os.stat(files[0]).st_mtime_ns)
+    hit = _BM25_SIDECAR_CACHE.get(key)
+    if hit is None:
+        t = _pq.read_table(files[0]).to_pylist()
+        if not t:
+            raise ValueError(f"BM25 index at {path} has an empty _stats sidecar")
+        hit = (int(t[0]["n_docs"]), int(t[0]["total_len"]), int(t[0]["tok_buckets"]))
+        _BM25_SIDECAR_CACHE[key] = hit
+    return hit
+
+
 def bm25_index_topk(
     spark: SparkSession,
     path: str,
@@ -2407,25 +2448,20 @@ def bm25_index_topk(
     b_milli: int = 750,
 ) -> DataFrame:
     """Serve BM25 top-``k`` from a STORED index (:func:`save_bm25_index`):
-    the query terms' buckets are resolved once (a ≤|terms|-row driver
-    job using the same JVM hash as the writer), the postings scan is
-    PARTITION-PRUNED to those buckets plus a pushed token filter, and
-    scoring is the exact integer scheme of :func:`bm25_topk` — output is
-    bit-identical to scoring the original corpus (x172's oracle is
-    x163's, verbatim). Corpus cost at serve time: zero.
+    the query terms' buckets are resolved on the DRIVER (the tested
+    pure-Python twin of the writer's xxhash64 — zero Spark jobs; JVM
+    fallback for non-ASCII terms), the corpus stats come from the
+    memoized sidecar, the postings scan is PARTITION-PRUNED to those
+    buckets plus a pushed token filter, and scoring is the exact integer
+    scheme of :func:`bm25_topk` — output is bit-identical to scoring the
+    original corpus (x172's oracle is x163's, verbatim). Corpus cost at
+    serve time: zero; driver cost: O(query terms).
     """
     from pyspark.sql import Window
 
     if not queries:
         raise ValueError("queries must be a non-empty {query_id: text} dict")
-    stats_row = spark.read.parquet(f"{path}/_stats").collect()
-    if not stats_row:
-        raise ValueError(f"BM25 index at {path} has no _stats sidecar")
-    n_docs, total_len, tok_buckets = (
-        int(stats_row[0]["n_docs"]),
-        int(stats_row[0]["total_len"]),
-        int(stats_row[0]["tok_buckets"]),
-    )
+    n_docs, total_len, tok_buckets = _bm25_index_stats(path)
 
     qdf = spark.createDataFrame(
         [(qid, qtext) for qid, qtext in sorted(queries.items())], "query_id string, qtext string"
@@ -2435,19 +2471,46 @@ def bm25_index_topk(
         .where(F.col("term") != "")
         .distinct()
     )
-    # resolve term buckets with the SAME JVM hash the writer used —
-    # bounded driver job (one row per distinct query term)
-    term_rows = (
-        qterms.select("term")
-        .distinct()
-        .withColumn("tok_bucket", F.pmod(F.xxhash64("term"), F.lit(tok_buckets)).cast("int"))
-        .collect()
-    )
-    terms = [r["term"] for r in term_rows]
-    bucket_list = sorted({r["tok_bucket"] for r in term_rows})
+    # resolve term buckets with the SAME hash the writer used — on the
+    # DRIVER, zero Spark jobs (functions.xxhash64_long is the tested
+    # pure-Python twin of the JVM xxhash64; Python % == Spark pmod for a
+    # positive modulus). Requires Python tokenization parity with
+    # normalize_text — the bm25_topk prefilter regex + ASCII lower — so
+    # non-ASCII query terms keep the JVM resolution path.
+    import re as _re
 
+    py_terms = sorted(
+        {
+            t
+            for q in queries.values()
+            for t in _re.split(r"[ \t\n\x0b\f\r]+", q.strip(" ").lower())
+            if t
+        }
+    )
+    if py_terms and all(t.isascii() for t in py_terms):
+        terms = py_terms
+        bucket_list = sorted({xxhash64_long(t) % tok_buckets for t in terms})
+    else:
+        term_rows = (
+            qterms.select("term")
+            .distinct()
+            .withColumn("tok_bucket", F.pmod(F.xxhash64("term"), F.lit(tok_buckets)).cast("int"))
+            .collect()
+        )
+        terms = [r["term"] for r in term_rows]
+        bucket_list = sorted({r["tok_bucket"] for r in term_rows})
+
+    # scope the read to the probed bucket DIRECTORIES (basePath keeps the
+    # partition column): the file index never lists the other buckets'
+    # files — with 64 buckets that is ~85% of the listing skipped before
+    # the partition filter even applies (the filter stays on as the
+    # plan-visible pruning contract)
     postings = (
-        spark.read.parquet(path)
+        spark.read.option("basePath", path)
+        # explicit schema: serving must not pay footer-inference over the
+        # probed files on every query batch
+        .schema("doc_id long, dl long, token string, tf long, tok_bucket int")
+        .parquet(*[f"{path}/tok_bucket={b}" for b in bucket_list])
         .where(F.col("tok_bucket").isin(bucket_list))
         .where(F.col("token").isin(terms))
         .select("doc_id", "dl", F.col("token").alias("term"), "tf")

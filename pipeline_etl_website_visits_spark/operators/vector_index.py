@@ -586,6 +586,36 @@ def gc_ivfpq_generations(path: str) -> list[str]:
 
 _FLAT_PARAM_NAMES = ("num_coarse", "dim", "quant_scale")
 
+# (path, meta mtime_ns) -> (params, quantized coarse matrix): the serving
+# handle loads the tiny meta table once per index incarnation — pyarrow,
+# driver-side, zero Spark jobs (the FAISS-handle discipline; mtime keying
+# makes a rebuild a cache miss)
+_FLAT_META_CACHE: dict[tuple, tuple[dict, "np.ndarray"]] = {}
+
+
+def _ivfflat_meta(path: str):
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    files = sorted(_glob.glob(os.path.join(path, "meta", "*.parquet")))
+    if not files:
+        raise ValueError(f"no committed IVF-Flat meta at {path}")
+    key = (path, os.stat(files[0]).st_mtime_ns)
+    hit = _FLAT_META_CACHE.get(key)
+    if hit is None:
+        meta = [r for f in files for r in _pq.read_table(f).to_pylist()]
+        p = {
+            _FLAT_PARAM_NAMES[r["idx"]]: int(r["vec"][0])
+            for r in meta
+            if r["kind"] == "param"
+        }
+        coarse_rows = sorted((r for r in meta if r["kind"] == "coarse"), key=lambda r: r["idx"])
+        coarse_q = pq_quantize_rows([r["vec"] for r in coarse_rows], p["quant_scale"])
+        hit = (p, coarse_q)
+        _FLAT_META_CACHE[key] = hit
+    return hit
+
 
 def build_ivfflat_index(
     vectors: DataFrame,
@@ -638,9 +668,14 @@ def build_ivfflat_index(
 
     vec_dir = os.path.join(path, "vectors")
     meta_dir = os.path.join(path, "meta")
+    # cluster each cell into one writer task (the save_bm25_index
+    # discipline: a naive partitionBy write fans tasks x cells small
+    # files); sort by id inside the file for stable scans
     (
         vectors.select(id_col, vec_col)
         .mapInPandas(encode, f"{id_col} long, cell int, vec array<double>")
+        .repartition(num_coarse, "cell")
+        .sortWithinPartitions(id_col)
         .write.mode("overwrite")
         .partitionBy("cell")
         .parquet(vec_dir)
@@ -680,12 +715,8 @@ def ivfflat_search(
     """
     from pipeline_etl_website_visits_spark.operators.similarity import cosine_topk
 
-    mdf = spark.read.parquet(os.path.join(path, "meta"))
-    meta = mdf.collect()
-    p = {_FLAT_PARAM_NAMES[r["idx"]]: int(r["vec"][0]) for r in meta if r["kind"] == "param"}
+    p, coarse_q = _ivfflat_meta(path)
     num_coarse, quant_scale = p["num_coarse"], p["quant_scale"]
-    coarse_rows = sorted((r for r in meta if r["kind"] == "coarse"), key=lambda r: r["idx"])
-    coarse_q = pq_quantize_rows([r["vec"] for r in coarse_rows], quant_scale)
 
     q_rows = queries.select(id_col, vec_col).collect()
     _guard_driver_bytes("ivfflat_search query set", len(q_rows), p["dim"])
@@ -696,29 +727,41 @@ def ivfflat_search(
     groups: dict[tuple, list] = {}
     for qi, r in enumerate(q_rows):
         cells = tuple(sorted(int(c) for c in cell_ids[np.lexsort((cell_ids, cdist[qi]))][:npb]))
-        groups.setdefault(cells, []).append(r[id_col])
+        groups.setdefault(cells, []).append(r)
 
-    raw = spark.read.parquet(os.path.join(path, "vectors"))
-    str_cells = isinstance(raw.schema["cell"].dataType, StringType)
+    vec_dir = os.path.join(path, "vectors")
 
     legs = []
-    for cells, qids in sorted(groups.items()):
+    for cells, grp_rows in sorted(groups.items()):
+        # scope the read to the probed cell DIRECTORIES (basePath keeps
+        # the partition column; the isin filter stays on as the
+        # plan-visible pruning contract — save_bm25_index discipline)
+        raw = (
+            spark.read.option("basePath", vec_dir)
+            # explicit schema: no footer inference on the serving path
+            .schema(f"{id_col} long, vec array<double>, cell int")
+            .parquet(*[f"{vec_dir}/cell={c}" for c in cells])
+        )
         cell_filter = (
             F.col("cell").isin([str(c) for c in cells])
-            if str_cells
+            if isinstance(raw.schema["cell"].dataType, StringType)
             else F.col("cell").isin(list(cells))
         )
         cand = raw.filter(cell_filter).select(
             F.col(id_col), F.col("vec").alias(vec_col)
         )
+        # hand the kernel the ALREADY-COLLECTED group rows: re-collecting
+        # even a tiny query relation costs ~0.7 s of job machinery per
+        # probe group (the serving fast path in cosine_topk)
         legs.append(
             cosine_topk(
-                queries.filter(F.col(id_col).isin(qids)),
+                queries,
                 cand,
                 vec_col=vec_col,
                 id_col=id_col,
                 k=k,
                 with_rank=with_rank,
+                precollected_queries=[(r[id_col], r[vec_col]) for r in grp_rows],
             )
         )
     out = legs[0]
