@@ -168,28 +168,91 @@ def x22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# X3 — MinHash + banded LSH (hash-based; no SQL oracle → rows-only check)
+# X3 — MinHash + banded LSH. Certified through the portable md5-u48 hash
+# family (any fixed family gives a valid MinHash; the operator default
+# stays JVM-fast xxhash64) — band collisions, the candidate set, the
+# exact-Jaccard verification and the rounding all replay in SQL, so the
+# whole LSH pipeline is hash-certified (was rows-only through r10).
 # --------------------------------------------------------------------------
+_MINHASH_U48 = "CAST(('0x' || substring(md5({expr}), 1, 12)) AS BIGINT)"
+
+
 @query(
     "x23_dedup_minhash_lsh",
-    oracle=None,
-    certifies="X3 MinHash LSH near-dup (SURVEY §2.11); xxhash64 family not oracle-expressible",
-    tags=("llm", "dedup", "no-oracle"),
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(lst) - 1),
+               i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]))) AS gram
+      FROM (SELECT doc_id, {_TOKS} AS lst FROM documents)
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM g GROUP BY doc_id),
+    sig AS (
+      SELECT doc_id, s.i AS i,
+             MIN({_MINHASH_U48.format(expr="CAST(s.i AS VARCHAR) || '|' || gram")}) AS h
+      FROM g CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) s
+      GROUP BY doc_id, s.i
+    ),
+    band AS (
+      SELECT doc_id, CAST(i // 4 AS INT) AS band,
+             {_MINHASH_U48.format(expr="string_agg(CAST(h AS VARCHAR), ',' ORDER BY i)")} AS bh
+      FROM sig GROUP BY doc_id, i // 4
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM band a JOIN band b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM cand c
+      JOIN g ga ON ga.doc_id = c.doc_a
+      JOIN g gb ON gb.doc_id = c.doc_b AND gb.gram = ga.gram
+      GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(((inter * 2000 + (sa.sz + sb.sz - inter)) // (2 * (sa.sz + sb.sz - inter))) / 1000.0 AS DOUBLE) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {_JACCARD_THRESHOLD}
+    ORDER BY doc_a, doc_b
+    """,
+    certifies="X3 MinHash + banded LSH near-dup: 32-hash signatures, 8-band collision candidates, exact-Jaccard verification — hash-certified end-to-end through the portable md5-u48 family (was rows-only through r10; operator default stays xxhash64, the x57/x166 certificate discipline)",
+    tags=("llm", "dedup", "certificate"),
 )
 def x23(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.minhash_lsh_pairs(docs, "text", "doc_id", verify_threshold=_JACCARD_THRESHOLD)
+    return D.minhash_lsh_pairs(
+        docs, "text", "doc_id", verify_threshold=_JACCARD_THRESHOLD, portable_hash=True
+    )
 
 
 @query(
     "x24_dedup_simhash",
-    oracle=None,
-    certifies="X3 SimHash fingerprint (SURVEY §2.11); xxhash64-based",
-    tags=("llm", "dedup", "no-oracle"),
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split({_NORM}, ' ')) AS tok FROM documents
+    ),
+    tc AS (
+      SELECT doc_id, th, CAST(COUNT(*) AS BIGINT) AS w FROM (
+        SELECT doc_id, {_MINHASH_U48.format(expr="tok")} AS th FROM toks
+      ) GROUP BY doc_id, th
+    ),
+    bits AS (
+      SELECT doc_id, b.b AS b, SUM((((th >> b.b) & 1) * 2 - 1) * w) AS s
+      FROM tc CROSS JOIN (SELECT unnest(generate_series(0, 47)) AS b) b
+      GROUP BY doc_id, b.b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS simhash
+    FROM bits GROUP BY doc_id ORDER BY doc_id
+    """,
+    certifies="X3 SimHash fingerprint: weighted sign-bit aggregation, hash-certified through the portable 48-bit md5-u48 family (was rows-only through r10; operator default stays 64-bit xxhash64) — exact integer bit algebra replays in SQL",
+    tags=("llm", "dedup", "certificate"),
 )
 def x24(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return D.simhash(docs, "text", "doc_id")
+    return D.simhash(docs, "text", "doc_id", portable_hash=True)
 
 
 # --------------------------------------------------------------------------

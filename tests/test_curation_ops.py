@@ -1341,3 +1341,61 @@ def test_stored_lm_model_matches_inline(spark, tmp_path):
                 "overwrite"
             ).parquet(str(tmp_path / "empty" / sub))
         lm_scores_vs_model(docs, str(tmp_path / "empty"))
+
+
+def test_portable_minhash_recall_and_exactness(spark):
+    """The portable (md5-u48) MinHash-LSH path: every emitted pair is an
+    exact-Jaccard-verified true pair at the threshold, and the planted
+    near-duplicate is recalled. The hash FAMILY differs from the xxhash64
+    default so candidate sets may differ — the verification contract and
+    the certificate (x23's oracle) are what's pinned."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [
+        (1, base),
+        (2, base + " extra"),  # near-dup of 1
+        (3, "totally different words with no shared grams at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in D.minhash_lsh_pairs(
+            df, "text", "doc_id", verify_threshold=0.2, portable_hash=True
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.2
+    assert all(3 not in pair for pair in got)
+
+    import pytest as _pytest
+
+    idx = D.gram_index(df, "text", "doc_id", n=3)
+    with _pytest.raises(ValueError, match="portable_hash requires raw grams"):
+        D.minhash_lsh_pairs(df, "text", "doc_id", grams=idx, portable_hash=True)
+
+
+def test_portable_simhash_matches_pure_python(spark):
+    """48-bit portable SimHash vs a hand rollup of the same bit algebra
+    (md5-u48 token hashes, multiplicity weights, sum>0 bit rule)."""
+    import hashlib
+
+    rows = [(1, "a a b"), (2, "x y z z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def u48(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:12], 16)
+
+    expect = {}
+    for did, text in rows:
+        from collections import Counter
+
+        w = Counter(text.split())
+        h = 0
+        for b in range(48):
+            s = sum((((u48(t) >> b) & 1) * 2 - 1) * c for t, c in w.items())
+            if s > 0:
+                h |= 1 << b
+        expect[did] = h
+    got = {
+        r["doc_id"]: r["simhash"]
+        for r in D.simhash(df, "text", "doc_id", portable_hash=True).collect()
+    }
+    assert got == expect
