@@ -318,28 +318,47 @@ def ivf_topk(
     k: int = 5,
     num_centroids: int = 16,
     nprobe: int = 4,
+    centroids: str = "sample",
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the LSH alternative that scales
     recall with ``nprobe`` instead of hyperplane count.
 
-    Centroids here are a deterministic strided sample of the candidate set
-    (every N/num_centroids-th vector by id) — production would run seeded
-    k-means; the *join shape* (the part that matters at 100 TB) is
-    identical: candidates partitioned by nearest-centroid id, queries probe
-    their ``nprobe`` nearest lists, and only those partitions are scanned.
-    With the candidate table written out partitioned by ``centroid_id``,
+    Centroids are a deterministic strided sample of the candidate set by
+    default (``centroids="sample"``: hash-ordered take — production would
+    run seeded k-means), or the deterministic codebook contract
+    (``centroids="codebook"``: rows ``id < num_centroids``, the IVF-PQ
+    stand-in — the SQL-replayable form x41's oracle certifies). Either
+    way the *join shape* (the part that matters at 100 TB) is identical:
+    candidates partitioned by nearest-centroid id, queries probe their
+    ``nprobe`` nearest lists, and only those partitions are scanned. With
+    the candidate table written out partitioned by ``centroid_id``,
     probing prunes partitions at the storage layer.
     """
-    # Deterministic pseudo-random sample with NO count job: order by the
-    # 64-bit hash of the id and take the first num_centroids — Spark plans
-    # TakeOrderedAndProject (per-partition partial top-k, then a k-row merge
-    # on the driver), so no global sort and no extra pass over the data.
-    sampled = (
-        candidates.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
-        .limit(num_centroids)
-    )
-    centroid_rows = sampled.select(vec_col).collect()
+    if centroids not in ("sample", "codebook"):
+        raise ValueError(f"centroids must be 'sample' or 'codebook', got {centroids!r}")
+    if centroids == "codebook":
+        rows = (
+            candidates.filter(F.col(id_col) < num_centroids)
+            .select(F.col(id_col).alias("mid"), F.col(vec_col).alias("mvec"))
+            .collect()
+        )
+        if len(rows) < num_centroids:
+            raise ValueError(
+                f"ivf codebook contract needs ids 0..{num_centroids - 1}; got {len(rows)}"
+            )
+        rows.sort(key=lambda r: r["mid"])
+        centroid_rows = [(r["mvec"],) for r in rows]
+    else:
+        # Deterministic pseudo-random sample with NO count job: order by the
+        # 64-bit hash of the id and take the first num_centroids — Spark plans
+        # TakeOrderedAndProject (per-partition partial top-k, then a k-row merge
+        # on the driver), so no global sort and no extra pass over the data.
+        sampled = (
+            candidates.select(id_col, vec_col)
+            .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
+            .limit(num_centroids)
+        )
+        centroid_rows = sampled.select(vec_col).collect()
     centroids = np.asarray([r[0] for r in centroid_rows], dtype=np.float64)
     if centroids.size:
         _guard_driver_bytes("ivf centroid matrix", centroids.shape[0], centroids.shape[1])
@@ -357,7 +376,9 @@ def ivf_topk(
         m = np.asarray(vecs.tolist(), dtype=np.float64)
         m_norm = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
         sims = m_norm @ c_norm.T
-        order = np.argsort(-sims, axis=1)[:, :nprobe].astype("int32")
+        # stable sort: equal sims break to the LOWER centroid id — the
+        # oracle's (sim DESC, cid ASC) window rule
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype("int32")
         return pd.Series(list(order))
 
     q = queries.select(

@@ -527,14 +527,56 @@ def x40(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x41_embed_ivf_topk",
-    oracle=None,
-    certifies="X3 IVF approximate similarity (nprobe-tunable recall; deterministic strided centroids)",
-    tags=("llm", "similarity", "no-oracle"),
+    oracle=f"""
+    WITH cents AS (
+      SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv FROM embeddings WHERE vec_id < 16
+    ),
+    vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM vecs WHERE vec_id < {_TOPK_QUERY_IDS}),
+    asg AS (
+      SELECT vec_id AS neighbor_id, cid AS centroid_id FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
+                 list_dot_product(v.v, c.cv)
+                   / (sqrt(list_dot_product(v.v, v.v)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                 c.cid) AS rn
+        FROM vecs v CROSS JOIN cents c
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, cid AS centroid_id FROM (
+        SELECT q.query_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 list_dot_product(q.qv, c.cv)
+                   / (sqrt(list_dot_product(q.qv, q.qv)) * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                 c.cid) AS rn
+        FROM q CROSS JOIN cents c
+      ) WHERE rn <= 4
+    ),
+    sims AS (
+      SELECT p.query_id, a.neighbor_id,
+             list_dot_product(qq.qv, vv.v)
+               / (sqrt(list_dot_product(qq.qv, qq.qv)) * sqrt(list_dot_product(vv.v, vv.v))) AS sim_raw
+      FROM probes p
+      JOIN asg a USING (centroid_id)
+      JOIN q qq ON qq.query_id = p.query_id
+      JOIN vecs vv ON vv.vec_id = a.neighbor_id
+      WHERE a.neighbor_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id) AS rn
+      FROM sims
+    ) WHERE rn <= {_TOPK_K} ORDER BY query_id, neighbor_id
+    """,
+    certifies="X3 IVF approximate similarity (nprobe-tunable recall) — hash-certified via the deterministic-codebook quantizer + rounded-cosine discipline (was rows-only through r10); assignment, probe set, pruned candidate join and final ranking all replay in SQL",
+    tags=("llm", "similarity", "certificate"),
 )
 def x41(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _TOPK_QUERY_IDS)
-    return S.ivf_topk(queries, emb, k=_TOPK_K, num_centroids=16, nprobe=4)
+    return S.ivf_topk(
+        queries, emb, k=_TOPK_K, num_centroids=16, nprobe=4, centroids="codebook"
+    )
 
 
 # --------------------------------------------------------------------------

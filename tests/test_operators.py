@@ -1047,3 +1047,43 @@ def test_semantic_dedup_codebook_matches_pure_python(spark):
         semantic_dedup(df, centroids="nope")
     with _pytest.raises(ValueError, match="pca_k only applies"):
         semantic_dedup(df, centroids="codebook", pca_k=2)
+
+
+def test_ivf_topk_codebook_matches_pure_python(spark):
+    """The codebook-centroid IVF path (x41's certified form): assignment
+    and probe sets from cosine argmax against rows id<k, candidates only
+    from probed lists, exact cosine ranking — vs a numpy replica."""
+    import numpy as np
+
+    from pipeline_etl_website_visits_spark.operators.similarity import ivf_topk
+
+    rng = np.random.RandomState(3)
+    vecs = rng.standard_normal((40, 8))
+    rows = [(i, vecs[i].tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = df.filter(F.col("vec_id") < 3)
+
+    k, nc, nprobe, topk = 3, 4, 2, 5
+    m = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    c = m[:nc]
+    asg = (m @ c.T).argmax(axis=1)
+    expect = {}
+    for qid in range(3):
+        probes = np.argsort(-(m[qid] @ c.T), kind="stable")[:nprobe]
+        cand = [i for i in range(40) if asg[i] in probes and i != qid]
+        sims = [(float(m[qid] @ m[i]), i) for i in cand]
+        sims.sort(key=lambda t: (-t[0], t[1]))
+        expect[qid] = [(i, round(s, 4)) for s, i in sims[:topk]]
+    got = {}
+    for r in ivf_topk(queries, df, k=topk, num_centroids=nc, nprobe=nprobe, centroids="codebook").collect():
+        got.setdefault(r["query_id"], []).append((r["neighbor_id"], r["sim"]))
+    for qid in got:
+        got[qid].sort(key=lambda t: (-t[1], t[0]))
+    assert got == expect
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="codebook contract"):
+        ivf_topk(queries, df.filter(F.col("vec_id") >= 2), k=2, num_centroids=4, centroids="codebook")
+    with _pytest.raises(ValueError, match="centroids must be"):
+        ivf_topk(queries, df, centroids="nope")
