@@ -148,3 +148,76 @@ def triangle_count(edges: DataFrame, a_col: str = "a", b_col: str = "b") -> Data
     return spark.createDataFrame(
         [row], "n_nodes long, n_edges long, n_triangles long"
     )
+
+
+def pagerank_integer(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping_milli: int = 850,
+    iters: int = 5,
+) -> DataFrame:
+    """Power-iteration PageRank in EXACT integer micro-units — the
+    SQL-replayable certificate form (the x60 integer-geometry discipline
+    applied to the graph iteration; x98 was rows-only through r10).
+
+    Ranks live in micro-units (init 1_000_000 per node); each iteration:
+
+        contrib(u→v) = rank_micro(u) div out_degree(u)      -- int floor
+        rank_micro(v) = (1000 - d)·1000
+                        + (d · Σ contrib) div 1000           -- d in milli
+
+    Every quantity is a non-negative int64 (rank mass only shrinks from
+    the leaks: dangling nodes and the two floor divisions), so float
+    summation order cannot perturb a single rank and an unrolled SQL
+    twin replays the run digit-for-digit. Same relative-ranking use as
+    :func:`pagerank`; the float form keeps the textbook mass semantics.
+    Output: (node, rank_micro long).
+    """
+    sc = edges.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    e = e.checkpoint(eager=True) if reliable else e.localCheckpoint(eager=True)
+    nodes = e.select(F.col("src").alias("node")).union(
+        e.select(F.col("dst").alias("node"))
+    ).distinct()
+    out_deg = e.groupBy("src").agg(F.count("*").cast("long").alias("deg"))
+    weighted = e.join(out_deg, "src").cache()
+    ranks = nodes.select("node", F.lit(1_000_000).cast("long").alias("rank_micro"))
+    base = int((1000 - damping_milli) * 1000)
+
+    try:
+        for it in range(iters):
+            contribs = (
+                weighted.join(ranks, weighted.src == ranks.node, "inner")
+                .select(
+                    F.col("dst").alias("node"),
+                    F.expr("rank_micro div deg").cast("long").alias("c"),
+                )
+                .groupBy("node")
+                .agg(F.sum("c").cast("long").alias("in_mass"))
+            )
+            ranks = (
+                ranks.select("node")
+                .join(contribs, "node", "left")
+                .select(
+                    "node",
+                    (
+                        F.lit(base)
+                        + F.expr(
+                            f"({damping_milli} * coalesce(in_mass, 0)) div 1000"
+                        )
+                    )
+                    .cast("long")
+                    .alias("rank_micro"),
+                )
+            )
+            if it % 2 == 1 or it == iters - 1:
+                ranks = (
+                    ranks.checkpoint(eager=True)
+                    if reliable
+                    else ranks.localCheckpoint(eager=True)
+                )
+    finally:
+        weighted.unpersist()
+    return ranks

@@ -222,12 +222,18 @@ def _bucket_udf(planes: list[list[float]]):
     return bucket
 
 
-def _bucket_udf_lazy(num_planes: int, seed: int):
+def _bucket_udf_lazy(num_planes: int, seed: int, quantized: bool = False):
     """Same sign-bit bucketing, but the hyperplanes are derived INSIDE the
     UDF from the first batch's vector width. Planes depend only on
     (dim, num_planes, seed), so every worker derives the identical matrix —
     and the caller saves the driver-side ``first()`` probe job (one fewer
-    Spark action per query)."""
+    Spark action per query).
+
+    ``quantized``: vectors AND planes floor to integer micros before the
+    sign test, so every dot product is an exact int64 and the bucket id
+    replays in SQL with zero float risk (the x60 integer-geometry
+    discipline; quantized hyperplanes are still valid LSH hyperplanes).
+    The default keeps raw float64 planes."""
     state: dict = {}
     weights = (1 << np.arange(num_planes)).astype(np.int64)
 
@@ -235,8 +241,15 @@ def _bucket_udf_lazy(num_planes: int, seed: int):
     def bucket(vecs: pd.Series) -> pd.Series:
         m = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
         if "p" not in state:
-            state["p"] = np.asarray(hyperplanes(m.shape[1], num_planes, seed), dtype=np.float64)
-        bits = (m @ state["p"].T) > 0
+            p = np.asarray(hyperplanes(m.shape[1], num_planes, seed), dtype=np.float64)
+            state["p"] = (
+                np.floor(p * 1e6).astype(np.int64) if quantized else p
+            )
+        if quantized:
+            q = np.floor(m * 1e6).astype(np.int64)
+            bits = (q @ state["p"].T) > 0  # exact int64 dots
+        else:
+            bits = (m @ state["p"].T) > 0
         return pd.Series(bits @ weights)
 
     return bucket
@@ -262,6 +275,7 @@ def ann_lsh_topk(
     k: int = 5,
     num_planes: int = 8,
     seed: int = 42,
+    quantized: bool = False,
 ) -> DataFrame:
     """Approximate top-k: only candidates in the query's LSH bucket compete.
 
@@ -269,8 +283,10 @@ def ann_lsh_topk(
     :func:`cosine_topk`; recall < 1 by design (judge-visible as approximate).
     Bucketing and scoring run as Arrow-batched numpy (the scale path for
     vector math); the bucket key is an ordinary shuffle/join key.
+    ``quantized=True`` buckets on integer-micro plane/vector dots — the
+    SQL-replayable certificate form x26's oracle certifies.
     """
-    bucket = _bucket_udf_lazy(num_planes, seed)
+    bucket = _bucket_udf_lazy(num_planes, seed, quantized)
     cos = _cosine_udf()
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -408,9 +424,15 @@ def dedup_embed_cosine(
     threshold: float = 0.5,
     num_planes: int | None = None,
     seeds: tuple[int, ...] = (1, 2, 3),
+    quantized: bool = False,
 ) -> DataFrame:
     """Embedding near-dup pairs: cosine >= threshold, found via multi-probe
     sign-bit LSH and verified with the exact Arrow-batched numpy cosine.
+
+    ``quantized``: planes and vectors floor to integer micros before the
+    sign tests (exact int64 dots — the SQL-replayable certificate form
+    x42's oracle certifies; pair a FIXED ``num_planes`` with it, the
+    adaptive default is data-dependent and an oracle cannot adapt).
 
     The candidate union over several independent plane sets trades compute
     for recall the same way MinHash bands do (a close pair collides in at
@@ -448,10 +470,12 @@ def dedup_embed_cosine(
     def all_buckets(vecs: pd.Series) -> pd.Series:
         m = np.asarray(vecs.tolist(), dtype=np.float64)  # (n, dim)
         if "p" not in state:
-            state["p"] = np.stack([hyperplanes(m.shape[1], num_planes, s) for s in seeds])
+            p = np.stack([hyperplanes(m.shape[1], num_planes, s) for s in seeds])
+            state["p"] = np.floor(p * 1e6).astype(np.int64) if quantized else p
         p = state["p"]  # (S, P, dim)
+        mm = np.floor(m * 1e6).astype(np.int64) if quantized else m
         # per-seed BLAS matmul, bit-identical to the single-seed bucket UDF
-        bits = np.stack([m @ p[s].T > 0 for s in range(p.shape[0])], axis=1)  # (n, S, P)
+        bits = np.stack([mm @ p[s].T > 0 for s in range(p.shape[0])], axis=1)  # (n, S, P)
         return pd.Series(list(bits @ weights))  # (n, S)
 
     bucketed = base.select(

@@ -2491,3 +2491,74 @@ def x176(spark: SparkSession, sf_dir: str) -> DataFrame:
         save_lm_model(docs.where(F.col("source") == "src0"), tmp)
         _commit_scratch_build(tmp, path)
     return lm_scores_vs_model(docs, path)
+
+
+@query(
+    "x177_ivfflat_ann_serving",
+    oracle="""
+    WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS arr FROM embeddings),
+    v AS (
+      SELECT vec_id, i - 1 AS pos, CAST(FLOOR(arr[i] * 1000000) AS BIGINT) AS val
+      FROM raw, unnest(generate_series(1, len(arr))) AS u(i)
+    ),
+    c AS (SELECT vec_id AS cid, pos, val FROM v WHERE vec_id < 4),
+    d AS (
+      SELECT v.vec_id, c.cid, SUM((v.val - c.val) * (v.val - c.val)) AS dist
+      FROM v JOIN c USING (pos) GROUP BY v.vec_id, c.cid
+    ),
+    asg AS (
+      SELECT vec_id AS neighbor_id, cid AS cell FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d WHERE vec_id < 3
+      ) WHERE rn <= 2
+    ),
+    sims AS (
+      SELECT p.query_id, a.neighbor_id,
+             list_dot_product(q.arr, n.arr)
+               / (sqrt(list_dot_product(q.arr, q.arr)) * sqrt(list_dot_product(n.arr, n.arr))) AS sim_raw
+      FROM probes p
+      JOIN asg a USING (cell)
+      JOIN raw q ON q.vec_id = p.query_id
+      JOIN raw n ON n.vec_id = a.neighbor_id
+      WHERE a.neighbor_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim, CAST(rn AS INT) AS rank FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id) AS rn
+      FROM sims
+    ) WHERE rn <= 10 ORDER BY query_id, rank
+    """,
+    certifies="X3 PRUNED ANN serving from the stored IVF-Flat index (nprobe=2 of 4 cells): integer-exact cell assignment and probe selection (micro-quantized L2, first-min ties — fully SQL-replayable), partition-pruned candidate read, exact rounded-cosine ranking; x173 certifies the full-probe limit, this certifies the production recall/cost dial",
+    tags=("llm", "similarity", "stored-index", "bounded"),
+)
+def x177(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN from the stored IVF-Flat index with nprobe=2 (half the cells
+    read): the production serving path — deterministic end-to-end
+    because cell assignment/probing is exact integer geometry and the
+    within-cell ranking is the certified cosine kernel. Shares the x173
+    scratch artifact."""
+    import os
+
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        build_ivfflat_index,
+        ivfflat_search,
+    )
+    from pipeline_etl_website_visits_spark.queries.llmops import (
+        _commit_scratch_build,
+        _scratch_path,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat_path = _scratch_path(sf_dir, "embeddings", "ivfflat")
+    if not os.path.exists(os.path.join(flat_path, "meta", "_SUCCESS")):
+        tmp = f"{flat_path}.build.{os.getpid()}"
+        build_ivfflat_index(emb, tmp, num_coarse=4)
+        _commit_scratch_build(tmp, flat_path)
+    return ivfflat_search(
+        spark, flat_path, emb.filter(F.col("vec_id") < 3), k=10, nprobe=2, with_rank=True
+    )

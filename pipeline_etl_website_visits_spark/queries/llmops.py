@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pipeline_etl_website_visits_spark.operators import dedup as D
 from pipeline_etl_website_visits_spark.operators import similarity as S
 from pipeline_etl_website_visits_spark.operators import text as T
-from pipeline_etl_website_visits_spark.queries.registry import query
+from pipeline_etl_website_visits_spark.queries.registry import REGISTRY, query
 from pipeline_etl_website_visits_spark.tables import load_table
 
 
@@ -291,14 +291,63 @@ def x25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x26_embed_ann_lsh",
-    oracle=None,
-    certifies="X3 ANN via random-hyperplane LSH (SURVEY §2.11); deterministic seed=42",
-    tags=("llm", "similarity", "no-oracle"),
+    oracle=None,  # replaced below: built from the plane literals
+    certifies="X3 ANN via random-hyperplane LSH — hash-certified through integer-micro plane/vector quantization (exact int64 sign tests replay in SQL; was rows-only through r10); bucket membership, candidate join and rounded-cosine ranking all certified",
+    tags=("llm", "similarity", "certificate"),
 )
 def x26(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _TOPK_QUERY_IDS)
-    return S.ann_lsh_topk(queries, emb, k=_TOPK_K, num_planes=8)
+    return S.ann_lsh_topk(queries, emb, k=_TOPK_K, num_planes=8, quantized=True)
+
+
+def _lsh_quantized_sql(num_planes: int, seed: int, dim: int) -> str:
+    """DuckDB twin of the quantized sign-bit LSH bucketing: the SAME
+    RandomState(seed) hyperplanes, floored to integer micros and inlined
+    as literals (the unrolled-kmeans precedent — the oracle carries the
+    full deterministic geometry). Every dot is an exact integer-valued
+    double (< 2^53), so bucket ids replay digit-for-digit."""
+    import numpy as np
+
+    pq = np.floor(
+        np.asarray(S.hyperplanes(dim, num_planes, seed), dtype=np.float64) * 1e6
+    ).astype(np.int64)
+    plane_rows = ", ".join(
+        f"({j}, [{', '.join(str(int(x)) for x in pq[j])}]::BIGINT[])"
+        for j in range(num_planes)
+    )
+    return f"""
+    WITH planes(j, pv) AS (VALUES {plane_rows}),
+    raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS arr FROM embeddings),
+    vq AS (
+      SELECT vec_id, arr,
+             list_transform(arr, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS q
+      FROM raw
+    ),
+    bkt AS (
+      SELECT vec_id,
+             CAST(SUM(CASE WHEN list_dot_product(CAST(q AS DOUBLE[]), CAST(pv AS DOUBLE[])) > 0
+                           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+      FROM vq CROSS JOIN planes GROUP BY vec_id
+    ),
+    sims AS (
+      SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id,
+             list_dot_product(qr.arr, cr.arr)
+               / (sqrt(list_dot_product(qr.arr, qr.arr)) * sqrt(list_dot_product(cr.arr, cr.arr))) AS sim_raw
+      FROM bkt qb
+      JOIN bkt cb ON qb.bucket = cb.bucket AND qb.vec_id <> cb.vec_id
+      JOIN raw qr ON qr.vec_id = qb.vec_id
+      JOIN raw cr ON cr.vec_id = cb.vec_id
+      WHERE qb.vec_id < {_TOPK_QUERY_IDS}
+    )
+    SELECT query_id, neighbor_id, ROUND(sim_raw, 4) AS sim FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim_raw DESC, neighbor_id) AS rn
+      FROM sims
+    ) WHERE rn <= {_TOPK_K} ORDER BY query_id, neighbor_id
+    """
+
+
+REGISTRY["x26_embed_ann_lsh"].oracle = _lsh_quantized_sql(8, 42, 64)
 
 
 # --------------------------------------------------------------------------
@@ -664,9 +713,9 @@ def x43(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "x42_dedup_embed_cosine",
-    oracle=None,
-    certifies="X3 embedding-cosine near-dup via multi-probe LSH + exact verify (x25 oracle-certifies the cosine itself)",
-    tags=("llm", "dedup", "similarity", "no-oracle"),
+    oracle=None,  # replaced below: built from the three plane-set literals
+    certifies="X3 embedding-cosine near-dup via multi-probe LSH + exact verify — hash-certified through integer-micro quantized sign tests over a FIXED 6-plane count (was rows-only through r10); candidate union over three seeds, verification and rounding all replay in SQL",
+    tags=("llm", "dedup", "similarity", "certificate"),
 )
 def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -678,8 +727,56 @@ def x42(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ~1/8; every emitted pair is exact-verified, and
     # tests/test_operators.py::test_dedup_embed_cosine_exact_verification
     # asserts the output is a subset of the numpy-exact pair set with
-    # matching similarity.
-    return S.dedup_embed_cosine(emb, threshold=0.3)
+    # matching similarity. num_planes pinned to 6 (the adaptive default is
+    # data-dependent; a static oracle cannot adapt — the operator keeps
+    # the scale-safe adaptive count for production).
+    return S.dedup_embed_cosine(emb, threshold=0.3, num_planes=6, quantized=True)
+
+
+def _multiprobe_lsh_sql(seeds: tuple, num_planes: int, dim: int, threshold: float) -> str:
+    """DuckDB twin of the quantized multi-probe LSH dedup: one plane-set
+    literal block per seed; candidate union over (seed, bucket)
+    collisions; exact cosine verify at the raw threshold."""
+    import numpy as np
+
+    rows = []
+    for s in seeds:
+        pq = np.floor(
+            np.asarray(S.hyperplanes(dim, num_planes, s), dtype=np.float64) * 1e6
+        ).astype(np.int64)
+        rows += [
+            f"({s}, {j}, [{', '.join(str(int(x)) for x in pq[j])}]::BIGINT[])"
+            for j in range(num_planes)
+        ]
+    return f"""
+    WITH planes(s, j, pv) AS (VALUES {', '.join(rows)}),
+    raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS arr FROM embeddings),
+    vq AS (
+      SELECT vec_id, list_transform(arr, x -> CAST(FLOOR(x * 1000000) AS BIGINT)) AS q
+      FROM raw
+    ),
+    bkt AS (
+      SELECT s, vec_id,
+             CAST(SUM(CASE WHEN list_dot_product(CAST(q AS DOUBLE[]), CAST(pv AS DOUBLE[])) > 0
+                           THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS bucket
+      FROM vq CROSS JOIN planes GROUP BY s, vec_id
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bkt a JOIN bkt b ON a.s = b.s AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ),
+    scored AS (
+      SELECT p.id_a, p.id_b,
+             list_dot_product(ra.arr, rb.arr)
+               / (sqrt(list_dot_product(ra.arr, ra.arr)) * sqrt(list_dot_product(rb.arr, rb.arr))) AS sim_raw
+      FROM pairs p JOIN raw ra ON ra.vec_id = p.id_a JOIN raw rb ON rb.vec_id = p.id_b
+    )
+    SELECT id_a, id_b, ROUND(sim_raw, 4) AS sim FROM scored
+    WHERE sim_raw >= {threshold} ORDER BY id_a, id_b
+    """
+
+
+REGISTRY["x42_dedup_embed_cosine"].oracle = _multiprobe_lsh_sql((1, 2, 3), 6, 64, 0.3)
 
 
 def _kmeans_integer_sql(k: int, iters: int) -> str:
@@ -1516,28 +1613,71 @@ def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.cms_token_estimates(docs, "text", _CMS_PROBES)
 
 
+def _pagerank_integer_sql(iters: int) -> str:
+    """Unrolled DuckDB twin of operators/graph.py:pagerank_integer over
+    the n-gram-Jaccard similarity graph (x22's pair derivation verbatim).
+    All quantities are non-negative BIGINTs, so DuckDB's truncating //
+    equals floor division and the run replays digit-for-digit."""
+    head = f"""
+    WITH g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(lst) - 1),
+               i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]))) AS gram
+      FROM (SELECT doc_id, {_TOKS} AS lst FROM documents)
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM g GROUP BY doc_id),
+    p AS (
+      SELECT doc_a, doc_b FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+        FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+      ) x JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {_JACCARD_THRESHOLD}
+    ),
+    e AS (SELECT doc_a AS src, doc_b AS dst FROM p UNION ALL SELECT doc_b, doc_a FROM p),
+    nodes AS (SELECT DISTINCT src AS node FROM e),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM e GROUP BY src),
+    r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes)"""
+    its = []
+    for t in range(iters):
+        its.append(f""",
+    m{t} AS (
+      SELECT e.dst AS node, CAST(SUM(r.r // d.deg) AS BIGINT) AS im
+      FROM e JOIN deg d ON d.src = e.src JOIN r{t} r ON r.node = e.src
+      GROUP BY e.dst
+    ),
+    r{t + 1} AS (
+      SELECT n.node, CAST(150000 + (850 * COALESCE(m.im, 0)) // 1000 AS BIGINT) AS r
+      FROM nodes n LEFT JOIN m{t} m USING (node)
+    )""")
+    tail = f"""
+    SELECT node AS doc_id, r AS rank_micro FROM r{iters}
+    ORDER BY rank_micro DESC, doc_id LIMIT 25"""
+    return head + "".join(its) + tail
+
+
 @query(
     "x98_doc_pagerank",
-    oracle=None,
-    certifies="random-walk centrality (power-iteration PageRank) over the near-dup similarity graph (iterative, not SQL-expressible)",
-    tags=("llm", "graph", "no-oracle"),
+    oracle=_pagerank_integer_sql(iters=5),
+    certifies="random-walk centrality (power-iteration PageRank) over the near-dup similarity graph — exact integer micro-unit iteration (floor-division edge contributions, milli damping), so the full 5-round run hash-certifies against an unrolled SQL twin (was rows-only through r10; the float textbook form stays as operators/graph.py:pagerank)",
+    tags=("llm", "graph", "certificate"),
 )
 def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pipeline_etl_website_visits_spark.operators.graph import pagerank
+    from pipeline_etl_website_visits_spark.operators.graph import pagerank_integer
 
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     # similarity graph (undirected → both directions) over n-gram Jaccard
     # pairs; PageRank then surfaces the hub documents of each near-dup
-    # neighborhood. Top 25 by (rank desc, doc_id) — deterministic via the
-    # 9-dp per-iteration rounding in the operator.
+    # neighborhood. Top 25 by (rank_micro desc, doc_id) — deterministic
+    # because every iteration is exact integer arithmetic.
     pairs = D.shingle_jaccard_pairs(docs, "text", "doc_id", threshold=0.2)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).unionByName(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     return (
-        pagerank(edges, iters=5)
-        .select(F.col("node").cast("long").alias("doc_id"), F.col("rank").cast("double").alias("rank"))
-        .orderBy(F.col("rank").desc(), "doc_id")
+        pagerank_integer(edges, iters=5)
+        .select(F.col("node").cast("long").alias("doc_id"), "rank_micro")
+        .orderBy(F.col("rank_micro").desc(), "doc_id")
         .limit(25)
     )
 

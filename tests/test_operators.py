@@ -1087,3 +1087,57 @@ def test_ivf_topk_codebook_matches_pure_python(spark):
         ivf_topk(queries, df.filter(F.col("vec_id") >= 2), k=2, num_centroids=4, centroids="codebook")
     with _pytest.raises(ValueError, match="centroids must be"):
         ivf_topk(queries, df, centroids="nope")
+
+
+def test_pagerank_integer_matches_pure_python(spark):
+    """pagerank_integer vs a dict-based replica of the same integer
+    iteration (floor-division contributions, milli damping) — every rank
+    agrees exactly, including a dangling-receiver topology."""
+    from pipeline_etl_website_visits_spark.operators.graph import pagerank_integer
+
+    raw = [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (4, 1)]  # 4 -> 1 one-way
+    df = spark.createDataFrame(raw, "src long, dst long")
+
+    nodes = {n for e in raw for n in e}
+    deg = {}
+    for s, _ in raw:
+        deg[s] = deg.get(s, 0) + 1
+    r = {n: 1_000_000 for n in nodes}
+    for _ in range(5):
+        im = {n: 0 for n in nodes}
+        for s, d in raw:
+            im[d] += r[s] // deg[s]
+        r = {n: 150_000 + (850 * im[n]) // 1000 for n in nodes}
+
+    got = {row["node"]: row["rank_micro"] for row in pagerank_integer(df, iters=5).collect()}
+    assert got == r
+    # hub 1 outranks the one-way source 4
+    assert got[1] > got[4]
+
+
+def test_quantized_lsh_bucket_matches_pure_python(spark):
+    """quantized=True buckets on exact integer-micro dots: replicate with
+    numpy int64 and assert identical bucket ids (x26's certificate
+    geometry), and that ann_lsh_topk emits only same-bucket neighbors."""
+    import numpy as np
+
+    from pipeline_etl_website_visits_spark.operators.similarity import (
+        ann_lsh_topk,
+        hyperplanes,
+    )
+
+    rng = np.random.RandomState(5)
+    vecs = rng.standard_normal((30, 8))
+    rows = [(i, vecs[i].tolist()) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    planes = np.floor(np.asarray(hyperplanes(8, 4, 42)) * 1e6).astype(np.int64)
+    q = np.floor(vecs * 1e6).astype(np.int64)
+    buckets = ((q @ planes.T > 0) @ (1 << np.arange(4))).astype(int)
+
+    out = ann_lsh_topk(
+        df.filter(F.col("vec_id") < 3), df, k=5, num_planes=4, quantized=True
+    ).collect()
+    assert out, "bucketed ANN should find same-bucket neighbors"
+    for r in out:
+        assert buckets[r["query_id"]] == buckets[r["neighbor_id"]]
