@@ -55,35 +55,46 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-11 pinning rule: HEAD = (a) the FOUR new queries (x173 served
+# Round-11 pinning rule: HEAD = (a) the FIVE new queries (x173 served
 # hybrid retrieval, x174 common-span mining, x175 LM perplexity, x176
-# stored-LM serving — never driver-checked) plus the two queries whose
-# implementation CHANGED to oracle-backed forms this round (x60 integer
-# k-means, x96 codebook SemDeDup); then (b) the five queries whose
-# kernels changed this round — x163/x165/x172 (bm25_topk + the stored
-# index: DECIMAL(38,0) num/den, Java-\s prefilter tokenization, pre-
-# filter _stats sidecar) and x166/x170 (DSIR weight products through
-# DECIMAL) — changed code outranks stale rows; then (c) the TWELVE
-# round-6-latest names round-10 displaced; then (d) 27 of the 44
-# remaining round-7-latest names (the r7 fill names q01/q05/q56/q68/
-# x123/x143/x146 first, then alphabetical). 6 + 5 + 12 + 27 = 50.
-# The 17 round-7-latest names that do not fit (x57/x61-x69/x71-x77/
-# x84 cohort) defer to the round-12 head; all stay covered by the
-# local full-suite check_oracle runs every session.
+# stored-LM serving, x177 pruned-ANN serving — never driver-checked)
+# plus the SEVEN queries whose implementation CHANGED to oracle-backed
+# certificate forms this round (x60 integer k-means, x96 codebook
+# SemDeDup, x23/x24 portable-hash MinHash/SimHash, x26/x42 quantized-
+# plane LSH, x41 codebook IVF, x98 integer PageRank); then (b) the six
+# queries whose kernels changed this round — x163/x165/x172 (bm25_topk
+# + the stored index: DECIMAL(38,0) num/den, Java-\s prefilter
+# tokenization, pre-filter _stats sidecar, driver-side bucket
+# resolution), x166/x170 (DSIR weight products through DECIMAL), and
+# x123 (AQE off inside the recursion scope) — changed code outranks
+# stale rows; then (c) the TWELVE round-6-latest names round-10
+# displaced; then (d) 14 of the remaining round-7-latest names (the r7
+# fill names q01/q05/q56/q68/x143/x146 first, then alphabetical).
+# 13 + 6 + 12 + 19 = 50. The round-7-latest names that do not fit
+# (x32+ alphabetical tail) defer to the round-12 head; all stay covered
+# by the local full-suite check_oracle runs every session.
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- (a) new / converted-to-oracle this round --
+    # -- (a) new / converted-to-certificate this round --
     "x173_stored_hybrid_serving",
     "x174_common_span_mining",
     "x175_lm_perplexity",
     "x176_stored_lm_serving",
+    "x177_ivfflat_ann_serving",
     "x60_embed_kmeans",
     "x96_semantic_dedup",
+    "x23_dedup_minhash_lsh",
+    "x24_dedup_simhash",
+    "x26_embed_ann_lsh",
+    "x41_embed_ivf_topk",
+    "x42_dedup_embed_cosine",
+    "x98_doc_pagerank",
     # -- (b) kernels changed this round --
     "x163_bm25_retrieval",
     "x165_hybrid_rrf",
     "x172_stored_bm25_serving",
     "x166_dsir_scores",
     "x170_stored_dsir_serving",
+    "x123_native_recursion",
     # -- (c) the twelve round-6-latest names (VERDICT r10 item 2) --
     "x36_approx_count_distinct",
     "x37_approx_percentile",
@@ -103,29 +114,21 @@ DRIVER_ORDER: tuple[str, ...] = (
     "q05_error_explode",
     "q56_sorted_collect",
     "q68_rolling_hour_window",
-    "x123_native_recursion",
     "x143_mad_outliers",
     "x146_chunk_udtf",
     "x21_dedup_exact",
     "x22_dedup_ngram_jaccard",
-    "x23_dedup_minhash_lsh",
-    "x24_dedup_simhash",
     "x25_embed_cosine_topk",
-    "x26_embed_ann_lsh",
     "x27_text_lang_id",
     "x32_events_tumbling_hour",
     "x33_events_sessionize",
     "x39_time_range_join",
     "x40_asof_join",
-    "x41_embed_ivf_topk",
-    "x42_dedup_embed_cosine",
     "x43_corpus_curation",
     "x47_decontaminate",
     "x48_term_redaction",
     "x52_repetition_metrics",
     "x53_source_quota",
-    "x54_chunk_overlap",
-    "x55_doc_frequency",
 )
 
 
