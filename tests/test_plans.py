@@ -789,3 +789,35 @@ def test_new_similarity_queries_default_to_bounded_forms():
     assert not offenders, (
         f"new similarity/dedup queries must be bounded or tagged certificate: {offenders}"
     )
+
+
+def test_common_span_mining_plan_is_bounded(spark):
+    """x174's plan contract: the pair expansion is a gram-keyed equi-join
+    (never a cartesian/nested-loop), the stop-gram cap applies BEFORE the
+    pair join, and the islands window partitions on (pair, offset)."""
+    from pipeline_etl_website_visits_spark.operators.dedup import mine_common_spans
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = mine_common_spans(docs, "text", "doc_id", min_span=4, max_gram_doc_freq=64)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    # the certified values: exact integers over a bounded join
+    rows = out.limit(5).collect()
+    assert all(r["max_span_len"] >= 4 and r["n_spans"] >= 1 for r in rows)
+
+
+def test_lm_perplexity_plan_has_no_cartesian(spark):
+    """x175's model joins are keyed on w1/w2/(w1,w2); the only cross join
+    is the broadcast 1-row constants relation."""
+    from pipeline_etl_website_visits_spark.operators.text import lm_perplexity_scores
+
+    docs = load_table(spark, SF_DIR, "documents")
+    out = lm_perplexity_scores(docs, docs.filter(F.col("source") == "src0"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # broadcast nested-loop appears ONLY for the two 1-row constant cross
+    # joins (nbt x v inside the consts relation, then consts onto the
+    # scored stream) — never between data-sized relations
+    bnlj = plan.count("BroadcastNestedLoopJoin")
+    assert bnlj <= 2, plan[:2000]
