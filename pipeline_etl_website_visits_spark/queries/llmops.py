@@ -106,6 +106,37 @@ def _prune_stale_scratch(path: str) -> None:
         shutil.rmtree(full, ignore_errors=True)
 
 
+def shared_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED shingle pair-overlap relation for one corpus: build
+    ``operators/dedup.py:pair_overlap`` (3-gram, uncapped, unthresholded)
+    once per corpus fingerprint, then serve every shingle-similarity query
+    from the parquet artifact.
+
+    This is the round-12 family fix (VERDICT r11 item 1): x22 / x56 / x71 /
+    x86 / x98 / x114 each re-derived the same gram self-join per query —
+    ~390 s of the 984 s sf1 cold pass. Each is a pure (inter, sz_a, sz_b)
+    threshold filter, so one artifact serves all. The ORACLES still derive
+    the overlap inline from ``documents``, so every downstream hash
+    certifies the stored artifact's values end-to-end, exactly like the x98
+    simgraph precedent (commit d110589) — which this subsumes: edges at any
+    threshold are a filter over this relation.
+
+    Same consistency seam as x173 (flagged in VERDICT r11): the existence
+    gate is a driver-local ``os.path.exists`` on the ``_SUCCESS`` marker —
+    correct in this sandbox; on an object store it must route through
+    operators/ledger.py:CommitBackend (blocked on the wire transport).
+    """
+    from pipeline_etl_website_visits_spark.operators import dedup as _D
+
+    path = _scratch_path(sf_dir, "documents", "pairovl")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        docs = load_table(spark, sf_dir, "documents", fan_out=True)
+        tmp = f"{path}.build.{os.getpid()}"
+        _D.pair_overlap(docs, "text", "doc_id", n=3).write.parquet(tmp)
+        _commit_scratch_build(tmp, path)
+    return spark.read.schema(_D.PAIR_OVERLAP_SCHEMA).parquet(path)
+
+
 # Shared normalized-text fragments for the DuckDB oracles.
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _TOKS = f"regexp_split_to_array({_NORM}, ' ')"
@@ -163,8 +194,14 @@ _JACCARD_THRESHOLD = 0.2
     tags=("llm", "dedup"),
 )
 def x22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # served from the shared stored pair-overlap artifact (r12): the gram
+    # self-join is paid once per corpus fingerprint, not once per query;
+    # the oracle re-derives inline so the hash certifies the stored values
     docs = load_table(spark, sf_dir, "documents")
-    return D.shingle_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=_JACCARD_THRESHOLD)
+    return D.shingle_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=_JACCARD_THRESHOLD,
+        overlap=shared_pair_overlap(spark, sf_dir),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -988,10 +1025,13 @@ def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_clusters); the oracle computes the same fixpoint as a DuckDB
     recursive-CTE transitive closure. Both converge to identical labels —
     an end-to-end certificate for the only iterative-graph operator in the
-    engine.
+    engine. Pairs come off the shared stored overlap artifact (r12).
     """
     docs = load_table(spark, sf_dir, "documents")
-    pairs = D.shingle_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=_JACCARD_THRESHOLD)
+    pairs = D.shingle_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=_JACCARD_THRESHOLD,
+        overlap=shared_pair_overlap(spark, sf_dir),
+    )
     return D.dedup_clusters(pairs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
@@ -1466,10 +1506,13 @@ _X86_CON = 0.8
     tags=("llm", "dedup"),
 )
 def x86(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # both metrics are filters over the SAME pair relation — served from
+    # the shared stored overlap artifact (r12; previously a per-run cached
+    # gram_index, which still re-paid the self-join once per run)
     docs = load_table(spark, sf_dir, "documents")
-    g = D.gram_index(docs, "text", "doc_id", 3)
-    jac = D.shingle_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=_X86_JAC, grams=g)
-    con = D.shingle_containment_pairs(docs, "text", "doc_id", n=3, threshold=_X86_CON, grams=g)
+    ovl = shared_pair_overlap(spark, sf_dir)
+    jac = D.shingle_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=_X86_JAC, overlap=ovl)
+    con = D.shingle_containment_pairs(docs, "text", "doc_id", n=3, threshold=_X86_CON, overlap=ovl)
     pairs = jac.select("doc_a", "doc_b").union(con.select("doc_a", "doc_b")).distinct()
     return D.dedup_clusters(pairs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -1663,36 +1706,28 @@ def _pagerank_integer_sql(iters: int) -> str:
     tags=("llm", "graph", "certificate"),
 )
 def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import os
-
     from pipeline_etl_website_visits_spark.operators.graph import pagerank_integer
-    from pipeline_etl_website_visits_spark.queries.llmops import (
-        _commit_scratch_build,
-        _scratch_path,
-    )
 
     # similarity graph (undirected → both directions) over n-gram Jaccard
-    # pairs, MATERIALIZED once per corpus fingerprint (the stored-index
-    # discipline): the gram join is the expensive derivation and every
-    # graph query over the same corpus re-pays it otherwise — at sf1 the
-    # inline form spent 52 of its 64 s deriving edges. The oracle derives
-    # the same edges inline, so the artifact is value-certified by the
-    # same hash. PageRank then surfaces the hub documents of each
-    # near-dup neighborhood; top 25 by (rank_micro desc, doc_id) —
-    # deterministic because every iteration is exact integer arithmetic.
-    path = _scratch_path(sf_dir, "documents", "simgraph")
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        docs = load_table(spark, sf_dir, "documents", fan_out=True)
-        pairs = D.shingle_jaccard_pairs(docs, "text", "doc_id", threshold=0.2)
-        edges = pairs.select(
-            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-        ).unionByName(
-            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
-        )
-        tmp = f"{path}.build.{os.getpid()}"
-        edges.write.parquet(tmp)
-        _commit_scratch_build(tmp, path)
-    edges = spark.read.schema("src long, dst long").parquet(path)
+    # pairs. r11 materialized the thresholded edge list per corpus
+    # fingerprint (commit d110589, 64s→1.3s at sf1); r12 subsumes that
+    # into the FAMILY-shared pair-overlap artifact — the edges are a
+    # Jaccard filter over it, so x98 shares one stored derivation with
+    # x22/x56/x71/x86/x114 instead of keeping a private graph copy. The
+    # oracle still derives the same edges inline from ``documents``, so
+    # the full 5-round integer PageRank hash-certifies the stored values.
+    # Top 25 by (rank_micro desc, doc_id) — deterministic because every
+    # iteration is exact integer arithmetic.
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.shingle_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=_JACCARD_THRESHOLD,
+        overlap=shared_pair_overlap(spark, sf_dir),
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
     return (
         pagerank_integer(edges, iters=5)
         .select(F.col("node").cast("long").alias("doc_id"), "rank_micro")
@@ -1860,7 +1895,8 @@ def x114(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     edges = D.shingle_jaccard_pairs(
-        docs, "text", "doc_id", n=3, threshold=_JACCARD_THRESHOLD
+        docs, "text", "doc_id", n=3, threshold=_JACCARD_THRESHOLD,
+        overlap=shared_pair_overlap(spark, sf_dir),
     ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     return triangle_count(edges)
 

@@ -96,6 +96,35 @@ def test_shared_gram_index_composes_identically(spark):
         spark.catalog.clearCache()
 
 
+def test_precomputed_overlap_composes_identically(spark, tmp_path):
+    """A stored pair_overlap relation feeding Jaccard + containment is
+    bit-identical to the inline derivation — through a parquet round-trip,
+    the shape the family-shared artifact actually serves (r12)."""
+    import pytest
+
+    from pipeline_etl_website_visits_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    loc = str(tmp_path / "pairovl")
+    D.pair_overlap(docs, "text", "doc_id", n=3).write.parquet(loc)
+    ovl = spark.read.schema(D.PAIR_OVERLAP_SCHEMA).parquet(loc)
+    for fn, kw in (
+        (D.shingle_jaccard_pairs, dict(threshold=0.2)),
+        (D.shingle_containment_pairs, dict(threshold=0.5)),
+    ):
+        served = sorted(map(tuple, fn(docs, "text", "doc_id", overlap=ovl, **kw).collect()))
+        inline = sorted(map(tuple, fn(docs, "text", "doc_id", **kw).collect()))
+        assert served == inline, fn.__name__
+    # derivation-shaping knobs cannot compose with a precomputed relation
+    with pytest.raises(ValueError):
+        D.shingle_jaccard_pairs(docs, "text", "doc_id", overlap=ovl, max_doc_freq=5)
+    with pytest.raises(ValueError):
+        D.shingle_jaccard_pairs(docs, "text", "doc_id", overlap=ovl, prefix_filter=True)
+    with pytest.raises(ValueError):
+        D.shingle_containment_pairs(docs, "text", "doc_id", overlap=ovl, grams=ovl)
+
+
 def test_winnowing_guarantees_shared_fingerprint(spark):
     """The winnowing guarantee: two documents sharing a token run of
     >= window + n - 1 tokens (here 4 + 3 - 1 = 6) must share at least one
