@@ -707,7 +707,7 @@ def x56(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.shingle_containment_pairs(
         docs, "text", "doc_id", n=3, threshold=0.5,
-        overlap=shared_pair_overlap(spark, sf_dir),
+        overlap=shared_pair_overlap(spark, sf_dir, min_containment=0.5),
     )
 
 

@@ -106,11 +106,36 @@ def _prune_stale_scratch(path: str) -> None:
         shutil.rmtree(full, ignore_errors=True)
 
 
-def shared_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Retention floors of the stored family artifact: a pair is kept iff
+# Jaccard ≥ J_FLOOR OR containment ≥ C_FLOOR. These are the lowest
+# thresholds any family member filters at (x22/x71/x86/x98/x114 Jaccard
+# 0.2; x56 containment 0.5; x86 containment 0.8) — everything below both
+# is dead weight that no consumer can ever see through its own filter. At
+# sf1 this is 1,012 rows instead of 145.7M (742 MB → ~50 KB): the build
+# pays the same gram self-join but the write and every downstream scan
+# become free. The floors are baked into the artifact KEY (and guarded at
+# read time), so a future lower-threshold consumer can never silently read
+# a too-aggressive artifact — it addresses a different kind tag and
+# triggers its own build.
+_PAIROVL_J_FLOOR = 0.2
+_PAIROVL_C_FLOOR = 0.5
+
+
+def shared_pair_overlap(
+    spark: SparkSession,
+    sf_dir: str,
+    min_jaccard: float | None = None,
+    min_containment: float | None = None,
+) -> DataFrame:
     """The STORED shingle pair-overlap relation for one corpus: build
-    ``operators/dedup.py:pair_overlap`` (3-gram, uncapped, unthresholded)
-    once per corpus fingerprint, then serve every shingle-similarity query
-    from the parquet artifact.
+    ``operators/dedup.py:pair_overlap`` (3-gram, uncapped) once per corpus
+    fingerprint, floored at the family-wide retention thresholds, then
+    serve every shingle-similarity query from the parquet artifact.
+
+    Callers DECLARE the threshold they will filter at (``min_jaccard`` /
+    ``min_containment``); the declaration is checked against the stored
+    floors so a below-floor consumer fails loudly instead of silently
+    losing pairs.
 
     This is the round-12 family fix (VERDICT r11 item 1): x22 / x56 / x71 /
     x86 / x98 / x114 each re-derived the same gram self-join per query —
@@ -119,7 +144,7 @@ def shared_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the overlap inline from ``documents``, so every downstream hash
     certifies the stored artifact's values end-to-end, exactly like the x98
     simgraph precedent (commit d110589) — which this subsumes: edges at any
-    threshold are a filter over this relation.
+    threshold ≥ floor are a filter over this relation.
 
     Same consistency seam as x173 (flagged in VERDICT r11): the existence
     gate is a driver-local ``os.path.exists`` on the ``_SUCCESS`` marker —
@@ -128,11 +153,34 @@ def shared_pair_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pipeline_etl_website_visits_spark.operators import dedup as _D
 
-    path = _scratch_path(sf_dir, "documents", "pairovl")
+    if min_jaccard is None and min_containment is None:
+        raise ValueError("declare the consumer's min_jaccard and/or min_containment")
+    if min_jaccard is not None and min_jaccard < _PAIROVL_J_FLOOR:
+        raise ValueError(
+            f"min_jaccard={min_jaccard} is below the stored floor "
+            f"{_PAIROVL_J_FLOOR} — use pair_overlap() inline or build a "
+            "lower-floor artifact"
+        )
+    if min_containment is not None and min_containment < _PAIROVL_C_FLOOR:
+        raise ValueError(
+            f"min_containment={min_containment} is below the stored floor "
+            f"{_PAIROVL_C_FLOOR} — use pair_overlap() inline or build a "
+            "lower-floor artifact"
+        )
+    kind = (
+        f"pairovl_j{int(_PAIROVL_J_FLOOR * 1000)}"
+        f"c{int(_PAIROVL_C_FLOOR * 1000)}"
+    )
+    path = _scratch_path(sf_dir, "documents", kind)
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         docs = load_table(spark, sf_dir, "documents", fan_out=True)
+        ovl = _D.pair_overlap(docs, "text", "doc_id", n=3)
+        union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+        keep = (F.col("inter") / union >= _PAIROVL_J_FLOOR) | (
+            F.col("inter") / F.least("sz_a", "sz_b") >= _PAIROVL_C_FLOOR
+        )
         tmp = f"{path}.build.{os.getpid()}"
-        _D.pair_overlap(docs, "text", "doc_id", n=3).write.parquet(tmp)
+        ovl.filter(keep).write.parquet(tmp)
         _commit_scratch_build(tmp, path)
     return spark.read.schema(_D.PAIR_OVERLAP_SCHEMA).parquet(path)
 
@@ -200,7 +248,7 @@ def x22(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return D.shingle_jaccard_pairs(
         docs, "text", "doc_id", n=3, threshold=_JACCARD_THRESHOLD,
-        overlap=shared_pair_overlap(spark, sf_dir),
+        overlap=shared_pair_overlap(spark, sf_dir, min_jaccard=_JACCARD_THRESHOLD),
     )
 
 
@@ -1030,7 +1078,7 @@ def x71(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.shingle_jaccard_pairs(
         docs, "text", "doc_id", n=3, threshold=_JACCARD_THRESHOLD,
-        overlap=shared_pair_overlap(spark, sf_dir),
+        overlap=shared_pair_overlap(spark, sf_dir, min_jaccard=_JACCARD_THRESHOLD),
     )
     return D.dedup_clusters(pairs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
@@ -1510,7 +1558,9 @@ def x86(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the shared stored overlap artifact (r12; previously a per-run cached
     # gram_index, which still re-paid the self-join once per run)
     docs = load_table(spark, sf_dir, "documents")
-    ovl = shared_pair_overlap(spark, sf_dir)
+    ovl = shared_pair_overlap(
+        spark, sf_dir, min_jaccard=_X86_JAC, min_containment=_X86_CON
+    )
     jac = D.shingle_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=_X86_JAC, overlap=ovl)
     con = D.shingle_containment_pairs(docs, "text", "doc_id", n=3, threshold=_X86_CON, overlap=ovl)
     pairs = jac.select("doc_a", "doc_b").union(con.select("doc_a", "doc_b")).distinct()
@@ -1721,7 +1771,7 @@ def x98(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     pairs = D.shingle_jaccard_pairs(
         docs, "text", "doc_id", n=3, threshold=_JACCARD_THRESHOLD,
-        overlap=shared_pair_overlap(spark, sf_dir),
+        overlap=shared_pair_overlap(spark, sf_dir, min_jaccard=_JACCARD_THRESHOLD),
     )
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
@@ -1896,7 +1946,7 @@ def x114(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     edges = D.shingle_jaccard_pairs(
         docs, "text", "doc_id", n=3, threshold=_JACCARD_THRESHOLD,
-        overlap=shared_pair_overlap(spark, sf_dir),
+        overlap=shared_pair_overlap(spark, sf_dir, min_jaccard=_JACCARD_THRESHOLD),
     ).select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     return triangle_count(edges)
 

@@ -125,6 +125,24 @@ def test_precomputed_overlap_composes_identically(spark, tmp_path):
         D.shingle_containment_pairs(docs, "text", "doc_id", overlap=ovl, grams=ovl)
 
 
+def test_shared_pair_overlap_floor_guard(spark):
+    """The stored family artifact is floored (j≥0.2 OR c≥0.5); a consumer
+    filtering below a floor must fail loudly, and one declaring nothing
+    must be rejected — silent pair loss is the failure mode the guard
+    exists for."""
+    import pytest
+
+    from pipeline_etl_website_visits_spark.queries.llmops import shared_pair_overlap
+    from tests.conftest import SF_DIR
+
+    with pytest.raises(ValueError, match="below the stored floor"):
+        shared_pair_overlap(spark, SF_DIR, min_jaccard=0.1)
+    with pytest.raises(ValueError, match="below the stored floor"):
+        shared_pair_overlap(spark, SF_DIR, min_containment=0.3)
+    with pytest.raises(ValueError, match="declare"):
+        shared_pair_overlap(spark, SF_DIR)
+
+
 def test_winnowing_guarantees_shared_fingerprint(spark):
     """The winnowing guarantee: two documents sharing a token run of
     >= window + n - 1 tokens (here 4 + 3 - 1 = 6) must share at least one
