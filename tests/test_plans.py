@@ -792,9 +792,10 @@ def test_new_similarity_queries_default_to_bounded_forms():
 
 
 def test_common_span_mining_plan_is_bounded(spark):
-    """x174's plan contract: the pair expansion is a gram-keyed equi-join
-    (never a cartesian/nested-loop), the stop-gram cap applies BEFORE the
-    pair join, and the islands window partitions on (pair, offset)."""
+    """x174's plan contract: the pair expansion is per-gram-group and
+    bounded (never a cartesian/nested-loop — since r12 there is no join at
+    all: occurrences group by gram hash, the df cap filters the group, and
+    pairs expand in-row via array HOFs)."""
     from pipeline_etl_website_visits_spark.operators.dedup import mine_common_spans
 
     docs = load_table(spark, SF_DIR, "documents")
