@@ -167,15 +167,25 @@ def index_is_complete(path: str) -> bool:
     return os.path.exists(os.path.join(path, "meta", "_SUCCESS"))
 
 
+def _live_dir(path: str, base: str) -> str:
+    """Resolve the LIVE data directory of a generation-versioned store:
+    the ``<base>_current`` pointer file names a compacted generation
+    (``<base>_v<k>``) when compaction has run; otherwise the build's
+    original ``<base>``. The pointer is published atomically through the
+    commit backend (tmp + rename on POSIX — the warehouse pointer
+    protocol), so readers always resolve to a fully-committed generation.
+    ``base`` is ``codes`` for IVF-PQ and ``vectors`` for IVF-Flat — the
+    two indexes share ONE lifecycle implementation (r12 parity)."""
+    gen = ledger.read_pointer(os.path.join(path, f"{base}_current"))
+    return os.path.join(path, gen.strip() if gen else base)
+
+
 def _codes_dir(path: str) -> str:
-    """Resolve the LIVE codes directory: the ``codes_current`` pointer
-    file names a compacted generation (``codes_v<k>``) when compaction
-    has run; otherwise the build's original ``codes``. The pointer is
-    published atomically through the commit backend (tmp + rename on
-    POSIX — the warehouse pointer protocol), so readers always resolve
-    to a fully-committed generation."""
-    gen = ledger.read_pointer(os.path.join(path, "codes_current"))
-    return os.path.join(path, gen.strip() if gen else "codes")
+    return _live_dir(path, "codes")
+
+
+def _vectors_dir(path: str) -> str:
+    return _live_dir(path, "vectors")
 
 
 def _list_code_files(codes_dir: str) -> set[str]:
@@ -234,23 +244,40 @@ def compact_ivfpq_codes(
     ``_before_swap`` is a test seam invoked between the first rewrite and
     the lease acquisition.
     """
+    return _compact_generations(
+        spark, path, "codes", writer_tasks, remove_old, _before_swap
+    )
+
+
+def _compact_generations(
+    spark: SparkSession,
+    path: str,
+    base: str,
+    writer_tasks: int,
+    remove_old: bool,
+    _before_swap,
+) -> str:
+    """The shared generation-compaction protocol (see
+    :func:`compact_ivfpq_codes` for the full race analysis — the
+    IVF-Flat vectors store runs the IDENTICAL discipline over its
+    ``vectors``/``vectors_v<k>`` generations and ``vectors-*`` leases)."""
     import contextlib
     import shutil
 
     with contextlib.ExitStack() as stack:
         # COMPACTOR lease for the whole run: two concurrent compactions
         # would otherwise resolve the same `cur`, pick the same
-        # `codes_v<k+1>` name, and the second's pointer swap would discard
+        # `<base>_v<k+1>` name, and the second's pointer swap would discard
         # appends folded into the first's generation (round-7 review).
         # Appends are NOT blocked by this — they contend only on the
-        # codes-writer lease below; GC takes this same lease so it can
+        # writer lease below; GC takes this same lease so it can
         # never sweep a scratch generation mid-build.
-        stack.enter_context(ledger.writer_lease(path, name="codes-compactor"))
-        cur = _codes_dir(path)
+        stack.enter_context(ledger.writer_lease(path, name=f"{base}-compactor"))
+        cur = _live_dir(path, base)
         gen = 0
-        while os.path.exists(os.path.join(path, f"codes_v{gen + 1}")):
+        while os.path.exists(os.path.join(path, f"{base}_v{gen + 1}")):
             gen += 1
-        new_name = f"codes_v{gen + 1}"
+        new_name = f"{base}_v{gen + 1}"
         new_dir = os.path.join(path, new_name)
         seen = _list_code_files(cur)
         # basePath keeps the cell= partition column when reading explicit
@@ -271,7 +298,7 @@ def compact_ivfpq_codes(
         # ``os.replace`` — the round-6 microsecond window is closed, and
         # ``remove_old=True`` can no longer destroy a racing batch's only
         # copy
-        with ledger.writer_lease(path, name="codes-writer"):
+        with ledger.writer_lease(path, name=f"{base}-writer"):
             while True:
                 delta = _list_code_files(cur) - seen
                 if not delta:
@@ -285,7 +312,7 @@ def compact_ivfpq_codes(
                     .partitionBy("cell")
                     .parquet(new_dir)
                 )
-            ledger.publish_pointer(os.path.join(path, "codes_current"), new_name)
+            ledger.publish_pointer(os.path.join(path, f"{base}_current"), new_name)
             if remove_old and os.path.realpath(cur) != os.path.realpath(new_dir):
                 shutil.rmtree(cur, ignore_errors=True)
     return new_dir
@@ -558,13 +585,17 @@ def gc_ivfpq_generations(path: str) -> list[str]:
     is newer than the live pointer and would otherwise look exactly like
     a dead generation to this sweep (round-7 review) — under the shared
     lease, GC and compaction are mutually exclusive."""
+    return _gc_generations(path, "codes")
+
+
+def _gc_generations(path: str, base: str) -> list[str]:
     import shutil
 
     removed = []
-    with ledger.writer_lease(path, name="codes-compactor"):
-        live = os.path.realpath(_codes_dir(path))
+    with ledger.writer_lease(path, name=f"{base}-compactor"):
+        live = os.path.realpath(_live_dir(path, base))
         for name in sorted(os.listdir(path)):
-            if name != "codes" and not (name.startswith("codes_v") and name != "codes_current"):
+            if name != base and not (name.startswith(f"{base}_v") and name != f"{base}_current"):
                 continue
             full = os.path.join(path, name)
             if not os.path.isdir(full) or os.path.realpath(full) == live:
@@ -654,20 +685,19 @@ def build_ivfflat_index(
     coarse_q = pq_quantize_rows([r["mvec"] for r in rows], quant_scale)
     dim = coarse_q.shape[1]
     _guard_driver_bytes("ivfflat coarse quantizer", num_coarse, dim)
-
-    def encode(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids = pdf[id_col].to_numpy()
-            m = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            q = pq_quantize_rows(pdf[vec_col].to_numpy(), quant_scale)
-            cd = q[:, None, :] - coarse_q[None, :, :]
-            cell = (cd * cd).sum(axis=2).argmin(axis=1).astype(np.int32)
-            yield pd.DataFrame({id_col: ids, "cell": cell, "vec": list(m)})
+    encode = _make_flat_encoder(coarse_q, quant_scale, id_col, vec_col)
 
     vec_dir = os.path.join(path, "vectors")
     meta_dir = os.path.join(path, "meta")
+    # rebuild discipline (the IVF-PQ build's, verbatim): a fresh
+    # incarnation resets the applied-key ledger (else a post-rebuild
+    # append reusing a batch key silently no-ops) and drops any stale
+    # compaction pointer (else readers resurrect a dead generation)
+    ledger.reset_applied_keys(os.path.join(path, "applied"))
+    try:
+        ledger.commit_backend().remove(os.path.join(path, "vectors_current"))
+    except FileNotFoundError:
+        pass
     # cluster each cell into one writer task (the save_bm25_index
     # discipline: a naive partitionBy write fans tasks x cells small
     # files); sort by id inside the file for stable scans
@@ -687,6 +717,129 @@ def build_ivfflat_index(
     ] + [("param", i, [float(params[n])], None) for i, n in enumerate(_FLAT_PARAM_NAMES)]
     _write_meta(vectors.sparkSession, meta_dir, meta_rows)
     return {"vectors": vec_dir, "meta": meta_dir}
+
+
+def _make_flat_encoder(coarse_q, quant_scale: int, id_col: str, vec_col: str):
+    """The one Arrow cell-assignment kernel shared by the IVF-Flat build
+    and append (the `_make_encoder` drift discipline): micro-quantized
+    int64-L2 first-minimum argmin against the stored coarse matrix; the
+    vector itself is carried as exact float64."""
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf[id_col].to_numpy()
+            m = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            q = pq_quantize_rows(pdf[vec_col].to_numpy(), quant_scale)
+            cd = q[:, None, :] - coarse_q[None, :, :]
+            cell = (cd * cd).sum(axis=2).argmin(axis=1).astype(np.int32)
+            yield pd.DataFrame({id_col: ids, "cell": cell, "vec": list(m)})
+
+    return encode
+
+
+def append_to_ivfflat_index(
+    new_vectors: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    applied_key: str | None = None,
+    skip_existing: bool = False,
+) -> bool:
+    """Append a batch of vectors to an EXISTING IVF-Flat index — the
+    steady-state ingestion path, at full parity with
+    :func:`append_to_ivfpq_index` (r12; VERDICT r11 item 4): the cell
+    assignment reads the STORED coarse quantizer (never re-derived from
+    the batch), the batch lands as new files inside its cells' partitions
+    of the LIVE generation, and the same redo ladder applies —
+    ``applied_key`` no-ops a replayed batch whose marker landed
+    (``<path>/applied`` sidecar ledger), ``skip_existing=True`` anti-joins
+    the batch's ids against ONLY its own cells (partition-pruned) to close
+    the insert→marker crash window. The whole append runs under the
+    ``vectors-writer`` lease so it can never land in a generation a
+    concurrent compaction's pointer swap is about to orphan.
+
+    Meta is WRITE-ONCE after the build: geometry and commit marker can
+    never be lost to a crashed append. Searches pick appended rows up
+    immediately (same partition dirs, exact vectors — no recall drift,
+    unlike PQ whose codes quantize). Returns False iff the key was
+    already applied.
+    """
+    if not index_is_complete(path):
+        raise ValueError(f"no committed index at {path}; run build_ivfflat_index first")
+    spark = new_vectors.sparkSession
+    with ledger.writer_lease(path, name="vectors-writer"):
+        if applied_key is not None:
+            # membership FIRST (legacy-key redo discipline, see the PQ twin)
+            if applied_key in ledger.applied_keys(os.path.join(path, "applied")):
+                return False
+            ledger.check_applied_key(applied_key)
+        p, coarse_q = _ivfflat_meta(path)
+        encode = _make_flat_encoder(coarse_q, p["quant_scale"], id_col, vec_col)
+        encoded = new_vectors.select(id_col, vec_col).mapInPandas(
+            encode, f"{id_col} long, cell int, vec array<double>"
+        )
+        vec_dir = _vectors_dir(path)
+        if skip_existing:
+            # materialize the small encoded batch once: it feeds the cell
+            # list, the anti-join probe side, and the final write (the
+            # read-vs-own-write hazard the PQ twin checkpoints around)
+            encoded = encoded.localCheckpoint(eager=True)
+            cells = [r["cell"] for r in encoded.select("cell").distinct().collect()]
+            if cells:
+                stored_ids = (
+                    spark.read.parquet(vec_dir)
+                    .filter(F.col("cell").isin(cells))  # partition-pruned
+                    .select(id_col)
+                )
+                encoded = encoded.join(stored_ids, id_col, "left_anti")
+        (
+            encoded
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(vec_dir)
+        )
+        if applied_key is not None:
+            ledger.record_applied_key(os.path.join(path, "applied"), applied_key)
+    return True
+
+
+def compact_ivfflat_vectors(
+    spark: SparkSession,
+    path: str,
+    writer_tasks: int = 1,
+    remove_old: bool = False,
+    _before_swap=None,
+) -> str:
+    """Compact the stored IVF-Flat vectors after append pileup — the
+    IDENTICAL generation protocol as :func:`compact_ivfpq_codes` (see its
+    docstring for the full race analysis): rewrite into ``vectors_v<k>``,
+    fold racing appends' delta files until a quiet pass under the
+    ``vectors-writer`` lease, then swap the ``vectors_current`` pointer
+    atomically. Geometry and the applied-key ledger are untouched."""
+    return _compact_generations(
+        spark, path, "vectors", writer_tasks, remove_old, _before_swap
+    )
+
+
+def gc_ivfflat_generations(path: str) -> list[str]:
+    """Remove vectors generations the ``vectors_current`` pointer no
+    longer references — :func:`gc_ivfpq_generations`'s twin, same
+    retention-delay rule and compactor-lease mutual exclusion."""
+    return _gc_generations(path, "vectors")
+
+
+def ivfflat_cell_stats(spark: SparkSession, path: str) -> DataFrame:
+    """Per-cell vector counts of the stored IVF-Flat index — the same
+    skew monitor as :func:`index_cell_stats` (partition-column-only
+    scan of the live generation)."""
+    return (
+        spark.read.parquet(_vectors_dir(path))
+        .groupBy(F.col("cell").cast("int").alias("cell"))
+        .agg(F.count("*").cast("long").alias("n_vectors"))
+        .orderBy("cell")
+    )
 
 
 def ivfflat_search(
@@ -729,7 +882,8 @@ def ivfflat_search(
         cells = tuple(sorted(int(c) for c in cell_ids[np.lexsort((cell_ids, cdist[qi]))][:npb]))
         groups.setdefault(cells, []).append(r)
 
-    vec_dir = os.path.join(path, "vectors")
+    # live generation: appends land here, compaction swaps the pointer
+    vec_dir = _vectors_dir(path)
 
     legs = []
     for cells, grp_rows in sorted(groups.items()):

@@ -249,6 +249,7 @@ def start_vector_ingest_stream(
     index_path: str,
     checkpoint_dir: str,
     max_files_per_trigger: int = 1,
+    index_kind: str = "ivfpq",
 ):
     """The vector-index twin of :func:`start_index_ingest_stream`: new
     embedding files drain into an EXISTING IVF-PQ index
@@ -262,15 +263,24 @@ def start_vector_ingest_stream(
     re-inserts nothing — the stream composes to exactly-once, the same
     convergence the gram path's dedup gate provides. No relation-cache
     concern here — the index is path-based parquet, and path reads list
-    files per query."""
+    files per query.
+
+    ``index_kind`` selects the stored-index family: ``"ivfpq"`` (codes)
+    or ``"ivfflat"`` (exact vectors) — both appends share the redo
+    ladder, so the stream composition is identical (r12 lifecycle
+    parity)."""
     from pipeline_etl_website_visits_spark.operators.vector_index import (
+        append_to_ivfflat_index,
         append_to_ivfpq_index,
     )
 
+    append = {"ivfpq": append_to_ivfpq_index, "ivfflat": append_to_ivfflat_index}[
+        index_kind
+    ]
     prefix = stream_key_prefix(checkpoint_dir)
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
-        append_to_ivfpq_index(
+        append(
             batch_df,
             index_path,
             applied_key=f"{prefix}_b{batch_id}",

@@ -1503,3 +1503,49 @@ def test_stream_dsir_gated_ingest_matches_batch_filter(spark, tmp_path):
             spark.sql(f"DROP TABLE IF EXISTS {ref_table}")
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_stream_flat_vector_ingest_equals_full_rebuild(spark, tmp_path):
+    """index_kind='ivfflat' (r12 lifecycle parity): streaming embedding
+    shards drained into a stored IVF-Flat index give bit-identical search
+    results to one full rebuild, and a restarted drain appends nothing."""
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        build_ivfflat_index,
+        ivfflat_cell_stats,
+        ivfflat_search,
+    )
+    from pipeline_etl_website_visits_spark.streaming.corpus_stream import (
+        start_vector_ingest_stream,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    base = emb.filter(F.col("vec_id") < 300)
+    s1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    s2 = emb.filter(F.col("vec_id") >= 400)
+
+    p_inc = str(tmp_path / "fidx_inc")
+    p_full = str(tmp_path / "fidx_full")
+    in_dir = tmp_path / "femb_in"
+    in_dir.mkdir()
+    build_ivfflat_index(base, p_inc, num_coarse=4)
+    s1.coalesce(1).write.parquet(str(in_dir / "s1"))
+    s2.coalesce(1).write.parquet(str(in_dir / "s2"))
+    q = start_vector_ingest_stream(
+        spark, str(in_dir) + "/*/", p_inc, str(tmp_path / "fck"), index_kind="ivfflat"
+    )
+    q.awaitTermination(120)
+
+    build_ivfflat_index(emb, p_full, num_coarse=4)
+    queries = emb.filter(F.col("vec_id") < 5)
+    got = sorted(map(tuple, ivfflat_search(spark, p_inc, queries, k=5).collect()))
+    want = sorted(map(tuple, ivfflat_search(spark, p_full, queries, k=5).collect()))
+    assert got == want
+
+    n = sum(r["n_vectors"] for r in ivfflat_cell_stats(spark, p_inc).collect())
+    q2 = start_vector_ingest_stream(
+        spark, str(in_dir) + "/*/", p_inc, str(tmp_path / "fck"), index_kind="ivfflat"
+    )
+    q2.awaitTermination(120)
+    assert sum(r["n_vectors"] for r in ivfflat_cell_stats(spark, p_inc).collect()) == n

@@ -866,3 +866,228 @@ def test_ivfflat_build_requires_coarse_ids(spark, emb, tmp_path):
         build_ivfflat_index(
             emb.filter(F.col("vec_id") >= 2), str(tmp_path / "bad"), num_coarse=4
         )
+
+
+def _flat_rows(spark, path, queries, **kw):
+    from pipeline_etl_website_visits_spark.operators.vector_index import ivfflat_search
+
+    return sorted(map(tuple, ivfflat_search(spark, path, queries, **kw).collect()))
+
+
+def test_ivfflat_append_then_search_equals_full_rebuild(spark, emb, tmp_path):
+    """IVF-Flat steady-state ingestion (r12 lifecycle parity): append a
+    batch to an existing index; a full-probe search over old+new vectors
+    is bit-identical to an index built over the union (frozen coarse
+    quantizer + exact stored vectors — encode order cannot matter)."""
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        append_to_ivfflat_index,
+        build_ivfflat_index,
+        ivfflat_cell_stats,
+    )
+
+    base = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    p_inc = str(tmp_path / "finc")
+    p_full = str(tmp_path / "ffull")
+    build_ivfflat_index(base, p_inc, num_coarse=4)
+    assert append_to_ivfflat_index(batch, p_inc) is True
+    build_ivfflat_index(emb, p_full, num_coarse=4)
+
+    queries = emb.filter(F.col("vec_id") < 5)
+    assert _flat_rows(spark, p_inc, queries, k=4) == _flat_rows(spark, p_full, queries, k=4)
+    stats = {r["cell"]: r["n_vectors"] for r in ivfflat_cell_stats(spark, p_inc).collect()}
+    assert sum(stats.values()) == emb.count()
+
+
+def test_ivfflat_append_requires_committed_index(spark, emb, tmp_path):
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        append_to_ivfflat_index,
+    )
+
+    with pytest.raises(ValueError, match="no committed index"):
+        append_to_ivfflat_index(emb, str(tmp_path / "fnope"))
+
+
+def test_ivfflat_append_applied_key_is_redo_safe(spark, emb, tmp_path):
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        append_to_ivfflat_index,
+        build_ivfflat_index,
+        ivfflat_cell_stats,
+    )
+
+    base = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    p = str(tmp_path / "fredo")
+    build_ivfflat_index(base, p, num_coarse=4)
+    assert append_to_ivfflat_index(batch, p, applied_key="day1") is True
+    n1 = sum(r["n_vectors"] for r in ivfflat_cell_stats(spark, p).collect())
+    assert append_to_ivfflat_index(batch, p, applied_key="day1") is False
+    n2 = sum(r["n_vectors"] for r in ivfflat_cell_stats(spark, p).collect())
+    assert n1 == n2 == emb.count()
+    assert append_to_ivfflat_index(batch.limit(0), p, applied_key="day2") is True
+
+
+def test_ivfflat_rebuild_resets_applied_ledger(spark, emb, tmp_path, any_commit_backend):
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        append_to_ivfflat_index,
+        build_ivfflat_index,
+        ivfflat_cell_stats,
+    )
+
+    base = emb.filter(F.col("vec_id") < 400)
+    batch = emb.filter(F.col("vec_id") >= 400)
+    p = str(tmp_path / "frebuild")
+    build_ivfflat_index(base, p, num_coarse=4)
+    assert append_to_ivfflat_index(batch, p, applied_key="day1") is True
+    build_ivfflat_index(base, p, num_coarse=4)
+    assert append_to_ivfflat_index(batch, p, applied_key="day1") is True
+    n = sum(r["n_vectors"] for r in ivfflat_cell_stats(spark, p).collect())
+    assert n == emb.count()
+
+
+def test_ivfflat_compact_preserves_search_append_and_ledger(
+    spark, emb, tmp_path, any_commit_backend
+):
+    """Append pileup -> compaction under both commit backends: one file
+    per cell in the new generation, pointer swapped, searches bit-identical,
+    ledger survives (replay no-ops), later appends land in the live
+    generation — the compact_ivfpq_codes contract transferred verbatim."""
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        _vectors_dir,
+        append_to_ivfflat_index,
+        build_ivfflat_index,
+        compact_ivfflat_vectors,
+        ivfflat_cell_stats,
+    )
+
+    base = emb.filter(F.col("vec_id") < 300)
+    b1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    b2 = emb.filter(F.col("vec_id") >= 400)
+    p = str(tmp_path / "fcidx")
+    build_ivfflat_index(base, p, num_coarse=4)
+    assert append_to_ivfflat_index(b1, p, applied_key="d1")
+    assert append_to_ivfflat_index(b2, p, applied_key="d2")
+    queries = emb.filter(F.col("vec_id") < 5)
+    before = _flat_rows(spark, p, queries, k=5)
+
+    new_dir = compact_ivfflat_vectors(spark, p)
+    for cell in os.listdir(new_dir):
+        if not cell.startswith("cell="):
+            continue
+        files = [f for f in os.listdir(os.path.join(new_dir, cell)) if not f.startswith(("_", "."))]
+        assert len(files) == 1, (cell, files)
+    assert _vectors_dir(p) == new_dir
+    assert _flat_rows(spark, p, queries, k=5) == before
+
+    assert append_to_ivfflat_index(b1, p, applied_key="d1") is False
+    n = sum(r["n_vectors"] for r in ivfflat_cell_stats(spark, p).collect())
+    assert n == emb.count()
+    assert append_to_ivfflat_index(
+        b1.limit(3).withColumn("vec_id", F.col("vec_id") + 10_000), p, applied_key="d3"
+    )
+    assert sum(r["n_vectors"] for r in ivfflat_cell_stats(spark, p).collect()) == n + 3
+
+
+def test_ivfflat_gc_removes_only_dead_generations(spark, emb, tmp_path):
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        _vectors_dir,
+        build_ivfflat_index,
+        compact_ivfflat_vectors,
+        gc_ivfflat_generations,
+        ivfflat_search,
+    )
+
+    p = str(tmp_path / "fgidx")
+    build_ivfflat_index(emb.filter(F.col("vec_id") < 300), p, num_coarse=4)
+    compact_ivfflat_vectors(spark, p)
+    compact_ivfflat_vectors(spark, p)
+    removed = gc_ivfflat_generations(p)
+    assert {os.path.basename(r) for r in removed} == {"vectors", "vectors_v1"}
+    assert os.path.basename(_vectors_dir(p)) == "vectors_v2"
+    q = emb.filter(F.col("vec_id") < 3)
+    assert len(ivfflat_search(spark, p, q, k=5).collect()) > 0
+    assert gc_ivfflat_generations(p) == []
+
+
+def test_ivfflat_compact_folds_racing_appends(spark, emb, tmp_path, any_commit_backend):
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        append_to_ivfflat_index,
+        build_ivfflat_index,
+        compact_ivfflat_vectors,
+        gc_ivfflat_generations,
+        ivfflat_cell_stats,
+    )
+
+    base = emb.filter(F.col("vec_id") < 300)
+    racer = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 350))
+    p = str(tmp_path / "fridx")
+    build_ivfflat_index(base, p, num_coarse=4)
+    n_base = base.count()
+
+    def racing_append():
+        assert append_to_ivfflat_index(racer, p, applied_key="racer") is True
+
+    compact_ivfflat_vectors(spark, p, _before_swap=racing_append)
+    gc_ivfflat_generations(p)
+    n = sum(r["n_vectors"] for r in ivfflat_cell_stats(spark, p).collect())
+    assert n == n_base + racer.count()
+    assert append_to_ivfflat_index(racer, p, applied_key="racer") is False
+
+
+def test_ivfflat_append_skip_existing_gates_replayed_batches(spark, emb, tmp_path):
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        append_to_ivfflat_index,
+        build_ivfflat_index,
+        ivfflat_cell_stats,
+    )
+
+    base = emb.filter(F.col("vec_id") < 300)
+    b1 = emb.filter((F.col("vec_id") >= 300) & (F.col("vec_id") < 400))
+    p = str(tmp_path / "fskip")
+    build_ivfflat_index(base, p, num_coarse=4)
+    assert append_to_ivfflat_index(b1, p, applied_key="k1")
+    n1 = sum(r["n_vectors"] for r in ivfflat_cell_stats(spark, p).collect())
+    q = emb.filter(F.col("vec_id") < 5)
+    want = _flat_rows(spark, p, q, k=5)
+
+    # crash-window replay: same rows, different key, gate on -> no new rows
+    assert append_to_ivfflat_index(b1, p, applied_key="k1-retry", skip_existing=True)
+    assert sum(r["n_vectors"] for r in ivfflat_cell_stats(spark, p).collect()) == n1
+    assert _flat_rows(spark, p, q, k=5) == want
+
+    # mixed batch: only the novel half lands
+    novel = emb.filter((F.col("vec_id") >= 400) & (F.col("vec_id") < 450))
+    mixed = b1.limit(30).unionByName(novel)
+    assert append_to_ivfflat_index(mixed, p, applied_key="k2", skip_existing=True)
+    n2 = sum(r["n_vectors"] for r in ivfflat_cell_stats(spark, p).collect())
+    assert n2 == n1 + novel.count()
+
+
+def test_served_queries_survive_append_compact_cycle(spark, tmp_path):
+    """x173/x177's serving contract across the lifecycle: after an
+    append of vectors the search already saw (skip_existing replay) and a
+    compaction (generation pointer swap), the pruned ivfflat_search the
+    two queries run returns bit-identical rows — the artifact's values
+    never move under maintenance."""
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        append_to_ivfflat_index,
+        build_ivfflat_index,
+        compact_ivfflat_vectors,
+        gc_ivfflat_generations,
+        ivfflat_search,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    p = str(tmp_path / "serve_idx")
+    build_ivfflat_index(emb, p, num_coarse=4)
+    queries = emb.filter(F.col("vec_id") % 100 == 7)  # x177's probe shape
+    before = sorted(map(tuple, ivfflat_search(spark, p, queries, k=5, nprobe=2).collect()))
+
+    # maintenance cycle: replayed append (gated), compact, GC
+    assert append_to_ivfflat_index(emb.limit(50), p, applied_key="replay", skip_existing=True)
+    compact_ivfflat_vectors(spark, p)
+    gc_ivfflat_generations(p)
+    after = sorted(map(tuple, ivfflat_search(spark, p, queries, k=5, nprobe=2).collect()))
+    assert after == before
