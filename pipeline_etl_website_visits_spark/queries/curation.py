@@ -2569,3 +2569,121 @@ def x177(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivfflat_search(
         spark, flat_path, emb.filter(F.col("vec_id") < 3), k=10, nprobe=2, with_rank=True
     )
+
+
+# --------------------------------------------------------------------------
+# x179 — ANN recall@k evaluation of the pruned serving dial
+#
+# The index-QA measurement every ANN deployment runs before turning the
+# nprobe knob down in production: recall@10 of the pruned IVF-Flat search
+# (x177's exact configuration — nprobe=2 of 4 cells, the stored artifact)
+# against the exact cosine top-10 ground truth (x25's kernel). Both legs
+# are deterministic certified paths, so the recall numbers themselves
+# hash-certify: integer hit counts, recall in exact ppm.
+# --------------------------------------------------------------------------
+@query(
+    "x179_ann_recall_eval",
+    oracle="""
+    WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS arr FROM embeddings),
+    v AS (
+      SELECT vec_id, i - 1 AS pos, CAST(FLOOR(arr[i] * 1000000) AS BIGINT) AS val
+      FROM raw, unnest(generate_series(1, len(arr))) AS u(i)
+    ),
+    c AS (SELECT vec_id AS cid, pos, val FROM v WHERE vec_id < 4),
+    d AS (
+      SELECT v.vec_id, c.cid, SUM((v.val - c.val) * (v.val - c.val)) AS dist
+      FROM v JOIN c USING (pos) GROUP BY v.vec_id, c.cid
+    ),
+    asg AS (
+      SELECT vec_id AS neighbor_id, cid AS cell FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT vec_id AS query_id, cid AS cell FROM (
+        SELECT vec_id, cid, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d WHERE vec_id < 3
+      ) WHERE rn <= 2
+    ),
+    pruned AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT p.query_id, a.neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id ORDER BY
+                 list_dot_product(q.arr, n.arr)
+                   / (sqrt(list_dot_product(q.arr, q.arr)) * sqrt(list_dot_product(n.arr, n.arr))) DESC,
+                 a.neighbor_id) AS rn
+        FROM probes p
+        JOIN asg a USING (cell)
+        JOIN raw q ON q.vec_id = p.query_id
+        JOIN raw n ON n.vec_id = a.neighbor_id
+        WHERE a.neighbor_id <> p.query_id
+      ) WHERE rn <= 10
+    ),
+    exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_dot_product(q.arr, n.arr)
+                   / (sqrt(list_dot_product(q.arr, q.arr)) * sqrt(list_dot_product(n.arr, n.arr))) DESC,
+                 n.vec_id) AS rn
+        FROM raw q JOIN raw n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id < 3
+      ) WHERE rn <= 10
+    )
+    SELECT CAST(e.query_id AS BIGINT) AS query_id,
+           CAST(COUNT(p.neighbor_id) AS BIGINT) AS n_hits,
+           CAST(COUNT(p.neighbor_id) * 100000 AS BIGINT) AS recall_ppm
+    FROM exact e
+    LEFT JOIN pruned p ON p.query_id = e.query_id AND p.neighbor_id = e.neighbor_id
+    GROUP BY e.query_id ORDER BY query_id
+    """,
+    certifies="X3 ANN recall@k evaluation: pruned stored-index serving (x177's nprobe=2 dial) measured against exact cosine top-k ground truth — integer hit counts / exact-ppm recall, the QA gate before lowering nprobe in production",
+    tags=("llm", "similarity", "stored-index", "bounded"),
+)
+def x179(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 per query of the pruned IVF-Flat search vs exact cosine
+    top-10. Shares the x173/x177 scratch index artifact; the exact leg is
+    the certified cosine_topk kernel. recall_ppm = n_hits * 1e6 / 10 —
+    exact integer (k fixed at 10)."""
+    import os
+
+    from pipeline_etl_website_visits_spark.operators.similarity import cosine_topk
+    from pipeline_etl_website_visits_spark.operators.vector_index import (
+        build_ivfflat_index,
+        ivfflat_search,
+    )
+    from pipeline_etl_website_visits_spark.queries.llmops import (
+        _commit_scratch_build,
+        _scratch_path,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    flat_path = _scratch_path(sf_dir, "embeddings", "ivfflat")
+    if not os.path.exists(os.path.join(flat_path, "meta", "_SUCCESS")):
+        tmp = f"{flat_path}.build.{os.getpid()}"
+        build_ivfflat_index(emb, tmp, num_coarse=4)
+        _commit_scratch_build(tmp, flat_path)
+    pruned = ivfflat_search(spark, flat_path, q, k=10, nprobe=2).select(
+        "query_id", "neighbor_id"
+    )
+    exact = cosine_topk(q, emb, k=10).select("query_id", "neighbor_id")
+    hits = (
+        exact.join(pruned, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count("*").cast("long").alias("n_hits"))
+    )
+    return (
+        exact.select("query_id")
+        .distinct()
+        .join(hits, "query_id", "left")
+        .select(
+            F.col("query_id").cast("long").alias("query_id"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) * 100000)
+            .cast("long")
+            .alias("recall_ppm"),
+        )
+        .orderBy("query_id")
+    )

@@ -2742,3 +2742,160 @@ def x171(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         frames, "doc_id long, frame_index int, n_frames int, sq_sum long"
     )
+
+
+# --------------------------------------------------------------------------
+# x178 — quality-priority canonical selection per near-dup cluster
+#
+# The decision step a dedup pipeline actually ships: after clustering
+# (x71), each cluster keeps its BEST document, not its min-id one — the
+# CCNet/RefinedWeb rule is keep-the-longest (chars as the cheap quality
+# proxy), ties to the lowest id. Pairs come off the family-shared stored
+# overlap artifact; the oracle re-derives everything inline (x71's
+# recursive-CTE closure + one window), so the artifact and the keep rule
+# hash-certify together.
+# --------------------------------------------------------------------------
+@query(
+    "x178_cluster_canonical",
+    oracle=f"""
+    WITH RECURSIVE g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(lst) - 1),
+               i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]))) AS gram
+      FROM (SELECT doc_id, {_TOKS} AS lst FROM documents)
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM g GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT doc_a, doc_b FROM p
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {_JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION SELECT doc_b, doc_a FROM pairs
+      UNION SELECT doc_a, doc_a FROM pairs
+      UNION SELECT doc_b, doc_b FROM pairs
+    ),
+    reach(a, b) AS (
+      SELECT a, b FROM edges
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    members AS (SELECT a AS doc_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    ranked AS (
+      SELECT m.cluster_id, m.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY m.cluster_id
+                                ORDER BY d.n_chars DESC, m.doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY m.cluster_id) AS n_members
+      FROM members m JOIN documents d USING (doc_id)
+    )
+    SELECT CAST(cluster_id AS BIGINT) AS cluster_id,
+           CAST(doc_id AS BIGINT) AS keeper_doc_id,
+           CAST(n_chars AS BIGINT) AS keeper_chars,
+           CAST(n_members AS BIGINT) AS n_members
+    FROM ranked WHERE rn = 1 ORDER BY cluster_id
+    """,
+    certifies="X3 dedup canonical selection: per-cluster keep-the-best (longest doc, ties to lowest id — the CCNet/RefinedWeb keep rule) over the near-dup components, served from the stored pair-overlap artifact",
+    tags=("llm", "dedup", "curation", "stored-index"),
+)
+def x178(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = D.shingle_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=_JACCARD_THRESHOLD,
+        overlap=shared_pair_overlap(spark, sf_dir, min_jaccard=_JACCARD_THRESHOLD),
+    )
+    members = D.dedup_clusters(pairs)
+    joined = members.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster_id")
+    ranked = joined.select(
+        F.col("cluster_id").cast("long").alias("cluster_id"),
+        F.col("doc_id").cast("long").alias("keeper_doc_id"),
+        F.col("n_chars").cast("long").alias("keeper_chars"),
+        F.row_number()
+        .over(w.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("__rn"),
+        F.count("*").over(w).cast("long").alias("n_members"),
+    )
+    return (
+        ranked.filter(F.col("__rn") == 1)
+        .select("cluster_id", "keeper_doc_id", "keeper_chars", "n_members")
+        .orderBy("cluster_id")
+    )
+
+
+# --------------------------------------------------------------------------
+# x180 — near-dup similarity band histogram over the stored artifact
+#
+# The corpus-health audit a dedup operator reads before picking
+# thresholds: how many retained pairs sit in each Jaccard decile, and how
+# many are containment-only (quote/subset duplication invisible to
+# Jaccard ≥ 0.2). Reads the family-shared artifact END-TO-END — retention
+# rule included — while the oracle re-derives the overlap inline, so this
+# query certifies the artifact's exact retention semantics, not just the
+# thresholded views the other family members read. Banding is pure
+# integer: band = min((inter*10) div union, 9).
+# --------------------------------------------------------------------------
+@query(
+    "x180_neardup_band_histogram",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(lst) - 1),
+               i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]))) AS gram
+      FROM (SELECT doc_id, {_TOKS} AS lst FROM documents)
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM g GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    kept AS (
+      SELECT doc_a, doc_b, inter, sa.sz AS sz_a, sb.sz AS sz_b,
+             sa.sz + sb.sz - inter AS un
+      FROM p
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.2
+         OR CAST(inter AS DOUBLE) / LEAST(sa.sz, sb.sz) >= 0.5
+    )
+    SELECT CAST(LEAST((inter * 10) // un, 9) AS INT) AS jac_band,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN CAST(inter AS DOUBLE) / un < 0.2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_containment_only
+    FROM kept GROUP BY jac_band ORDER BY jac_band
+    """,
+    certifies="X3 near-dup similarity band histogram (threshold-tuning audit) over the stored pair-overlap artifact — certifies the artifact's exact retention semantics (Jaccard >= 0.2 OR containment >= 0.5) including the containment-only tail, integer decile banding",
+    tags=("llm", "dedup", "stats", "stored-index"),
+)
+def x180(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ovl = shared_pair_overlap(
+        spark, sf_dir, min_jaccard=_PAIROVL_J_FLOOR, min_containment=_PAIROVL_C_FLOOR
+    )
+    un = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    return (
+        ovl.select(
+            # integer floor division (all quantities non-negative, so
+            # Spark's `div` == DuckDB's `//`)
+            F.least(
+                F.expr("(inter * 10) div (sz_a + sz_b - inter)"), F.lit(9).cast("long")
+            )
+            .cast("int")
+            .alias("jac_band"),
+            ((F.col("inter") / un) < F.lit(0.2)).cast("int").alias("__conly"),
+        )
+        .groupBy("jac_band")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum("__conly").cast("long").alias("n_containment_only"),
+        )
+        .orderBy("jac_band")
+    )
