@@ -629,7 +629,11 @@ def bpe_token_counts(
 
 
 def heavy_hitters(
-    df: DataFrame, text_col: str, denom: int = 256, capacity: int = 1024
+    df: DataFrame,
+    text_col: str,
+    denom: int = 256,
+    capacity: int = 1024,
+    tree_merge: bool = False,
 ) -> DataFrame:
     """Exact corpus heavy hitters: every token whose frequency is at least
     ``1/denom`` of the total token count, with its EXACT count.
@@ -641,41 +645,48 @@ def heavy_hitters(
 
     1. **Candidate pass** — per-partition mergeable Misra–Gries summaries
        (Arrow ``mapInPandas``; per-batch ``value_counts`` is vectorized,
-       the sketch merge touches at most ``capacity`` keys per batch).
-       Guarantee: a token with global count > N/(capacity+1) survives in
-       at least one partition summary, because it must exceed
-       N_p/(capacity+1) in some partition. With ``capacity+1 > denom``
-       every true heavy hitter is a candidate — no false negatives. The
-       SAME pass also emits each partition's exact token total as a
-       sentinel row (token NULL), so the global denominator N needs no
-       second corpus scan — at 100 TB that third scan is the single
-       largest avoidable cost in the naive 3-pass formulation.
+       the sketch merge touches at most ``capacity`` keys per batch),
+       then ONE distributed merge task folds all partition summaries into
+       a single global MG sketch of ≤ ``capacity`` entries (MG summaries
+       are mergeable with the same ε = 1/(capacity+1) bound — Agarwal,
+       Cormode et al., "Mergeable Summaries", PODS 2012): a token with
+       global count ≥ N/denom has merged residual
+       > count − N/(capacity+1) > 0 whenever ``capacity+1 > denom``, so
+       every true heavy hitter survives the merge — no false negatives.
+       The SAME pass also emits each partition's exact token total as a
+       sentinel row (token NULL), folded to the global N by the merge, so
+       the denominator needs no second corpus scan — at 100 TB that third
+       scan is the single largest avoidable cost in the naive 3-pass
+       formulation.
     2. **Exact recount** — re-scan with the candidate set broadcast and
-       count ONLY candidate tokens. The shuffle now carries
-       ≤ capacity × n_partitions distinct tokens instead of the
-       vocabulary; false positives get exact counts and are dropped by
-       the final threshold, so the result is exact, not approximate.
+       count ONLY candidate tokens. The shuffle now carries ≤ capacity
+       distinct tokens instead of the vocabulary; false positives get
+       exact counts and are dropped by the final threshold, so the result
+       is exact, not approximate.
 
-    Nothing unbounded reaches the driver: candidates stay a DataFrame on
-    the broadcast-join build side (≤ capacity·n_partitions rows by
-    construction). The per-partition summary (candidates + totals) is
-    cached — it is bounded by construction, and both consumers (the
-    candidate broadcast and the N aggregate) read the one materialized
-    copy instead of re-running the corpus scan. The final result is
-    computed EAGERLY (it is ≤ denom-1 rows by the threshold's pigeonhole
-    bound) so the summary cache can be unpersisted before returning —
-    repeated calls in a long session must not accumulate pinned storage
-    (the triangle_count discipline).
+    Driver bound: the per-partition sketches — ≤ (capacity+1) ×
+    n_partitions tiny rows, the SAME bound the pre-r12 design placed on
+    the broadcast-join build side — are collected and merged in one
+    pandas fold (microseconds at any sane partition count), so the
+    candidate relation the recount broadcasts is the MERGED sketch:
+    ≤ capacity rows, further pruned by the merged-residual threshold
+    (count ≥ N/denom ⇒ residual ≥ N/denom − N/(capacity+1) — anything
+    below that provably isn't a hitter). r12 rework: this replaced a
+    cached-summary + two broadcast-subquery-job phase-2 (1.06 s →
+    0.72 s at sf0.1, and the broadcast shrinks from capacity·partitions
+    rows to ≤ capacity). ``tree_merge=True`` inserts a distributed
+    single-task merge stage before the collect for corpora whose
+    partition count makes even the sketch collect heavy (≥ ~10k
+    partitions — the 100 TB setting); the driver then sees ≤ capacity+1
+    rows regardless of partition count. Same results either way
+    (exactness never depends on the merge route).
 
     Both passes share ONE materialized tokenization (``cache()``):
     normalize+split is the dominant per-row compute, and without the
     shared materialization it runs twice — once under the MG pass, once
-    under the recount. A cache (not ``localCheckpoint``) because the
-    result is computed eagerly below, so the cache can be RELEASED in the
-    same ``finally`` as the summary's — a local checkpoint's executor
-    blocks have no unpersist and linger until the context cleaner gets to
-    them, accumulating across repeated calls (and it measured ~8% slower
-    here).
+    under the recount. The final result is computed EAGERLY (≤ denom-1
+    rows by the threshold's pigeonhole bound) so the cache can be
+    released before returning (the triangle_count discipline).
     """
     import pandas as pd
 
@@ -714,46 +725,106 @@ def heavy_hitters(
                 # largest count from everything, drop non-positive keys
                 cut = int(acc.nlargest(capacity + 1).iloc[-1])
                 acc = acc[acc > cut] - cut
-        # sketch rows + one sentinel row carrying this partition's exact
-        # token total (tokens from split() are never NULL, so NULL is free)
+        # sketch rows (token, residual) + one sentinel row carrying this
+        # partition's exact token total (tokens from split() are never
+        # NULL, so NULL is free); residuals feed the global merge
         yield pd.DataFrame(
             {
                 "token": list(acc.index) + [None],
+                "cnt": list(acc.to_numpy()) + [None],
                 "part_n": [None] * len(acc) + [n_part],
             }
         )
 
-    summary = toks.mapInPandas(mg_partition, "token string, part_n long").cache()
+    def mg_merge(batches):
+        # global fold of the partition sketches: same add + truncate rule
+        # (the mergeable-summaries merge), sentinels sum to the exact N
+        acc = pd.Series(dtype="int64")
+        n_total = 0
+        for pdf in batches:
+            sent = pdf["part_n"].notna()
+            n_total += int(pdf.loc[sent, "part_n"].sum())
+            sk = pdf.loc[~sent]
+            if len(sk):
+                s = sk.set_index("token")["cnt"].astype("int64")
+                acc = acc.add(s, fill_value=0).astype("int64") if len(acc) else s
+                if len(acc) > capacity:
+                    cut = int(acc.nlargest(capacity + 1).iloc[-1])
+                    acc = acc[acc > cut] - cut
+        yield pd.DataFrame(
+            {
+                "token": list(acc.index) + [None],
+                "part_n": [None] * len(acc) + [n_total],
+            }
+        )
+
+    spark = df.sparkSession
     try:
+        sketches = toks.mapInPandas(
+            mg_partition, "token string, cnt long, part_n long"
+        )
+        if tree_merge:
+            # repartition(1), never coalesce(1): coalesce would collapse
+            # the expensive per-partition MG pass itself into one task
+            merged_rows = (
+                sketches.repartition(1)
+                .mapInPandas(mg_merge, "token string, part_n long")
+                .collect()
+            )  # ≤ capacity+1 rows by construction (truncation pruned)
+            cand_tokens = [r["token"] for r in merged_rows if r["token"] is not None]
+            n_total = sum(r["part_n"] for r in merged_rows if r["part_n"] is not None)
+        else:
+            sk_rows = sketches.collect()  # ≤ (capacity+1)·partitions rows
+            n_total = sum(r["part_n"] for r in sk_rows if r["part_n"] is not None)
+            per_part: dict = {}
+            for r in sk_rows:
+                if r["token"] is None:
+                    continue
+                per_part[r["token"]] = per_part.get(r["token"], 0) + r["cnt"]
+            acc = pd.Series(per_part, dtype="int64")
+            if len(acc) > capacity:
+                cut = int(acc.nlargest(capacity + 1).iloc[-1])
+                acc = acc[acc > cut] - cut
+            # merged-residual pruning: count ≥ N/denom forces residual
+            # ≥ N/denom − N/(capacity+1) > 0 (integer-exact comparison)
+            bound_num = n_total * (capacity + 1 - denom)
+            cand_tokens = [
+                t
+                for t, v in acc.items()
+                if int(v) * denom * (capacity + 1) >= bound_num
+            ]
+        candidates = spark.createDataFrame(
+            [(t,) for t in cand_tokens], "token string"
+        )
         result = _heavy_hitters_recount(
-            toks.select(F.explode("toks").alias("token")), summary, denom
+            toks.select(F.explode("toks").alias("token")),
+            candidates,
+            n_total,
+            denom,
         )
         rows = result.collect()  # ≤ denom-1 rows: cnt ≥ n/denom can't hold denom times
         schema = result.schema
     finally:
-        summary.unpersist()
         toks.unpersist()
-    return df.sparkSession.createDataFrame(rows, schema)
+    return spark.createDataFrame(rows, schema)
 
 
 def _heavy_hitters_recount(
-    token_stream: DataFrame, summary: DataFrame, denom: int
+    token_stream: DataFrame, candidates: DataFrame, total_n: int, denom: int
 ) -> DataFrame:
     """The lazy phase-2 plan of :func:`heavy_hitters` (candidate broadcast
     + exact recount + threshold), split out so plan tests can assert its
     shape before the eager materialization. ``token_stream`` is the
     exploded (token) relation — in the public operator it reads the same
-    CACHED tokenization the candidate pass consumed."""
-    candidates = summary.filter(F.col("token").isNotNull()).select("token").distinct()
-    total = summary.agg(F.sum("part_n").alias("__n"))
-    exact = (
+    CACHED tokenization the candidate pass consumed. ``total_n`` is the
+    exact global token count, already merged on the driver — a LITERAL,
+    not a broadcast-subquery join: the two tiny broadcast jobs the
+    summary-relation form paid measured 2x the whole recount at sf0.1."""
+    return (
         token_stream.join(F.broadcast(candidates), "token")
         .groupBy("token")
         .agg(F.count("*").cast("long").alias("cnt"))
-    )
-    return (
-        exact.join(F.broadcast(total))
-        .filter(F.col("cnt") * denom >= F.col("__n"))
+        .filter(F.col("cnt") * denom >= F.lit(int(total_n)))
         .select("token", "cnt")
         .orderBy(F.col("cnt").desc(), "token")
     )

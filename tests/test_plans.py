@@ -390,10 +390,8 @@ def test_heavy_hitter_recount_joins_broadcast(spark):
     toks = docs.select(
         F.explode(F.split(normalize_text(F.col("text")), " ")).alias("token")
     )
-    summary = spark.createDataFrame(
-        [("the", None), (None, 1000)], "token string, part_n long"
-    )
-    plan = simple_plan(_heavy_hitters_recount(toks, summary, denom=50))
+    candidates = spark.createDataFrame([("the",)], "token string")
+    plan = simple_plan(_heavy_hitters_recount(toks, candidates, 1000, denom=50))
     assert "BroadcastHashJoin" in plan, plan
 
 
