@@ -51,84 +51,81 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in dict order; with 207 registered queries we rotate so every query's
+# in dict order; with 211 registered queries we rotate so every query's
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-11 pinning rule: HEAD = (a) the FIVE new queries (x173 served
-# hybrid retrieval, x174 common-span mining, x175 LM perplexity, x176
-# stored-LM serving, x177 pruned-ANN serving — never driver-checked)
-# plus the SEVEN queries whose implementation CHANGED to oracle-backed
-# certificate forms this round (x60 integer k-means, x96 codebook
-# SemDeDup, x23/x24 portable-hash MinHash/SimHash, x26/x42 quantized-
-# plane LSH, x41 codebook IVF, x98 integer PageRank); then (b) the six
-# queries whose kernels changed this round — x163/x165/x172 (bm25_topk
-# + the stored index: DECIMAL(38,0) num/den, Java-\s prefilter
-# tokenization, pre-filter _stats sidecar, driver-side bucket
-# resolution), x166/x170 (DSIR weight products through DECIMAL), and
-# x123 (AQE off inside the recursion scope) — changed code outranks
-# stale rows; then (c) the TWELVE round-6-latest names round-10
-# displaced; then (d) 14 of the remaining round-7-latest names (the r7
-# fill names q01/q05/q56/q68/x143/x146 first, then alphabetical).
-# 13 + 6 + 12 + 19 = 50. The round-7-latest names that do not fit
-# (x32+ alphabetical tail) defer to the round-12 head; all stay covered
+# Round-12 pinning rule (VERDICT r11 item 2): HEAD = (a) the THREE new
+# queries (x178 cluster canonical keep-rule, x179 ANN recall eval, x180
+# near-dup band histogram — never driver-checked); then (b) the ELEVEN
+# queries whose code changed this round — the shingle-similarity family
+# now served from the shared stored pair-overlap artifact (x22/x56/x71/
+# x86/x98/x114), the x174 per-gram-group rework, the x92 phase-2
+# merge/recount rework, and the stored-index serving paths that now
+# resolve the live generation through the lifecycle pointer (x173/x177
+# IVF-Flat, x117 IVF-PQ) — changed code outranks stale rows; then
+# (c) the NINETEEN remaining round-7-latest names the r11 verdict named
+# (x54, x55, x57, x61–x69, x72–x77, x84 — x71 is already in (b)), so no
+# name's latest driver row predates round 8 after this round; then
+# (d) 17 of the round-8-latest names, alphabetically (q00–q19 block).
+# 3 + 11 + 19 + 17 = 50. The remaining round-8-latest names (q20, q40,
+# q41, x78–x105 cohort, x140, x147) rotate in round 13; all stay covered
 # by the local full-suite check_oracle runs every session.
 DRIVER_ORDER: tuple[str, ...] = (
-    # -- (a) new / converted-to-certificate this round --
-    "x173_stored_hybrid_serving",
-    "x174_common_span_mining",
-    "x175_lm_perplexity",
-    "x176_stored_lm_serving",
-    "x177_ivfflat_ann_serving",
-    "x60_embed_kmeans",
-    "x96_semantic_dedup",
-    "x23_dedup_minhash_lsh",
-    "x24_dedup_simhash",
-    "x26_embed_ann_lsh",
-    "x41_embed_ivf_topk",
-    "x42_dedup_embed_cosine",
-    "x98_doc_pagerank",
-    # -- (b) kernels changed this round --
-    "x163_bm25_retrieval",
-    "x165_hybrid_rrf",
-    "x172_stored_bm25_serving",
-    "x166_dsir_scores",
-    "x170_stored_dsir_serving",
-    "x123_native_recursion",
-    # -- (c) the twelve round-6-latest names (VERDICT r10 item 2) --
-    "x36_approx_count_distinct",
-    "x37_approx_percentile",
-    "x44_hash_split",
-    "x45_snapshot_cdc",
-    "x46_len_quantiles_by_lang",
-    "x49_sequence_packing",
-    "x50_shuffled_sample",
-    "x51_mixture_sampling",
-    "x58_tfidf_top_terms",
-    "x59_bigram_rarity",
-    "x70_json_struct_agg",
-    "x92_heavy_hitters",
-    # -- (d) round-7-latest fill: the displaced r7 fills, then
-    #    alphabetical --
-    "q01_scan_project_rename",
-    "q05_error_explode",
-    "q56_sorted_collect",
-    "q68_rolling_hour_window",
-    "x143_mad_outliers",
-    "x146_chunk_udtf",
-    "x21_dedup_exact",
+    # -- (a) new this round --
+    "x178_cluster_canonical",
+    "x179_ann_recall_eval",
+    "x180_neardup_band_histogram",
+    # -- (b) code changed this round --
     "x22_dedup_ngram_jaccard",
-    "x25_embed_cosine_topk",
-    "x27_text_lang_id",
-    "x32_events_tumbling_hour",
-    "x33_events_sessionize",
-    "x39_time_range_join",
-    "x40_asof_join",
-    "x43_corpus_curation",
-    "x47_decontaminate",
-    "x48_term_redaction",
-    "x52_repetition_metrics",
-    "x53_source_quota",
+    "x56_dedup_containment",
+    "x71_dedup_clusters",
+    "x86_dedup_pipeline",
+    "x98_doc_pagerank",
+    "x114_neardup_triangles",
+    "x174_common_span_mining",
+    "x92_heavy_hitters",
+    "x173_stored_hybrid_serving",
+    "x177_ivfflat_ann_serving",
+    "x117_stored_index_search",
+    # -- (c) the remaining round-7-latest names (VERDICT r11 item 2) --
+    "x54_chunk_overlap",
+    "x55_doc_frequency",
+    "x57_winnowing_fingerprints",
+    "x61_multimodal_png_roundtrip",
+    "x62_salted_hot_key_agg",
+    "x63_price_histogram",
+    "x64_table_profile",
+    "x65_stratified_sample",
+    "x66_prefilter_decontam",
+    "x67_session_funnel",
+    "x68_grouped_argmax",
+    "x69_adjacent_doc_jaccard",
+    "x72_sliding_windows",
+    "x73_window_distribution",
+    "x74_unpivot_metrics",
+    "x75_interval_overlap_join",
+    "x76_multimodal_wav_roundtrip",
+    "x77_stat_aggregates",
+    "x84_embed_pq_adc_topk",
+    # -- (d) round-8-latest fill, alphabetical --
+    "q00_flagship_visitantes",
+    "q02_regex_filter",
+    "q03_null_or_pattern",
+    "q04_bool_split",
+    "q06_nullif_trim",
+    "q07_casts",
+    "q08_visits_agg",
+    "q09_scalar_counts",
+    "q11_anti_join",
+    "q12_inner_join",
+    "q13_semi_join",
+    "q14_window_dedup",
+    "q15_topk",
+    "q16_union",
+    "q17_count_distinct",
+    "q18_rollup",
+    "q19_extract_ym",
 )
 
 
