@@ -98,39 +98,71 @@ class FlakyBackend:
         return self._wrap("list_names", path, lambda: self.delegate.list_names(path))
 
 
-@pytest.fixture(params=["local", "objectstore", "flaky_local", "flaky_objectstore"])
+@pytest.fixture(
+    params=[
+        "local",
+        "objectstore",
+        "flaky_local",
+        "flaky_objectstore",
+        "http",
+        "flaky_http",
+    ]
+)
 def any_commit_backend(request):
-    """Run a golden under FOUR commit strategies: the default POSIX
+    """Run a golden under SIX commit strategies: the default POSIX
     backend, the object-store-semantics one (conditional PUT, plain
-    PUT, no rename, no directories — VERDICT r8 item 2), and each
+    PUT, no rename, no directories — VERDICT r8 item 2), each
     wrapped in FlakyBackend + RetryingBackend (VERDICT r9 item 4):
     ``flaky_local`` injects a transient failure BEFORE each primitive
     first applies (plain retry path); ``flaky_objectstore`` injects it
     AFTER (the applied-but-response-lost ambiguity a real 503/timeout
     produces — exercising RetryingBackend's per-primitive
-    disambiguation). Passing under all four proves the
+    disambiguation) — and, since r12, the WIRE-level pair: ``http``
+    drives every primitive over real sockets against the loopback
+    object-store server (operators/objectstore_http.py), and
+    ``flaky_http`` adds server-side 503 injection AFTER the mutation
+    applied (the network version of the ambiguity class) under
+    RetryingBackend. Passing under all six proves the
     lease/pointer/ledger/compaction protocol is retry-idempotent on a
-    store that throws mid-primitive, never just crash-survivable.
-    Yields the active backend so tests can make backend-specific
-    assertions."""
+    store that throws mid-primitive — including over an actual HTTP
+    transport — never just crash-survivable. Yields the active backend
+    so tests can make backend-specific assertions."""
     from pipeline_etl_website_visits_spark.operators import ledger
 
     if request.param == "local":
         yield ledger.commit_backend()
         return
+    server = None
     if request.param == "objectstore":
-        inner = ledger.InMemoryObjectStoreBackend()
-        backend = inner
+        backend = ledger.InMemoryObjectStoreBackend()
     elif request.param == "flaky_local":
         backend = ledger.RetryingBackend(
             FlakyBackend(ledger.LocalCommitBackend(), when="before")
         )
-    else:  # flaky_objectstore: the ambiguous-failure profile
+    elif request.param == "flaky_objectstore":  # the ambiguous-failure profile
         backend = ledger.RetryingBackend(
             FlakyBackend(ledger.InMemoryObjectStoreBackend(), when="after")
         )
+    elif request.param == "http":
+        from pipeline_etl_website_visits_spark.operators.objectstore_http import (
+            HttpObjectStoreBackend,
+            ObjectStoreHttpServer,
+        )
+
+        server = ObjectStoreHttpServer()
+        backend = HttpObjectStoreBackend(server.start())
+    else:  # flaky_http: wire transport + applied-then-503 injection
+        from pipeline_etl_website_visits_spark.operators.objectstore_http import (
+            HttpObjectStoreBackend,
+            ObjectStoreHttpServer,
+        )
+
+        server = ObjectStoreHttpServer(fail_once_per_key=True, fail_mode="after")
+        backend = ledger.RetryingBackend(HttpObjectStoreBackend(server.start()))
     prev = ledger.set_commit_backend(backend)
     try:
         yield ledger.commit_backend()
     finally:
         ledger.set_commit_backend(prev)
+        if server is not None:
+            server.stop()
