@@ -386,3 +386,70 @@ def test_writer_lease_over_http_wire(tmp_path):
     finally:
         ledger.set_commit_backend(prev)
         server.stop()
+
+
+def test_writer_lease_mutual_exclusion_across_processes_over_http(tmp_path):
+    """The capability the wire backend adds over the in-process
+    object-store profile (whose docstring says 'process-local by
+    nature'): TWO OS PROCESSES coordinating through one HTTP store. A
+    real subprocess holds the artifact's writer lease; this process must
+    time out while it is held and acquire immediately after the holder
+    releases — and the holder's critical-section marker must prove the
+    two holds never overlapped."""
+    import os
+    import subprocess
+    import sys
+    import time as _time
+
+    from pipeline_etl_website_visits_spark.operators import ledger
+    from pipeline_etl_website_visits_spark.operators.objectstore_http import (
+        HttpObjectStoreBackend,
+        ObjectStoreHttpServer,
+    )
+
+    server = ObjectStoreHttpServer()
+    url = server.start()
+    art = str(tmp_path / "artifact")
+    acquired = str(tmp_path / "b_acquired")
+    release = str(tmp_path / "b_release")
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = tmp_path / "holder.py"
+    script.write_text(
+        f"""
+import pathlib, sys, time
+sys.path.insert(0, {repo_root!r})
+from pipeline_etl_website_visits_spark.operators import ledger
+from pipeline_etl_website_visits_spark.operators.objectstore_http import HttpObjectStoreBackend
+
+ledger.set_commit_backend(HttpObjectStoreBackend({url!r}))
+with ledger.writer_lease({art!r}, name="codes-writer"):
+    pathlib.Path({acquired!r}).touch()
+    for _ in range(200):
+        if pathlib.Path({release!r}).exists():
+            break
+        time.sleep(0.05)
+"""
+    )
+    proc = subprocess.Popen([sys.executable, str(script)])
+    prev = ledger.set_commit_backend(HttpObjectStoreBackend(url))
+    try:
+        deadline = _time.time() + 20
+        while not os.path.exists(acquired):
+            assert _time.time() < deadline, "subprocess never acquired"
+            assert proc.poll() is None, "subprocess died before acquiring"
+            _time.sleep(0.05)
+        # held by the OTHER PROCESS through the wire: we must time out
+        with pytest.raises(TimeoutError):
+            with ledger.writer_lease(art, name="codes-writer", timeout=0.5):
+                pass
+        open(release, "w").close()
+        proc.wait(timeout=20)
+        assert proc.returncode == 0
+        # released over the wire: acquisition succeeds promptly
+        with ledger.writer_lease(art, name="codes-writer", timeout=5.0):
+            pass
+    finally:
+        ledger.set_commit_backend(prev)
+        if proc.poll() is None:
+            proc.kill()
+        server.stop()
