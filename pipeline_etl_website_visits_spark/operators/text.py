@@ -746,7 +746,13 @@ def heavy_hitters(
             n_total += int(pdf.loc[sent, "part_n"].sum())
             sk = pdf.loc[~sent]
             if len(sk):
-                s = sk.set_index("token")["cnt"].astype("int64")
+                # one Arrow batch re-forms across MANY partition sketches
+                # after the repartition(1) shuffle, so a token can appear
+                # several times in this pdf — aggregate duplicates BEFORE
+                # the index-aligned add (Series.add on duplicate labels
+                # double-adds matches and keeps duplicate rows, which the
+                # per-row truncation then over-subtracts: false negatives)
+                s = sk.groupby("token")["cnt"].sum().astype("int64")
                 acc = acc.add(s, fill_value=0).astype("int64") if len(acc) else s
                 if len(acc) > capacity:
                     cut = int(acc.nlargest(capacity + 1).iloc[-1])

@@ -2379,7 +2379,7 @@ def x173(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_spans
     FROM spans GROUP BY a, b ORDER BY doc_a, doc_b
     """,
-    certifies="X3 corpus-internal exact-substring duplicate mining (Lee et al. 2022 shape): anchor-gram positional join + gaps-and-islands run folding — exact (doc_a, doc_b, max_span_len, n_spans) integers, stop-gram bounded (df cap replicated in the oracle), never a text self-join",
+    certifies="X3 corpus-internal exact-substring duplicate mining (Lee et al. 2022 shape): anchor-gram positional join + gaps-and-islands run folding — (doc_a, doc_b, max_span_len, n_spans) integers, stop-gram bounded (df cap replicated in the oracle), never a text self-join; Spark side pairs on xxhash64(gram) (~Σdf²/2⁶⁴ spurious-pair odds — hash-probabilistic where the oracle's string join is exact, so a collision fails this gate rather than passing silently)",
     tags=("llm", "text", "dedup", "bounded"),
 )
 def x174(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -33,6 +33,19 @@ def _scratch_path(sf_dir: str, source_table: str, kind: str) -> str:
     corpus's stale-fingerprint dirs so /tmp stays one live index per
     (kind, corpus), not unbounded growth.
     """
+    sftag, fptag = _corpus_tags(sf_dir, source_table)
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), f"spark_graft_{kind}_{sftag}_{fptag}"
+    )
+
+
+def _corpus_tags(sf_dir: str, source_table: str) -> tuple[str, str]:
+    """(corpus tag, fingerprint tag) for one source table of one corpus
+    dir — the addressing scheme of every stored scratch artifact. Split
+    out of :func:`_scratch_path` so :func:`gc_scratch_artifacts` can
+    recompute liveness without knowing each artifact's kind."""
     import hashlib
 
     src = os.path.join(sf_dir, f"{source_table}.parquet")
@@ -47,13 +60,9 @@ def _scratch_path(sf_dir: str, source_table: str, kind: str) -> str:
     elif os.path.exists(src):
         st = os.stat(src)
         parts.append(f"{source_table}:{st.st_size}:{st.st_mtime_ns}")
-    import tempfile
-
     sftag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     fptag = hashlib.md5("|".join(parts).encode()).hexdigest()[:12]
-    return os.path.join(
-        tempfile.gettempdir(), f"spark_graft_{kind}_{sftag}_{fptag}"
-    )
+    return sftag, fptag
 
 
 def _commit_scratch_build(tmp: str, path: str) -> None:
@@ -104,6 +113,82 @@ def _prune_stale_scratch(path: str) -> None:
             if age < 3600:
                 continue
         shutil.rmtree(full, ignore_errors=True)
+
+
+def gc_scratch_artifacts(
+    corpora: "list[str]",
+    scratch_root: str | None = None,
+    min_age_s: float = 0.0,
+) -> list[str]:
+    """Retention sweep over ALL stored scratch artifacts (pairovl /
+    simgraph / bm25idx / ivfflat / gramidx / codebooks …) — the
+    gc_gram_index counterpart for the fingerprint-keyed scratch family
+    (VERDICT r12 item 6). :func:`_prune_stale_scratch` only fires when
+    the SAME (kind, corpus) rebuilds; artifacts of corpora that stop
+    being queried — deleted sf dirs, retired kinds — otherwise
+    accumulate forever.
+
+    ``corpora`` DECLARES every corpus dir still in use (the caller's
+    contract — same "the retention delay is the caller's" rule as
+    gc_gram_generations). An artifact dir is LIVE iff its corpus tag
+    matches a declared corpus AND its fingerprint tag matches the
+    current fingerprint of one of that corpus's tables; live dirs are
+    NEVER touched, so a concurrent reader's open scan is safe (GC never
+    unlinks files under a plan that can still be re-addressed). Removed:
+
+    - stale-fingerprint dirs of a declared corpus (their source data no
+      longer exists in that form),
+    - dirs of undeclared corpora,
+    - crashed builders' ``.build.<pid>`` leftovers older than an hour
+      (a fresh one may be a live concurrent build — kept, it cleans
+      itself up when it loses the commit race),
+
+    each only once older than ``min_age_s`` (grace for in-flight readers
+    that resolved the path just before the source data regenerated).
+    Returns the removed dirs.
+    """
+    import re
+    import shutil
+    import tempfile
+    import time
+
+    root = scratch_root or tempfile.gettempdir()
+    live: set[tuple[str, str]] = set()
+    sftags: set[str] = set()
+    for sf_dir in corpora:
+        for entry in sorted(os.listdir(sf_dir)) if os.path.isdir(sf_dir) else []:
+            if not entry.endswith(".parquet"):
+                continue
+            sftag, fptag = _corpus_tags(sf_dir, entry[: -len(".parquet")])
+            live.add((sftag, fptag))
+            sftags.add(sftag)
+    pat = re.compile(
+        r"^spark_graft_.+_([0-9a-f]{8})_([0-9a-f]{12})(\.build\.\d+)?$"
+    )
+    removed: list[str] = []
+    now = time.time()
+    for fn in sorted(os.listdir(root)):
+        m = pat.match(fn)
+        if not m:
+            continue
+        full = os.path.join(root, fn)
+        if not os.path.isdir(full):
+            continue
+        sftag, fptag, build_suffix = m.group(1), m.group(2), m.group(3)
+        try:
+            age = now - os.path.getmtime(full)
+        except OSError:
+            continue  # vanished under us (concurrent sweep/commit)
+        if build_suffix is not None:
+            if age < 3600:
+                continue  # possibly a live concurrent builder
+        elif (sftag, fptag) in live:
+            continue  # the live artifact — never touched
+        elif age < min_age_s:
+            continue  # caller's reader-drain grace window
+        shutil.rmtree(full, ignore_errors=True)
+        removed.append(full)
+    return removed
 
 
 # Retention floors of the stored family artifact: a pair is kept iff

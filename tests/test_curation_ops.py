@@ -299,6 +299,33 @@ def test_heavy_hitters_exact_on_zipf_corpus(spark):
     assert any(r["token"] == "hot" for r in got)
 
 
+def test_heavy_hitters_tree_merge_equals_driver_merge(spark):
+    """tree_merge=True (the >=10k-partition route: distributed single-task
+    fold of the partition sketches) must return EXACTLY the driver-merge
+    result. Regression for the r12 bug where the merge task's re-formed
+    Arrow batch concatenated many partition sketches and the index-aligned
+    Series.add double-added duplicate token labels, so the truncation
+    over-subtracted split-count hitters (false negatives) and duplicate
+    candidates inflated the recount."""
+    import random
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(300)]
+    docs = []
+    for d in range(64):
+        # "hot" spread thinly: per-partition it never dominates, so its
+        # count only survives the merge if duplicate labels fold correctly
+        toks = ["hot"] * 3 + [vocab[min(int(rng.expovariate(0.03)), 299)] for _ in range(50)]
+        rng.shuffle(toks)
+        docs.append((d, " ".join(toks)))
+    df = spark.createDataFrame(docs, "doc_id long, text string").repartition(16)
+
+    driver = [(r["token"], r["cnt"]) for r in T.heavy_hitters(df, "text", denom=64, capacity=80).collect()]
+    tree = [(r["token"], r["cnt"]) for r in T.heavy_hitters(df, "text", denom=64, capacity=80, tree_merge=True).collect()]
+    assert tree == driver
+    assert any(t == "hot" for t, _ in tree)
+
+
 def test_heavy_hitters_rejects_unsound_capacity(spark):
     import pytest
 

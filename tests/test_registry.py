@@ -134,6 +134,57 @@ def test_commit_prunes_stale_fingerprint_dirs(tmp_path):
     assert racing.exists()  # live same-fingerprint builder untouched
 
 
+def test_gc_scratch_artifacts_sweeps_stale_keeps_live(spark, tmp_path):
+    """VERDICT r12 item 6: the standalone retention sweep removes
+    stale-fingerprint and undeclared-corpus artifacts, keeps fresh
+    concurrent builds, and NEVER touches the live artifact — proven by a
+    reader whose DataFrame was resolved BEFORE the sweep still scanning
+    clean afterwards."""
+    import os
+
+    from pipeline_etl_website_visits_spark.queries.llmops import (
+        _corpus_tags,
+        gc_scratch_artifacts,
+    )
+
+    corpus = tmp_path / "sf"
+    src = corpus / "documents.parquet"
+    src.mkdir(parents=True)
+    (src / "part-0.parquet").write_bytes(b"data")
+    sftag, fptag = _corpus_tags(str(corpus), "documents")
+
+    root = tmp_path / "scratch"
+    root.mkdir()
+    live = root / f"spark_graft_pairovl_{sftag}_{fptag}"
+    spark.createDataFrame([(1, 2)], "doc_a long, doc_b long").write.parquet(str(live))
+    stale = root / f"spark_graft_pairovl_{sftag}_{'0' * 12}"
+    stale.mkdir()
+    unknown = root / f"spark_graft_bm25idx_{'f' * 8}_{'e' * 12}"
+    unknown.mkdir()
+    crashed = root / f"spark_graft_pairovl_{sftag}_{fptag}.build.999"
+    crashed.mkdir()
+    os.utime(crashed, (0, 0))
+    racing = root / f"spark_graft_pairovl_{sftag}_{fptag}.build.1000"
+    racing.mkdir()  # fresh — a live concurrent builder
+    not_ours = root / "somebody_elses_dir"
+    not_ours.mkdir()
+
+    reader = spark.read.parquet(str(live))  # resolved pre-sweep
+    removed = gc_scratch_artifacts([str(corpus)], scratch_root=str(root))
+
+    assert sorted(os.path.basename(p) for p in removed) == sorted(
+        [stale.name, unknown.name, crashed.name]
+    )
+    assert live.exists() and racing.exists() and not_ours.exists()
+    assert reader.collect()[0]["doc_a"] == 1  # concurrent read survives
+
+    # grace window: a stale dir younger than min_age_s is kept
+    stale2 = root / f"spark_graft_pairovl_{sftag}_{'1' * 12}"
+    stale2.mkdir()
+    assert gc_scratch_artifacts([str(corpus)], scratch_root=str(root), min_age_s=3600) == []
+    assert stale2.exists()
+
+
 def test_commit_scratch_build_reraises_real_failures(tmp_path):
     """A rename that fails while the target does NOT exist is a real
     error (EACCES/EXDEV/...) — it must re-raise, not silently discard
