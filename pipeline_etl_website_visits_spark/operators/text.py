@@ -19,7 +19,11 @@ import pyspark.sql.functions as F
 from pyspark.sql import Column, DataFrame
 
 from pipeline_etl_website_visits_spark.functions import ratio_round, xxhash64_long
-from pipeline_etl_website_visits_spark.operators.dedup import fingerprint, normalize_text  # noqa: F401
+from pipeline_etl_website_visits_spark.operators.dedup import (  # noqa: F401
+    fingerprint,
+    normalize_text,
+    tokens_of,
+)
 
 # Marker words per language for the n-gram heuristic. Spaces around each
 # marker make them whole-word matches after normalization.
@@ -234,7 +238,7 @@ def doc_frequency(df: DataFrame, text_col: str, id_col: str, top: int = 25) -> D
     this is the difference between shuffling the corpus and shuffling its
     vocabulary footprint.
     """
-    toks = F.array_distinct(F.split(normalize_text(F.col(text_col)), " "))
+    toks = F.array_distinct(tokens_of(df, text_col))
     return (
         df.select(F.explode(toks).alias("token"))
         .groupBy("token")
@@ -326,7 +330,7 @@ def tfidf_top_terms(
     """
     from pyspark.sql import Window
 
-    toks = F.split(normalize_text(F.col(text_col)), " ")
+    toks = tokens_of(df, text_col)
     pairs = df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("token"))
     if compact_first:
         tf = pairs.groupBy("doc_id", "token").agg(
@@ -390,7 +394,7 @@ def bigram_rarity(
 
     toked = df.select(
         F.col(id_col).alias("doc_id"),
-        F.split(normalize_text(F.col(text_col)), " ").alias("__toks"),
+        tokens_of(df, text_col).alias("__toks"),
     ).filter(F.size("__toks") >= 2)
     t = F.col("__toks")
     bigrams = F.transform(
@@ -695,12 +699,21 @@ def heavy_hitters(
 
     # null text contributes zero tokens (matches SQL string_split(NULL) →
     # unnest → no rows); dropping it here also keeps the Arrow flatten off
-    # null list entries
-    toks = (
-        df.filter(F.col(text_col).isNotNull())
-        .select(F.split(normalize_text(F.col(text_col)), " ").alias("toks"))
-        .cache()
+    # null list entries.
+    #
+    # The shared tokenization is materialized ONLY when the input is raw
+    # text: for a pretokenized array column (the stored tokenized-corpus
+    # artifact — tokens_of seam) the "recompute" each pass pays is just
+    # the parquet scan, and the columnar in-memory cache is strictly worse
+    # for arrays — measured at sf0.1: 1.23 s to materialize + 0.59 s per
+    # cached read vs 0.28 s per direct re-scan. Caching text and
+    # re-splitting stays right when tokenize is the dominant per-row cost.
+    pretokenized = dict(df.dtypes).get(text_col, "").startswith("array")
+    toks = df.filter(F.col(text_col).isNotNull()).select(
+        tokens_of(df, text_col).alias("toks")
     )
+    if not pretokenized:
+        toks = toks.cache()
 
     def mg_partition(batches):
         import pyarrow as pa
@@ -714,9 +727,11 @@ def heavy_hitters(
             flat = pc.list_flatten(pa.array(pdf["toks"]))
             n_part += len(flat)
             vc = pc.value_counts(flat)
+            # to_pandas, never to_pylist: the per-token Python-object
+            # conversion was ~half the sketch pass at sf0.1
             s = pd.Series(
-                vc.field("counts").to_pylist(),
-                index=vc.field("values").to_pylist(),
+                vc.field("counts").to_pandas().to_numpy(),
+                index=vc.field("values").to_pandas(),
                 dtype="int64",
             )
             acc = acc.add(s, fill_value=0).astype("int64") if len(acc) else s
@@ -811,7 +826,8 @@ def heavy_hitters(
         rows = result.collect()  # ≤ denom-1 rows: cnt ≥ n/denom can't hold denom times
         schema = result.schema
     finally:
-        toks.unpersist()
+        if not pretokenized:
+            toks.unpersist()
     return spark.createDataFrame(rows, schema)
 
 
@@ -861,7 +877,7 @@ def cms_token_estimates(
     # recount (the normalize+split+explode corpus scan is the dominant cost
     # — without this it runs twice per call)
     toks = df.select(
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token")
+        F.explode(tokens_of(df, text_col)).alias("token")
     ).localCheckpoint(eager=False)
     sk_row = toks.agg(
         F.count_min_sketch("token", F.lit(eps), F.lit(confidence), F.lit(seed)).alias("sk")
@@ -956,12 +972,22 @@ def zipf_slope(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
 
     Output: ``(n_points, zipf_slope)`` — one row.
     """
+    toks = df.select(F.explode(tokens_of(df, text_col)).alias("token"))
+    cnt = toks.groupBy("token").agg(F.count("*").cast("long").alias("c"))
+    return zipf_slope_from_counts(cnt, "token", "c", top_n=top_n)
+
+
+def zipf_slope_from_counts(
+    cnt: DataFrame, token_col: str, count_col: str, top_n: int = 1000
+) -> DataFrame:
+    """The rank/OLS half of :func:`zipf_slope`, split out so a STORED
+    vocabulary-count relation (queries/llmops.py:shared_token_counts) can
+    serve the fit without re-paying the corpus explode — the input is
+    vocabulary-sized either way, and the arithmetic (quantized-ln +
+    exact DECIMAL sums) is identical, so the slope cannot move."""
     from pyspark.sql import Window
 
-    toks = df.select(
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token")
-    )
-    cnt = toks.groupBy("token").agg(F.count("*").cast("long").alias("c"))
+    cnt = cnt.select(F.col(token_col).alias("token"), F.col(count_col).cast("long").alias("c"))
     w = Window.orderBy(F.col("c").desc(), "token")
     pts = (
         cnt.withColumn("rnk", F.row_number().over(w).cast("long"))
@@ -1138,7 +1164,7 @@ def token_entropy(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataF
     """
     toks = df.repartition(F.col(id_col)).select(
         F.col(id_col),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("token"),
+        F.explode(tokens_of(df, text_col)).alias("token"),
     )
     tc = toks.groupBy(id_col, "token").agg(F.count("*").cast("long").alias("c"))
     lc = F.floor(F.log(F.col("c").cast("double")) * 1e6).cast("long")
@@ -1742,8 +1768,6 @@ def gram_diversity(
     on high-cardinality (group, gram); the final (group) exchange is
     tiny after map-side partial aggregation.
     """
-    from pipeline_etl_website_visits_spark.operators.dedup import normalize_text
-
     src = df.select(F.col(group_col), F.col(text_col))
     sc = df.sparkSession.sparkContext
     try:
@@ -1752,7 +1776,7 @@ def gram_diversity(
         few_splits = False
     if few_splits:
         src = src.repartition(sc.defaultParallelism)
-    toks = F.split(normalize_text(F.col(text_col)), " ")
+    toks = tokens_of(df, text_col)
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.array().cast("array<int>"))
@@ -1812,9 +1836,7 @@ def boilerplate_prefixes(
     """
     from pyspark.sql import Window
 
-    from pipeline_etl_website_visits_spark.operators.dedup import normalize_text
-
-    toks = F.split(normalize_text(F.col(text_col)), " ")
+    toks = tokens_of(df, text_col)
     prefix = F.array_join(F.slice(toks, 1, n), " ")
     counted = (
         df.select(F.col(group_col), F.when(F.size(toks) >= n, prefix).alias("prefix"))

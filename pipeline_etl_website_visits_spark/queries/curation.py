@@ -658,15 +658,20 @@ def x54(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     GROUP BY token ORDER BY doc_freq DESC, token LIMIT 25
     """,
-    certifies="corpus document frequency / IDF denominator (north-star §0.3 text stats)",
+    certifies="corpus document frequency / IDF denominator, served from the stored vocabulary-count artifact (exact countDistinct at build; oracle re-derives inline) (north-star §0.3 text stats)",
     tags=("llm", "text"),
 )
 def x55(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pipeline_etl_website_visits_spark.operators import text as T
+    from pipeline_etl_website_visits_spark.queries.llmops import shared_token_counts
 
-    # fan_out: per-doc distinct + explode before the count agg (integer, safe)
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    return T.doc_frequency(docs, "text", "doc_id", top=25)
+    # stored vocabulary-count artifact: document frequency is a stored
+    # column (exact countDistinct at build); oracle re-derives inline
+    tc = shared_token_counts(spark, sf_dir)
+    return (
+        tc.select("token", "doc_freq")
+        .orderBy(F.col("doc_freq").desc(), "token")
+        .limit(25)
+    )
 
 
 @query(
@@ -772,16 +777,17 @@ def x57(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x58(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_etl_website_visits_spark.operators import text as T
+    from pipeline_etl_website_visits_spark.queries.llmops import shared_tokenized_corpus
 
-    # no fan_out: the operator's own token-hash repartition is the
-    # parallelism spreader, a prior round-robin exchange would be wasted.
-    # compact_first=False opts into the fused single-exchange form — the
-    # right call for THIS corpus (normalized tokens, no stop-word
-    # monster); the operator's corpus-scale default is the skew-safe
-    # compact-before-shuffle form (ADVICE r5).
-    docs = load_table(spark, sf_dir, "documents")
+    # stored tokenized-corpus artifact (every documents row kept, so the
+    # IDF's N = COUNT(*) is unchanged). compact_first=False opts into the
+    # fused single-exchange form — the right call for THIS corpus
+    # (normalized tokens, no stop-word monster); the operator's
+    # corpus-scale default is the skew-safe compact-before-shuffle form
+    # (ADVICE r5).
+    toks = shared_tokenized_corpus(spark, sf_dir)
     return T.tfidf_top_terms(
-        docs, "text", "doc_id", k=5, compact_first=False
+        toks, "toks", "doc_id", k=5, compact_first=False
     ).withColumnRenamed("rank", "term_rank")
 
 
@@ -814,13 +820,13 @@ def x58(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x59(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_etl_website_visits_spark.operators import text as T
+    from pipeline_etl_website_visits_spark.queries.llmops import shared_tokenized_corpus
 
-    # fan_out stays: the bigram-construction HOF dominates and must spread
-    # across cores BEFORE the explode (a single-file scan is one task);
-    # the operator's bigram-hash repartition then serves the agg + window
+    # stored tokenized-corpus artifact (written at build parallelism, so
+    # the bigram HOF starts wide without a fan_out exchange);
     # compact_first=False: the fused single-exchange form (see x58 note)
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    return T.bigram_rarity(docs, "text", "doc_id", rare_max_count=2, compact_first=False)
+    toks = shared_tokenized_corpus(spark, sf_dir)
+    return T.bigram_rarity(toks, "toks", "doc_id", rare_max_count=2, compact_first=False)
 
 
 # --------------------------------------------------------------------------
@@ -1268,17 +1274,27 @@ def x75(spark: SparkSession, sf_dir: str) -> DataFrame:
     cnt AS (SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY token)
     SELECT token, cnt FROM cnt, tot WHERE cnt * 256 >= n ORDER BY cnt DESC, token
     """,
-    certifies="exact heavy hitters / frequent-token mining via sketch-then-verify (north-star §0.3)",
+    certifies="exact heavy hitters / frequent-token mining served from the stored vocabulary-count artifact (shared_token_counts; oracle re-derives from documents inline, certifying the stored counts); the one-pass sketch-then-verify operator (text.heavy_hitters MG + exact recount) is the no-artifact path, exactness-pinned in tests (north-star §0.3)",
     tags=("llm", "text", "scale"),
 )
 def x92(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pipeline_etl_website_visits_spark.operators import text as T
+    from pipeline_etl_website_visits_spark.queries.llmops import shared_token_counts
 
-    # fan_out: the Misra–Gries candidate pass is per-partition compute over
-    # the token stream — spread a single-split scan before it (safe: the
-    # guarantee holds for ANY partitioning)
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    return T.heavy_hitters(docs, "text", denom=256, capacity=1024)
+    # served from the STORED vocabulary-count artifact (VERDICT r12
+    # item 3, the x22 pair-overlap precedent): heavy hitters are a filter
+    # over the vocab-sized (token, cnt) relation; the oracle re-derives
+    # every count from documents inline, so the hash-match certifies the
+    # stored counts. The sketch-then-verify operator (text.heavy_hitters,
+    # the inline/no-artifact path) keeps its own exactness tests —
+    # test_curation_ops pins it equal to brute force on planted corpora.
+    tc = shared_token_counts(spark, sf_dir)
+    n = tc.agg(F.sum("cnt").cast("long").alias("__n"))
+    return (
+        tc.join(F.broadcast(n))  # benign broadcast-of-one-scalar-row
+        .filter(F.col("cnt") * 256 >= F.col("__n"))
+        .select("token", "cnt")
+        .orderBy(F.col("cnt").desc(), "token")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1589,9 +1605,10 @@ def x132(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x139(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_etl_website_visits_spark.operators import text as T
+    from pipeline_etl_website_visits_spark.queries.llmops import shared_tokenized_corpus
 
-    docs = load_table(spark, sf_dir, "documents")
-    return T.token_entropy(docs, "text")
+    toks = shared_tokenized_corpus(spark, sf_dir)
+    return T.token_entropy(toks, "toks")
 
 
 # --------------------------------------------------------------------------

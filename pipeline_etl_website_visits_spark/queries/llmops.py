@@ -270,6 +270,86 @@ def shared_pair_overlap(
     return spark.read.schema(_D.PAIR_OVERLAP_SCHEMA).parquet(path)
 
 
+def shared_tokenized_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED tokenized-corpus relation for one corpus:
+    ``(doc_id, source, toks array<string>)`` where ``toks`` is exactly
+    ``split(normalize_text(text), ' ')`` — materialized once per corpus
+    fingerprint, then every token/gram-family query serves from the
+    parquet artifact instead of re-paying the normalize regex (VERDICT
+    r12 item 3: x92's 0.43 s tokenize floor was re-paid by every one of
+    x38/x55/x58/x59/x83/x92/x97/x130/x139/x155/x156 — the r12
+    pair-overlap precedent, one family one artifact).
+
+    EVERY documents row is kept (null text → null toks), so a consumer's
+    ``COUNT(*)`` over the artifact equals the documents count (x58's IDF
+    N) and explode/array ops see values identical to the inline
+    derivation — downstream hashes cannot move. Operators pick the
+    artifact up through the ``tokens_of`` seam (operators/dedup.py): an
+    ``array<string>`` text column is used as-is.
+
+    The ORACLES still tokenize ``documents`` inline, so every family
+    hash-match certifies the stored tokens end-to-end. Same
+    driver-local ``_SUCCESS`` existence gate as shared_pair_overlap
+    (object-store deployments route through operators/ledger.py).
+
+    At 100 TB this is the standard materialized staging relation:
+    tokenize is a map-only pass whose output parquet (dictionary-encoded
+    token arrays) reads back several times cheaper than the regex
+    re-runs, and the artifact is partitioned by the build's scan
+    parallelism so consumers start wide.
+    """
+    path = _scratch_path(sf_dir, "documents", "toktab")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from pipeline_etl_website_visits_spark.operators import dedup as _D
+
+        docs = load_table(spark, sf_dir, "documents", fan_out=True)
+        tmp = f"{path}.build.{os.getpid()}"
+        docs.select(
+            "doc_id",
+            "source",
+            F.split(_D.normalize_text(F.col("text")), " ").alias("toks"),
+        ).write.parquet(tmp)
+        _commit_scratch_build(tmp, path)
+    return spark.read.schema("doc_id long, source string, toks array<string>").parquet(path)
+
+
+def shared_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED corpus vocabulary statistics for one corpus:
+    ``(token, cnt, doc_freq)`` — exact global occurrence count and
+    document frequency per distinct token, derived from the
+    :func:`shared_tokenized_corpus` artifact with one explode + groupBy
+    and materialized per corpus fingerprint (kind ``tokcnt``).
+
+    Vocabulary-sized (≈50k rows at sf0.1 vs ≈6M token instances), so the
+    corpus-statistics queries — x92 heavy hitters (filter on ``cnt``),
+    x55 document frequency (top-k on ``doc_freq``), x130 Zipf slope
+    (rank/OLS over ``cnt``) — become scans of a tiny relation instead of
+    re-paying the corpus explode per query (VERDICT r12 item 3, the
+    pair-overlap precedent). The ORACLES still derive every statistic
+    inline from ``documents``, so each downstream hash-match certifies
+    the stored counts end-to-end. The sketch-then-verify
+    ``heavy_hitters`` operator remains the inline path for corpora
+    without a stored artifact and keeps its exactness tests — at 100 TB
+    the two compose: the MG sketch answers one-shot queries in one pass,
+    this artifact amortizes a whole statistics workload.
+    """
+    path = _scratch_path(sf_dir, "documents", "tokcnt")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        toks = shared_tokenized_corpus(spark, sf_dir)
+        ex = toks.select("doc_id", F.explode("toks").alias("token"))
+        tmp = f"{path}.build.{os.getpid()}"
+        (
+            ex.groupBy("token")
+            .agg(
+                F.count("*").cast("long").alias("cnt"),
+                F.countDistinct("doc_id").cast("long").alias("doc_freq"),
+            )
+            .write.parquet(tmp)
+        )
+        _commit_scratch_build(tmp, path)
+    return spark.read.schema("token string, cnt long, doc_freq long").parquet(path)
+
+
 # Shared normalized-text fragments for the DuckDB oracles.
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _TOKS = f"regexp_split_to_array({_NORM}, ' ')"
@@ -672,9 +752,9 @@ def x35(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text"),
 )
 def x38(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fan_out: the explode + integer count agg is order-insensitive (safe)
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    tokenized = docs.select(F.split(D.normalize_text(F.col("text")), " ").alias("toks"))
+    # stored tokenized-corpus artifact (tokens_of seam): the bigram HOF
+    # reads pre-split arrays; the oracle tokenizes inline, certifying them
+    tokenized = shared_tokenized_corpus(spark, sf_dir).select("toks")
     toks = F.col("toks")
     idx = F.when(F.size(toks) >= 2, F.sequence(F.lit(0), F.size(toks) - 2)).otherwise(
         F.array().cast("array<int>")
@@ -1352,8 +1432,8 @@ def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text"),
 )
 def x83(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return T.ngram_novelty(docs, "text", "doc_id", n=5).orderBy("doc_id")
+    toks = shared_tokenized_corpus(spark, sf_dir)
+    return T.ngram_novelty(toks, "toks", "doc_id", n=5).orderBy("doc_id")
 
 
 # --------------------------------------------------------------------------
@@ -1785,10 +1865,10 @@ _CMS_PROBES = [
     tags=("llm", "text", "sketch", "no-oracle"),
 )
 def x97(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = shared_tokenized_corpus(spark, sf_dir)
     # rows-only driver check (|probes| rows); tests pin the CMS ≥ exact
     # guarantee and exactness at these parameters on a planted corpus
-    return T.cms_token_estimates(docs, "text", _CMS_PROBES)
+    return T.cms_token_estimates(toks, "toks", _CMS_PROBES)
 
 
 def _pagerank_integer_sql(iters: int) -> str:
@@ -2088,12 +2168,14 @@ _X130_TOP = 1000
            ROUND(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE), 6) AS zipf_slope
     FROM s
     """,
-    certifies="X4 corpus Zipf-slope diagnostic: integer-quantized log-log OLS fit with exact DECIMAL sums (engine-identical slope)",
+    certifies="X4 corpus Zipf-slope diagnostic: integer-quantized log-log OLS fit with exact DECIMAL sums (engine-identical slope), rank/OLS served from the stored vocabulary-count artifact",
     tags=("llm", "text", "stats"),
 )
 def x130(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return T.zipf_slope(docs, "text", top_n=_X130_TOP)
+    # rank/OLS over the stored vocabulary-count artifact (vocab-sized
+    # input either way; quantized-ln arithmetic identical)
+    tc = shared_token_counts(spark, sf_dir)
+    return T.zipf_slope_from_counts(tc, "token", "cnt", top_n=_X130_TOP)
 
 
 # --------------------------------------------------------------------------
@@ -2549,8 +2631,8 @@ def x154(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "stats", "curation"),
 )
 def x155(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return T.gram_diversity(docs, "text", "doc_id", "source", n=3)
+    toks = shared_tokenized_corpus(spark, sf_dir)
+    return T.gram_diversity(toks, "toks", "doc_id", "source", n=3)
 
 
 # --------------------------------------------------------------------------
@@ -2581,8 +2663,8 @@ def x155(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "curation"),
 )
 def x156(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return T.boilerplate_prefixes(docs, "text", "source", n=3, min_docs=2, top=5)
+    toks = shared_tokenized_corpus(spark, sf_dir)
+    return T.boilerplate_prefixes(toks, "toks", "source", n=3, min_docs=2, top=5)
 
 
 @query(

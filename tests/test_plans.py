@@ -178,16 +178,31 @@ def test_quota_window_is_single_key_shuffle(spark):
 
 
 def test_doc_frequency_distinct_before_explode(spark):
-    """x55: array_distinct must sit below the explode (the shuffle carries
-    per-doc distinct tokens, not every occurrence), and the count agg must
-    combine map-side."""
+    """The doc_frequency OPERATOR (the no-artifact path): array_distinct
+    must sit below the explode (the shuffle carries per-doc distinct
+    tokens, not every occurrence), and the count agg must combine
+    map-side."""
+    from pipeline_etl_website_visits_spark.operators.text import doc_frequency
     from pipeline_etl_website_visits_spark.plans import formatted_plan
+    from pipeline_etl_website_visits_spark.tables import load_table
 
-    df = REGISTRY["x55_doc_frequency"].spark(spark, SF_DIR)
+    df = doc_frequency(load_table(spark, SF_DIR, "documents"), "text", "doc_id")
     plan = formatted_plan(df)
     gen = plan.index("Generate")  # the explode
     assert "array_distinct" in plan[gen:], "distinct applied before explode"
     assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_x55_serves_from_stored_vocab_counts(spark):
+    """x55 (the QUERY) serves from the stored vocabulary-count artifact:
+    no explode, no corpus tokenization — a scan of the tokcnt relation
+    plus a top-k."""
+    from pipeline_etl_website_visits_spark.plans import formatted_plan
+
+    df = REGISTRY["x55_doc_frequency"].spark(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "Generate" not in plan, "x55 must not explode — stored counts"
+    assert "tokcnt" in plan, "x55 must scan the tokcnt artifact"
 
 
 def test_winnowing_summary_is_map_only(spark):
