@@ -851,8 +851,14 @@ def ivfflat_search(
     k: int = 5,
     nprobe: int | None = None,
     with_rank: bool = False,
+    precollected_queries: list | None = None,
 ) -> DataFrame:
     """Exact-cosine top-``k`` from the STORED IVF-Flat index.
+
+    ``precollected_queries``: (id, vec) rows the caller already collected
+    — forwarded to the scoring kernel AND used for probe planning, so an
+    evaluation harness scoring several legs over one query set (x179)
+    pays the collect job once, not per leg.
 
     Each query probes its ``nprobe`` nearest coarse cells (micro-quantized
     int64 L2, ties to the lowest cell id — the ivfpq_search discipline;
@@ -871,7 +877,10 @@ def ivfflat_search(
     p, coarse_q = _ivfflat_meta(path)
     num_coarse, quant_scale = p["num_coarse"], p["quant_scale"]
 
-    q_rows = queries.select(id_col, vec_col).collect()
+    if precollected_queries is not None:
+        q_rows = [{id_col: qid, vec_col: vec} for qid, vec in precollected_queries]
+    else:
+        q_rows = queries.select(id_col, vec_col).collect()
     _guard_driver_bytes("ivfflat_search query set", len(q_rows), p["dim"])
     qmat = pq_quantize_rows([r[vec_col] for r in q_rows], quant_scale)
     cdist = ((qmat[:, None, :] - coarse_q[None, :, :]) ** 2).sum(axis=2)

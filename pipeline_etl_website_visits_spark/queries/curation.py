@@ -2682,10 +2682,15 @@ def x179(spark: SparkSession, sf_dir: str) -> DataFrame:
         tmp = f"{flat_path}.build.{os.getpid()}"
         build_ivfflat_index(emb, tmp, num_coarse=4)
         _commit_scratch_build(tmp, flat_path)
-    pruned = ivfflat_search(spark, flat_path, q, k=10, nprobe=2).select(
+    # one collect feeds BOTH legs' kernels and the probe planning — the
+    # 3-row query relation would otherwise pay a job per leg
+    q_rows = [(r["vec_id"], r["embedding"]) for r in q.select("vec_id", "embedding").collect()]
+    pruned = ivfflat_search(
+        spark, flat_path, q, k=10, nprobe=2, precollected_queries=q_rows
+    ).select("query_id", "neighbor_id")
+    exact = cosine_topk(q, emb, k=10, precollected_queries=q_rows).select(
         "query_id", "neighbor_id"
     )
-    exact = cosine_topk(q, emb, k=10).select("query_id", "neighbor_id")
     hits = (
         exact.join(pruned, ["query_id", "neighbor_id"], "left_semi")
         .groupBy("query_id")
