@@ -2709,3 +2709,113 @@ def x179(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+# --------------------------------------------------------------------------
+# x182 — Matryoshka truncation recall (MRL serving eval)
+#
+# Matryoshka-style embedding serving keeps only a PREFIX of each vector's
+# dimensions (Kusupati et al. 2022); before turning that dial down in
+# production the eval is recall@k of truncated-dimension search against
+# full-dimension ground truth — the x179 QA pattern applied to the
+# dimension axis instead of the nprobe axis. Truncation is native
+# (F.slice on the array column — no UDF, pushdown-friendly); both legs
+# run the certified cosine_topk kernel, so hit counts are deterministic
+# integers and recall is exact ppm.
+# --------------------------------------------------------------------------
+_MRL_DIMS = (8, 32)
+
+
+def _mrl_exact_leg(alias: str, dim_expr: str) -> str:
+    return f"""
+    {alias} AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id ORDER BY
+                 list_dot_product({dim_expr('q')}, {dim_expr('n')})
+                   / (sqrt(list_dot_product({dim_expr('q')}, {dim_expr('q')}))
+                      * sqrt(list_dot_product({dim_expr('n')}, {dim_expr('n')}))) DESC,
+                 n.vec_id) AS rn
+        FROM raw q JOIN raw n ON n.vec_id <> q.vec_id
+        WHERE q.vec_id < 3
+      ) WHERE rn <= 10
+    )"""
+
+
+_MRL_ORACLE = (
+    """
+    WITH raw AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS arr FROM embeddings),"""
+    + _mrl_exact_leg("full_gt", lambda t: f"{t}.arr")
+    + ","
+    + ",".join(
+        _mrl_exact_leg(f"t{d}", lambda t, d=d: f"list_slice({t}.arr, 1, {d})")
+        for d in _MRL_DIMS
+    )
+    + f"""
+    SELECT trunc_dim, query_id,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           CAST(n_hits * 100000 AS BIGINT) AS recall_ppm
+    FROM (
+    """
+    + " UNION ALL ".join(
+        f"""
+      SELECT {d} AS trunc_dim, e.query_id, COUNT(t.neighbor_id) AS n_hits
+      FROM full_gt e LEFT JOIN t{d} t
+        ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+      GROUP BY e.query_id"""
+        for d in _MRL_DIMS
+    )
+    + """
+    ) ORDER BY trunc_dim, query_id
+    """
+)
+
+
+@query(
+    "x182_matryoshka_recall",
+    oracle=_MRL_ORACLE,
+    certifies="X3 Matryoshka-truncation serving eval (Kusupati et al. 2022 shape): recall@10 of prefix-dimension cosine search vs full-dimension ground truth, per truncation width — native array slicing, certified exact kernel both legs, integer hit counts / exact-ppm recall",
+    tags=("llm", "similarity", "bounded"),
+)
+def x182(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of dimension-truncated cosine search (the MRL serving
+    dial) against full-dimension exact ground truth, for each width in
+    _MRL_DIMS. One query-set collect feeds every leg (the x179 lever)."""
+    from pipeline_etl_website_visits_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3)
+    q_rows = [
+        (r["vec_id"], r["embedding"])
+        for r in q.select("vec_id", "embedding").collect()
+    ]
+    gt = cosine_topk(q, emb, k=10, precollected_queries=q_rows).select(
+        "query_id", "neighbor_id"
+    )
+    legs = []
+    for d in _MRL_DIMS:
+        tq_rows = [(i, v[:d]) for i, v in q_rows]
+        tc = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
+        trunc = cosine_topk(tc, tc, k=10, precollected_queries=tq_rows).select(
+            "query_id", "neighbor_id"
+        )
+        hits = (
+            gt.join(trunc, ["query_id", "neighbor_id"], "left_semi")
+            .groupBy("query_id")
+            .agg(F.count("*").cast("long").alias("n_hits"))
+        )
+        legs.append(
+            gt.select("query_id")
+            .distinct()
+            .join(hits, "query_id", "left")
+            .select(
+                F.lit(d).cast("long").alias("trunc_dim"),
+                F.col("query_id").cast("long").alias("query_id"),
+                F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+                (F.coalesce("n_hits", F.lit(0)) * 100000).cast("long").alias("recall_ppm"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out.orderBy("trunc_dim", "query_id")

@@ -3066,3 +3066,119 @@ def x180(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("jac_band")
     )
+
+
+# --------------------------------------------------------------------------
+# x181 — MinHash estimator-quality audit over the retained near-dup pairs
+#
+# The QA gate that sizes num_hashes before trusting LSH at scale (the
+# x179 recall-eval pattern applied to the Jaccard ESTIMATOR instead of
+# the ANN index): for every retained Jaccard pair, the exact Jaccard
+# (stored pair-overlap artifact) against the 32-hash MinHash signature
+# estimate — matching-component count, estimate and signed error all in
+# exact integer permille, the portable md5-u48 hash family x23's
+# certificate replays digit-for-digit. Join shape: the audit pairs are
+# tiny by construction (retained near-dups), so they BROADCAST into the
+# corpus-sized signature relation twice — nothing pair-quadratic, nothing
+# corpus-sized shuffles.
+# --------------------------------------------------------------------------
+@query(
+    "x181_minhash_error_audit",
+    oracle=f"""
+    WITH g AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(lst) - 1),
+               i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2]))) AS gram
+      FROM (SELECT doc_id, {_TOKS} AS lst FROM documents)
+    ),
+    sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM g GROUP BY doc_id),
+    p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST(COUNT(*) AS BIGINT) AS inter
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    kept AS (
+      SELECT doc_a, doc_b, inter, sa.sz + sb.sz - inter AS un
+      FROM p
+      JOIN sizes sa ON doc_a = sa.doc_id
+      JOIN sizes sb ON doc_b = sb.doc_id
+      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {_JACCARD_THRESHOLD}
+    ),
+    sig AS (
+      SELECT doc_id, s.i AS i,
+             MIN({_MINHASH_U48.format(expr="CAST(s.i AS VARCHAR) || '|' || gram")}) AS h
+      FROM g CROSS JOIN (SELECT unnest(generate_series(0, 31)) AS i) s
+      GROUP BY doc_id, s.i
+    ),
+    m AS (
+      SELECT k.doc_a, k.doc_b, k.inter, k.un,
+             CAST(SUM(CASE WHEN sa.h = sb.h THEN 1 ELSE 0 END) AS BIGINT) AS matches
+      FROM kept k
+      JOIN sig sa ON sa.doc_id = k.doc_a
+      JOIN sig sb ON sb.doc_id = k.doc_b AND sb.i = sa.i
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           CAST(inter * 1000 // un AS BIGINT) AS jaccard_permille,
+           matches AS sig_matches,
+           CAST(matches * 1000 // 32 AS BIGINT) AS est_permille,
+           CAST(matches * 1000 // 32 - inter * 1000 // un AS BIGINT) AS err_permille
+    FROM m ORDER BY doc_a, doc_b
+    """,
+    certifies="X3 MinHash estimator-quality audit: exact Jaccard (stored pair-overlap artifact) vs 32-hash signature estimate per retained near-dup pair — integer-permille estimate and signed error, portable md5-u48 family; the num_hashes-sizing QA gate (x179's eval pattern on the estimator axis)",
+    tags=("llm", "dedup", "stats", "stored-index", "certificate"),
+)
+def x181(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ovl = shared_pair_overlap(spark, sf_dir, min_jaccard=_JACCARD_THRESHOLD)
+    un = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    pairs = (
+        ovl.filter((F.col("inter") / un) >= _JACCARD_THRESHOLD)
+        .select(
+            "doc_a",
+            "doc_b",
+            # integer floor division: all quantities non-negative, so
+            # Spark `div` == DuckDB `//`
+            F.expr("inter * 1000 div (sz_a + sz_b - inter)")
+            .cast("long")
+            .alias("jaccard_permille"),
+        )
+    )
+    nh = 32
+    # signatures only for the docs the audit pairs touch: a MinHash
+    # signature is a per-doc quantity, so the broadcast semi-join filter
+    # is value-identical and shrinks the 32-agg gram pass from the corpus
+    # to the audited members (sf0.1: 2.4s -> sub-second)
+    members = pairs.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
+    audit_docs = docs.join(F.broadcast(members), "doc_id", "left_semi")
+    sig = D.minhash_signatures(
+        audit_docs, "text", "doc_id", n=3, num_hashes=nh, portable_hash=True
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"h{i}").alias(f"__a{i}") for i in range(nh)]
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"h{i}").alias(f"__b{i}") for i in range(nh)]
+    )
+    # tiny audit pairs broadcast into the corpus-sized signature relation
+    # twice — the signatures never shuffle
+    j = sa.join(F.broadcast(pairs), "doc_a")
+    j = sb.join(F.broadcast(j), "doc_b")
+    matches = sum(
+        (F.col(f"__a{i}") == F.col(f"__b{i}")).cast("int") for i in range(nh)
+    ).cast("long")
+    return (
+        j.select(
+            F.col("doc_a").cast("long").alias("doc_a"),
+            F.col("doc_b").cast("long").alias("doc_b"),
+            "jaccard_permille",
+            matches.alias("sig_matches"),
+        )
+        .withColumn("est_permille", F.expr(f"sig_matches * 1000 div {nh}").cast("long"))
+        .withColumn(
+            "err_permille", (F.col("est_permille") - F.col("jaccard_permille")).cast("long")
+        )
+        .orderBy("doc_a", "doc_b")
+    )

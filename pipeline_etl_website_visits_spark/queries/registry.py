@@ -55,77 +55,74 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-12 pinning rule (VERDICT r11 item 2): HEAD = (a) the THREE new
-# queries (x178 cluster canonical keep-rule, x179 ANN recall eval, x180
-# near-dup band histogram — never driver-checked); then (b) the ELEVEN
-# queries whose code changed this round — the shingle-similarity family
-# now served from the shared stored pair-overlap artifact (x22/x56/x71/
-# x86/x98/x114), the x174 per-gram-group rework, the x92 phase-2
-# merge/recount rework, and the stored-index serving paths that now
-# resolve the live generation through the lifecycle pointer (x173/x177
-# IVF-Flat, x117 IVF-PQ) — changed code outranks stale rows; then
-# (c) the NINETEEN remaining round-7-latest names the r11 verdict named
-# (x54, x55, x57, x61–x69, x72–x77, x84 — x71 is already in (b)), so no
-# name's latest driver row predates round 8 after this round; then
-# (d) 17 of the round-8-latest names, alphabetically (q00–q19 block).
-# 3 + 11 + 19 + 17 = 50. The remaining round-8-latest names (q20, q40,
-# q41, x78–x105 cohort, x140, x147) rotate in round 13; all stay covered
-# by the local full-suite check_oracle runs every session.
+# Round-13 pinning rule (VERDICT r12 item 1 — close the rotation tail):
+# HEAD = (a) the TWO new queries (x181 MinHash estimator-error audit,
+# x182 Matryoshka truncation recall — never driver-checked); then
+# (b) the SIXTEEN queries whose executed code changed this round — the
+# token family now served through the stored tokenized-corpus /
+# vocabulary-count artifacts (x38/x55/x58/x59/x83/x92/x97/x130/x139/
+# x155/x156), the shingles split-count-gated spread consumers
+# (x23/x24/x69/x85), and x179 (precollected-query sharing); then (c) the
+# TWENTY-THREE remaining round-8-latest names (the full r13 tail the r12
+# verdict enumerated, minus x83/x85/x97 which sit in (b)); then (d) NINE
+# round-9-latest names alphabetically (q10, q42-q49). 2+16+23+9 = 50.
+# After this round no name's latest driver row predates round 9; the
+# remaining round-9-latest names rotate next.
 DRIVER_ORDER: tuple[str, ...] = (
     # -- (a) new this round --
-    "x178_cluster_canonical",
-    "x179_ann_recall_eval",
-    "x180_neardup_band_histogram",
+    "x181_minhash_error_audit",
+    "x182_matryoshka_recall",
     # -- (b) code changed this round --
-    "x22_dedup_ngram_jaccard",
-    "x56_dedup_containment",
-    "x71_dedup_clusters",
-    "x86_dedup_pipeline",
-    "x98_doc_pagerank",
-    "x114_neardup_triangles",
-    "x174_common_span_mining",
-    "x92_heavy_hitters",
-    "x173_stored_hybrid_serving",
-    "x177_ivfflat_ann_serving",
-    "x117_stored_index_search",
-    # -- (c) the remaining round-7-latest names (VERDICT r11 item 2) --
-    "x54_chunk_overlap",
+    "x38_top_bigrams",
     "x55_doc_frequency",
-    "x57_winnowing_fingerprints",
-    "x61_multimodal_png_roundtrip",
-    "x62_salted_hot_key_agg",
-    "x63_price_histogram",
-    "x64_table_profile",
-    "x65_stratified_sample",
-    "x66_prefilter_decontam",
-    "x67_session_funnel",
-    "x68_grouped_argmax",
+    "x58_tfidf_top_terms",
+    "x59_bigram_rarity",
+    "x83_ngram_novelty",
+    "x92_heavy_hitters",
+    "x97_cms_token_counts",
+    "x130_zipf_slope",
+    "x139_token_entropy",
+    "x155_gram_diversity",
+    "x156_boilerplate_prefixes",
+    "x23_dedup_minhash_lsh",
+    "x24_dedup_simhash",
     "x69_adjacent_doc_jaccard",
-    "x72_sliding_windows",
-    "x73_window_distribution",
-    "x74_unpivot_metrics",
-    "x75_interval_overlap_join",
-    "x76_multimodal_wav_roundtrip",
-    "x77_stat_aggregates",
-    "x84_embed_pq_adc_topk",
-    # -- (d) round-8-latest fill, alphabetical --
-    "q00_flagship_visitantes",
-    "q02_regex_filter",
-    "q03_null_or_pattern",
-    "q04_bool_split",
-    "q06_nullif_trim",
-    "q07_casts",
-    "q08_visits_agg",
-    "q09_scalar_counts",
-    "q11_anti_join",
-    "q12_inner_join",
-    "q13_semi_join",
-    "q14_window_dedup",
-    "q15_topk",
-    "q16_union",
-    "q17_count_distinct",
-    "q18_rollup",
-    "q19_extract_ym",
+    "x85_incremental_dedup",
+    "x179_ann_recall_eval",
+    # -- (c) the remaining round-8-latest names (the r13 tail) --
+    "q20_text_ops",
+    "q40_left_outer_join",
+    "q41_cross_join",
+    "x78_bpe_merges",
+    "x80_product_profit",
+    "x81_market_share",
+    "x82_embed_pq_codes",
+    "x87_correlated_exists",
+    "x88_lateral_topk",
+    "x89_fuzzy_adjacent_names",
+    "x90_bpe_token_counts",
+    "x91_hll_union_rollup",
+    "x93_zorder_zone_map",
+    "x94_incremental_mv",
+    "x95_skyline_pareto",
+    "x99_custdist",
+    "x100_weighted_sample",
+    "x101_semantic_decontam",
+    "x103_cohort_retention",
+    "x104_session_window_native",
+    "x105_token_budget_mixture",
+    "x140_market_basket_pairs",
+    "x147_sequence_packing",
+    # -- (d) round-9-latest fill, alphabetical --
+    "q10_merge_upsert",
+    "q42_except",
+    "q43_intersect",
+    "q44_union_distinct",
+    "q45_cube",
+    "q46_window_rank_lag",
+    "q47_window_frame_running_sum",
+    "q48_having",
+    "q49_conditional_agg",
 )
 
 

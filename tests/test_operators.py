@@ -1141,3 +1141,4 @@ def test_quantized_lsh_bucket_matches_pure_python(spark):
     assert out, "bucketed ANN should find same-bucket neighbors"
     for r in out:
         assert buckets[r["query_id"]] == buckets[r["neighbor_id"]]
+
