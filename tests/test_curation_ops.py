@@ -1473,3 +1473,58 @@ def test_portable_simhash_matches_pure_python(spark):
         for r in D.simhash(df, "text", "doc_id", portable_hash=True).collect()
     }
     assert got == expect
+
+
+def test_tokens_of_pretokenized_equals_inline(spark):
+    """The shared-tokenization seam (tokens_of): every token-family
+    operator must return IDENTICAL results fed raw text or the
+    pre-tokenized array column the stored tokenized-corpus artifact
+    carries — the value-identity contract that lets the artifact serve
+    without moving a hash."""
+    import pyspark.sql.functions as F
+
+    from pipeline_etl_website_visits_spark.operators import text as T
+    from pipeline_etl_website_visits_spark.operators.dedup import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (0, "src0", "The  quick brown fox JUMPS over the lazy dog"),
+            (1, "src0", "the quick brown fox naps"),
+            (2, "src1", "completely different content here today"),
+            (3, "src1", None),
+            (4, "src1", "   "),
+        ],
+        "doc_id long, source string, text string",
+    )
+    toks = docs.select(
+        "doc_id", "source", F.split(normalize_text(F.col("text")), " ").alias("toks")
+    )
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    assert rows(T.doc_frequency(docs, "text", "doc_id")) == rows(
+        T.doc_frequency(toks, "toks", "doc_id")
+    )
+    assert rows(T.tfidf_top_terms(docs, "text", "doc_id", k=3)) == rows(
+        T.tfidf_top_terms(toks, "toks", "doc_id", k=3)
+    )
+    assert rows(T.bigram_rarity(docs, "text", "doc_id")) == rows(
+        T.bigram_rarity(toks, "toks", "doc_id")
+    )
+    assert rows(T.token_entropy(docs, "text")) == rows(T.token_entropy(toks, "toks"))
+    assert rows(T.zipf_slope(docs, "text", top_n=50)) == rows(
+        T.zipf_slope(toks, "toks", top_n=50)
+    )
+    assert rows(T.gram_diversity(docs, "text", "doc_id", "source")) == rows(
+        T.gram_diversity(toks, "toks", "doc_id", "source")
+    )
+    assert rows(T.boilerplate_prefixes(docs, "text", "source")) == rows(
+        T.boilerplate_prefixes(toks, "toks", "source")
+    )
+    assert rows(T.heavy_hitters(docs, "text", denom=4, capacity=16)) == rows(
+        T.heavy_hitters(toks, "toks", denom=4, capacity=16)
+    )
+    assert rows(T.ngram_novelty(docs, "text", "doc_id", n=2)) == rows(
+        T.ngram_novelty(toks, "toks", "doc_id", n=2)
+    )
