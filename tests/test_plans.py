@@ -835,3 +835,26 @@ def test_lm_perplexity_plan_has_no_cartesian(spark):
     # scored stream) — never between data-sized relations
     bnlj = plan.count("BroadcastNestedLoopJoin")
     assert bnlj <= 2, plan[:2000]
+
+
+def test_stored_vocab_count_serving_plans(spark):
+    """x92 and x130 serve from the tokcnt artifact: no Generate (no
+    corpus explode), the scan reads the stored relation, and x92's only
+    join is the benign broadcast-of-one-scalar-row total."""
+    from pipeline_etl_website_visits_spark.plans import formatted_plan
+
+    p92 = formatted_plan(REGISTRY["x92_heavy_hitters"].spark(spark, SF_DIR))
+    assert "Generate" not in p92 and "tokcnt" in p92
+    p130 = formatted_plan(REGISTRY["x130_zipf_slope"].spark(spark, SF_DIR))
+    assert "Generate" not in p130 and "tokcnt" in p130
+
+
+def test_minhash_audit_broadcasts_pairs_into_signatures(spark):
+    """x181: the tiny audit-pair relation must BROADCAST into the
+    signature relation (twice) — a sort-merge join there would shuffle
+    the corpus-sized signatures for a handful of pairs."""
+    from pipeline_etl_website_visits_spark.plans import simple_plan
+
+    plan = simple_plan(REGISTRY["x181_minhash_error_audit"].spark(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
