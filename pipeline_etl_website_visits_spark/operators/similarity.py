@@ -183,6 +183,93 @@ def cosine_topk(
     return sims.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= k).select(*cols)
 
 
+def cosine_topk_widths(
+    candidates: DataFrame,
+    widths: "list[int]",
+    precollected_queries: list,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """Multi-width exact cosine top-k in ONE candidate pass — the
+    Matryoshka (MRL) serving-eval kernel: for each prefix width ``w`` in
+    ``widths``, the exact top-``k`` neighbors of each query by cosine
+    over the FIRST ``w`` dimensions. Passing the full dimension as one of
+    the widths yields the untruncated ground truth in the same pass.
+
+    Per width the arithmetic, self-exclusion and (sim desc, id asc) tie
+    rule are exactly :func:`cosine_topk`'s — a per-batch numpy matmul on
+    the sliced, re-normalized matrices — so each width's result is
+    bit-identical to an independent ``cosine_topk`` over
+    ``slice(vec, 1, w)`` columns. What changes is the I/O shape: ONE
+    corpus scan and ONE Python stage serve every width (an eval over W
+    widths otherwise pays W scans + W Arrow stages — at 100 TB the scan
+    is the cost, and it amortizes across the whole eval here).
+
+    Queries must be precollected (the serving-eval contract: the query
+    set is small and already on the driver — the x179/x182 lever).
+    Output: ``(trunc_dim, query_id, neighbor_id, sim)``, sim rounded
+    4 dp, ranked per (trunc_dim, query_id) window.
+    """
+    qrows = list(precollected_queries)
+    if not qrows:
+        id_type0 = candidates.schema[id_col].dataType.simpleString()
+        return candidates.sparkSession.createDataFrame(
+            [], f"trunc_dim int, query_id {id_type0}, neighbor_id {id_type0}, sim double"
+        )
+    qids = [r[0] for r in qrows]
+    qm = np.asarray([r[1] for r in qrows], dtype=np.float64)
+    _guard_driver_bytes("cosine_topk_widths query set", qm.shape[0], qm.shape[1])
+    prepared = []
+    for w in widths:
+        qw = qm[:, : int(w)]
+        prepared.append((int(w), qw / np.linalg.norm(qw, axis=1, keepdims=True)))
+    id_type = candidates.schema[id_col].dataType.simpleString()
+    out_schema = f"trunc_dim int, query_id {id_type}, neighbor_id {id_type}, sim_raw double"
+
+    def partial_topk(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            nids = pdf["__nid"].to_numpy()
+            m = np.asarray(pdf["__vec"].tolist(), dtype=np.float64)
+            out_w, out_q, out_n, out_s = [], [], [], []
+            for w, qn_w in prepared:
+                mw = m[:, :w]
+                mn = mw / np.sqrt(np.einsum("ij,ij->i", mw, mw))[:, None]
+                sims = mn @ qn_w.T  # (n, |Q|)
+                for j, qid in enumerate(qids):
+                    col = sims[:, j]
+                    keep = nids != qid
+                    cn_, cs = nids[keep], col[keep]
+                    order = np.lexsort((cn_, -cs))[:k]
+                    out_w.extend([w] * len(order))
+                    out_q.extend([qid] * len(order))
+                    out_n.extend(cn_[order])
+                    out_s.extend(cs[order])
+            if out_q:
+                yield pd.DataFrame(
+                    {
+                        "trunc_dim": np.asarray(out_w, dtype=np.int32),
+                        "query_id": np.asarray(out_q),
+                        "neighbor_id": np.asarray(out_n),
+                        "sim_raw": np.asarray(out_s, dtype=np.float64),
+                    }
+                )
+
+    sims = candidates.select(
+        F.col(id_col).alias("__nid"), F.col(vec_col).alias("__vec")
+    ).mapInPandas(partial_topk, out_schema)
+    w = Window.partitionBy("trunc_dim", "query_id").orderBy(
+        F.col("sim_raw").desc(), F.col("neighbor_id")
+    )
+    return (
+        sims.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("trunc_dim", "query_id", "neighbor_id", F.round("sim_raw", 4).alias("sim"))
+    )
+
+
 def hyperplanes(dim: int, num_planes: int, seed: int = 42) -> list[list[float]]:
     """Deterministic random hyperplanes for sign-bit LSH."""
     rs = np.random.RandomState(seed)

@@ -2780,8 +2780,14 @@ _MRL_ORACLE = (
 def x182(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of dimension-truncated cosine search (the MRL serving
     dial) against full-dimension exact ground truth, for each width in
-    _MRL_DIMS. One query-set collect feeds every leg (the x179 lever)."""
-    from pipeline_etl_website_visits_spark.operators.similarity import cosine_topk
+    _MRL_DIMS. ONE corpus pass computes every width plus the full-dim
+    ground truth (cosine_topk_widths, each width bit-identical to an
+    independent cosine_topk over sliced columns); the tiny ranked result
+    is checkpointed once so the per-width recall joins never re-run the
+    kernel."""
+    from pipeline_etl_website_visits_spark.operators.similarity import (
+        cosine_topk_widths,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 3)
@@ -2789,16 +2795,14 @@ def x182(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["vec_id"], r["embedding"])
         for r in q.select("vec_id", "embedding").collect()
     ]
-    gt = cosine_topk(q, emb, k=10, precollected_queries=q_rows).select(
-        "query_id", "neighbor_id"
-    )
+    full_dim = len(q_rows[0][1])
+    multi = cosine_topk_widths(
+        emb, [full_dim, *_MRL_DIMS], q_rows, k=10
+    ).localCheckpoint()  # widths x |Q| x k rows — materialized once, tiny
+    gt = multi.filter(F.col("trunc_dim") == full_dim).select("query_id", "neighbor_id")
     legs = []
     for d in _MRL_DIMS:
-        tq_rows = [(i, v[:d]) for i, v in q_rows]
-        tc = emb.select("vec_id", F.slice("embedding", 1, d).alias("embedding"))
-        trunc = cosine_topk(tc, tc, k=10, precollected_queries=tq_rows).select(
-            "query_id", "neighbor_id"
-        )
+        trunc = multi.filter(F.col("trunc_dim") == d).select("query_id", "neighbor_id")
         hits = (
             gt.join(trunc, ["query_id", "neighbor_id"], "left_semi")
             .groupBy("query_id")

@@ -1142,3 +1142,40 @@ def test_quantized_lsh_bucket_matches_pure_python(spark):
     for r in out:
         assert buckets[r["query_id"]] == buckets[r["neighbor_id"]]
 
+
+def test_cosine_topk_widths_matches_per_width_topk(spark):
+    """The fused multi-width kernel (one corpus pass for the whole MRL
+    eval) must be bit-identical, per width, to independent cosine_topk
+    runs over sliced columns — including the full-dimension leg."""
+    import numpy as np
+
+    from pipeline_etl_website_visits_spark.operators.similarity import (
+        cosine_topk,
+        cosine_topk_widths,
+    )
+
+    rng = np.random.RandomState(11)
+    vecs = rng.rand(40, 16)
+    df = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(40)], "vec_id long, embedding array<double>"
+    )
+    q = df.filter(F.col("vec_id") < 3)
+    q_rows = [(r["vec_id"], r["embedding"]) for r in q.collect()]
+
+    multi = cosine_topk_widths(df, [16, 4, 8], q_rows, k=5).collect()
+    by_w = {}
+    for r in multi:
+        by_w.setdefault(r["trunc_dim"], []).append(
+            (r["query_id"], r["neighbor_id"], r["sim"])
+        )
+    for w in (16, 4, 8):
+        tq = [(i, v[:w]) for i, v in q_rows]
+        tc = df.select("vec_id", F.slice("embedding", 1, w).alias("embedding"))
+        solo = [
+            (r["query_id"], r["neighbor_id"], r["sim"])
+            for r in cosine_topk(tc, tc, k=5, precollected_queries=tq).collect()
+        ]
+        assert sorted(by_w[w]) == sorted(solo), w
+
+    # empty query set contract
+    assert cosine_topk_widths(df, [4], [], k=5).count() == 0
