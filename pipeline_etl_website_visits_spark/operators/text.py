@@ -452,7 +452,7 @@ def learn_bpe_merges(df: DataFrame, text_col: str, num_merges: int = 8) -> DataF
     import pandas as pd
 
     words = (
-        df.select(F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"))
+        df.select(F.explode(tokens_of(df, text_col)).alias("w"))
         .filter(F.length("w") > 0)
         .groupBy("w")
         .agg(F.count("*").alias("cnt"))
@@ -594,7 +594,7 @@ def bpe_token_counts(
 
     toks = df.select(
         F.col(id_col).alias("doc_id"),
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("w"),
+        F.explode(tokens_of(df, text_col)).alias("w"),
     ).filter(F.length("w") > 0)
     per_doc_word = toks.groupBy("doc_id", "w").agg(F.count("*").alias("cnt"))
     words = per_doc_word.select("w").distinct()

@@ -1317,8 +1317,8 @@ def x78(spark: SparkSession, sf_dir: str) -> DataFrame:
     per round). Rows-only driver check (3 rows, deterministic content);
     the 6-round exactness test pins the algorithm against the classic
     single-machine reference."""
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
-    return T.learn_bpe_merges(docs, "text", num_merges=3)
+    toks = shared_tokenized_corpus(spark, sf_dir)
+    return T.learn_bpe_merges(toks, "toks", num_merges=3)
 
 
 _PQ_CB_CACHE: dict[tuple, list] = {}
@@ -1789,12 +1789,12 @@ def x89(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text", "no-oracle"),
 )
 def x90(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents", fan_out=True)
+    toks = shared_tokenized_corpus(spark, sf_dir)
     merges = [
         (r["left"], r["right"])
-        for r in T.learn_bpe_merges(docs, "text", num_merges=2).collect()
+        for r in T.learn_bpe_merges(toks, "toks", num_merges=2).collect()
     ]
-    return T.bpe_token_counts(docs, "text", "doc_id", merges).orderBy("doc_id")
+    return T.bpe_token_counts(toks, "toks", "doc_id", merges).orderBy("doc_id")
 
 
 @query(
