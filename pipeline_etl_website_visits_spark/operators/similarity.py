@@ -210,6 +210,15 @@ def cosine_topk_widths(
     set is small and already on the driver — the x179/x182 lever).
     Output: ``(trunc_dim, query_id, neighbor_id, sim)``, sim rounded
     4 dp, ranked per (trunc_dim, query_id) window.
+
+    Zero-prefix guard (ADVICE r13): a vector whose first ``w`` dims are
+    all zero has no defined cosine — naive division yields NaN, which
+    numpy's lexsort ranks LAST while SQL ``ORDER BY`` ranks it highest
+    (an oracle-divergence trap far likelier under truncation than for
+    whole vectors). Zero norms are clamped to 1 on both sides, so such a
+    row scores exactly 0.0 against everything (its dot product is 0) —
+    deterministic, tie-broken by id, identical under any SQL oracle that
+    guards the denominator the same way.
     """
     qrows = list(precollected_queries)
     if not qrows:
@@ -223,7 +232,8 @@ def cosine_topk_widths(
     prepared = []
     for w in widths:
         qw = qm[:, : int(w)]
-        prepared.append((int(w), qw / np.linalg.norm(qw, axis=1, keepdims=True)))
+        qnorm = np.linalg.norm(qw, axis=1, keepdims=True)
+        prepared.append((int(w), qw / np.where(qnorm == 0.0, 1.0, qnorm)))
     id_type = candidates.schema[id_col].dataType.simpleString()
     out_schema = f"trunc_dim int, query_id {id_type}, neighbor_id {id_type}, sim_raw double"
 
@@ -236,7 +246,8 @@ def cosine_topk_widths(
             out_w, out_q, out_n, out_s = [], [], [], []
             for w, qn_w in prepared:
                 mw = m[:, :w]
-                mn = mw / np.sqrt(np.einsum("ij,ij->i", mw, mw))[:, None]
+                cnorm = np.sqrt(np.einsum("ij,ij->i", mw, mw))[:, None]
+                mn = mw / np.where(cnorm == 0.0, 1.0, cnorm)
                 sims = mn @ qn_w.T  # (n, |Q|)
                 for j, qid in enumerate(qids):
                     col = sims[:, j]

@@ -90,12 +90,37 @@ def _commit_scratch_build(tmp: str, path: str) -> None:
     _prune_stale_scratch(path)
 
 
-def _prune_stale_scratch(path: str) -> None:
+def _builder_pid_alive(build_suffix: str) -> bool:
+    """True iff the ``.build.<pid>`` suffix names a pid that still exists
+    on THIS host (ADVICE r13: age alone mis-fires on a legitimately
+    long-running first-time build — at 100 TB a build can easily outlive
+    a fixed one-hour window). ``kill(pid, 0)`` probes existence without
+    signaling; EPERM means "exists but not ours" — alive. Pid reuse can
+    only FALSE-KEEP (conservative): the kept leftover is swept on a later
+    pass once the recycled pid exits."""
+    try:
+        pid = int(build_suffix.rsplit(".", 1)[-1])
+    except ValueError:
+        return False
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    except OSError:
+        return True  # unknowable — keep (conservative)
+    return True
+
+
+def _prune_stale_scratch(path: str, builder_age_s: float = 3600.0) -> None:
     """After a committed build, remove this corpus's STALE artifacts: old-
     fingerprint dirs (the source data they indexed no longer exists) and
-    crashed builders' hour-old ``.build.<pid>`` leftovers. Same-fingerprint
-    fresh build dirs are left alone — a concurrent builder may still be
-    writing one (it will lose the rename race and clean itself up)."""
+    crashed builders' ``.build.<pid>`` leftovers — removed only when the
+    builder pid is GONE and the dir is older than ``builder_age_s``.
+    Same-fingerprint fresh build dirs are left alone — a concurrent
+    builder may still be writing one (it will lose the rename race and
+    clean itself up)."""
     import shutil
     import time
 
@@ -106,11 +131,13 @@ def _prune_stale_scratch(path: str) -> None:
             continue
         full = os.path.join(base, fn)
         if fn.startswith(cur + ".build."):
+            if _builder_pid_alive(fn):
+                continue
             try:
                 age = time.time() - os.path.getmtime(full)
             except OSError:
                 continue
-            if age < 3600:
+            if age < builder_age_s:
                 continue
         shutil.rmtree(full, ignore_errors=True)
 
@@ -119,6 +146,7 @@ def gc_scratch_artifacts(
     corpora: "list[str]",
     scratch_root: str | None = None,
     min_age_s: float = 0.0,
+    builder_age_s: float = 3600.0,
 ) -> list[str]:
     """Retention sweep over ALL stored scratch artifacts (pairovl /
     simgraph / bm25idx / ivfflat / gramidx / codebooks …) — the
@@ -139,9 +167,13 @@ def gc_scratch_artifacts(
     - stale-fingerprint dirs of a declared corpus (their source data no
       longer exists in that form),
     - dirs of undeclared corpora,
-    - crashed builders' ``.build.<pid>`` leftovers older than an hour
-      (a fresh one may be a live concurrent build — kept, it cleans
-      itself up when it loses the commit race),
+    - crashed builders' ``.build.<pid>`` leftovers — only when the pid no
+      longer exists on this host AND the dir is older than
+      ``builder_age_s`` (default 1h). Liveness is checked FIRST (ADVICE
+      r13): a legitimately long-running first-time build — plausible at
+      the 100 TB design scale — is never rmtree'd mid-write no matter
+      its age; a live concurrent build cleans itself up when it loses
+      the commit race,
 
     each only once older than ``min_age_s`` (grace for in-flight readers
     that resolved the path just before the source data regenerated).
@@ -180,8 +212,8 @@ def gc_scratch_artifacts(
         except OSError:
             continue  # vanished under us (concurrent sweep/commit)
         if build_suffix is not None:
-            if age < 3600:
-                continue  # possibly a live concurrent builder
+            if _builder_pid_alive(build_suffix) or age < builder_age_s:
+                continue  # live or possibly-live concurrent builder
         elif (sftag, fptag) in live:
             continue  # the live artifact — never touched
         elif age < min_age_s:

@@ -1528,3 +1528,30 @@ def test_tokens_of_pretokenized_equals_inline(spark):
     assert rows(T.ngram_novelty(docs, "text", "doc_id", n=2)) == rows(
         T.ngram_novelty(toks, "toks", "doc_id", n=2)
     )
+
+
+def test_tokens_of_rejects_non_string_arrays(spark):
+    """ADVICE r13: the array pass-through is a CONTRACT, not a
+    convention — an array column whose elements are not strings (token
+    ids, nested grams) must raise, never silently skip normalization and
+    emit wrong-but-plausible stats."""
+    import pytest
+
+    from pipeline_etl_website_visits_spark.operators.dedup import tokens_of
+
+    ids = spark.createDataFrame([(1, [1, 2, 3])], "doc_id long, toks array<int>")
+    with pytest.raises(TypeError, match="array<string>"):
+        tokens_of(ids, "toks")
+    nested = spark.createDataFrame(
+        [(1, [["a"]])], "doc_id long, toks array<array<string>>"
+    )
+    with pytest.raises(TypeError, match="array<string>"):
+        tokens_of(nested, "toks")
+    # the two valid input shapes still work
+    ok = spark.createDataFrame(
+        [(1, "A  b", ["a", "b"])], "doc_id long, text string, toks array<string>"
+    )
+    got = ok.select(
+        tokens_of(ok, "text").alias("from_text"), tokens_of(ok, "toks").alias("from_arr")
+    ).collect()[0]
+    assert got["from_text"] == ["a", "b"] == got["from_arr"]

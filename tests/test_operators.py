@@ -1179,3 +1179,35 @@ def test_cosine_topk_widths_matches_per_width_topk(spark):
 
     # empty query set contract
     assert cosine_topk_widths(df, [4], [], k=5).count() == 0
+
+
+def test_cosine_topk_widths_zero_prefix_no_nan(spark):
+    """ADVICE r13: a vector whose first w dims are all zero must score
+    0.0 (clamped norm), not NaN — NaN would rank LAST under numpy lexsort
+    but FIRST under SQL ORDER BY, a silent oracle divergence."""
+    import math
+
+    from pipeline_etl_website_visits_spark.operators.similarity import (
+        cosine_topk_widths,
+    )
+
+    rows = [
+        (0, [0.0, 0.0, 1.0, 2.0]),  # zero 2-prefix
+        (1, [1.0, 1.0, 1.0, 1.0]),
+        (2, [1.0, 2.0, 0.0, 0.0]),
+        (3, [2.0, 1.0, 3.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = [(0, rows[0][1]), (2, rows[2][1])]
+    out = cosine_topk_widths(df, [2, 4], q, k=3).collect()
+    assert all(not math.isnan(r["sim"]) for r in out)
+    by_key = {}
+    for r in out:
+        by_key.setdefault((r["trunc_dim"], r["query_id"]), []).append(r)
+    # zero-prefix query 0 at w=2: every sim exactly 0, ranked by id asc
+    z = sorted(by_key[(2, 0)], key=lambda r: r["neighbor_id"])
+    assert [r["sim"] for r in z] == [0.0, 0.0, 0.0]
+    assert [r["neighbor_id"] for r in z] == [1, 2, 3]
+    # zero-prefix CANDIDATE 0 under query 2 at w=2 scores 0 — ranked last
+    ranked = by_key[(2, 2)]
+    assert {r["neighbor_id"]: r["sim"] for r in ranked}[0] == 0.0

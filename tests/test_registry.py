@@ -114,15 +114,19 @@ def test_commit_prunes_stale_fingerprint_dirs(tmp_path):
         _commit_scratch_build,
     )
 
+    dead_pid = 4194311  # > default pid_max — kill(pid, 0) is ESRCH, always
     stale = tmp_path / "spark_graft_k_sf1_oldfp"
     stale.mkdir()
-    crashed = tmp_path / "spark_graft_k_sf1_newfp.build.999"
+    crashed = tmp_path / f"spark_graft_k_sf1_newfp.build.{dead_pid}"
     crashed.mkdir()
-    os.utime(crashed, (0, 0))  # ancient — prunable
+    os.utime(crashed, (0, 0))  # ancient + dead builder — prunable
     other_corpus = tmp_path / "spark_graft_k_sf2_anyfp"
     other_corpus.mkdir()
-    racing = tmp_path / "spark_graft_k_sf1_newfp.build.1000"
+    racing = tmp_path / f"spark_graft_k_sf1_newfp.build.{dead_pid + 1}"
     racing.mkdir()  # fresh mtime — a live concurrent builder
+    slow = tmp_path / f"spark_graft_k_sf1_newfp.build.{os.getpid()}"
+    slow.mkdir()
+    os.utime(slow, (0, 0))  # ancient mtime but the builder pid is ALIVE
     tmp = tmp_path / "spark_graft_k_sf1_newfp.build.1"
     tmp.mkdir()
     (tmp / "f").write_text("x")
@@ -132,6 +136,9 @@ def test_commit_prunes_stale_fingerprint_dirs(tmp_path):
     assert not crashed.exists()  # ancient crashed build pruned
     assert other_corpus.exists()  # different corpus untouched
     assert racing.exists()  # live same-fingerprint builder untouched
+    # ADVICE r13: an hour-old build whose pid is still running is a
+    # long-running FIRST-TIME build, not a crash — never rmtree'd mid-write
+    assert slow.exists()
 
 
 def test_gc_scratch_artifacts_sweeps_stale_keeps_live(spark, tmp_path):
@@ -161,11 +168,15 @@ def test_gc_scratch_artifacts_sweeps_stale_keeps_live(spark, tmp_path):
     stale.mkdir()
     unknown = root / f"spark_graft_bm25idx_{'f' * 8}_{'e' * 12}"
     unknown.mkdir()
-    crashed = root / f"spark_graft_pairovl_{sftag}_{fptag}.build.999"
+    dead_pid = 4194311  # > default pid_max — kill(pid, 0) is ESRCH, always
+    crashed = root / f"spark_graft_pairovl_{sftag}_{fptag}.build.{dead_pid}"
     crashed.mkdir()
     os.utime(crashed, (0, 0))
-    racing = root / f"spark_graft_pairovl_{sftag}_{fptag}.build.1000"
+    racing = root / f"spark_graft_pairovl_{sftag}_{fptag}.build.{dead_pid + 1}"
     racing.mkdir()  # fresh — a live concurrent builder
+    slow = root / f"spark_graft_pairovl_{sftag}_{fptag}.build.{os.getpid()}"
+    slow.mkdir()
+    os.utime(slow, (0, 0))  # ancient mtime, but the builder pid is ALIVE
     not_ours = root / "somebody_elses_dir"
     not_ours.mkdir()
 
@@ -176,6 +187,9 @@ def test_gc_scratch_artifacts_sweeps_stale_keeps_live(spark, tmp_path):
         [stale.name, unknown.name, crashed.name]
     )
     assert live.exists() and racing.exists() and not_ours.exists()
+    # ADVICE r13: an old build dir whose pid still runs is a long-running
+    # live build — kept regardless of age (liveness beats the age rule)
+    assert slow.exists()
     assert reader.collect()[0]["doc_a"] == 1  # concurrent read survives
 
     # grace window: a stale dir younger than min_age_s is kept
