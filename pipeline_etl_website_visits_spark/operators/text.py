@@ -2196,10 +2196,33 @@ def dsir_scores(
     corpus_docb = bucketed(corpus).groupBy("doc_id", "b").agg(
         F.count("*").cast("long").alias("c")
     )
+    tprof = bucketed(target).groupBy("b").agg(
+        F.count("*").cast("long").alias("t_cnt")
+    )
+    return dsir_scores_from_counts(corpus_docb, tprof, buckets=buckets)
+
+
+def dsir_scores_from_counts(
+    corpus_docb: DataFrame,
+    target_prof: DataFrame,
+    buckets: int = 1024,
+) -> DataFrame:
+    """DSIR scoring from PRE-COMPACTED counts — the kernel behind
+    :func:`dsir_scores`, exposed so a stored compacted-counts artifact
+    (queries/llmops.py:shared_doc_bigrams → bucket fold) can feed it
+    without re-paying the corpus tokenize+hash pass (VERDICT r13 item 4).
+
+    ``corpus_docb``: (doc_id, b, c) — per-doc hashed-bigram bucket
+    occurrence counts; ``target_prof``: (b, t_cnt) — the target domain's
+    bucket occurrence profile. Arithmetic, smoothing and quantization are
+    exactly :func:`dsir_scores`'s (the corpus profile, both totals and
+    the weights all fold from these relations), so feeding counts derived
+    by the same hash yields bit-identical scores."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
     rprof = corpus_docb.groupBy("b").agg(F.sum("c").cast("long").alias("r_cnt"))
     rstat = rprof.agg(F.sum("r_cnt").cast("long").alias("rr"))
-    target_b = bucketed(target)
-    tprof = target_b.groupBy("b").agg(F.count("*").cast("long").alias("t_cnt"))
+    tprof = target_prof
     tstat = tprof.agg(F.sum("t_cnt").cast("long").alias("tt"))
 
     weights = (
@@ -2243,6 +2266,20 @@ def dsir_scores(
     )
 
 
+def dsir_bucket_of(gram: Column, buckets: int, portable_hash: bool) -> Column:
+    """The DSIR feature-bucket expression for a bigram string — md5-u48
+    (portable certificate family) or xxhash64 (JVM-fast default). Module-
+    level so the stored compacted-bigram artifact path can bucket
+    ``concat_ws(' ', w1, w2)`` with the EXACT same expression the inline
+    ``_dsir_bucketed`` stream uses (hash identity is what makes the
+    artifact cutover bit-exact)."""
+    if portable_hash:
+        return F.conv(F.substring(F.md5(gram.cast("binary")), 1, 12), 16, 10).cast(
+            "long"
+        ) % F.lit(buckets)
+    return F.pmod(F.xxhash64(gram), F.lit(buckets)).cast("long")
+
+
 def _dsir_bucketed(
     df: DataFrame, text_col: str, id_col: str, buckets: int, portable_hash: bool
 ) -> DataFrame:
@@ -2251,11 +2288,7 @@ def _dsir_bucketed(
     for profile building (targets need no ids) — a literal stands in."""
 
     def bucket_of(gram: Column) -> Column:
-        if portable_hash:
-            return F.conv(F.substring(F.md5(gram.cast("binary")), 1, 12), 16, 10).cast(
-                "long"
-            ) % F.lit(buckets)
-        return F.pmod(F.xxhash64(gram), F.lit(buckets)).cast("long")
+        return dsir_bucket_of(gram, buckets, portable_hash)
 
     t = F.col("__t")
     grams = F.transform(
@@ -2704,17 +2737,27 @@ def _lm_model_relations(target: DataFrame, text_col: str):
     1-row (nbt, v) constants."""
     tb = _word_bigrams(target, text_col, "__none")
     c12 = tb.groupBy("w1", "w2").agg(F.count("*").cast("long").alias("c12"))
+    toks = target.select(
+        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
+    ).where(F.col("tok") != "")
+    v_df = toks.agg(F.countDistinct("tok").cast("long").alias("v"))
+    return lm_model_from_c12(c12, v_df)
+
+
+def lm_model_from_c12(c12: DataFrame, v_df: DataFrame):
+    """Derive the (c12, c1, rev, consts) model relations from a bigram-
+    count relation ``(w1, w2, c12)`` plus a 1-row vocabulary count
+    ``(v)`` — the fold behind :func:`_lm_model_relations`, exposed so a
+    stored compacted-bigram artifact can train the model without
+    rescanning the target (c1/nfwd, nrev and nbt are all pure folds of
+    c12; only v needs the unigram side, which the tokenized-corpus
+    artifact carries)."""
     c1 = c12.groupBy("w1").agg(
         F.sum("c12").cast("long").alias("c1"),
         F.count("*").cast("long").alias("nfwd"),
     )
     rev = c12.groupBy("w2").agg(F.count("*").cast("long").alias("nrev"))
-    toks = target.select(
-        F.explode(F.split(normalize_text(F.col(text_col)), " ")).alias("tok")
-    ).where(F.col("tok") != "")
-    consts = c12.agg(F.count("*").cast("long").alias("nbt")).crossJoin(
-        toks.agg(F.countDistinct("tok").cast("long").alias("v"))
-    )
+    consts = c12.agg(F.count("*").cast("long").alias("nbt")).crossJoin(v_df)
     return c12, c1, rev, consts
 
 
@@ -2733,6 +2776,24 @@ def _lm_score_against(
     docb = _word_bigrams(corpus, text_col, id_col).groupBy(
         "doc_id", "w1", "w2"
     ).agg(F.count("*").cast("long").alias("c"))
+    return lm_scores_from_counts(docb, c12, c1, rev, consts, discount_milli)
+
+
+def lm_scores_from_counts(
+    docb: DataFrame,
+    c12: DataFrame,
+    c1: DataFrame,
+    rev: DataFrame,
+    consts: DataFrame,
+    discount_milli: int = 750,
+) -> DataFrame:
+    """Bigram-LM scoring from a PRE-COMPACTED ``(doc_id, w1, w2, c)``
+    corpus relation — the kernel behind :func:`lm_perplexity_scores` /
+    :func:`lm_scores_vs_model`, exposed so a stored compacted-bigram
+    artifact (queries/llmops.py:shared_doc_bigrams) can feed it without
+    re-paying the corpus tokenize+explode pass (VERDICT r13 item 4). The
+    join/smoothing/quantization arithmetic is untouched, so counts
+    derived by the same normalize+split are bit-identical."""
     joined = (
         docb.join(c12, ["w1", "w2"], "left")
         .join(c1, "w1", "left")

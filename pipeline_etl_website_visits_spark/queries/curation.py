@@ -2056,19 +2056,40 @@ def x165(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM buck bk JOIN w USING (b)
     GROUP BY bk.doc_id ORDER BY bk.doc_id
     """,
-    certifies="X4 DSIR importance scoring (hashed-bigram log-likelihood ratio vs a target domain): broadcast ≤buckets-row profiles, ONE map-side-combined corpus exchange; integer-exact weights (one ln over an int64 rational)",
-    tags=("llm", "text", "curation"),
+    certifies="X4 DSIR importance scoring (hashed-bigram log-likelihood ratio vs a target domain) SERVED from the stored compacted-bigram artifact (docbig — VERDICT r13 item 4): bucket fold + broadcast ≤buckets-row profiles, zero corpus re-tokenize; integer-exact weights (one ln over an int64 rational); oracle still derives inline, certifying the artifact end-to-end",
+    tags=("llm", "text", "curation", "stored-index"),
 )
 def x166(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DSIR scores for every document against the src0 domain as target.
-    Docstring cite: the method is public (Xie et al. 2023); the reference
-    repo has no counterpart — this is §2.11 north-star surface."""
-    from pipeline_etl_website_visits_spark.operators import text as T
-
-    docs = load_table(spark, sf_dir, "documents")
-    return T.dsir_scores(
-        docs, docs.where(F.col("source") == "src0"), "text", "doc_id", portable_hash=True
+    """DSIR scores for every document against the src0 domain as target,
+    served from the shared compacted-bigram artifact
+    (llmops.shared_doc_bigrams): the (doc, bucket) relation is a fold of
+    the stored (doc, w1, w2, c) counts through the SAME dsir_bucket_of
+    expression the inline stream hashes, and the src0 rows yield the
+    target profile — neither corpus nor target is re-tokenized. Docstring
+    cite: the method is public (Xie et al. 2023); the reference repo has
+    no counterpart — this is §2.11 north-star surface."""
+    from pipeline_etl_website_visits_spark.operators.text import (
+        dsir_bucket_of,
+        dsir_scores_from_counts,
     )
+    from pipeline_etl_website_visits_spark.queries.llmops import shared_doc_bigrams
+
+    bg = shared_doc_bigrams(spark, sf_dir)
+    docb = bg.select(
+        "doc_id",
+        "source",
+        dsir_bucket_of(
+            F.concat_ws(" ", F.col("w1"), F.col("w2")), 1024, portable_hash=True
+        ).alias("b"),
+        "c",
+    )
+    corpus_docb = docb.groupBy("doc_id", "b").agg(F.sum("c").cast("long").alias("c"))
+    tprof = (
+        docb.where(F.col("source") == "src0")
+        .groupBy("b")
+        .agg(F.sum("c").cast("long").alias("t_cnt"))
+    )
+    return dsir_scores_from_counts(corpus_docb, tprof, buckets=1024)
 
 
 @query(
@@ -2471,19 +2492,43 @@ _LM_PPL_SQL = f"""\
 @query(
     "x175_lm_perplexity",
     oracle=_LM_PPL_SQL,
-    certifies="X4 CCNet-shape n-gram LM perplexity filter (Wenzek et al. 2020): interpolated absolute-discount (KN-family) bigram LM trained on the target domain in one pass, corpus scored by exact integer-rational probabilities — ONE quantized ln per distinct (doc,bigram), DECIMAL(38,0) products; the quality filter next to DSIR (x166)",
-    tags=("llm", "text", "curation", "quality"),
+    certifies="X4 CCNet-shape n-gram LM perplexity filter (Wenzek et al. 2020) SERVED from the stored compacted-bigram artifact (docbig — VERDICT r13 item 4): corpus side IS the artifact, model relations are pure folds of its src0 rows (vocab from the tokenized-corpus unigrams); exact integer-rational probabilities — ONE quantized ln per distinct (doc,bigram), DECIMAL(38,0) products; oracle still derives inline, certifying the artifact end-to-end",
+    tags=("llm", "text", "curation", "quality", "stored-index"),
 )
 def x175(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bigram-LM perplexity of every document under the src0-domain model
-    (target = src0 docs, exactly x166's setup). avg_nll_micro is the
-    integer perplexity proxy a CCNet-style keep/middle/drop threshold
-    cuts on. Method is public (Wenzek et al. 2020 CCNet; Kneser-Ney
-    smoothing); the reference repo has no counterpart — §2.11 surface."""
-    from pipeline_etl_website_visits_spark.operators.text import lm_perplexity_scores
+    (target = src0 docs, exactly x166's setup), served from the shared
+    compacted-bigram artifact: the corpus (doc, w1, w2, c) relation is
+    read as stored, the model's c12/c1/rev/nbt fold from its src0 rows
+    (operators/text.py:lm_model_from_c12), and only the vocabulary count
+    reads the tokenized-corpus artifact's unigrams — no re-tokenize
+    anywhere. avg_nll_micro is the integer perplexity proxy a CCNet-style
+    keep/middle/drop threshold cuts on. Method is public (Wenzek et al.
+    2020 CCNet; Kneser-Ney smoothing); the reference repo has no
+    counterpart — §2.11 surface."""
+    from pipeline_etl_website_visits_spark.operators.text import (
+        lm_model_from_c12,
+        lm_scores_from_counts,
+    )
+    from pipeline_etl_website_visits_spark.queries.llmops import (
+        shared_doc_bigrams,
+        shared_tokenized_corpus,
+    )
 
-    docs = load_table(spark, sf_dir, "documents")
-    return lm_perplexity_scores(docs, docs.where(F.col("source") == "src0"))
+    bg = shared_doc_bigrams(spark, sf_dir)
+    tgt = bg.where(F.col("source") == "src0")
+    c12 = tgt.groupBy("w1", "w2").agg(F.sum("c").cast("long").alias("c12"))
+    v_df = (
+        shared_tokenized_corpus(spark, sf_dir)
+        .where(F.col("source") == "src0")
+        .select(F.explode("toks").alias("tok"))
+        .where(F.col("tok") != "")
+        .agg(F.countDistinct("tok").cast("long").alias("v"))
+    )
+    c12, c1, rev, consts = lm_model_from_c12(c12, v_df)
+    return lm_scores_from_counts(
+        bg.select("doc_id", "w1", "w2", "c"), c12, c1, rev, consts
+    )
 
 
 @query(

@@ -382,6 +382,62 @@ def shared_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema("token string, cnt long, doc_freq long").parquet(path)
 
 
+def shared_doc_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The STORED compacted word-bigram relation for one corpus:
+    ``(doc_id, source, w1, w2, c)`` — per-document bigram occurrence
+    counts over exactly the tokens the :func:`shared_tokenized_corpus`
+    artifact stores (kind ``docbig``), materialized once per corpus
+    fingerprint (VERDICT r13 item 4: x166 and x175 each re-derived this
+    compaction per query).
+
+    ONE artifact serves BOTH bigram-feature families:
+
+    - **DSIR (x166)**: bucket ``concat_ws(' ', w1, w2)`` through
+      operators/text.py:``dsir_bucket_of`` — the same expression the
+      inline stream hashes, so the (doc, bucket) fold is bit-identical —
+      and the src0 rows yield the target profile, so the target is never
+      rescanned either.
+    - **bigram-LM (x175)**: the corpus side IS this relation; the model's
+      c12/c1/rev/nbt are pure folds of its src0 rows
+      (``lm_model_from_c12``), with only the vocabulary count read from
+      the tokenized-corpus artifact's unigrams.
+
+    Docs with <2 tokens have no rows (the families' shared contract:
+    no bigram evidence → omitted). The ORACLES still derive bigrams
+    inline from ``documents``, so every downstream hash-match certifies
+    the stored counts end-to-end — the toktab/tokcnt discipline.
+
+    At 100 TB: a map-only tokenize+explode with map-side combine, paid
+    once per corpus; (doc, w1, w2) compaction tracks tokens/doc-to-
+    distinct-bigrams (strong on real Zipfian text), and every consumer
+    scan prunes to the columns it folds."""
+    path = _scratch_path(sf_dir, "documents", "docbig")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        toks = shared_tokenized_corpus(spark, sf_dir)
+        t = F.col("toks")
+        pairs = F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.struct(
+                    F.element_at(t, i).alias("w1"),
+                    F.element_at(t, i + 1).alias("w2"),
+                ),
+            )
+        )
+        tmp = f"{path}.build.{os.getpid()}"
+        (
+            toks.where(F.size(t) >= 2)
+            .select("doc_id", "source", pairs.alias("bg"))
+            .groupBy("doc_id", "source", "bg.w1", "bg.w2")
+            .agg(F.count("*").cast("long").alias("c"))
+            .write.parquet(tmp)
+        )
+        _commit_scratch_build(tmp, path)
+    return spark.read.schema(
+        "doc_id long, source string, w1 string, w2 string, c long"
+    ).parquet(path)
+
+
 # Shared normalized-text fragments for the DuckDB oracles.
 _NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
 _TOKS = f"regexp_split_to_array({_NORM}, ' ')"

@@ -1555,3 +1555,87 @@ def test_tokens_of_rejects_non_string_arrays(spark):
         tokens_of(ok, "text").alias("from_text"), tokens_of(ok, "toks").alias("from_arr")
     ).collect()[0]
     assert got["from_text"] == ["a", "b"] == got["from_arr"]
+
+
+def test_bigram_count_kernels_match_inline_paths(spark):
+    """VERDICT r13 item 4: the count-fed DSIR / bigram-LM kernels
+    (dsir_scores_from_counts / lm_scores_from_counts + lm_model_from_c12)
+    must be bit-identical to the inline operators when fed counts
+    compacted exactly as the docbig artifact stores them — the value
+    contract that lets x166/x175 serve from the shared artifact."""
+    import pyspark.sql.functions as F
+
+    from pipeline_etl_website_visits_spark.operators import text as T
+    from pipeline_etl_website_visits_spark.operators.dedup import normalize_text
+
+    docs = spark.createDataFrame(
+        [
+            (0, "src0", "the quick brown fox jumps over the lazy dog"),
+            (1, "src0", "the quick brown fox naps in the quick shade"),
+            (2, "src1", "completely different content appears here today"),
+            (3, "src1", "the fox returns for more quick brown content"),
+            (4, "src1", "one"),          # <2 tokens: no bigram evidence
+            (5, "src1", None),           # null text
+            (6, "src0", "the the the the repetition stress row"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    # the docbig artifact's derivation: tokens → adjacent pairs → counts
+    t = F.col("toks")
+    bg = (
+        docs.select(
+            "doc_id", "source", F.split(normalize_text(F.col("text")), " ").alias("toks")
+        )
+        .where(F.size(t) >= 2)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - 1),
+                    lambda i: F.struct(
+                        F.element_at(t, i).alias("w1"), F.element_at(t, i + 1).alias("w2")
+                    ),
+                )
+            ).alias("p"),
+        )
+        .groupBy("doc_id", "source", "p.w1", "p.w2")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    target = docs.where(F.col("source") == "src0")
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    # DSIR: bucket-fold of the counts == inline corpus stream (both hashes)
+    for portable in (True, False):
+        docb = bg.select(
+            "doc_id",
+            "source",
+            T.dsir_bucket_of(F.concat_ws(" ", "w1", "w2"), 64, portable).alias("b"),
+            "c",
+        )
+        got = T.dsir_scores_from_counts(
+            docb.groupBy("doc_id", "b").agg(F.sum("c").cast("long").alias("c")),
+            docb.where(F.col("source") == "src0")
+            .groupBy("b")
+            .agg(F.sum("c").cast("long").alias("t_cnt")),
+            buckets=64,
+        )
+        want = T.dsir_scores(docs, target, buckets=64, portable_hash=portable)
+        assert rows(got) == rows(want), f"portable={portable}"
+
+    # bigram LM: model folds from src0 counts + unigram vocab == inline
+    c12 = bg.where(F.col("source") == "src0").groupBy("w1", "w2").agg(
+        F.sum("c").cast("long").alias("c12")
+    )
+    v_df = (
+        target.select(F.explode(F.split(normalize_text(F.col("text")), " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .agg(F.countDistinct("tok").cast("long").alias("v"))
+    )
+    got_lm = T.lm_scores_from_counts(
+        bg.select("doc_id", "w1", "w2", "c"), *T.lm_model_from_c12(c12, v_df)
+    )
+    want_lm = T.lm_perplexity_scores(docs, target)
+    assert rows(got_lm) == rows(want_lm)
