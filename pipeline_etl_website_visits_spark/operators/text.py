@@ -930,7 +930,7 @@ def scrub_repeated_spans(
         rebuild_text_without,
     )
 
-    t = F.split(normalize_text(F.col(text_col)), " ")
+    t = tokens_of(df, text_col)  # toktab artifact serves directly (r14)
     toks = df.select(F.col(id_col).alias("doc_id"), t.alias("__t"))
     with_g = toks.withColumn("__g", positional_gram_hashes(F.col("__t"), n))
     # starts (1-based) whose gram already appeared earlier in THIS doc
@@ -1577,8 +1577,6 @@ def dup_gram_stats(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Dat
     in thousands of splits and the branch never fires. Documents shorter
     than ``n`` tokens have 0 grams.
     """
-    from pipeline_etl_website_visits_spark.operators.dedup import normalize_text
-
     src = df.select(F.col(id_col), F.col(text_col))
     sc = df.sparkSession.sparkContext
     try:
@@ -1588,7 +1586,9 @@ def dup_gram_stats(df: DataFrame, text_col: str, id_col: str, n: int = 3) -> Dat
     if few_splits:
         # measured 10x at sf0.1: 8.2s single-task -> 0.84s warm
         src = src.repartition(sc.defaultParallelism)
-    toks = F.split(normalize_text(F.col(text_col)), " ")
+    # tokens_of seam (r14): a pre-tokenized array<string> column (the
+    # toktab artifact) serves directly; raw text normalizes inline
+    toks = tokens_of(df, text_col)
     idx = F.when(
         F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)
     ).otherwise(F.array().cast("array<int>"))

@@ -1452,6 +1452,11 @@ def x105(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x112(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_etl_website_visits_spark.operators import dedup as D
 
+    # A/B r14: the toktab artifact made this one SLOWER (2.14 vs 0.89 s at
+    # sf0.1) — the checkpointed token-ARRAY relation re-reads worse than
+    # the text re-scan (the r13 columnar-token-caching finding); inline
+    # normalize stays the serving form, the tokens_of seam remains for
+    # corpora that arrive pre-tokenized.
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return D.scrub_duplicate_spans(docs, "text", "doc_id", n=5)
 
@@ -1505,6 +1510,9 @@ def x112(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x115(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pipeline_etl_website_visits_spark.operators import text as T
 
+    # A/B r14: toktab serving measured SLOWER here too (1.08 vs 0.71 s at
+    # sf0.1 — array scan beats regex only when the op is array-bound, not
+    # HOF-bound); inline stays, the tokens_of seam remains available.
     docs = load_table(spark, sf_dir, "documents", fan_out=True)
     return T.scrub_repeated_spans(docs, "text", "doc_id", n=3)
 
@@ -2868,3 +2876,169 @@ def x182(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out.orderBy("trunc_dim", "query_id")
+
+
+# --------------------------------------------------------------------------
+# x183 — deterministic pseudonymization of an event log (privacy TRANSFORM)
+#
+# The k-anonymity / l-diversity / t-closeness trio (x145/x159/x167) AUDITS
+# re-identification risk; this is the transform a pipeline actually applies
+# before an event log enters a training corpus: keyed tokenization of the
+# user id (linkable pseudonym — downstream joins and per-user statistics
+# still work, raw id gone), timestamp generalization to the hour, value
+# banding, free-text props suppressed entirely, and small-count
+# suppression (users with <5 events are dropped — the groups most at
+# re-identification risk). Public method: pseudonymization + generalization
+# + suppression are the standard GDPR-era de-identification toolkit.
+# --------------------------------------------------------------------------
+@query(
+    "x183_event_pseudonymize",
+    oracle="""
+    WITH keep AS (
+      SELECT user_id FROM events GROUP BY user_id HAVING COUNT(*) >= 5
+    )
+    SELECT substring(md5('pepper-2024|' || CAST(e.user_id AS VARCHAR)), 1, 16) AS user_token,
+           strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S') AS hour_bucket,
+           e.event_type AS event_type,
+           CAST(FLOOR(e.value / 5) * 5 AS BIGINT) AS value_band
+    FROM events e JOIN keep USING (user_id)
+    ORDER BY user_token, hour_bucket, event_type, value_band
+    """,
+    certifies="privacy preprocessing: deterministic keyed pseudonymization + generalization (hour-truncated ts, banded value) + small-count suppression of an event log before corpus entry — the TRANSFORM counterpart of the x145/x159/x167 audit trio; map-only after one user-count aggregate",
+    tags=("governance", "privacy", "events"),
+)
+def x183(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudonymized event relation: user_token = md5('pepper-2024|'||id)
+    first 16 hex (a salted deterministic token — same user, same token,
+    so cohort/session analyses survive; in production the pepper lives in
+    a KMS, here it is a fixed literal so the oracle certifies the exact
+    arithmetic). Scale shape: ONE count aggregate on user_id produces the
+    keep-set (suppression), the event scan then joins it (AQE picks
+    broadcast vs shuffle by its real size) and everything else is a
+    map-only projection — no window, no sort; identifier-bearing columns
+    (event_id, props) never reach the output."""
+    ev = load_table(spark, sf_dir, "events")
+    keep = (
+        ev.groupBy("user_id")
+        .agg(F.count("*").alias("__n"))
+        .filter(F.col("__n") >= 5)
+        .select("user_id")
+    )
+    return ev.join(keep, "user_id").select(
+        F.substring(
+            F.md5(
+                F.concat(F.lit("pepper-2024|"), F.col("user_id").cast("string")).cast(
+                    "binary"
+                )
+            ),
+            1,
+            16,
+        ).alias("user_token"),
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss").alias(
+            "hour_bucket"
+        ),
+        "event_type",
+        (F.floor(F.col("value") / 5) * 5).cast("long").alias("value_band"),
+    )
+
+
+# --------------------------------------------------------------------------
+# x184 — corpus drift: population-stability index per source (monitoring)
+#
+# The drift dial a production pipeline watches between corpus snapshots:
+# PSI of each source's doc-length distribution against the whole corpus.
+# PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) over shared buckets — <0.1 stable,
+# 0.1-0.25 drifting, >0.25 shifted (the standard monitoring bands).
+# Laplace-smoothed so empty cells stay finite, and exact-integer per the
+# x167 discipline: both probabilities are int64 rationals, ONE quantized
+# ln per grid cell over an exact integer ratio, one integer division per
+# source at the end — replays digit-for-digit on any engine.
+# --------------------------------------------------------------------------
+@query(
+    "x184_source_drift_psi",
+    oracle="""
+    WITH base AS (
+      SELECT source, CAST(FLOOR(n_chars / 50) AS INT) AS b FROM documents
+    ),
+    sb AS (
+      SELECT source, b, CAST(COUNT(*) AS BIGINT) AS cnt_sb FROM base GROUP BY source, b
+    ),
+    ns AS (SELECT source, CAST(SUM(cnt_sb) AS BIGINT) AS n_s FROM sb GROUP BY source),
+    gb AS (SELECT b, CAST(SUM(cnt_sb) AS BIGINT) AS cnt_b FROM sb GROUP BY b),
+    tot AS (SELECT CAST(SUM(cnt_b) AS BIGINT) AS n, CAST(COUNT(*) AS BIGINT) AS nb FROM gb),
+    grid AS (
+      SELECT ns.source, ns.n_s, gb.b, gb.cnt_b, COALESCE(sb.cnt_sb, 0) AS cnt_sb,
+             t.n, t.nb
+      FROM ns CROSS JOIN gb
+      LEFT JOIN sb ON sb.source = ns.source AND sb.b = gb.b
+      CROSS JOIN tot t
+    ),
+    terms AS (
+      SELECT source, n_s,
+             ((cnt_sb + 1) * (n + nb) - (cnt_b + 1) * (n_s + nb))
+             * CAST(FLOOR(LN(CAST((cnt_sb + 1) * (n + nb) AS DOUBLE)
+                             / CAST((cnt_b + 1) * (n_s + nb) AS DOUBLE))
+                          * 1000000) AS BIGINT) AS term_num,
+             (n_s + nb) * (n + nb) AS denom
+      FROM grid
+    )
+    SELECT source,
+           CAST(MAX(n_s) AS BIGINT) AS n_docs,
+           CAST(CAST(SUM(term_num) AS BIGINT) // MAX(denom) AS BIGINT) AS psi_micro
+    FROM terms GROUP BY source ORDER BY source
+    """,
+    certifies="corpus drift monitoring: per-source population-stability index of the doc-length distribution vs the whole corpus (Laplace-smoothed, exact int64 rationals, one quantized ln per grid cell, one integer division per source) — the snapshot-over-snapshot QA dial next to the x181/x182 tuning audits",
+    tags=("governance", "monitoring", "llm"),
+)
+def x184(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PSI per source over 50-char length buckets. Every term is ≥0 by
+    construction ((p−q) and ln(p/q) share sign; the floor quantization
+    only grows the magnitude), so the final integer division is safe
+    under both truncating (Spark div) and flooring (DuckDB //)
+    semantics. Overflow bound: (N+B)²·|ln|·1e6 must stay under 2^63 —
+    fine through ~sf10 documents; beyond that the cross-products move to
+    DECIMAL(38,0) (the x167 note). Scale shape: ONE scan → (source, b)
+    counts; everything downstream folds from that tiny relation and the
+    sources×buckets grid is broadcast arithmetic — corpus rows touched
+    exactly once, no wide shuffle, no window."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source", F.floor(F.col("n_chars") / 50).cast("int").alias("b")
+    )
+    sb = base.groupBy("source", "b").agg(F.count("*").cast("long").alias("cnt_sb"))
+    ns = sb.groupBy("source").agg(F.sum("cnt_sb").cast("long").alias("n_s"))
+    gb = sb.groupBy("b").agg(F.sum("cnt_sb").cast("long").alias("cnt_b"))
+    tot = gb.agg(
+        F.sum("cnt_b").cast("long").alias("n"), F.count("*").cast("long").alias("nb")
+    )
+    grid = (
+        ns.crossJoin(F.broadcast(gb))
+        .join(sb, ["source", "b"], "left")
+        .na.fill({"cnt_sb": 0})
+        .crossJoin(F.broadcast(tot))
+    )
+    num = (F.col("cnt_sb") + 1) * (F.col("n") + F.col("nb"))
+    den = (F.col("cnt_b") + 1) * (F.col("n_s") + F.col("nb"))
+    lnq = F.floor(
+        F.log(num.cast("double") / den.cast("double")) * F.lit(1000000.0)
+    ).cast("long")
+    terms = grid.select(
+        "source",
+        "n_s",
+        ((num - den) * lnq).alias("term_num"),
+        ((F.col("n_s") + F.col("nb")) * (F.col("n") + F.col("nb"))).alias("denom"),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.max("n_s").cast("long").alias("n_docs"),
+            F.sum("term_num").cast("long").alias("__t"),
+            F.max("denom").cast("long").alias("__d"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.expr("__t div __d").cast("long").alias("psi_micro"),
+        )
+        .orderBy("source")
+    )

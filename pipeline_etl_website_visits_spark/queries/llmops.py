@@ -2615,8 +2615,8 @@ def x151(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("llm", "text"),
 )
 def x152(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    return T.dup_gram_stats(docs, "text", "doc_id", n=3)
+    toks = shared_tokenized_corpus(spark, sf_dir)
+    return T.dup_gram_stats(toks, "toks", "doc_id", n=3)
 
 
 # --------------------------------------------------------------------------

@@ -51,78 +51,81 @@ def query(name: str, oracle: str | None, certifies: str = "", tags: tuple[str, .
 
 
 # The driver's correctness gate checks the FIRST 50 entries of ``queries()``
-# in dict order; with 211 registered queries we rotate so every query's
+# in dict order; with 215 registered queries we rotate so every query's
 # latest driver row postdates its last code change (history in
 # docs/COVERAGE.md).
 #
-# Round-13 pinning rule (VERDICT r12 item 1 — close the rotation tail):
-# HEAD = (a) the TWO new queries (x181 MinHash estimator-error audit,
-# x182 Matryoshka truncation recall — never driver-checked); then
-# (b) the SIXTEEN queries whose executed code changed this round — the
-# token family now served through the stored tokenized-corpus /
-# vocabulary-count artifacts (x38/x55/x58/x59/x83/x92/x97/x130/x139/
-# x155/x156), the shingles split-count-gated spread consumers
-# (x23/x24/x69/x85), and x179 (precollected-query sharing); then (c) the
-# TWENTY-THREE remaining round-8-latest names (the full r13 tail the r12
-# verdict enumerated, minus x83/x85/x97 which sit in (b)); then (d) NINE
-# round-9-latest names alphabetically (q10, q42-q49). 2+16+23+9 = 50.
-# After this round no name's latest driver row predates round 9; the
-# remaining round-9-latest names rotate next.
+# Round-14 pinning rule (VERDICT r13 item 1 — close the r14 rotation
+# tail): HEAD = (a) the TWO new queries (x183 event pseudonymization,
+# x184 source-drift PSI — never driver-checked); then (b) the FOUR
+# queries whose executed semantics-bearing code changed this round —
+# x166/x175 now served from the stored compacted-bigram artifact
+# (docbig), x176 through the extracted lm_scores_from_counts kernel,
+# x182 through the zero-prefix-guarded cosine_topk_widths; then (c) the
+# THIRTY-SIX round-9-latest names the r13 verdict enumerated — after
+# this round no name's latest driver row predates round 10; then (d)
+# EIGHT representatives of the tokens_of input-guard delta (ADVICE r13:
+# the array pass-through now REJECTS non-array<string> element types —
+# a pure added guard that cannot change any registered query's values,
+# pinned value-identical by test_tokens_of_rejects_non_string_arrays +
+# test_tokens_of_pretokenized_equals_inline; the remaining token-family
+# consumers keep their r13 rows under that equivalence argument).
+# 2+4+36+8 = 50. The round-10-latest names rotate next.
 DRIVER_ORDER: tuple[str, ...] = (
     # -- (a) new this round --
-    "x181_minhash_error_audit",
-    "x182_matryoshka_recall",
+    "x183_event_pseudonymize",
+    "x184_source_drift_psi",
     # -- (b) code changed this round --
+    "x166_dsir_scores",
+    "x175_lm_perplexity",
+    "x176_stored_lm_serving",
+    "x182_matryoshka_recall",
+    # -- (c) the round-9-latest tail (VERDICT r13 item 1) --
+    "q50_scalar_subquery",
+    "q51_in_subquery",
+    "q52_string_funcs",
+    "q53_math_funcs",
+    "q54_date_funcs",
+    "q55_json_extract",
+    "q57_inline_lookup_join",
+    "q58_star_join",
+    "q59_sql_identical_text",
+    "x28_text_quality",
+    "x29_text_token_count",
+    "x30_text_fingerprint",
+    "x31_doc_stats_by_lang",
+    "x34_events_user_daily",
+    "x35_distinct",
+    "x79_recursive_cte",
+    "x106_label_centroids",
+    "x107_scd2_dimension",
+    "x108_scd2_asof_lookup",
+    "x109_waiting_supplier",
+    "x110_dormant_customers",
+    "x111_bulk_suppliers",
+    "x112_dup_span_scrub",
+    "x113_constraint_audit",
+    "x115_repetition_scrub",
+    "x116_cheapest_supplier",
+    "x118_promo_revenue",
+    "x119_disjunctive_revenue",
+    "x120_top_supplier",
+    "x121_nation_volume",
+    "x122_stored_gram_dedup",
+    "x148_greedy_doc_packing",
+    "x149_leakage_free_split",
+    "x151_epoch_shuffle",
+    "x152_dup_gram_fraction",
+    "x153_length_histogram",
+    # -- (d) tokens_of-guard representatives --
+    "x23_dedup_minhash_lsh",
     "x38_top_bigrams",
     "x55_doc_frequency",
     "x58_tfidf_top_terms",
-    "x59_bigram_rarity",
-    "x83_ngram_novelty",
+    "x85_incremental_dedup",
     "x92_heavy_hitters",
     "x97_cms_token_counts",
     "x130_zipf_slope",
-    "x139_token_entropy",
-    "x155_gram_diversity",
-    "x156_boilerplate_prefixes",
-    "x23_dedup_minhash_lsh",
-    "x24_dedup_simhash",
-    "x69_adjacent_doc_jaccard",
-    "x85_incremental_dedup",
-    "x179_ann_recall_eval",
-    # -- (c) the remaining round-8-latest names (the r13 tail) --
-    "q20_text_ops",
-    "q40_left_outer_join",
-    "q41_cross_join",
-    "x78_bpe_merges",
-    "x80_product_profit",
-    "x81_market_share",
-    "x82_embed_pq_codes",
-    "x87_correlated_exists",
-    "x88_lateral_topk",
-    "x89_fuzzy_adjacent_names",
-    "x90_bpe_token_counts",
-    "x91_hll_union_rollup",
-    "x93_zorder_zone_map",
-    "x94_incremental_mv",
-    "x95_skyline_pareto",
-    "x99_custdist",
-    "x100_weighted_sample",
-    "x101_semantic_decontam",
-    "x103_cohort_retention",
-    "x104_session_window_native",
-    "x105_token_budget_mixture",
-    "x140_market_basket_pairs",
-    "x147_sequence_packing",
-    # -- (d) round-9-latest fill, alphabetical --
-    "q10_merge_upsert",
-    "q42_except",
-    "q43_intersect",
-    "q44_union_distinct",
-    "q45_cube",
-    "q46_window_rank_lag",
-    "q47_window_frame_running_sum",
-    "q48_having",
-    "q49_conditional_agg",
 )
 
 

@@ -1528,6 +1528,20 @@ def test_tokens_of_pretokenized_equals_inline(spark):
     assert rows(T.ngram_novelty(docs, "text", "doc_id", n=2)) == rows(
         T.ngram_novelty(toks, "toks", "doc_id", n=2)
     )
+    # r14 additions to the seam: dup-gram stats and both span scrubbers
+    assert rows(T.dup_gram_stats(docs, "text", "doc_id", n=2)) == rows(
+        T.dup_gram_stats(toks, "toks", "doc_id", n=2)
+    )
+    assert rows(T.scrub_repeated_spans(docs, "text", "doc_id", n=2)) == rows(
+        T.scrub_repeated_spans(toks, "toks", "doc_id", n=2)
+    )
+    from pipeline_etl_website_visits_spark.operators.dedup import (
+        scrub_duplicate_spans,
+    )
+
+    assert rows(scrub_duplicate_spans(docs, "text", "doc_id", n=2)) == rows(
+        scrub_duplicate_spans(toks, "toks", "doc_id", n=2)
+    )
 
 
 def test_tokens_of_rejects_non_string_arrays(spark):

@@ -858,3 +858,36 @@ def test_minhash_audit_broadcasts_pairs_into_signatures(spark):
     plan = simple_plan(REGISTRY["x181_minhash_error_audit"].spark(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_docbig_served_bigram_family_plans(spark):
+    """r14: x166 and x175 serve from the stored compacted-bigram artifact
+    (docbig) — neither plan tokenizes the corpus (no split/regexp of the
+    text column, no Generate-from-text), the scan reads the docbig
+    relation, and the profile/model sides stay broadcast (x166) / never
+    cartesian (x175)."""
+    from pipeline_etl_website_visits_spark.plans import formatted_plan
+
+    p166 = formatted_plan(REGISTRY["x166_dsir_scores"].spark(spark, SF_DIR))
+    assert "docbig" in p166, "x166 must scan the docbig artifact"
+    assert "split(" not in p166 and "regexp_replace" not in p166
+    assert "BroadcastHashJoin" in p166  # weights broadcast into the fold
+    p175 = formatted_plan(REGISTRY["x175_lm_perplexity"].spark(spark, SF_DIR))
+    assert "docbig" in p175, "x175 must scan the docbig artifact"
+    assert "regexp_replace" not in p175 and "split(" not in p175  # no tokenize
+    assert "CartesianProduct" not in p175
+
+
+def test_x152_serves_from_toktab(spark):
+    """r14: x152 dup-gram stats reads the tokenized-corpus artifact (the
+    map-only HOF op is array-bound, so the stored arrays beat the regex —
+    0.72→0.29 s at sf0.1) and stays shuffle-free apart from the opt-in
+    fan-out exchange."""
+    from pipeline_etl_website_visits_spark.plans import formatted_plan, simple_plan
+
+    df = REGISTRY["x152_dup_gram_fraction"].spark(spark, SF_DIR)
+    plan = formatted_plan(df)
+    assert "toktab" in plan, "x152 must scan the toktab artifact"
+    assert "regexp_replace" not in plan, "tokenize must not be re-paid"
+    sp = simple_plan(df)
+    assert "hashpartitioning" not in sp and "Window" not in sp

@@ -72,6 +72,37 @@ def main():
         flag = " <<<" if ratio > 2 and ts > 0.15 else ""
         print(f"{ratio:6.2f}x  spark={ts:7.3f}  duck={te:7.3f}  {n}{flag}")
 
+    # Append-only per-query min history (VERDICT r13 item 8): one JSON
+    # line per run so drift vs regression separates by DIFFING MINS across
+    # windows instead of re-running the whole suite. ~17 of the r13 weak
+    # band sat within noise of the 0.6s line — per-query min history is
+    # the cheap way to tell those apart next round. Opt out with
+    # SPARK_GRAFT_NO_HISTORY=1 (e.g. deliberately-polluted experiments).
+    if not os.environ.get("SPARK_GRAFT_NO_HISTORY"):
+        import datetime
+        import json
+
+        hist = os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "docs",
+            "BENCH_MIN_HISTORY.jsonl",
+        )
+        line = {
+            "ts": datetime.datetime.now(datetime.timezone.utc).isoformat(
+                timespec="seconds"
+            ),
+            "sf_dir": sf_dir,
+            "cpus": int(cpus),
+            "spark_total": round(tot_s, 3),
+            "duckdb_total": round(tot_d, 3),
+            "queries": {
+                n: [round(ts, 4), round(te, 4)] for _, ts, te, n in rows
+            },
+        }
+        with open(hist, "a") as fh:
+            fh.write(json.dumps(line, sort_keys=True) + "\n")
+        print(f"(min history appended to {hist})")
+
 
 if __name__ == "__main__":
     main()
