@@ -487,6 +487,11 @@ def learn_bpe_merges(df: DataFrame, text_col: str, num_merges: int = 8) -> DataF
             break
         l, r, c = top[0]["l"], top[0]["r"], int(top[0]["c"])
         merges.append((rank, l, r, l + r, c))
+        if rank == num_merges - 1:
+            # nothing consumes the fused vocab after the last learned merge:
+            # skip the final fusion pass + eager checkpoint (one whole
+            # mapInPandas job per call — pure fixed cost at any scale)
+            break
 
         def fuse(batches, _l=l, _r=r):
             for pdf in batches:
@@ -2257,6 +2262,79 @@ def dsir_scores_from_counts(
 
     return (
         corpus_docb.join(F.broadcast(weights), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("w_micro")).cast("long").alias("score_micro"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def dsir_scores_from_marked_counts(
+    docb: DataFrame,
+    buckets: int = 1024,
+) -> DataFrame:
+    """DSIR scoring when the TARGET domain is a marked SUBSET of the corpus
+    (x166's setup: target = the corpus's ``src0`` rows) — the one-scan form
+    of :func:`dsir_scores_from_counts`.
+
+    ``docb``: (doc_id, b, c, t_c) per-doc bucket counts where ``t_c == c``
+    for target-domain docs and ``0`` otherwise. Both profiles, both totals
+    and the weights all fold from ONE (doc_id, b) compaction: the target
+    profile is the conditional sum ``sum(t_c)`` per bucket — value-identical
+    to the separate-profile left-join + COALESCE(t_cnt, 0) (a bucket with no
+    target rows sums to 0), and the weight/score arithmetic is verbatim
+    :func:`dsir_scores_from_counts`'s, so scores are bit-identical. The
+    separate-relation kernel stays for disjoint-target deployments.
+
+    Plan shape: the (doc_id, b) exchange is built once and REUSED by the
+    bucket-profile fold and the final scoring join (ReusedExchange), and the
+    totals fold reuses the bucket-profile exchange — one corpus-sized scan,
+    one corpus-sized shuffle, two ≤``buckets``-row shuffles, one broadcast.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    # The profile fold and the scoring join consume base with DIFFERENT
+    # column sets, so exchange reuse can never canonicalize (the
+    # ngram_novelty finding) — cache the compaction so the corpus-sized
+    # scan+fold runs once and all three consumers read the materialized
+    # (doc,b) relation. Orders smaller than the corpus (tokens/doc →
+    # distinct buckets ≤ 1024/doc); the bench/gate harness clears caches
+    # between queries, long-lived sessions unpersist via catalog.clearCache.
+    base = docb.groupBy("doc_id", "b").agg(
+        F.sum("c").cast("long").alias("c"),
+        F.sum("t_c").cast("long").alias("t_c"),
+    ).cache()
+    bstats = base.groupBy("b").agg(
+        F.sum("c").cast("long").alias("r_cnt"),
+        F.sum("t_c").cast("long").alias("t_cnt"),
+    )
+    totals = bstats.agg(
+        F.sum("r_cnt").cast("long").alias("rr"),
+        F.sum("t_cnt").cast("long").alias("tt"),
+    )
+    weights = bstats.crossJoin(F.broadcast(totals)).select(
+        "b",
+        # identical decimal(19,0) rational + single ln as dsir_scores_from_counts
+        F.floor(
+            F.log(
+                (
+                    (F.col("t_cnt") + F.lit(1)).cast("decimal(19,0)")
+                    * (F.col("rr") + F.lit(buckets)).cast("decimal(19,0)")
+                ).cast("double")
+                / (
+                    (F.col("r_cnt") + F.lit(1)).cast("decimal(19,0)")
+                    * (F.col("tt") + F.lit(buckets)).cast("decimal(19,0)")
+                ).cast("double")
+            )
+            * F.lit(1000000.0)
+        )
+        .cast("long")
+        .alias("w_micro"),
+    )
+    return (
+        base.join(F.broadcast(weights), "b")
         .groupBy("doc_id")
         .agg(
             F.sum("c").cast("long").alias("n_bigrams"),

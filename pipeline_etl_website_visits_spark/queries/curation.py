@@ -2078,26 +2078,24 @@ def x166(spark: SparkSession, sf_dir: str) -> DataFrame:
     no counterpart — this is §2.11 north-star surface."""
     from pipeline_etl_website_visits_spark.operators.text import (
         dsir_bucket_of,
-        dsir_scores_from_counts,
+        dsir_scores_from_marked_counts,
     )
     from pipeline_etl_website_visits_spark.queries.llmops import shared_doc_bigrams
 
     bg = shared_doc_bigrams(spark, sf_dir)
+    # target (src0) is a marked subset of the corpus, so ONE (doc,b,c,t_c)
+    # relation feeds both profiles, both totals and the scoring join —
+    # r14: the separate corpus_docb/tprof form scanned the artifact 4x
+    # (profile, target profile, and both totals each recomputed the fold)
     docb = bg.select(
         "doc_id",
-        "source",
         dsir_bucket_of(
             F.concat_ws(" ", F.col("w1"), F.col("w2")), 1024, portable_hash=True
         ).alias("b"),
         "c",
+        F.when(F.col("source") == "src0", F.col("c")).otherwise(F.lit(0)).alias("t_c"),
     )
-    corpus_docb = docb.groupBy("doc_id", "b").agg(F.sum("c").cast("long").alias("c"))
-    tprof = (
-        docb.where(F.col("source") == "src0")
-        .groupBy("b")
-        .agg(F.sum("c").cast("long").alias("t_cnt"))
-    )
-    return dsir_scores_from_counts(corpus_docb, tprof, buckets=1024)
+    return dsir_scores_from_marked_counts(docb, buckets=1024)
 
 
 @query(

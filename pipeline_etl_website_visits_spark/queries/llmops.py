@@ -1204,7 +1204,9 @@ def x60(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vecs x centroids) by nature — the Spark side is the bounded
     map-only loop."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return S.kmeans_integer_summary(emb, k=8, iters=4)
+    # init codebook (ids < 8) from the per-fingerprint driver memo — the
+    # x82/x84 trained-artifact serving shape; saves the per-call collect job
+    return S.kmeans_integer_summary(emb, k=8, iters=4, codebook_rows=_pq_codebook(emb, sf_dir))
 
 
 @query(
