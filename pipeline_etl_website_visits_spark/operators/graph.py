@@ -78,12 +78,15 @@ def pagerank(
                     ).alias("rank"),
                 )
             )
-            # truncate lineage every other round (and always on the last):
-            # one materialization job per checkpoint is the dominant
-            # per-iteration cost for small rank tables, and two rounds of
+            # truncate lineage every other round, never on the last: one
+            # materialization job per checkpoint is the dominant
+            # per-iteration cost for small rank tables, two rounds of
             # join+agg lineage are well inside what the analyzer/scheduler
-            # handle
-            if it % 2 == 1 or it == iters - 1:
+            # handle, and the single downstream action executes the final
+            # (at most two) rounds' lineage in its own job — a trailing
+            # eager checkpoint is a whole extra job for state the next
+            # action reads anyway (r14)
+            if it % 2 == 1 and it != iters - 1:
                 ranks = (
                     ranks.checkpoint(eager=True)
                     if reliable
@@ -212,7 +215,8 @@ def pagerank_integer(
                     .alias("rank_micro"),
                 )
             )
-            if it % 2 == 1 or it == iters - 1:
+            # every other round, never on the last (see pagerank, r14)
+            if it % 2 == 1 and it != iters - 1:
                 ranks = (
                     ranks.checkpoint(eager=True)
                     if reliable

@@ -2430,7 +2430,11 @@ def dsir_scores_vs_profile(
     the target sample is never rescanned. Bucket count and hash kind
     come from the artifact itself."""
     spark = corpus.sparkSession
-    prof = spark.read.parquet(profile_path)
+    # explicit schema: skip the per-call parquet schema-inference job (the
+    # artifact's layout is save_dsir_profile's API contract)
+    prof = spark.read.schema(
+        "b long, t_cnt long, tt long, buckets long, portable boolean"
+    ).parquet(profile_path)
     meta = prof.select("tt", "buckets", "portable").limit(1).collect()
     if not meta:
         raise ValueError(f"empty DSIR profile at {profile_path}")
@@ -2547,7 +2551,11 @@ def dsir_scores_vs_weights(
     one per-doc aggregation — no profile computation at all, the
     streaming-safe form. Output matches :func:`dsir_scores`'s schema."""
     spark = corpus.sparkSession
-    w = spark.read.parquet(weights_path)
+    # explicit schema: skip the per-call parquet schema-inference job (the
+    # artifact's layout is save_dsir_weights' API contract)
+    w = spark.read.schema(
+        "b long, w_micro long, buckets long, portable boolean"
+    ).parquet(weights_path)
     meta = w.select("buckets", "portable").limit(1).collect()
     if not meta:
         raise ValueError(f"empty DSIR weights at {weights_path}")
@@ -2987,10 +2995,13 @@ def lm_scores_vs_model(
     bit-identical to :func:`lm_perplexity_scores` with the live target
     because the artifact froze the same exact integer counts."""
     spark = corpus.sparkSession
-    c12 = spark.read.parquet(f"{model_path}/c12")
-    c1 = spark.read.parquet(f"{model_path}/c1")
-    rev = spark.read.parquet(f"{model_path}/rev")
-    consts = spark.read.parquet(f"{model_path}/consts")
+    # explicit schemas (the shared_* artifact-reader discipline): a bare
+    # spark.read.parquet pays a schema-inference job per call — 4 fixed
+    # jobs per score call against a model whose schema is the API contract
+    c12 = spark.read.schema("w1 string, w2 string, c12 long").parquet(f"{model_path}/c12")
+    c1 = spark.read.schema("w1 string, c1 long, nfwd long").parquet(f"{model_path}/c1")
+    rev = spark.read.schema("w2 string, nrev long").parquet(f"{model_path}/rev")
+    consts = spark.read.schema("nbt long, v long").parquet(f"{model_path}/consts")
     if not consts.take(1):
         raise ValueError(f"empty LM model at {model_path}")
     return _lm_score_against(
