@@ -624,7 +624,17 @@ _TOPK_K = 5
 def x25(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < _TOPK_QUERY_IDS)
-    return S.cosine_topk(queries, emb, k=_TOPK_K)
+    # memoized probe collect (the x179/x182 fixed-serving-input rule)
+    return S.cosine_topk(
+        queries, emb, k=_TOPK_K,
+        precollected_queries=fingerprint_memo(
+            sf_dir, "embeddings", f"probe_vecs{_TOPK_QUERY_IDS}",
+            lambda: [
+                (r["vec_id"], r["embedding"])
+                for r in queries.select("vec_id", "embedding").collect()
+            ],
+        ),
+    )
 
 
 @query(
