@@ -78,6 +78,22 @@ def main() -> None:
         if not cache_mgr.isEmpty():
             spark.catalog.clearCache()
 
+    # Stored scratch artifacts (docbig/toktab/bm25idx/ivfflat/...): sweep
+    # any prior run's live-fingerprint dirs, then build them all, TIMED —
+    # the one-time build cost the warm-serve methodology excludes from
+    # per-query numbers is now a reported line item instead of a silently
+    # inherited leftover (VERDICT r14 item 2). Timing methodology for the
+    # queries themselves is unchanged.
+    from pipeline_etl_website_visits_spark.queries.llmops import (
+        build_scratch_artifacts,
+        clear_scratch_artifacts,
+    )
+
+    clear_scratch_artifacts([sf_dir])
+    t0 = time.perf_counter()
+    build_scratch_artifacts(spark, sf_dir)
+    artifact_build_sec = round(time.perf_counter() - t0, 3)
+
     # Warm pass (untimed): BASELINE.md methodology is warm-session timing —
     # JIT, codegen compilation, and parquet footer caches are excluded.
     for name in sorted(REGISTRY):
@@ -112,6 +128,10 @@ def main() -> None:
         "oracle_subset_sec": oracle_subset,
         "n_queries": len(timings),
         "n_oracle": sum(1 for n in timings if REGISTRY[n].oracle is not None),
+        # one-time per-corpus stored-artifact build cost, paid fresh this
+        # run (pre-suite sweep + timed rebuild) — NOT part of "value",
+        # which stays the warm-serve per-query sum (BASELINE.md contract)
+        "artifact_build_sec": artifact_build_sec,
     }
     # Full-fidelity per-query artifact (full names, seconds, 3 decimals):
     # the driver's stdout capture keeps only the LAST 2000 characters, which
@@ -121,24 +141,30 @@ def main() -> None:
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_FULL.json"), "w") as f:
         json.dump({**summary, "queries": timings}, f, indent=1)
-    # The stdout line is sized to survive that 2000-char tail whole and
-    # parse end-to-end: unique name prefixes as keys, integer CENTISECONDS
-    # as values (0.01 s resolution — cross-round comparison fidelity; the
-    # exact numbers live in BENCH_FULL.json), compact separators, and the
-    # queries dict FIRST so any future overflow truncates query entries,
-    # never the summary numbers at the end.
+    # The stdout line MUST survive the driver's 2000-char tail capture
+    # whole: a head-truncated JSON line is unparseable IN TOTO, which
+    # nulled the entire r13→r14 round-over-round comparison (VERDICT r14
+    # item 1 — the old "queries dict first so overflow truncates entries
+    # not the summary" comment was simply wrong about parseability). At
+    # 215 queries even centisecond-compact per-query entries overflow, so:
+    # print the full line only while it still FITS with margin; otherwise
+    # print the guaranteed-small summary object and point at
+    # BENCH_FULL.json, which always carries full names + 3-decimal seconds.
     compact = {n.split("_")[0]: int(round(t * 100)) for n, t in timings.items()}
     assert len(compact) == len(timings), "query name prefixes must stay unique"
-    print(
-        json.dumps(
-            {
-                "queries": compact,
-                "queries_unit": "centisec; full: BENCH_FULL.json",
-                **summary,
-            },
-            separators=(",", ":"),
-        )
+    line = json.dumps(
+        {
+            "queries": compact,
+            "queries_unit": "centisec; full: BENCH_FULL.json",
+            **summary,
+        },
+        separators=(",", ":"),
     )
+    if len(line) > 1900:
+        line = json.dumps(
+            {**summary, "queries_in": "BENCH_FULL.json"}, separators=(",", ":")
+        )
+    print(line)
 
 
 if __name__ == "__main__":

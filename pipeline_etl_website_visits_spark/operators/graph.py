@@ -37,6 +37,11 @@ def pagerank(
     Ranks are rounded to 9 dp each iteration so float combine-order noise
     cannot compound across rounds (the ``kmeans_assign`` determinism
     trick); node set = every endpoint of any edge.
+
+    Local mode returns ranks with the final 1-2 rounds' lineage attached
+    (sized for ONE downstream action); callers running several actions on
+    the result should persist/checkpoint it themselves. Reliable mode
+    (a checkpoint dir set) always returns durably checkpointed ranks.
     """
     sc = edges.sparkSession.sparkContext
     reliable = sc.getCheckpointDir() is not None
@@ -78,20 +83,25 @@ def pagerank(
                     ).alias("rank"),
                 )
             )
-            # truncate lineage every other round, never on the last: one
-            # materialization job per checkpoint is the dominant
-            # per-iteration cost for small rank tables, two rounds of
-            # join+agg lineage are well inside what the analyzer/scheduler
-            # handle, and the single downstream action executes the final
-            # (at most two) rounds' lineage in its own job — a trailing
-            # eager checkpoint is a whole extra job for state the next
-            # action reads anyway (r14)
+            # truncate lineage every other round: one materialization job
+            # per checkpoint is the dominant per-iteration cost for small
+            # rank tables and two rounds of join+agg lineage are well
+            # inside what the analyzer/scheduler handle. LOCAL mode skips
+            # the trailing checkpoint (r14): the single downstream action
+            # executes the final rounds' lineage in its own job — callers
+            # running MULTIPLE actions on the returned ranks re-execute
+            # those 1-2 rounds per action (cache()/checkpoint the result
+            # yourself in that pattern). RELIABLE mode keeps the trailing
+            # eager checkpoint (ADVICE r14): durable final state is part
+            # of that mode's contract — recovery must not replay lineage.
             if it % 2 == 1 and it != iters - 1:
                 ranks = (
                     ranks.checkpoint(eager=True)
                     if reliable
                     else ranks.localCheckpoint(eager=True)
                 )
+            elif reliable and it == iters - 1:
+                ranks = ranks.checkpoint(eager=True)
     finally:
         # a failed checkpoint mid-loop must not leak the cached edge list
         weighted.unpersist()
@@ -215,13 +225,17 @@ def pagerank_integer(
                     .alias("rank_micro"),
                 )
             )
-            # every other round, never on the last (see pagerank, r14)
+            # every other round; trailing checkpoint only in reliable mode
+            # (see pagerank: local callers with multiple downstream actions
+            # persist the result themselves — ADVICE r14)
             if it % 2 == 1 and it != iters - 1:
                 ranks = (
                     ranks.checkpoint(eager=True)
                     if reliable
                     else ranks.localCheckpoint(eager=True)
                 )
+            elif reliable and it == iters - 1:
+                ranks = ranks.checkpoint(eager=True)
     finally:
         weighted.unpersist()
     return ranks

@@ -1866,21 +1866,23 @@ def _bm25_corpus_stats(docs, sf_dir: str) -> tuple[int, int]:
     bit-identical either way."""
     import pyspark.sql.functions as _F
 
-    src = _os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = _os.stat(src)
-        key = (src, st.st_size, st.st_mtime_ns)
-    except OSError:
-        key = (src, None, None)
-    stats = _BM25_STATS_CACHE.get(key)
-    if stats is None:
+    def build() -> tuple[int, int]:
         from pipeline_etl_website_visits_spark.operators.dedup import normalize_text
 
         row = docs.select(
             _F.size(_F.split(normalize_text(_F.col("text")), " ")).cast("long").alias("dl")
         ).agg(_F.count("*").cast("long").alias("n"), _F.sum("dl").cast("long").alias("tl")).collect()[0]
-        stats = (int(row["n"]), int(row["tl"]))
-        _BM25_STATS_CACHE[key] = stats
+        return (int(row["n"]), int(row["tl"]))
+
+    src = _os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = _os.stat(src)
+    except OSError:
+        return build()  # unstat-able source: never memoize blind (ADVICE r14)
+    key = (src, st.st_size, st.st_mtime_ns)
+    stats = _BM25_STATS_CACHE.get(key)
+    if stats is None:
+        stats = _BM25_STATS_CACHE[key] = build()
     return stats
 
 
@@ -2176,10 +2178,16 @@ def x167(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_nationkey").alias("s"),
     )
     # gs feeds FOUR consumers (g, sglob, tot, the grid join) — cached for
-    # the same one-scan reason as x184/x166 (≤ groups×|sensitive| rows)
-    gs = base.groupBy("segment", "bal_bucket", "s").agg(
-        F.count("*").cast("long").alias("cnt_gs")
-    ).cache()
+    # the same one-scan reason as x184/x166 (≤ groups×|sensitive| rows);
+    # scoped_cache bounds repeated callers to one cached fold (ADVICE r14)
+    from pipeline_etl_website_visits_spark.operators.text import scoped_cache
+
+    gs = scoped_cache(
+        base.groupBy("segment", "bal_bucket", "s").agg(
+            F.count("*").cast("long").alias("cnt_gs")
+        ),
+        "x167_gs",
+    )
     g = gs.groupBy("segment", "bal_bucket").agg(F.sum("cnt_gs").cast("long").alias("n_g"))
     sglob = gs.groupBy("s").agg(F.sum("cnt_gs").cast("long").alias("cnt_s"))
     tot = gs.agg(F.sum("cnt_gs").cast("long").alias("n"))
@@ -2813,7 +2821,7 @@ def x179(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("recall_ppm"),
         )
-        .orderBy("query_id")
+        # no final orderBy (the x82 discipline, r15)
     )
 
 
@@ -3067,10 +3075,16 @@ def x184(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sb is consumed by FOUR derivations (ns, gb, tot, the grid join) with
     # different column sets, so exchange reuse cannot canonicalize (the
     # ngram_novelty/x166 finding) — cache the ≤ sources×buckets-row fold so
-    # the corpus scan runs once (r14; bench/gate clears caches per query)
-    sb = base.groupBy("source", "b").agg(
-        F.count("*").cast("long").alias("cnt_sb")
-    ).cache()
+    # the corpus scan runs once (r14); scoped_cache bounds repeated callers
+    # to one cached fold (ADVICE r14 cache lifecycle)
+    from pipeline_etl_website_visits_spark.operators.text import scoped_cache
+
+    sb = scoped_cache(
+        base.groupBy("source", "b").agg(
+            F.count("*").cast("long").alias("cnt_sb")
+        ),
+        "x184_sb",
+    )
     ns = sb.groupBy("source").agg(F.sum("cnt_sb").cast("long").alias("n_s"))
     gb = sb.groupBy("b").agg(F.sum("cnt_sb").cast("long").alias("cnt_b"))
     tot = gb.agg(

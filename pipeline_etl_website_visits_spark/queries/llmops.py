@@ -223,6 +223,77 @@ def gc_scratch_artifacts(
     return removed
 
 
+def clear_scratch_artifacts(
+    corpora: "list[str]", scratch_root: str | None = None
+) -> list[str]:
+    """Remove the LIVE committed scratch artifacts of the given corpora —
+    the bench's pre-suite sweep (VERDICT r14 item 2): deleting the
+    current-fingerprint dirs forces :func:`build_scratch_artifacts` to
+    really build (and therefore really TIME) every artifact, so the
+    build cost becomes a reported line item instead of a silently
+    excluded prior-run leftover. In-flight ``.build.<pid>`` dirs are
+    left alone (a live builder cleans itself up when it loses the
+    commit race). Returns the removed dirs. NOT for production use —
+    a serving deployment keeps its artifacts; this exists so a
+    measurement run can't inherit them invisibly."""
+    import re
+    import shutil
+    import tempfile
+
+    root = scratch_root or tempfile.gettempdir()
+    live: set[tuple[str, str]] = set()
+    for sf_dir in corpora:
+        for entry in sorted(os.listdir(sf_dir)) if os.path.isdir(sf_dir) else []:
+            if entry.endswith(".parquet"):
+                live.add(_corpus_tags(sf_dir, entry[: -len(".parquet")]))
+    pat = re.compile(r"^spark_graft_.+_([0-9a-f]{8})_([0-9a-f]{12})$")
+    removed: list[str] = []
+    for fn in sorted(os.listdir(root)):
+        m = pat.match(fn)
+        if m and (m.group(1), m.group(2)) in live:
+            full = os.path.join(root, fn)
+            if os.path.isdir(full):
+                shutil.rmtree(full, ignore_errors=True)
+                removed.append(full)
+    return removed
+
+
+# Declared queries whose CONSTRUCTION builds a stored scratch artifact
+# behind a _SUCCESS gate inline (the x144 write-once discipline); the
+# shared_* builders above cover the rest. build_scratch_artifacts uses
+# this to trigger every build without running the queries themselves.
+_INLINE_ARTIFACT_OWNERS = (
+    "x117_stored_index_search",    # vindex  (IVF-PQ codes + meta)
+    "x122_stored_gram_dedup",      # gramidx (bucketed gram catalog)
+    "x132_schema_evolution",       # evolve  (two-era parquet dirs)
+    "x144_orc_roundtrip",          # orcrt   (partitioned ORC snapshot)
+    "x170_stored_dsir_serving",    # dsirw   (frozen DSIR weights)
+    "x172_stored_bm25_serving",    # bm25idx (bucketed postings + stats)
+    "x173_stored_hybrid_serving",  # ivfflat (exact-vector cells + meta)
+    "x176_stored_lm_serving",      # lmmodel (bigram-LM relations)
+)
+
+
+def build_scratch_artifacts(spark: SparkSession, sf_dir: str) -> int:
+    """Build every stored scratch artifact for ``sf_dir`` that does not
+    already exist, NOW — so a caller can time the one-time build cost as
+    its own number (bench.py reports it as ``artifact_build_sec``,
+    VERDICT r14 item 2). Artifact contents are exactly what the lazy
+    in-query builds would produce: this calls the same builders (the
+    shared_* functions) and constructs the same declared queries (whose
+    construction runs their inline ``_SUCCESS``-gated builds) without
+    executing any query. Returns the number of build triggers fired."""
+    from pipeline_etl_website_visits_spark.queries.registry import REGISTRY
+
+    shared_pair_overlap(spark, sf_dir, min_jaccard=_PAIROVL_J_FLOOR)
+    shared_tokenized_corpus(spark, sf_dir)
+    shared_token_counts(spark, sf_dir)
+    shared_doc_bigrams(spark, sf_dir)
+    for name in _INLINE_ARTIFACT_OWNERS:
+        REGISTRY[name].spark(spark, sf_dir)
+    return 4 + len(_INLINE_ARTIFACT_OWNERS)
+
+
 # Retention floors of the stored family artifact: a pair is kept iff
 # Jaccard ≥ J_FLOOR OR containment ≥ C_FLOOR. These are the lowest
 # thresholds any family member filters at (x22/x71/x86/x98/x114 Jaccard
@@ -1438,9 +1509,13 @@ def fingerprint_memo(sf_dir: str, table: str, tag: str, build):
     src = os.path.join(sf_dir, f"{table}.parquet")
     try:
         st = os.stat(src)
-        key = (tag, src, st.st_size, st.st_mtime_ns)
     except OSError:
-        key = (tag, src, None, None)
+        # the driver can't see the table (non-local URI, layout drift) but
+        # Spark may still read it: a (None, None) key would never
+        # invalidate, silently serving stale inputs after a regeneration
+        # (ADVICE r14) — rebuild every call instead of memoizing blind
+        return build()
+    key = (tag, src, st.st_size, st.st_mtime_ns)
     v = _DRIVER_MEMO.get(key)
     if v is None:
         v = _DRIVER_MEMO[key] = build()
@@ -1453,19 +1528,21 @@ def _pq_codebook(emb: DataFrame, sf_dir: str) -> list:
     artifact serving shape (see pq_encode's codebook_rows doc). Keyed by
     the source file's (path, size, mtime_ns), so regenerated test data
     can never be served a stale codebook (the _scratch_path rule)."""
-    src = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(src)
-        key = (src, st.st_size, st.st_mtime_ns)
-    except OSError:
-        key = (src, None, None)
-    rows = _PQ_CB_CACHE.get(key)
-    if rows is None:
-        rows = [
+    def build():
+        return [
             (r["vec_id"], r["embedding"])
             for r in emb.filter(F.col("vec_id") < 16).collect()
         ]
-        _PQ_CB_CACHE[key] = rows
+
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(src)
+    except OSError:
+        return build()  # unstat-able source: never memoize blind (ADVICE r14)
+    key = (src, st.st_size, st.st_mtime_ns)
+    rows = _PQ_CB_CACHE.get(key)
+    if rows is None:
+        rows = _PQ_CB_CACHE[key] = build()
     return rows
 
 
@@ -1556,7 +1633,8 @@ def x82(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def x83(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = shared_tokenized_corpus(spark, sf_dir)
-    return T.ngram_novelty(toks, "toks", "doc_id", n=5).orderBy("doc_id")
+    # no final orderBy (the x82 discipline, r15): determinism-only sort
+    return T.ngram_novelty(toks, "toks", "doc_id", n=5)
 
 
 # --------------------------------------------------------------------------
@@ -1668,9 +1746,8 @@ def x117(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_ivfpq_index(emb, tmp, num_coarse=4)
         _commit_scratch_build(tmp, path)
     queries = emb.filter(F.col("vec_id") < 10)
-    return ivfpq_search(spark, path, queries, k=5, nprobe=4).orderBy(
-        "query_id", "vec_id"
-    )
+    # no final orderBy (the x82 discipline, r15): determinism-only sort
+    return ivfpq_search(spark, path, queries, k=5, nprobe=4)
 
 
 # --------------------------------------------------------------------------
@@ -1724,9 +1801,11 @@ def x85(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     incoming = docs.filter(F.col("doc_id") % 2 == 1)
+    # no final orderBy (the x82 discipline, r15): the gate compare is
+    # order-insensitive and the sort was a sampling job + range exchange
     return D.incremental_containment_dedup(
         corpus, incoming, "text", "doc_id", n=3, threshold=_X85_THRESHOLD
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1780,9 +1859,10 @@ def x122(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.sql(f"DROP TABLE {tmp_table}")  # external: files persist
             _commit_scratch_build(tmp, path)
         register_gram_index(spark, table, path, n_buckets=32, n=3)
+    # no final orderBy (the x82 discipline, r15) — see x85
     return containment_dedup_vs_stored(
         incoming, spark.table(table), "text", "doc_id", n=3, threshold=_X85_THRESHOLD
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1852,10 +1932,11 @@ def x86(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = D.shingle_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=_X86_JAC, overlap=ovl)
     con = D.shingle_containment_pairs(docs, "text", "doc_id", n=3, threshold=_X86_CON, overlap=ovl)
     pairs = jac.select("doc_a", "doc_b").union(con.select("doc_a", "doc_b")).distinct()
+    # no final orderBy (the x82 discipline, r15): determinism-only sort
     return D.dedup_clusters(pairs).select(
         F.col("doc_id").cast("long").alias("doc_id"),
         F.col("cluster_id").cast("long").alias("cluster_id"),
-    ).orderBy("doc_id")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1917,7 +1998,8 @@ def x90(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["left"], r["right"])
         for r in T.learn_bpe_merges(toks, "toks", num_merges=2).collect()
     ]
-    return T.bpe_token_counts(toks, "toks", "doc_id", merges).orderBy("doc_id")
+    # no final orderBy (the x82 discipline, r15): determinism-only sort
+    return T.bpe_token_counts(toks, "toks", "doc_id", merges)
 
 
 @query(
@@ -1967,7 +2049,7 @@ def x96(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         kept.groupBy("cluster")
         .agg(F.count("*").cast("long").alias("n_kept"), F.min("id").cast("long").alias("min_kept_id"))
-        .orderBy("cluster")
+        # no final orderBy (the x82 discipline, r15)
     )
 
 
@@ -3127,7 +3209,7 @@ def x178(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ranked.filter(F.col("__rn") == 1)
         .select("cluster_id", "keeper_doc_id", "keeper_chars", "n_members")
-        .orderBy("cluster_id")
+        # no final orderBy (the x82 discipline, r15)
     )
 
 
@@ -3313,5 +3395,5 @@ def x181(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "err_permille", (F.col("est_permille") - F.col("jaccard_permille")).cast("long")
         )
-        .orderBy("doc_a", "doc_b")
+        # no final orderBy (the x82 discipline, r15)
     )

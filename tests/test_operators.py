@@ -118,6 +118,104 @@ def test_dedup_clusters_connected_components(spark):
     assert kept == [1, 7, 100]
 
 
+def test_dedup_clusters_probe_materializes_checkpoint(spark):
+    """Pins the r14 probe-is-the-materialization fusion (ADVICE r14): in
+    local mode each label-propagation iteration schedules the convergence
+    probe (plus at most one automatic LocalRDDCheckpointData backfill),
+    never a separate eager-checkpoint job — and the returned labels'
+    localCheckpoint blocks are FULLY persisted when the call returns, so
+    downstream actions can never recompute lineage past the unpersisted
+    edge cache. If the probe is ever reordered, made conditional, or
+    removed, this test is the tripwire."""
+    from pipeline_etl_website_visits_spark.operators.dedup import dedup_clusters
+
+    assert spark.sparkContext.getCheckpointDir() is None  # local mode path
+    pairs = spark.createDataFrame([(1, 2), (2, 4), (7, 9)], "doc_a long, doc_b long")
+    jsc = spark.sparkContext._jsc.sc()
+    # AQE re-plans per stage and multiplies job counts; the job-count pin
+    # is only meaningful on the static planner (the bench profile)
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        before = jsc.dagScheduler().nextJobId()
+        labels = dedup_clusters(pairs)  # converges in 3 iterations here
+        mid = jsc.dagScheduler().nextJobId()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    # one probe job per iteration, plus at most one backfill job each —
+    # a reintroduced per-iteration eager checkpoint would add 3 more
+    assert 3 <= mid - before <= 6, f"jobs per call drifted: {mid - before}"
+    # the newest persisted RDD is the final labels' checkpoint — every
+    # partition must already be materialized (probe + backfill covered it)
+    infos = sorted(jsc.getRDDStorageInfo(), key=lambda i: i.id())
+    assert infos, "no persisted blocks after dedup_clusters returned"
+    last = infos[-1]
+    assert last.numCachedPartitions() == last.numPartitions(), (
+        f"final labels checkpoint only {last.numCachedPartitions()}/"
+        f"{last.numPartitions()} partitions persisted"
+    )
+    out = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert out == {1: 1, 2: 1, 4: 1, 7: 7, 9: 7}
+
+
+def test_pagerank_reliable_mode_returns_checkpointed_ranks(spark, tmp_path):
+    """ADVICE r14: reliable mode's contract includes a DURABLY
+    checkpointed final state — recovery must not replay the tail rounds'
+    lineage, so the trailing eager checkpoint stays in that mode (local
+    mode documents the single-downstream-action assumption instead)."""
+    from pipeline_etl_website_visits_spark.operators.graph import pagerank
+
+    jsc = spark.sparkContext._jsc.sc()
+    assert spark.sparkContext.getCheckpointDir() is None
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        edges = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 1)], "src long, dst long"
+        )
+        ranks = pagerank(edges, iters=3)
+        # the returned plan is the checkpointed relation itself — no
+        # join/agg lineage tail left to replay on recovery
+        plan = ranks._jdf.queryExecution().analyzed().toString()
+        assert "LogicalRDD" in plan, f"final ranks not checkpointed:\n{plan}"
+        assert len(ranks.collect()) == 3
+    finally:
+        jsc.setCheckpointDir(None)  # restore local mode for later tests
+    assert spark.sparkContext.getCheckpointDir() is None
+
+
+def test_scoped_cache_evicts_previous_slot(spark):
+    """ADVICE r14 cache lifecycle: a long-lived session calling a
+    scoped_cache-ing operator repeatedly holds at most ONE cached fold
+    per slot — the next call evicts the previous call's relation."""
+    from pipeline_etl_website_visits_spark.operators.text import scoped_cache
+
+    a = scoped_cache(spark.range(5).selectExpr("id AS x"), "test_slot")
+    a.count()
+    assert a.storageLevel.useMemory
+    b = scoped_cache(spark.range(7).selectExpr("id AS y"), "test_slot")
+    assert not a.storageLevel.useMemory, "previous slot holder not evicted"
+    b.count()
+    assert b.storageLevel.useMemory
+    spark.catalog.clearCache()
+
+
+def test_fingerprint_memo_never_memoizes_unstatable_sources(tmp_path):
+    """ADVICE r14: when os.stat can't see the source table, the memo must
+    rebuild every call — a (None, None) key would never invalidate and
+    could serve stale inputs after a regeneration."""
+    from pipeline_etl_website_visits_spark.queries.llmops import fingerprint_memo
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return len(calls)
+
+    missing = str(tmp_path / "no_such_dir")
+    assert fingerprint_memo(missing, "documents", "t_memo", build) == 1
+    assert fingerprint_memo(missing, "documents", "t_memo", build) == 2
+
+
 def test_dedup_end_to_end_pipeline(spark):
     """documents -> jaccard pairs -> clusters -> keep set, full chain."""
     from pipeline_etl_website_visits_spark.operators.dedup import dedup_keep_set, shingle_jaccard_pairs
