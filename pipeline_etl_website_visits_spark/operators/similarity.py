@@ -738,7 +738,7 @@ def kmeans_summary(
             F.col("top_label").cast("int").alias("top_label"),
             "top_label_n",
         )
-        .orderBy("cluster_id")
+        # no final orderBy (the x82 discipline, r15): determinism-only sort
     )
 
 
@@ -1278,7 +1278,7 @@ def embed_pca_summary(
         proj.select(F.col(label_col).alias("label"), "pca")
         .groupBy("label")
         .agg(*aggs)
-        .orderBy("label")
+        # no final orderBy (the x82 discipline, r15): determinism-only sort
     )
 
 
@@ -1484,5 +1484,5 @@ def kmeans_integer_summary(
             "top_label_n",
             l1_col.cast("long").alias("centroid_l1_micro"),
         )
-        .orderBy("cluster_id")
+        # no final orderBy (the x82 discipline, r15): determinism-only sort
     )

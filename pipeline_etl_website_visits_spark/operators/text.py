@@ -904,7 +904,7 @@ def cms_token_estimates(
             F.coalesce("exact_count", F.lit(0)).alias("exact_count"),
             (F.col("cms_estimate") - F.coalesce("exact_count", F.lit(0))).alias("overestimate"),
         )
-        .orderBy("token")
+        # no final orderBy (the x82 discipline, r15): determinism-only sort
     )
 
 
@@ -955,7 +955,8 @@ def scrub_repeated_spans(
     out = staged.select(
         "doc_id", n_removed.alias("n_removed"), clean.alias("text_clean")
     )
-    return out.orderBy("doc_id")
+    # no final orderBy (the x82 discipline, r15): determinism-only sort
+    return out
 
 
 def zipf_slope(df: DataFrame, text_col: str, top_n: int = 1000) -> DataFrame:
@@ -1182,7 +1183,7 @@ def token_entropy(df: DataFrame, text_col: str, id_col: str = "doc_id") -> DataF
         F.col(id_col).cast("long").alias(id_col),
         F.col("n").alias("n_tokens"),
         (ln_n - F.expr("s DIV n")).cast("long").alias("entropy_micro"),
-    ).orderBy(id_col)
+    )  # no final orderBy (the x82 discipline, r15)
 
 
 def register_chunk_udtf(spark, name: str = "split_chunks"):

@@ -65,7 +65,7 @@ def event_transitions(
         F.expr("n * 1000000L DIV sum(n) OVER (PARTITION BY from_type)")
         .cast("long")
         .alias("prob_ppm"),
-    ).orderBy("from_type", "to_type")
+    )  # no final orderBy (the x82 discipline, r15)
 
 
 def gap_fill_forward(
@@ -128,7 +128,7 @@ def gap_fill_forward(
             F.date_format("hour_ts", "yyyy-MM-dd HH:mm:ss").alias("hour_ts"),
             F.last("reading", ignorenulls=True).over(wf).alias("reading"),
         )
-        .orderBy("series", "hour_ts")
+        # no final orderBy (the x82 discipline, r15): determinism-only sort
     )
 
 
@@ -206,7 +206,7 @@ def mad_outliers(
         F.round("mad", 6).alias("mad"),
         "n_outliers",
         "n_rows",
-    ).orderBy(group_col)
+    )  # no final orderBy (the x82 discipline, r15)
 
 
 def ohlc_resample(
@@ -312,7 +312,7 @@ def touch_attribution(
             "last_touch",
             "n_touches",
         )
-        .orderBy("purchase_id")
+        # no final orderBy (the x82 discipline, r15): determinism-only sort
     )
 
 

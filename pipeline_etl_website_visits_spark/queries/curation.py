@@ -2942,7 +2942,8 @@ def x182(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionByName(leg)
-    return out.orderBy("trunc_dim", "query_id")
+    # no final orderBy (the x82 discipline, r15): determinism-only sort
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -1770,7 +1770,7 @@ def x107(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return scd2_apply(
         dim, updates, "c_custkey", ["c_mktsegment"], effective_date="2000-06-01"
-    ).orderBy("c_custkey", "valid_from")
+    )  # no final orderBy (the x82 discipline, r15)
 
 
 # --------------------------------------------------------------------------
@@ -1843,7 +1843,7 @@ def x108(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.year("o_date").cast("int").alias("o_year"),
         )
         .agg(F.count("*").cast("long").alias("n_orders"))
-        .orderBy("segment", "o_year")
+        # no final orderBy (the x82 discipline, r15): determinism-only sort
     )
 
 
